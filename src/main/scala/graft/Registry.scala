@@ -1,0 +1,12 @@
+package graft
+
+/** Central inventory of every operator the engine exposes through the
+  * driver contract. Each family object contributes its QueryDefs; SparkEntry
+  * derives `queries` / `oracleSql` from here.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.Relational.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+}

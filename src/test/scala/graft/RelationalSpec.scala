@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every registered query returns rows at sf0.001") {
+    Registry.all.foreach { d =>
+      val n = d.fn(spark, sf).count()
+      assert(n > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("registry names are unique and oracle columns are aliased") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    // every oracle must not contain an unaliased aggregate like "sum(" in
+    // the projection header... cheap sanity: oracle parses as non-empty SQL
+    Registry.all.flatMap(_.oracle).foreach(sql => assert(sql.trim.nonEmpty))
+  }
+
+  test("p01 pushes filters and prunes columns at the parquet scan") {
+    val plan = operators.Relational.p01ProjectFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), "expected parquet PushedFilters")
+    assert(plan.contains("IsNotNull"), "expected not-null filter pushed")
+    // column pruning: the scan must not read l_extendedprice
+    val scanLine = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("l_extendedprice"), s"scan reads too much: $scanLine")
+  }
+
+  test("a12 broadcast the 1-row bounds (no shuffle join)") {
+    val plan = operators.Relational.a12IqrClip(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected broadcast for the scalar bounds")
+  }
+
+  test("a01 keeps aggregation in whole-stage codegen with partial aggregation") {
+    val df = operators.Relational.a01PricingSummary(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expected HashAggregate")
+    assert(plan.contains("WholeStageCodegen"), "expected whole-stage codegen")
+  }
+
+  test("exact sums are partition-count invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.util.Exact._
+    def agg(parts: Int) = Tables.lineitem(spark, sf)
+      .repartition(parts)
+      .groupBy(col("l_returnflag"))
+      .agg(exactSum(col("l_extendedprice")).as("s"), exactAvg(col("l_quantity")).as("a"))
+      .collect().map(_.toString).sorted.toSeq
+    // decimal sums are exact and associative → identical under any partitioning
+    assert(agg(1) == agg(13))
+  }
+}
