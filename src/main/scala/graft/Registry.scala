@@ -6,7 +6,10 @@ package graft
   */
 object Registry {
   def all: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.Joins.defs ++
+      operators.SetOps.defs ++
+      operators.Windows.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Exact._
+
+/** Join family. The reference itself has zero joins (SURVEY §2.5), but an
+  * engine a reference user could switch to must have the full join surface,
+  * and the grouped-transform / scalar-broadcast dataflows it DOES have
+  * (SURVEY A17/A18) are join-shaped. Every query here is written so Catalyst
+  * picks the scale-correct physical join:
+  *
+  *  - dimension tables (region/nation/supplier) are marked
+  *    [[org.apache.spark.sql.functions.broadcast]] — at 100 TB the fact
+  *    table never shuffles for them;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    aggregate partially map-side BEFORE the join where semantics allow;
+  *  - the as-of enrichment is a window carry-forward, not a join at all —
+  *    one shuffle on the partition key, no range-join blowup.
+  */
+object Joins {
+
+  /** Broadcast star join: lineitem ⋈ supplier ⋈ nation ⋈ region, revenue
+    * per region. TPC-H-Q5-shaped. All three dims broadcast; the only
+    * shuffle is the final 5-group aggregate.
+    */
+  def j01BroadcastStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = broadcast(Tables.supplier(spark, dir))
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+             .cast(DoubleType).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("r_name").asc)
+  }
+
+  private val j01Sql =
+    """SELECT r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY revenue DESC, r_name ASC""".stripMargin
+
+  /** Fact-fact shuffle join with pre-join partial aggregation: revenue per
+    * lineitem order is aggregated BEFORE joining orders (60k→15k rows into
+    * the join at sf0.01; same ratio at 100 TB), then top-k customers.
+    * TPC-H-Q3/Q10-shaped.
+    */
+  def j02FactFactRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+             .as("order_rev"))
+    Tables.orders(spark, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).cast(DoubleType).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(100)
+  }
+
+  private val j02Sql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS order_rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_custkey, CAST(SUM(order_rev) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+      |FROM orders JOIN per_order ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY revenue DESC, o_custkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** Left semi join — customers having at least one open order. At scale:
+    * the semi join needs only the distinct right keys, which Spark
+    * aggregates before the exchange.
+    */
+  def j03SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    Tables.customer(spark, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j03Sql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti join — customers who never placed an urgent order. */
+  def j04AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j04Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join + conditional aggregation — per-customer order count
+    * including zero-order customers (the COUNT(o_orderkey) ignores the
+    * null-extended rows, as SQL semantics require).
+    */
+  def j05OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    cus.join(ord, cus("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(cus("c_custkey"))
+      .agg(count(ord("o_orderkey")).as("n_orders"),
+           exactSum(coalesce(ord("o_totalprice"), lit(0.0))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j05Sql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** As-of enrichment: each event carries the timestamp and value of the
+    * most recent prior 'error' event of the same user. Implemented as a
+    * window carry-forward (last_value ignoreNulls over an unbounded-
+    * preceding frame) — ONE shuffle on user_id, no range-join explosion;
+    * this is the scale-correct form of an as-of join when the right side
+    * is a filtered view of the same stream.
+    */
+  def j06AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prev_error_ts",
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("prev_error_value",
+        last(when(col("event_type") === "error", col("value")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              // epoch micros, not TimestampType: parquet timestamp precision
+              // tags differ across engines even when the instants are equal
+              unix_micros(col("prev_error_ts")).as("prev_error_us"),
+              col("prev_error_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j06Sql =
+    """SELECT event_id, user_id, event_type,
+      |  epoch_us(LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS prev_error_us,
+      |  LAST_VALUE(CASE WHEN event_type = 'error' THEN "value" END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Range join against a small in-memory bucket dimension: price bands.
+    * The band table is broadcast, so the non-equi condition never shuffles
+    * the fact side (BroadcastNestedLoopJoin over 4 rows).
+    */
+  def j07RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 25000.0), ("mid", 25000.0, 100000.0),
+      ("high", 100000.0, 250000.0), ("top", 250000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactAvg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("band"))
+  }
+
+  private val j07Sql =
+    """WITH bands(band, lo, hi) AS (
+      |  VALUES ('low', 0.0, 25000.0), ('mid', 25000.0, 100000.0),
+      |         ('high', 100000.0, 250000.0), ('top', 250000.0, 1e18))
+      |SELECT band, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  /** Skew-safe aggregate-then-join: nation-level customer account stats
+    * joined back to nation names. The aggregate runs BEFORE the join so the
+    * dim join touches 25 rows, not 1.5k (or 150M at 100 TB).
+    */
+  def j08AggThenJoin(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactAvg(col("c_acctbal")).as("avg_bal"))
+    byNation
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("avg_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  private val j08Sql =
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
+    QueryDef("j02_fact_fact_revenue", "fact-fact shuffle join w/ pre-join partial agg", j02FactFactRevenue, Some(j02Sql)),
+    QueryDef("j03_semi_join", "left semi join (EXISTS)", j03SemiJoin, Some(j03Sql)),
+    QueryDef("j04_anti_join", "left anti join (NOT EXISTS)", j04AntiJoin, Some(j04Sql)),
+    QueryDef("j05_outer_join", "left outer join + null-safe agg", j05OuterJoin, Some(j05Sql)),
+    QueryDef("j06_asof_enrich", "as-of enrichment via window carry-forward", j06AsOf, Some(j06Sql)),
+    QueryDef("j07_range_join", "broadcast range join on price bands", j07RangeJoin, Some(j07Sql)),
+    QueryDef("j08_agg_then_join", "aggregate-before-join dim enrichment", j08AggThenJoin, Some(j08Sql))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Exact._
+
+/** Window-function family: ranking, offsets, running/rolling frames,
+  * distribution. The reference's only implicit windows are the grouped-
+  * median transform and the global row number (SURVEY §2.5); this fills the
+  * rest of the surface. Every window here partitions by a real key — the
+  * one global window in the engine (a15_row_number) is documented as the
+  * small-data path, with the partition-parallel variant in ScaleOps.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number + top-N-per-group filter: top-3 orders
+    * per market segment by price. The sort happens once per partition key;
+    * Catalyst plans a single Exchange + Sort + Window.
+    */
+  def w01TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk").cast(IntegerType).as("rk"),
+              col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val w01Sql =
+    """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** lag/lead offsets: per-user event value delta vs previous event. */
+  def w02LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 4).as("delta"),
+        col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w02Sql =
+    """SELECT event_id, user_id,
+      |  ROUND("value" - LAG("value", 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Rolling frame: 5-row moving average of event value per user. The avg
+    * is computed as exact decimal sum / count so the result is identical
+    * in any engine and under any partitioning.
+    */
+  def w03RollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (sum(dec(col("value"), 2)).over(w).cast(DoubleType) /
+           count(col("value")).over(w)).as("moving_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w03Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT("value") OVER w AS moving_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running total + share-of-partition: cumulative spend per customer over
+    * time, plus each order's fraction of the customer's total (exact
+    * decimal sums → exact division).
+    */
+  def w04RunningShare(spark: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(run).cast(DoubleType).as("running_spend"),
+        (dec(col("o_totalprice")).cast(DoubleType) /
+           sum(dec(col("o_totalprice"))).over(all).cast(DoubleType)).as("share"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val w04Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ntile + percent_rank distribution buckets over account balances. */
+  def w05Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        ntile(10).over(w).cast(IntegerType).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val w05Sql =
+    """SELECT c_custkey,
+      |  CAST(NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS decile,
+      |  ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w02_lag_delta", "lag/lead offsets per key", w02LagDelta, Some(w02Sql)),
+    QueryDef("w03_rolling_avg", "5-row rolling average frame", w03RollingAvg, Some(w03Sql)),
+    QueryDef("w04_running_share", "running total + share of partition", w04RunningShare, Some(w04Sql)),
+    QueryDef("w05_distribution", "ntile decile + percent_rank", w05Distribution, Some(w05Sql))
+  )
+}
