@@ -9,7 +9,10 @@ object Registry {
     operators.Relational.defs ++
       operators.Joins.defs ++
       operators.SetOps.defs ++
-      operators.Windows.defs
+      operators.Windows.defs ++
+      operators.TextOps.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

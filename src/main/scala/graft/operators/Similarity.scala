@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Cross-engine determinism: vectors are quantized to int64 (×1000,
+  * round-half-away) so dot products and squared norms are exact integers;
+  * the cosine double derived from them (`dot / sqrt(na·nb)`) is then
+  * bit-identical in every IEEE-754 engine, which makes top-k ORDER
+  * (including which candidates make the cut) engine-independent.
+  *
+  * Scale story:
+  *  - v01 is the exact baseline: query side × corpus side brute force.
+  *    The corpus side of the join is the broadcast candidate when it fits
+  *    (the planner sees the small side); at 100 TB you shard the corpus and
+  *    TakeOrdered per query — the plan shape Spark already emits here
+  *    (window top-k per query over a join, no global sort).
+  *  - v02 is the IVF scale path: a deterministic coarse quantizer (first
+  *    16 vectors as cell centroids — no iterative training, so the
+  *    assignment is reproducible and oracle-checkable), cell assignment
+  *    by max cosine, queries probe their 2 nearest cells only. At 100 TB
+  *    the assignment is a narrow shuffle by cell and each query touches
+  *    nprobe/nlist of the corpus.
+  */
+object Similarity {
+
+  private val quantize =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+  private def cos(qa: String, qb: String, na: String, nb: String): String =
+    s"CAST(${dot(qa, qb)} AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+
+  /** v01 — exact brute-force cosine top-5 per query (every 25th vector is
+    * a query). Self-match excluded; ties broken by neighbor id.
+    */
+  def v01CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v01Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |p AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** v02 — IVF top-3: cells = first 16 vectors as centroids, assignment by
+    * max cosine (tie → lower centroid id), queries probe their 2 nearest
+    * cells, search only those cells' members.
+    */
+  def v02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val centroids = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    // every vector's home cell (rank 1) and, for queries, the probe cells (rank <= 2)
+    val ranked = scored.withColumn("crank", row_number().over(wAssign))
+    val members = ranked.filter(col("crank") === 1)
+      .select(col("centroid_id").as("cell"), col("vec_id").as("cid"),
+              col("q").as("cq"), col("nrm").as("cn"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= 2)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+              col("nrm").as("qn"), col("centroid_id").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    probes.join(members, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v02Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT n.vec_id, n.q, n.nrm, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |  FROM scored),
+      |members AS (SELECT centroid_id cell, vec_id cid, q cq, nrm cn FROM ranked WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, q qq, nrm qn, centroid_id cell
+      |           FROM ranked WHERE vec_id % 25 = 0 AND crank <= 2),
+      |p AS (
+      |  SELECT probes.qid, members.cid,
+      |    CAST(list_sum(list_transform(range(1, len(probes.qq) + 1),
+      |           i -> probes.qq[CAST(i AS INTEGER)] * members.cq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(probes.qn AS DOUBLE) * CAST(members.cn AS DOUBLE)) cos
+      |  FROM probes JOIN members USING (cell)
+      |  WHERE probes.qid <> members.cid),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
+    QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3", v02IvfTopK, Some(v02Sql))
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis family for training-data pipelines over `documents`:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Design for 100 TB: every operator is a pure per-row projection (no
+  * shuffle at all except the final presentation sort, which a real
+  * pipeline would drop); all arithmetic is integer/rational so results
+  * are bit-identical across engines and partitionings.
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | single digits | single punctuation) — the standard
+    * pre-tokenizer shape for LLM corpus accounting.
+    */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(expr(raw"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  length(text) AS n_chars_measured
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/punctuation/stopword/alpha ratios blended
+    * into one score. All ratios are int/int rationals → exact doubles.
+    */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+    val nStop = size(expr(
+      "filter(split(trim(text), '\\\\s+'), w -> w IN ('the','a','an','and','or','of','to','in','is','it'))"))
+      .cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(nPunct / nChars, 6).as("punct_ratio"),
+        round(nAlpha / nChars, 6).as("alpha_ratio"),
+        round(nStop / nWords, 6).as("stopword_ratio"),
+        round(least(lit(1.0), nWords / lit(100.0)) * 0.4 +
+              (lit(1.0) - nPunct / nChars) * 0.3 +
+              (nAlpha / nChars) * 0.3, 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t02Sql =
+    """SELECT doc_id,
+      |  ROUND(np / nc, 6) AS punct_ratio,
+      |  ROUND(na / nc, 6) AS alpha_ratio,
+      |  ROUND(ns / nw, 6) AS stopword_ratio,
+      |  ROUND(LEAST(1.0, nw / 100.0) * 0.4 + (1.0 - np / nc) * 0.3 + (na / nc) * 0.3, 6) AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+      |    CAST(length(text) AS DOUBLE) AS nc,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS np,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS na,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |         w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) AS ns
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID: marker-word n-gram heuristic. Scores each language by
+    * marker-token hits; argmax with a fixed priority tie-break; all-zero →
+    * 'und'. Deterministic and shuffle-free.
+    */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]): org.apache.spark.sql.Column = {
+      val lst = words.map(w => s"'$w'").mkString(",")
+      size(expr(s"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($lst))"))
+    }
+    val en = hits(Seq("the", "and", "of", "to", "in", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "los"))
+    val fr = hits(Seq("le", "la", "de", "et", "les", "des"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+    val best = greatest(en, es, fr, de)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        when(best === 0, "und")
+          .when(en === best, "en").when(es === best, "es")
+          .when(fr === best, "fr").otherwise("de").as("predicted_lang"),
+        en.cast("long").as("en_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql =
+    """SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      |       WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      |       WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      |       WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang,
+      |  en AS en_hits
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('the','and','of','to','in','is'))) AS en,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('el','la','de','que','y','los'))) AS es,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('le','la','de','et','les','des'))) AS fr,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('der','die','und','das','ist','ein'))) AS de
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 content fingerprint of the normalized
+    * text, a 60-bit integer fingerprint (first 15 hex digits), and a
+    * 31-polynomial rolling hash mod 1e9+7 over the characters.
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .withColumn("norm", norm)
+      .select(col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        expr("CAST(conv(substring(md5(norm), 1, 15), 16, 10) AS BIGINT)").as("fp60"),
+        expr("aggregate(split(norm, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+          .as("fp_rolling"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t04Sql =
+    """SELECT doc_id, md5(norm) AS fp_md5,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 16),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(norm), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |    (a, b) -> a * 16 + b) AS fp60,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(norm) + 1),
+      |      i -> CAST(ascii(substr(norm, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+      |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** JSON extraction over the events props column + aggregation — the
+    * semi-structured column path (get_json_object → typed agg).
+    */
+  def t05JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+           sum(col("k")).as("sum_k"),
+           (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val t05Sql =
+    """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
+    QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
+    QueryDef("t03_langid", "marker-word language ID heuristic", t03LangId, Some(t03Sql)),
+    QueryDef("t04_fingerprint", "md5 + 60-bit + rolling-hash fingerprints", t04Fingerprint, Some(t04Sql)),
+    QueryDef("t05_json_extract", "JSON property extraction + typed agg", t05JsonExtract, Some(t05Sql))
+  )
+}
