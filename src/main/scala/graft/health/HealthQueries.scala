@@ -1,0 +1,209 @@
+package graft.health
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's 11 analytic queries + support aggregates (SURVEY §2.4
+  * A1–A13) over the cleaned table — each a declarative group-sort-topk
+  * plan (partial+final HashAggregate + TakeOrderedAndProject), plus the
+  * six notebook SQL texts runnable verbatim (modulo identifier quoting)
+  * through a temp view, reproducing the EP2 path.
+  */
+object HealthQueries {
+
+  /** A1 — top deadliest diseases (nb:cell2; app Health_Jim.py:439-447). */
+  def topDeadliest(df: DataFrame, n: Int = 5): DataFrame =
+    df.filter(col("Mortality_Rate_per_100").isNotNull)
+      .groupBy(col("Disease Name"))
+      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           count(lit(1)).as("total_records"))
+      .orderBy(col("avg_mortality").desc)
+      .limit(n)
+
+  /** A2 — recovery trends over time (nb:cell6). */
+  def recoveryTrends(df: DataFrame, n: Int = 50): DataFrame =
+    df.groupBy(col("Year"), col("Disease Name"))
+      .agg(count(lit(1)).as("cases"),
+           avg(col("Recovery_Rate")).as("avg_recovery"))
+      .orderBy(col("avg_recovery").asc, col("cases").desc)
+      .limit(n)
+
+  /** A3 — healthcare access vs mortality by country (nb:cell10); the
+    * post-agg not-null filter on the alias ≡ SQL HAVING. */
+  def accessVsMortality(df: DataFrame): DataFrame =
+    df.groupBy(col("Country"))
+      .agg(avg(col("Healthcare_Access_Pct")).as("avg_healthcare_access"),
+           avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           avg(col("Doctors_per_1000")).as("avg_doctors"))
+      .filter(col("avg_mortality").isNotNull)
+      .orderBy(col("avg_healthcare_access").desc)
+
+  /** A4 — treatment cost by disease & type (nb:cell14). */
+  def costByTreatment(df: DataFrame): DataFrame =
+    df.filter(col("Avg_Treatment_Cost_USD").isNotNull)
+      .groupBy(col("Disease Name"), col("Treatment_Type"))
+      .agg(avg(col("Avg_Treatment_Cost_USD")).as("avg_cost"),
+           avg(col("Recovery_Rate")).as("avg_recovery"),
+           count(lit(1)).as("cases"))
+      .orderBy(col("avg_cost").desc)
+
+  /** A5 — gender burden in deadliest diseases (nb:cell18). The notebook
+    * SQL's `WHERE "Mortality_Rate" IS NOT NULL` resolves in SQLite to a
+    * never-null string literal → always true; the published output is the
+    * unfiltered aggregate, which is what this computes (SURVEY §2.7 Q1).
+    */
+  def genderBurden(df: DataFrame, n: Int = 10): DataFrame =
+    df.groupBy(col("Disease Name"))
+      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           sum(col("Affected_Male")).as("total_male_affected"),
+           sum(col("Affected_Female")).as("total_female_affected"))
+      .orderBy(col("avg_mortality").desc)
+      .limit(n)
+
+  /** A6 — urban/rural burden level 1 (nb:cell21). */
+  def urbanRuralLevel1(df: DataFrame): DataFrame =
+    df.filter(col("Healthcare_Access_Pct").isNotNull)
+      .groupBy(col("Country"), col("Disease Name"))
+      .agg(avg(col("Healthcare_Access_Pct")).as("avg_access"),
+           avg(col("Population_Affected")).as("avg_affected"),
+           avg(col("Urban_Population_Pct")).as("avg_urban"),
+           avg(col("Rural_Population_Pct")).as("avg_rural"))
+      .orderBy(col("avg_affected").desc)
+
+  /** A7 — level 2: avg-of-avgs over level 1, each (country, disease)
+    * group weighted equally — deliberately ≠ a direct per-disease mean
+    * (nb:cell22). */
+  def urbanRuralLevel2(df: DataFrame, n: Int = 50): DataFrame =
+    urbanRuralLevel1(df)
+      .groupBy(col("Disease Name"))
+      .agg(avg(col("avg_access")).as("avg_access"),
+           avg(col("avg_affected")).as("avg_affected"),
+           avg(col("avg_urban")).as("avg_urban"),
+           avg(col("avg_rural")).as("avg_rural"))
+      .orderBy(col("avg_affected").desc)
+      .limit(n)
+
+  /** A8 — app: avg treatment cost per disease (Health_Jim.py:450-458). */
+  def avgCostPerDisease(df: DataFrame, n: Int = 10): DataFrame =
+    df.filter(col("Avg_Treatment_Cost_USD").isNotNull)
+      .groupBy(col("Disease Name"))
+      .agg(avg(col("Avg_Treatment_Cost_USD")).as("avg_cost"))
+      .orderBy(col("avg_cost").desc)
+      .limit(n)
+
+  /** A9 — app: mortality trend by year (Health_Jim.py:461-471). */
+  def mortalityTrend(df: DataFrame): DataFrame =
+    df.groupBy(col("Year"))
+      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"))
+      .orderBy(col("Year").asc)
+
+  /** A10 — app: gender impact, aggregated then unpivoted wide→long
+    * (Health_Jim.py:487-501, pandas melt). */
+  def genderImpactLong(df: DataFrame): DataFrame =
+    df.groupBy(col("Disease Name"))
+      .agg(sum(col("Affected_Male")).as("Total_Male"),
+           sum(col("Affected_Female")).as("Total_Female"))
+      .select(col("Disease Name"),
+        expr("stack(2, 'Total_Male', Total_Male, 'Total_Female', Total_Female) AS (Gender, Affected_Population)"))
+
+  /** A11 — app: disease burden, avg ×4 (Health_Jim.py:505-517). */
+  def diseaseBurden(df: DataFrame, n: Int = 50): DataFrame =
+    df.groupBy(col("Disease Name"))
+      .agg(avg(col("Population_Affected")).as("avg_affected"),
+           avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           avg(col("Recovery_Rate")).as("avg_recovery"),
+           avg(col("DALYs")).as("avg_dalys"))
+      .orderBy(col("avg_affected").desc)
+      .limit(n)
+
+  /** A12 — correlation of every numeric feature with the mortality rate
+    * (Health_Jim.py:519-547; nb:cell26:8-9): one Pearson matrix pass via
+    * MLlib over an assembled vector, slice the target row.
+    */
+  def mortalityCorrelations(df: DataFrame): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Matrix
+    import org.apache.spark.ml.stat.Correlation
+    val numCols = df.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+                   f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_.name)
+      .filterNot(Seq("Row_num", "Record_ID").contains)
+    val assembled = new VectorAssembler()
+      .setInputCols(numCols).setOutputCol("__features")
+      .setHandleInvalid("skip")
+      .transform(df.select(numCols.map(c => col(c).cast("double")): _*)
+        .toDF(numCols: _*))
+    val m = Correlation.corr(assembled, "__features").head.getAs[Matrix](0)
+    val ti = numCols.indexOf("Mortality_Rate_per_100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    numCols.zipWithIndex
+      .map { case (c, i) => (c, m(ti, i)) }
+      .toSeq.toDF("feature", "corr_with_mortality")
+      .orderBy(col("corr_with_mortality").desc)
+  }
+
+  /** A13 — overview metrics (nb:cell28:64-82): exact distincts. */
+  def overview(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("total_records"),
+           countDistinct(col("Country")).as("n_countries"),
+           countDistinct(col("Disease Name")).as("n_diseases"),
+           round(avg(col("Mortality_Rate_per_100")), 4).as("avg_mortality"),
+           round(avg(col("Recovery_Rate")), 2).as("avg_recovery"),
+           round(avg(col("Avg_Treatment_Cost_USD")), 2).as("avg_cost"))
+
+  /** EP2 — the six notebook SQL texts over a temp view, verbatim modulo
+    * identifier quoting (SQLite double quotes → backticks). */
+  def registerView(df: DataFrame): Unit =
+    df.createOrReplaceTempView("global_health_data")
+
+  val sqlTexts: Map[String, String] = Map(
+    "q1" -> """SELECT `Disease Name` AS disease, AVG(Mortality_Rate_per_100) AS avg_mortality,
+              |       COUNT(*) AS total_records
+              |FROM global_health_data
+              |WHERE Mortality_Rate_per_100 IS NOT NULL
+              |GROUP BY `Disease Name`
+              |ORDER BY avg_mortality DESC
+              |LIMIT 5""".stripMargin,
+    "q2" -> """SELECT Year, `Disease Name` AS disease, COUNT(*) AS cases,
+              |       AVG(Recovery_Rate) AS avg_recovery
+              |FROM global_health_data
+              |GROUP BY Year, `Disease Name`
+              |ORDER BY avg_recovery ASC, cases DESC
+              |LIMIT 50""".stripMargin,
+    "q3" -> """SELECT Country, AVG(Healthcare_Access_Pct) AS avg_healthcare_access,
+              |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+              |       AVG(Doctors_per_1000) AS avg_doctors
+              |FROM global_health_data
+              |GROUP BY Country
+              |HAVING avg_mortality IS NOT NULL
+              |ORDER BY avg_healthcare_access DESC""".stripMargin,
+    "q4" -> """SELECT `Disease Name` AS disease, Treatment_Type,
+              |       AVG(Avg_Treatment_Cost_USD) AS avg_cost,
+              |       AVG(Recovery_Rate) AS avg_recovery, COUNT(*) AS cases
+              |FROM global_health_data
+              |WHERE Avg_Treatment_Cost_USD IS NOT NULL
+              |GROUP BY `Disease Name`, Treatment_Type
+              |ORDER BY avg_cost DESC""".stripMargin,
+    "q5" -> """SELECT `Disease Name` AS disease,
+              |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+              |       SUM(Affected_Male) AS total_male_affected,
+              |       SUM(Affected_Female) AS total_female_affected
+              |FROM global_health_data
+              |GROUP BY `Disease Name`
+              |ORDER BY avg_mortality DESC
+              |LIMIT 10""".stripMargin,
+    "q6" -> """SELECT Country, `Disease Name` AS disease,
+              |       AVG(Healthcare_Access_Pct) AS avg_access,
+              |       AVG(Population_Affected) AS avg_affected,
+              |       AVG(Urban_Population_Pct) AS avg_urban,
+              |       AVG(Rural_Population_Pct) AS avg_rural
+              |FROM global_health_data
+              |WHERE Healthcare_Access_Pct IS NOT NULL
+              |GROUP BY Country, `Disease Name`
+              |ORDER BY avg_affected DESC""".stripMargin)
+
+  def runSql(spark: SparkSession, name: String): DataFrame =
+    spark.sql(sqlTexts(name))
+}
