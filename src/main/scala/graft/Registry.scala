@@ -12,7 +12,10 @@ object Registry {
       operators.Windows.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.Multimodal.defs ++
+      operators.ScaleOps.defs ++
+      streaming.EventStream.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,130 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** The reference's RandomForest mortality model (nb:cell26; app variant
+  * Health_Jim.py:648-722) on MLlib — SURVEY §2.8 M1-M8.
+  *
+  * Parity notes:
+  *  - one-hot matches pandas `get_dummies(drop_first=True)`: levels in
+  *    alphabetical order, first level dropped, explicit 0/1 columns (no
+  *    StringIndexer frequency ordering — SURVEY M2);
+  *  - sklearn's permutation split and Spark's per-row Bernoulli
+  *    `randomSplit` select different rows, so parity is a metric band
+  *    (R² ≈ 0.785 published; we assert [0.70, 0.85] — SURVEY M3);
+  *  - RF mapping: n_estimators→numTrees, max_depth→maxDepth,
+  *    min_samples_leaf→minInstancesPerNode; sklearn regression default
+  *    max_features=1.0 → featureSubsetStrategy="all" (M4).
+  */
+object MortalityModel {
+
+  val label = "Mortality_Rate_per_100"
+  val dropCols: Seq[String] = Seq(
+    "Row_num", "Record_ID", "Country_Population", "Year",
+    "Improvement_5_Years", "Country")
+  val leakyCols: Seq[String] = Seq("Severity Score", "DALYs", "Recovery_Rate")
+  val catCols: Seq[String] = Seq(
+    "Disease Name", "Vaccine_Treatment_Availability", "Treatment_Type")
+
+  final case class Fitted(
+      model: RandomForestRegressionModel,
+      featureNames: Seq[String],
+      train: DataFrame,
+      test: DataFrame)
+
+  /** pandas get_dummies(drop_first=True): alphabetical levels minus the
+    * first, as explicit 0/1 double columns named `col_level`. The level
+    * inventory is tiny (≤21) — collecting it is fit-time metadata, like
+    * StringIndexer.fit.
+    */
+  def encode(df: DataFrame): (DataFrame, Seq[String]) = {
+    var out = df.drop(dropCols: _*)
+    val dummyNames = catCols.flatMap { c =>
+      val levels = df.select(col(s"`$c`")).distinct()
+        .collect().map(_.getString(0)).sorted.drop(1) // drop_first
+      levels.map { lvl =>
+        val name = s"${c}_$lvl"
+        out = out.withColumn(name, when(col(s"`$c`") === lvl, 1.0).otherwise(0.0))
+        name
+      }
+    }
+    (out.drop(catCols: _*), dummyNames)
+  }
+
+  /** M1-M4 — encode, split 0.76/0.24 seed 42, fit RF 300×3×leaf5. */
+  def fit(df: DataFrame): Fitted = {
+    val (encoded, dummies) = encode(df)
+    val numericFeatures = encoded.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == LongType)
+      .map(_.name)
+      .filterNot((Seq(label) ++ leakyCols ++ dummies).contains)
+    val featureNames = numericFeatures.toSeq ++ dummies
+    val assembled = new VectorAssembler()
+      .setInputCols(featureNames.toArray).setOutputCol("features")
+      .transform(encoded.select(
+        (featureNames.map(c => col(s"`$c`").cast(DoubleType).as(c)) :+
+          col(s"`$label`").as("label")): _*))
+    val Array(train, test) = assembled.randomSplit(Array(0.76, 0.24), seed = 42)
+    val rf = new RandomForestRegressor()
+      .setNumTrees(300).setMaxDepth(3).setMinInstancesPerNode(5)
+      .setFeatureSubsetStrategy("all").setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    Fitted(rf.fit(train), featureNames, train, test)
+  }
+
+  /** M5 — r2 / mae / mse on a split, as a 1-row DataFrame. */
+  def metrics(fitted: Fitted, onTest: Boolean = true): DataFrame = {
+    val data = if (onTest) fitted.test else fitted.train
+    val pred = fitted.model.transform(data)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val ev = new RegressionEvaluator().setLabelCol("label").setPredictionCol("prediction")
+    Seq((
+      ev.setMetricName("r2").evaluate(pred),
+      ev.setMetricName("mse").evaluate(pred),
+      ev.setMetricName("mae").evaluate(pred)
+    )).toDF("r2", "mse", "mae")
+  }
+
+  /** M6 — feature importances, sorted desc (Health_Jim.py:713-722). */
+  def featureImportances(fitted: Fitted): DataFrame = {
+    val spark = fitted.train.sparkSession
+    import spark.implicits._
+    fitted.featureNames.zip(fitted.model.featureImportances.toArray)
+      .toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature").asc)
+  }
+
+  /** M7 — single-row scoring with median fallback for unspecified
+    * features (Health_Jim.py:728-744): absent keys default to the
+    * TRAINING median of that feature; column order matches training.
+    */
+  def predictOne(fitted: Fitted, inputs: Map[String, Double]): Double = {
+    val spark = fitted.train.sparkSession
+    val medianExprs = fitted.featureNames.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile(`$c`, 0.5)").as(s"m$i")
+    }
+    // medians come from one 1-row aggregate over the training frame
+    val meds = {
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
+      val flat = fitted.train.select(fitted.featureNames.zipWithIndex.map {
+        case (c, i) => element_at(arr, i + 1).as(c)
+      }: _*)
+      flat.agg(medianExprs.head, medianExprs.tail: _*).head()
+    }
+    val values = fitted.featureNames.zipWithIndex.map { case (c, i) =>
+      inputs.getOrElse(c, meds.getDouble(i))
+    }
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        org.apache.spark.ml.linalg.Vectors.dense(values.toArray))),
+      new org.apache.spark.sql.types.StructType()
+        .add("features", org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
+    fitted.model.transform(row).select("prediction").head().getDouble(0)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * processed with partition-batched imperative code (`mapPartitions` over
+  * a typed Dataset — the JVM analog of arrow-batched pandas UDFs).
+  *
+  * The decode step is a clearly-marked STUB (this container ships no
+  * image/audio codecs): payloads are synthesized deterministically from
+  * the documents table (UTF-8 bytes + a fake 4-byte format header), and
+  * "feature extraction" is a deterministic byte-histogram + length — so
+  * the Spark-side plumbing that matters at 100 TB (binary schema, typed
+  * metadata struct, partition batching, fixed-width feature output,
+  * shuffle-free projection) is real and oracle-checked, while a real
+  * deployment swaps ONLY the `decodeFeatures` function body.
+  */
+object Multimodal {
+
+  /** Typed payload row: what a real pipeline would carry per image. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+                           format: String, n_bytes: Long)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+                                 hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)
+
+  /** STUB — deterministic fake decode/feature-extract. A real build
+    * replaces this body with an image decode (JPEG → pixels → features);
+    * the signature (bytes in, fixed-width features out) is the contract.
+    */
+  def decodeFeatures(id: Long, payload: Array[Byte]): MediaFeatures = {
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % 4) += 1
+      i += 1
+    }
+    MediaFeatures(id, payload.length.toLong, hist(0), hist(1), hist(2), hist(3))
+  }
+
+  /** m01 — binary ingestion + partition-batched feature extraction.
+    * The payload is `to_binary('IMG0' || text)` (fake header + content);
+    * extraction runs per-partition over the typed Dataset. Output is a
+    * plain columnar frame — the shape a downstream trainer consumes.
+    */
+  def m01BinaryFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('IMG0', text) AS BINARY)").as("payload"),
+        lit("img/fake").as("format"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+    media.mapPartitions(_.map(r => decodeFeatures(r.doc_id, r.payload)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle reproduces the stub arithmetically: document text is
+    * ASCII here, so UTF-8 bytes == character codes; 'IMG0' contributes
+    * bytes 73,77,71,48 (mod 4 → 1,1,3,0).
+    */
+  private val m01Sql =
+    """SELECT doc_id, length(text) + 4 AS n_bytes,
+      |  len(list_filter(codes, c -> c % 4 = 0)) + 1 AS hist_0,
+      |  len(list_filter(codes, c -> c % 4 = 1)) + 2 AS hist_1,
+      |  len(list_filter(codes, c -> c % 4 = 2)) AS hist_2,
+      |  len(list_filter(codes, c -> c % 4 = 3)) + 1 AS hist_3
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, length(text) + 1),
+      |                   i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS codes
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** m02 — metadata-only pruning path: at 100 TB the win is answering
+    * metadata queries WITHOUT touching payload bytes; the projection
+    * must reach the scan with only the narrow columns (ReadSchema is
+    * asserted in the spec).
+    */
+  def m02MetadataOnly(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("lang"))
+
+  private val m02Sql =
+    """SELECT lang, COUNT(*) AS n_media,
+      |  CAST(SUM(length(text) + 4) AS BIGINT) AS total_bytes
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
+    QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Exact._
+
+/** Structured Streaming surface over the `events` table. The reference
+  * has no streams (SURVEY §2.5 — "Real-time insights" means interactive
+  * dashboard), so this is the engine's forward-looking streaming path:
+  * the same windowed aggregations exposed twice —
+  *
+  *  - as BATCH queries (below) so the driver's DuckDB oracle checks the
+  *    window semantics;
+  *  - as a true `readStream → withWatermark → window → writeStream`
+  *    pipeline (see [[streamingTumblingCounts]] and EventStreamSpec),
+  *    which must produce byte-identical results to the batch plan when
+  *    the source is replayed with Trigger.AvailableNow.
+  *
+  * Windows are emitted as epoch micros of the window start — timestamps
+  * cross the oracle boundary as integers (see Joins.j06).
+  */
+object EventStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** st01 — tumbling 1-hour windows: count + exact sum per type. */
+  def st01Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  private val st01Sql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin
+
+  /** st02 — sliding windows (2h length, 1h slide): every event lands in
+    * two windows; the oracle reproduces that with a 2-element unnest.
+    */
+  def st02Sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  private val st02Sql =
+    """SELECT epoch_us(ws) AS window_start_us, event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+      |  FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin
+
+  /** st03 — streaming-dedup semantics as a batch plan: first event per
+    * (user_id, event_type) in event-time order — what
+    * `dropDuplicates(["user_id","event_type"])` yields on a replayed
+    * stream with monotonically increasing event_id arrival order.
+    */
+  def st03FirstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val st03Sql =
+    """SELECT user_id, event_type, first_event_id
+      |FROM (
+      |  SELECT user_id, event_type, event_id AS first_event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** The genuine streaming pipeline: parquet file source → watermark →
+    * tumbling window agg, drained with Trigger.AvailableNow into an
+    * in-memory table. Returns the drained result for comparison against
+    * [[st01Tumbling]]. Used by EventStreamSpec; a production deployment
+    * would swap the sink for kafka/delta and keep the plan identical.
+    */
+  def streamingTumblingCounts(spark: SparkSession, dir: String,
+                              queryName: String = "st_tumbling"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a DIRECTORY; stage the single
+    // events.parquet file into a temp dir via symlink (no data copy)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+    val q = src.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
+    QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
+    QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql))
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.health.HealthEtl
+import graft.ml.MortalityModel
+
+/** M1-M8 parity: metric-band assertions (sklearn↔MLlib splits are not
+  * row-identical — SURVEY §2.8 M3; reference R² = 0.7855 test / 0.7774
+  * train, nb:cell26(out)).
+  */
+class MortalityModelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val fitted = MortalityModel.fit(
+    HealthEtl.clean(spark, HealthEtl.defaultCsvPath))
+
+  test("feature encoding matches pandas get_dummies(drop_first) layout") {
+    // 20 disease dummies (21 levels − Alzheimer'S), 4 availability
+    // (5 − High), 3 treatment (4+Unknown − Medication)
+    val names = fitted.featureNames
+    assert(names.count(_.startsWith("Disease Name_")) == 20)
+    assert(!names.contains("Disease Name_Alzheimer'S Disease"))
+    assert(names.contains("Disease Name_Zika"))
+    assert(names.count(_.startsWith("Vaccine_Treatment_Availability_")) == 4)
+    assert(!names.contains("Vaccine_Treatment_Availability_High"))
+    assert(names.count(_.startsWith("Treatment_Type_")) == 4)
+    assert(!names.contains("Treatment_Type_Medication"))
+    // leaky + dropped columns excluded
+    assert(!names.contains("Severity Score") && !names.contains("DALYs") &&
+           !names.contains("Recovery_Rate") && !names.contains("Year"))
+  }
+
+  test("test R2 in the reference band [0.70, 0.85] (published 0.7855)") {
+    val m = MortalityModel.metrics(fitted, onTest = true).head()
+    val (r2, mse, mae) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    assert(r2 > 0.70 && r2 < 0.85, s"test r2=$r2 outside band")
+    assert(mse < 2e-3, s"mse=$mse") // published 8.2e-4
+    assert(mae < 0.03, s"mae=$mae") // published 0.0135
+  }
+
+  test("train R2 close to test R2 (no overfit at depth 3; published 0.7774)") {
+    val tr = MortalityModel.metrics(fitted, onTest = false).head().getDouble(0)
+    val te = MortalityModel.metrics(fitted, onTest = true).head().getDouble(0)
+    assert(tr > 0.70 && tr < 0.88, s"train r2=$tr")
+    assert(math.abs(tr - te) < 0.08, s"train/test gap ${tr - te}")
+  }
+
+  test("feature importances: non-negative, sum to 1, mortality drivers on top") {
+    val imps = MortalityModel.featureImportances(fitted).collect()
+    assert(imps.forall(_.getDouble(1) >= 0.0))
+    assert(math.abs(imps.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+  }
+
+  test("M7 single-row predict with median fallback returns a sane rate") {
+    val p = MortalityModel.predictOne(fitted, Map(
+      "Healthcare_Access_Pct" -> 0.5, "Doctors_per_1000" -> 1.0,
+      "Avg_Treatment_Cost_USD" -> 500.0))
+    assert(p >= 0.0 && p <= 1.0, s"prediction $p outside [0,1]")
+  }
+
+  test("determinism: same seed, same importances") {
+    val again = MortalityModel.fit(HealthEtl.clean(spark, HealthEtl.defaultCsvPath))
+    assert(again.model.featureImportances == fitted.model.featureImportances)
+  }
+}
