@@ -1,0 +1,86 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.health.{HealthEtl, HealthQueries}
+import graft.ml.MortalityModel
+
+/** EP3 — the reference's batch "weekly report" job (nb:cell28
+  * `fetch_and_model_health` → `build_health_pdf` → `send_health_email` →
+  * `export_health_excel`), re-expressed as one Spark driver program:
+  * the analytic DAG runs distributed, only the tiny result tables are
+  * collected for rendering.
+  *
+  * Output sinks are abstracted behind [[ReportSink]]: the default
+  * renders the reference's PDF/Excel section structure as plain text /
+  * CSV-able sections (this environment is egress-free and ships no PDF
+  * lib); the email sink (S10) is a no-op stub by design.
+  */
+trait ReportSink {
+  def write(reportName: String, sections: Seq[(String, String)]): String
+}
+
+/** Text renderer — same section inventory as the reference PDF
+  * (nb:cell28:135-179: title, overview metrics, model metrics, top-5
+  * mortality, top-5 cost, canned prediction). */
+final class TextReportSink extends ReportSink {
+  def write(reportName: String, sections: Seq[(String, String)]): String = {
+    val sb = new StringBuilder
+    sb.append("=" * 72).append('\n').append(reportName).append('\n').append("=" * 72).append('\n')
+    sections.foreach { case (title, body) =>
+      sb.append('\n').append(title).append('\n').append("-" * title.length).append('\n')
+      sb.append(body).append('\n')
+    }
+    sb.toString
+  }
+}
+
+/** S10 — email delivery is environment-gated; this stub records the
+  * would-be send without egress. */
+final class EmailSinkStub extends ReportSink {
+  var lastSent: Option[String] = None
+  def write(reportName: String, sections: Seq[(String, String)]): String = {
+    lastSent = Some(reportName)
+    s"[email stub] would send '$reportName' with ${sections.size} sections"
+  }
+}
+
+object WeeklyReport {
+
+  private def fmt(df: DataFrame, n: Int = 10): String = {
+    val rows = df.limit(n).collect()
+    val header = df.columns.mkString(" | ")
+    (header +: rows.map(_.toSeq.map {
+      case d: Double => f"$d%.4f"
+      case x => String.valueOf(x)
+    }.mkString(" | "))).mkString("\n")
+  }
+
+  /** Build the report sections from the cleaned table (collects only
+    * aggregate results — every input to `fmt` is ≤ a few dozen rows). */
+  def sections(spark: SparkSession, cleaned: DataFrame): Seq[(String, String)] = {
+    val fitted = MortalityModel.fit(cleaned)
+    val m = MortalityModel.metrics(fitted).head()
+    val prediction = MortalityModel.predictOne(fitted, Map(
+      "Healthcare_Access_Pct" -> 0.5, "Doctors_per_1000" -> 1.0,
+      "Hospital_Beds_per_1000" -> 2.0, "Avg_Treatment_Cost_USD" -> 500.0,
+      "Per_Capita_Income_USD" -> 1000.0))
+    Seq(
+      "Overview" -> fmt(HealthQueries.overview(cleaned)),
+      "Model quality (RandomForest 300x3, seed 42)" ->
+        f"r2=${m.getDouble(0)}%.4f mse=${m.getDouble(1)}%.6f mae=${m.getDouble(2)}%.6f",
+      "Top 5 deadliest diseases" -> fmt(HealthQueries.topDeadliest(cleaned, 5)),
+      "Top 5 costliest diseases" -> fmt(HealthQueries.avgCostPerDisease(cleaned, 5)),
+      "Feature importances (top 10)" -> fmt(MortalityModel.featureImportances(fitted), 10),
+      "Canned mortality prediction" -> f"predicted rate = $prediction%.6f")
+  }
+
+  /** Run the whole job: ETL → analytics → model → render. */
+  def run(spark: SparkSession, csvPath: String = HealthEtl.defaultCsvPath,
+          sink: ReportSink = new TextReportSink): String = {
+    val cleaned = HealthEtl.clean(spark, csvPath).cache()
+    try sink.write("WEEKLY GLOBAL HEALTH REPORT", sections(spark, cleaned))
+    finally cleaned.unpersist()
+  }
+}
