@@ -13,6 +13,7 @@ object Registry {
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Functions2.defs ++
       operators.Multimodal.defs ++
       operators.ScaleOps.defs ++
       streaming.EventStream.defs

@@ -28,7 +28,10 @@ case class VecDotLong(left: Expression, right: Expression)
   // guarantee this, so no ExpectsInputTypes coercion layer is needed
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(LongType))
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true // containsNull irrelevant
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"vec_dot requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Exact._
+
+/** Engine-completeness surface beyond the reference's own function set:
+  * multi-dimensional aggregation (rollup/cube-style), pivot, datetime /
+  * string / conditional function families, and ordered array collection.
+  * A reference user extending their queries gets all of these without
+  * leaving the engine; each is DuckDB-oracle-checked.
+  */
+object Functions2 {
+
+  /** a18 — ROLLUP: subtotals + grand total in one pass (absent from the
+    * reference, standard engine surface). GROUPING() disambiguates the
+    * null-key subtotal rows.
+    */
+  def a18Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           exactSum(col("o_totalprice")).as("total"),
+           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+           grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+               col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+
+  private val a18Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+
+  /** a19 — pivot with an explicit value list (the engine's long→wide
+    * inverse of a07's unpivot); explicit values keep the plan one-pass
+    * (no distinct-discovery job).
+    */
+  def a19Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val a19Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** a20 — ordered array collection per group: deterministic because the
+    * collected list is sorted (collect_list order is otherwise
+    * partition-dependent).
+    */
+  def a20CollectList(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 50)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+           count(lit(1)).as("n"))
+      .select(col("c_nationkey"),
+        concat_ws(",", col("custkeys")).as("custkeys_csv"), col("n"))
+      .orderBy(col("c_nationkey"))
+
+  private val a20Sql =
+    """SELECT c_nationkey,
+      |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv,
+      |  COUNT(*) AS n
+      |FROM customer
+      |WHERE c_custkey <= 50
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** f06 — datetime family: extract/trunc/diff arithmetic. */
+  def f06Datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since_epoch_start"))
+      .orderBy(col("o_orderkey"))
+
+  private val f06Sql =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+      |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+      |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
+      |  epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** f07 — string family: pad/substr/locate/translate/levenshtein. */
+  def f07Strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        substring(col("p_name"), 3, 8).as("sub"),
+        locate("a", col("p_name")).cast(LongType).as("first_a"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("translated"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast(LongType).as("edit_dist"))
+      .orderBy(col("p_partkey"))
+
+  private val f07Sql =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '_') AS padded,
+      |  substr(p_name, 3, 8) AS sub,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      |  translate(p_type, 'aeiou', 'AEIOU') AS translated,
+      |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS edit_dist
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** f08 — conditional family: nullif/coalesce/nvl2-style/least-greatest. */
+  def f08Conditionals(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+        nullif(col("s_nationkey"), lit(0)).cast(LongType).as("nation_nz"),
+        coalesce(nullif(col("s_nationkey"), lit(0)).cast(LongType), lit(-1L)).as("nation_or_default"),
+        when(col("s_acctbal") > 0, "credit").otherwise("debit").as("balance_sign"),
+        greatest(col("s_acctbal"), lit(0.0)).as("pos_part"),
+        least(col("s_acctbal"), lit(0.0)).as("neg_part"))
+      .orderBy(col("s_suppkey"))
+
+  private val f08Sql =
+    """SELECT s_suppkey,
+      |  CAST(NULLIF(s_nationkey, 0) AS BIGINT) AS nation_nz,
+      |  CAST(COALESCE(NULLIF(s_nationkey, 0), -1) AS BIGINT) AS nation_or_default,
+      |  CASE WHEN s_acctbal > 0 THEN 'credit' ELSE 'debit' END AS balance_sign,
+      |  GREATEST(s_acctbal, 0.0) AS pos_part,
+      |  LEAST(s_acctbal, 0.0) AS neg_part
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a18_rollup", "ROLLUP subtotals + GROUPING()", a18Rollup, Some(a18Sql)),
+    QueryDef("a19_pivot", "pivot long-to-wide w/ explicit values", a19Pivot, Some(a19Sql)),
+    QueryDef("a20_collect_list", "ordered array collection per group", a20CollectList, Some(a20Sql)),
+    QueryDef("f06_datetime", "datetime extract/trunc/diff family", f06Datetime, Some(f06Sql)),
+    QueryDef("f07_strings", "string pad/substr/locate/translate/levenshtein", f07Strings, Some(f07Sql)),
+    QueryDef("f08_conditionals", "nullif/coalesce/case/least/greatest", f08Conditionals, Some(f08Sql))
+  )
+}
