@@ -14,6 +14,7 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Functions2.defs ++
+      operators.Bucketing.defs ++
       operators.Multimodal.defs ++
       operators.ScaleOps.defs ++
       streaming.EventStream.defs
