@@ -329,7 +329,13 @@ object Relational {
     * dropDuplicates) also yields the duplicate count in the same shuffle.
     */
   def a14DedupExact(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+    // the natural table has no byte-identical texts, so plant exact
+    // duplicates (doc_id+100000, same text) for the first 50 docs —
+    // identically in the oracle — so the dedup actually deduplicates
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val dupes = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.unionByName(dupes)
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
@@ -337,8 +343,12 @@ object Relational {
   }
 
   private val a14Sql =
-    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents
+    """WITH al AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM al
       |GROUP BY text
       |ORDER BY keep_id""".stripMargin
 

@@ -126,9 +126,43 @@ object EventStream {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** st04 — session windows (6h inactivity gap) per user: Spark's
+    * `session_window` runs identically in batch and streaming; the
+    * oracle rebuilds sessions relationally (lag → gap flag → cumulative
+    * session id). Emits session start + event count + exact value sum.
+    */
+  def st04SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  private val st04Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, "value",
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 6 HOUR OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, "value",
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
-    QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql))
+    QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql)),
+    QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql))
   )
 }

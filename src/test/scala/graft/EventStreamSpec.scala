@@ -16,6 +16,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming session windows == batch session windows on replay") {
+    import org.apache.spark.sql.functions._
+    import graft.util.Exact._
+    val spark2 = spark
+    spark2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_sess_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val q = spark2.readStream
+      .schema(EventStream.eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+              col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("st_sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark2.table("st_sessions")
+      .orderBy(col("user_id"), col("session_start_us")).collect().map(_.toString)
+    val batch = EventStream.st04SessionWindow(spark2, sf).collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("scalable dense ids == single-partition row_number") {
     val a15 = operators.Relational.a15RowNumber(spark, sf).collect().map(_.toString)
     val a17 = operators.ScaleOps.a17ScalableRowNumber(spark, sf).collect().map(_.toString)
