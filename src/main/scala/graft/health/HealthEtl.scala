@@ -303,11 +303,14 @@ object HealthEtl {
 
     // 2j — dedupe, sort, Record_ID (Row_num is the deterministic
     // tie-break inside equal (Country, Year, Disease) groups; pandas'
-    // unstable quicksort leaves tie order unspecified — SURVEY §2.5)
+    // unstable quicksort leaves tie order unspecified — SURVEY §2.5).
+    // Ids are assigned partition-parallel (range repartition + offsets,
+    // graft.operators.ScaleOps) — no single-partition global window, so
+    // this same pipeline runs at 100 TB; proven equal to
+    // row_number() OVER (ORDER BY keys) in EventStreamSpec.
     df = df.dropDuplicates()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("Country"), col("Year"), col("Disease Name"), col("Row_num"))
-    df.withColumn("Record_ID", row_number().over(w).cast(LongType))
+    graft.operators.ScaleOps
+      .denseIds(df, Seq("Country", "Year", "Disease Name", "Row_num"), "Record_ID")
   }
 
   /** S2 — CSV sink (Health_Jim.py:431-434): single header CSV. */

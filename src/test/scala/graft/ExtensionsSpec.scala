@@ -8,9 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions=graft.GraftExtensions installs vec_dot + py_*") {
-    // force a NEW SparkSession (extensions apply at session creation;
-    // getOrCreate would hand back the shared test session) — the
-    // underlying SparkContext is reused, so do NOT stop() it after
+    // force a NEW SparkSession: its per-session function registry is
+    // fresh, so the assertions below can only pass via the extension
+    // mechanism (imperative register() calls on other sessions don't
+    // leak in). spark.sql.extensions is STATIC — getOrCreate reads it
+    // from the SparkContext conf, not the builder — so the shared test
+    // context (SparkTestSession) must carry it. Do NOT stop() after:
+    // the context is shared.
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
