@@ -131,8 +131,38 @@ object Windows {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** w06 — the same top-3-per-segment answer as w01, computed by the
+    * custom [[graft.functions.TopKAgg]] aggregate instead of a window:
+    * partial top-k states combine map-side, so nothing ever sorts the
+    * full fact table. Output exploded to (segment, rank, price).
+    */
+  def w06TopKAggregate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(spark)
+    val cus = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables.orders(spark, dir)
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("topk(o_totalprice, 3)").as("top3"))
+      .select(col("c_mktsegment"), posexplode(col("top3")).as(Seq("pos", "o_totalprice")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast(IntegerType).as("rk"),
+              col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val w06Sql =
+    """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w06_topk_aggregate", "custom TypedImperativeAggregate top-k", w06TopKAggregate, Some(w06Sql)),
     QueryDef("w02_lag_delta", "lag/lead offsets per key", w02LagDelta, Some(w02Sql)),
     QueryDef("w03_rolling_avg", "5-row rolling average frame", w03RollingAvg, Some(w03Sql)),
     QueryDef("w04_running_share", "running total + share of partition", w04RunningShare, Some(w04Sql)),
