@@ -13,7 +13,9 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd materializes the query AS PLANNED — df.count() would let
+        // the optimizer prune the very projections/sorts being measured
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -247,18 +247,22 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem""".stripMargin
 
-  /** A17 — grouped-median imputation as a window aggregate: per-group exact
-    * median broadcast back to every member row (Health_Jim.py:290-306,
-    * pandas `groupby.transform('median')`). At 100 TB this is a single
-    * shuffle on the group key — no driver round-trip.
+  /** A17 — grouped-median imputation: per-group exact median broadcast
+    * back to every member row (Health_Jim.py:290-306, pandas
+    * `groupby.transform('median')`). SURVEY §4 allows either the window
+    * form or aggregate + join-back; this uses agg + broadcast join — the
+    * scale-correct form: the per-key medians are a tiny aggregate (one
+    * row per key) instead of a full per-window sort of the fact table,
+    * and the join back is a broadcast. Same values either way.
     */
   def a11WindowMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_suppkey"))
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val meds = li.groupBy(col("l_suppkey").as("mk"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_raw"))
+    li.join(broadcast(meds), col("l_suppkey") === col("mk"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-        round(expr("percentile(l_quantity, 0.5)").over(w), 4).as("med_qty"),
-        coalesce(col("l_quantity"),
-          expr("percentile(l_quantity, 0.5)").over(w)).as("filled_qty"))
+        round(col("med_raw"), 4).as("med_qty"),
+        coalesce(col("l_quantity"), col("med_raw")).as("filled_qty"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
                col("med_qty"), col("filled_qty"))
   }
