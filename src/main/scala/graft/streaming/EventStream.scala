@@ -159,6 +159,56 @@ object EventStream {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Custom-state streaming: per-user running stats via
+    * `mapGroupsWithState`. The state accumulates the count and the exact
+    * value sum in CENTS (int64) — double addition is arrival-order
+    * dependent, integer cents are not, so the final state equals the
+    * batch aggregate bit-for-bit on replay (asserted in
+    * EventStreamSpec). Update mode: every micro-batch emits the current
+    * state per touched user.
+    */
+  final case class UserState(n: Long, sumCents: Long)
+  final case class UserUpdate(user_id: Long, n_events: Long, sum_value: Double)
+
+  def statefulUserStats(spark: SparkSession, dir: String,
+                        queryName: String = "st_user_state"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_state_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val updates = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val (dn, dc) = rows.foldLeft((0L, 0L)) {
+            case ((n, c), (_, cents)) => (n + 1, c + cents)
+          }
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val next = UserState(prev.n + dn, prev.sumCents + dc)
+          state.update(next)
+          UserUpdate(uid, next.n, next.sumCents / 100.0)
+      }
+    val q = updates.toDF().writeStream
+      .format("memory").queryName(queryName).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // keep each user's LAST update = final state
+    val t = spark.table(queryName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),

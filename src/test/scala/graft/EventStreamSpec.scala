@@ -45,6 +45,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("mapGroupsWithState final per-user state == batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.statefulUserStats(spark, sf).collect().map(_.toString)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("sum_value"))
+      .orderBy(col("user_id")).collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("driver entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("scalable dense ids == single-partition row_number") {
     val a15 = operators.Relational.a15RowNumber(spark, sf).collect().map(_.toString)
     val a17 = operators.ScaleOps.a17ScalableRowNumber(spark, sf).collect().map(_.toString)
