@@ -147,8 +147,33 @@ object Functions2 {
       |FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  /** a21 — distinct aggregates within a group (SURVEY §2.4 lists them as
+    * absent from the reference; standard engine surface): per-segment
+    * distinct nation count + distinct-value sum alongside plain aggs.
+    * Spark plans this as the expand + two-phase aggregate.
+    */
+  def a21DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           sum_distinct(col("c_nationkey")).as("sum_distinct_nations"),
+           count(lit(1)).as("n_customers"),
+           exactAvg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  private val a21Sql =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  CAST(SUM(DISTINCT c_nationkey) AS BIGINT) AS sum_distinct_nations,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a18_rollup", "ROLLUP subtotals + GROUPING()", a18Rollup, Some(a18Sql)),
+    QueryDef("a21_distinct_agg", "distinct aggregates within group", a21DistinctAgg, Some(a21Sql)),
     QueryDef("a19_pivot", "pivot long-to-wide w/ explicit values", a19Pivot, Some(a19Sql)),
     QueryDef("a20_collect_list", "ordered array collection per group", a20CollectList, Some(a20Sql)),
     QueryDef("f06_datetime", "datetime extract/trunc/diff family", f06Datetime, Some(f06Sql)),
