@@ -153,6 +153,31 @@ object HealthQueries {
            round(avg(col("Recovery_Rate")), 2).as("avg_recovery"),
            round(avg(col("Avg_Treatment_Cost_USD")), 2).as("avg_cost"))
 
+  /** Data-quality report (nb:cell0:342-403): missing values per column,
+    * top-10 value counts for the key categoricals, min/mean/median/max
+    * for the key metrics — the reference's post-ETL smoke surface, as
+    * three small DataFrames.
+    */
+  def qualityReport(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val missing = df.columns.map { c =>
+      (c, df.filter(col(s"`$c`").isNull).count())
+    }.toSeq.toDF("column", "n_missing")
+    val topCounts = df.groupBy(lit("Country").as("dim"), col("Country").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(df.groupBy(lit("Disease Name").as("dim"),
+        col("Disease Name").as("value")).agg(count(lit(1)).as("n")))
+      .orderBy(col("dim"), col("n").desc, col("value"))
+    val metricStats = Seq("Mortality_Rate_per_100", "Recovery_Rate",
+        "Avg_Treatment_Cost_USD", "DALYs").map { c =>
+      df.agg(lit(c).as("metric"), min(col(c)).as("min"),
+        avg(col(c)).as("mean"), expr(s"percentile(`$c`, 0.5)").as("median"),
+        max(col(c)).as("max"))
+    }.reduce(_ unionByName _)
+    (missing, topCounts, metricStats)
+  }
+
   /** EP2 — the six notebook SQL texts over a temp view, verbatim modulo
     * identifier quoting (SQLite double quotes → backticks). */
   def registerView(df: DataFrame): Unit =

@@ -77,6 +77,34 @@ object MortalityModel {
     Fitted(rf.fit(train), featureNames, train, test)
   }
 
+  /** The APP variant (Health_Jim.py:648-690): 16 named numeric features
+    * — including the leaky `Severity Score` (0.7·label + …) and `DALYs`,
+    * which the notebook variant deliberately drops — no one-hot, split
+    * 0.8/0.2 seed 42. Reproduced as-is: the leak is part of the app's
+    * observed behavior, so its R² is near 1.
+    */
+  val appFeatures: Seq[String] = Seq(
+    "Incidence_Rate_per_million", "Prevalence_Rate", "Population_Affected",
+    "DALYs", "Severity Score", "Improvement_5_Years", "Healthcare_Access_Pct",
+    "Doctors_per_1000", "Hospital_Beds_per_1000", "Population Coverage (%)",
+    "Health_Index", "Per_Capita_Income_USD", "Education_Index",
+    "Urban_Population_Pct", "Rural_Population_Pct", "Urbanization_Rate")
+
+  def fitAppVariant(df: DataFrame): Fitted = {
+    val names = appFeatures.filter(df.columns.contains)
+    val assembled = new VectorAssembler()
+      .setInputCols(names.toArray).setOutputCol("features")
+      .transform(df.select(
+        (names.map(c => col(s"`$c`").cast(DoubleType).as(c)) :+
+          col(s"`$label`").as("label")): _*))
+    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val rf = new RandomForestRegressor()
+      .setNumTrees(300).setMaxDepth(3).setMinInstancesPerNode(5)
+      .setFeatureSubsetStrategy("all").setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    Fitted(rf.fit(train), names, train, test)
+  }
+
   /** M5 — r2 / mae / mse on a split, as a 1-row DataFrame. */
   def metrics(fitted: Fitted, onTest: Boolean = true): DataFrame = {
     val data = if (onTest) fitted.test else fitted.train

@@ -66,8 +66,10 @@ object WeeklyReport {
       "Healthcare_Access_Pct" -> 0.5, "Doctors_per_1000" -> 1.0,
       "Hospital_Beds_per_1000" -> 2.0, "Avg_Treatment_Cost_USD" -> 500.0,
       "Per_Capita_Income_USD" -> 1000.0))
+    val (_, _, metricStats) = HealthQueries.qualityReport(cleaned)
     Seq(
       "Overview" -> fmt(HealthQueries.overview(cleaned)),
+      "Data quality (key metric ranges)" -> fmt(metricStats),
       "Model quality (RandomForest 300x3, seed 42)" ->
         f"r2=${m.getDouble(0)}%.4f mse=${m.getDouble(1)}%.6f mae=${m.getDouble(2)}%.6f",
       "Top 5 deadliest diseases" -> fmt(HealthQueries.topDeadliest(cleaned, 5)),

@@ -59,6 +59,30 @@ class MortalityModelSpec extends AnyFunSuite {
     assert(p >= 0.0 && p <= 1.0, s"prediction $p outside [0,1]")
   }
 
+  test("app variant: 16 numeric features, no dummies — weaker model (observed r2≈0.54)") {
+    // Severity Score looks leaky (0.7·label + 0.3·log1p(DALYs)) but the
+    // round(2) erases the 0.7·label term (≈0.02) next to log1p(DALYs)≈9,
+    // so the app variant predicts mostly from epidemiological numerics
+    // and lands well below the disease-dummied notebook variant
+    val app = MortalityModel.fitAppVariant(
+      graft.health.HealthEtl.clean(spark, graft.health.HealthEtl.defaultCsvPath))
+    assert(app.featureNames.contains("Severity Score"))
+    val r2 = MortalityModel.metrics(app).head().getDouble(0)
+    assert(r2 > 0.35 && r2 < 0.75, s"app-variant r2=$r2 outside observed band")
+  }
+
+  test("quality report: zero missing, 21-value categoricals, sane metric stats") {
+    val cleaned = graft.health.HealthEtl.clean(spark, graft.health.HealthEtl.defaultCsvPath)
+    val (missing, topCounts, stats) = graft.health.HealthQueries.qualityReport(cleaned)
+    assert(missing.agg(org.apache.spark.sql.functions.sum("n_missing"))
+      .head().getLong(0) == 0)
+    assert(topCounts.filter(org.apache.spark.sql.functions.col("dim") === "Country")
+      .count() == 21)
+    // mortality per 100 people peaks at 1.16 in the cleaned data
+    val mort = stats.filter(org.apache.spark.sql.functions.col("metric") === "Mortality_Rate_per_100").head()
+    assert(mort.getDouble(1) >= 0.0 && mort.getDouble(4) <= 2.0)
+  }
+
   test("determinism: same seed, same importances") {
     val again = MortalityModel.fit(HealthEtl.clean(spark, HealthEtl.defaultCsvPath))
     assert(again.model.featureImportances == fitted.model.featureImportances)
