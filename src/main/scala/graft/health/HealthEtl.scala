@@ -211,6 +211,14 @@ object HealthEtl {
       .withColumn("Availability of Vaccines/Treatment",
         cleanAvailability(col("Availability of Vaccines/Treatment")))
 
+    // the pipeline below runs FIVE scalar-aggregate passes (year median,
+    // pop median, rate medians, IQR quantiles, sweep medians), each of
+    // which re-executes its upstream; persist the scrubbed base once so
+    // every pass (and the final result) reads the cached columns instead
+    // of re-scanning + re-cleaning the CSV — at 100 TB this is the
+    // difference between one source scan and six
+    df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // 2f — imputation: country-year median pop, constant age fill,
     // disease-country median rates (each + global-median fallback)
     df = df.withColumn("Country_pop",
