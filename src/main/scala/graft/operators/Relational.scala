@@ -548,7 +548,7 @@ object Relational {
     QueryDef("a08_overview", "A13 count/exact-distinct/avg overview", a08Overview, Some(a08Sql)),
     QueryDef("a09_value_counts", "A14 top-N value counts", a09ValueCounts, Some(a09Sql)),
     QueryDef("a10_column_stats", "A15 mean/min/max/exact-median stats", a10ColumnStats, Some(a10Sql)),
-    QueryDef("a11_window_median", "A17 grouped-median imputation (window agg)", a11WindowMedian, Some(a11Sql)),
+    QueryDef("a11_window_median", "A17 grouped-median imputation (agg + broadcast join-back)", a11WindowMedian, Some(a11Sql)),
     QueryDef("a12_iqr_clip", "A18 global-quantile IQR capping", a12IqrClip, Some(a12Sql)),
     QueryDef("a13_median_fill", "A19/A20 global-median + constant fill", a13MedianFill, Some(a13Sql)),
     QueryDef("a14_dedup_exact", "P8/A16 exact dedup w/ duplicate counts", a14DedupExact, Some(a14Sql)),
