@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed warmup so the first timed queries don't pay JIT/codegen/
+    // shuffle-service startup (r1 showed 10x inflation on the first few).
+    SparkEntry.queries.headOption.foreach { case (name, fn) =>
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -22,10 +30,13 @@ object Bench {
       // failed query → -1 so a failure is visible, never a fast time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the single JSON line well under the driver's
+    // stdout-tail capture (r1's 9-decimal doubles overflowed it → parsed:null)
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,12 +191,23 @@ object HealthEtl {
     df = df.withColumn("Country", cleanCountry(col("Country")))
       .withColumn("Disease Name", cleanDisease(col("Disease Name")))
 
+    // the pipeline runs SIX scalar-quantile selections (year median, pop
+    // median, rate medians, IQR quantiles, sweep medians), each of which
+    // re-reads its upstream; persist the scrubbed base once so every
+    // selection pass (and the final result) reads the cached columns
+    // instead of re-scanning + re-parsing the CSV — at 100 TB this is
+    // the difference between one source scan and a dozen
+    df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // 2c — Year: to_numeric(coerce) → fillna(median) → astype(int) → range filter
+    // All global medians/quantiles below use ScalableQuantile — exact
+    // `percentile` values via bounded-state radix selection, never a
+    // single-reducer value buffer (see graft.util.ScalableQuantile).
     df = df.withColumn("__yd", expr("try_cast(`Year` AS DOUBLE)"))
-    val yearMed = df.agg(expr("percentile(__yd, 0.5)").as("__ymed"))
-    df = df.crossJoin(broadcast(yearMed))
-      .withColumn("Year", coalesce(col("__yd"), col("__ymed")).cast(LongType))
-      .drop("__yd", "__ymed")
+    val yearMed = graft.util.ScalableQuantile.medians(df, Seq("__yd"))("__yd")
+    df = df
+      .withColumn("Year", coalesce(col("__yd"), lit(yearMed.orNull)).cast(LongType))
+      .drop("__yd")
       .filter(col("Year") >= 1900 && col("Year") <= 2100)
 
     // 2d — numeric cleaning
@@ -211,23 +222,14 @@ object HealthEtl {
       .withColumn("Availability of Vaccines/Treatment",
         cleanAvailability(col("Availability of Vaccines/Treatment")))
 
-    // the pipeline below runs FIVE scalar-aggregate passes (year median,
-    // pop median, rate medians, IQR quantiles, sweep medians), each of
-    // which re-executes its upstream; persist the scrubbed base once so
-    // every pass (and the final result) reads the cached columns instead
-    // of re-scanning + re-cleaning the CSV — at 100 TB this is the
-    // difference between one source scan and six
-    df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     // 2f — imputation: country-year median pop, constant age fill,
     // disease-country median rates (each + global-median fallback)
     df = df.withColumn("Country_pop",
       coalesce(col("Country_pop"), wMedian("Country_pop", Seq("Country", "Year"))))
-    val popMed = df.agg(expr("percentile(Country_pop, 0.5)").as("__pmed"))
-    df = df.crossJoin(broadcast(popMed))
-      .withColumn("Country_pop",
-        coalesce(col("Country_pop"), col("__pmed")).cast(LongType))
-      .drop("__pmed")
+    val popMed = graft.util.ScalableQuantile
+      .medians(df, Seq("Country_pop"))("Country_pop")
+    df = df.withColumn("Country_pop",
+        coalesce(col("Country_pop"), lit(popMed.orNull)).cast(LongType))
 
     val ageCols = Seq("Ages 0-18 (%)", "Ages 19-35 (%)", "Ages 36-60 (%)", "Ages 61+ (%)")
     df = ageCols.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit(25.0))))
@@ -236,14 +238,11 @@ object HealthEtl {
       "Mortality Rate per 100 people (%)")
     df = rateCols.foldLeft(df)((d, c) =>
       d.withColumn(c, coalesce(col(c), wMedian(c, Seq("Disease Name", "Country")))))
-    val rateMedCols = rateCols.zipWithIndex.map { case (c, i) =>
-      expr(s"percentile(`$c`, 0.5)").as(s"__rmed$i")
+    // all three rate medians resolve in the same shared radix passes
+    val rateMeds = graft.util.ScalableQuantile.medians(df, rateCols)
+    df = rateCols.foldLeft(df) { case (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(rateMeds(c).orNull)))
     }
-    val rateMeds = df.agg(rateMedCols.head, rateMedCols.tail: _*)
-    df = df.crossJoin(broadcast(rateMeds))
-    df = rateCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(c, coalesce(col(c), col(s"__rmed$i")))
-    }.drop(rateCols.indices.map(i => s"__rmed$i"): _*)
 
     // 2g — derived columns, FIRST versions (pre-IQR-cap inputs; Severity
     // and Urban_Rural survive to the output — SURVEY §2.7 Q4)
@@ -261,19 +260,19 @@ object HealthEtl {
     // 2h — IQR outlier capping (3×IQR, cap not drop) on 4 metrics
     val outlierCols = Seq("Average Annual Treatment Cost (USD)",
       "Per Capita Income (USD)", "DALYs", "Country_pop")
-    val quantCols = outlierCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(expr(s"percentile(`$c`, 0.25)").as(s"__q1_$i"),
-          expr(s"percentile(`$c`, 0.75)").as(s"__q3_$i"))
-    }
-    val quants = df.agg(quantCols.head, quantCols.tail: _*)
-    df = df.crossJoin(broadcast(quants))
-    df = outlierCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val iqr = col(s"__q3_$i") - col(s"__q1_$i")
-      val lo = col(s"__q1_$i") - iqr * 3
-      val hi = col(s"__q3_$i") + iqr * 3
+    // all eight quantiles (4 cols × Q1/Q3) resolve in the same shared
+    // radix passes; the cap is then a pure projection over literals
+    val quants = graft.util.ScalableQuantile
+      .quantiles(df, outlierCols.map(c => c -> Seq(0.25, 0.75)))
+    df = outlierCols.foldLeft(df) { case (d, c) =>
+      val q1 = lit(quants((c, 0.25)).get)
+      val q3 = lit(quants((c, 0.75)).get)
+      val iqr = q3 - q1
+      val lo = q1 - iqr * 3
+      val hi = q3 + iqr * 3
       d.withColumn(c, when(col(c).isNull, lit(null).cast(DoubleType))
         .otherwise(greatest(lo, least(hi, col(c).cast(DoubleType)))))
-    }.drop(outlierCols.indices.flatMap(i => Seq(s"__q1_$i", s"__q3_$i")): _*)
+    }
 
     // 2i — rename
     df = renameMap.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
@@ -285,19 +284,17 @@ object HealthEtl {
     val numericNow = df.schema.fields.filter(f =>
       f.dataType == DoubleType || f.dataType == LongType).map(_.name).toSeq
     val sweepCols = numericNow.filterNot(rateRenamed.contains)
-    val sweepMedCols = sweepCols.zipWithIndex.map { case (c, i) =>
-      expr(s"percentile(`$c`, 0.5)").as(s"__sm$i")
-    }
-    val sweepMeds = df.agg(sweepMedCols.head, sweepMedCols.tail: _*)
-    df = df.crossJoin(broadcast(sweepMeds))
+    // ~25 column medians, all in the same shared radix passes (one job
+    // per pass regardless of column count)
+    val sweepMeds = graft.util.ScalableQuantile.medians(df, sweepCols)
     df = rateRenamed.foldLeft(df)((d, c) =>
       d.withColumn(c, coalesce(nanToNull(col(c)), lit(0.0))))
-    df = sweepCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    df = sweepCols.foldLeft(df) { case (d, c) =>
       if (df.schema(c).dataType == LongType)
-        d.withColumn(c, coalesce(col(c), col(s"__sm$i").cast(LongType)))
+        d.withColumn(c, coalesce(col(c), lit(sweepMeds(c).orNull).cast(LongType)))
       else
-        d.withColumn(c, coalesce(nanToNull(col(c)), col(s"__sm$i"), lit(0.0)))
-    }.drop(sweepCols.indices.map(i => s"__sm$i"): _*)
+        d.withColumn(c, coalesce(nanToNull(col(c)), lit(sweepMeds(c).orNull), lit(0.0)))
+    }
     val stringCols = df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
     df = stringCols.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit("Unknown"))))
 

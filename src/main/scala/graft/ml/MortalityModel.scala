@@ -43,10 +43,16 @@ object MortalityModel {
     * StringIndexer.fit.
     */
   def encode(df: DataFrame): (DataFrame, Seq[String]) = {
+    // Level inventory for all categoricals in ONE aggregate pass (a
+    // per-column distinct().collect() is one full-table job per column).
+    val levelRow = df.agg(
+      collect_set(col(s"`${catCols.head}`")),
+      catCols.tail.map(c => collect_set(col(s"`$c`"))): _*).head()
+    val levelsByCol = catCols.zipWithIndex.map { case (c, i) =>
+      c -> levelRow.getSeq[String](i).sorted.drop(1) // drop_first
+    }
     var out = df.drop(dropCols: _*)
-    val dummyNames = catCols.flatMap { c =>
-      val levels = df.select(col(s"`$c`")).distinct()
-        .collect().map(_.getString(0)).sorted.drop(1) // drop_first
+    val dummyNames = levelsByCol.flatMap { case (c, levels) =>
       levels.map { lvl =>
         val name = s"${c}_$lvl"
         out = out.withColumn(name, when(col(s"`$c`") === lvl, 1.0).otherwise(0.0))

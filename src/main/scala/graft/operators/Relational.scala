@@ -230,11 +230,15 @@ object Relational {
     * median is exact/interpolating (SURVEY §4).
     */
   def a10ColumnStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .agg(exactAvg(col("l_quantity")).as("mean_qty"),
+    val li = Tables.lineitem(spark, dir)
+    // exact median via bounded-state radix selection (ScalableQuantile),
+    // not `percentile` — identical value, no single-reducer value buffer
+    val med = graft.util.ScalableQuantile
+      .medians(li, Seq("l_quantity"))("l_quantity")
+    li.agg(exactAvg(col("l_quantity")).as("mean_qty"),
            min(col("l_quantity")).as("min_qty"),
            max(col("l_quantity")).as("max_qty"),
-           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+           round(lit(med.orNull), 4).as("median_qty"),
            count(lit(1)).as("n"))
   }
 
@@ -277,22 +281,25 @@ object Relational {
       |FROM lineitem l JOIN m USING (l_suppkey)
       |ORDER BY l.l_orderkey, l.l_linenumber, l.l_suppkey, m.med_qty, filled_qty""".stripMargin
 
-  /** A18 — global-quantile IQR capping: two-pass (1-row agg broadcast back
-    * via crossJoin, never a driver collect) then clip
-    * (Health_Jim.py:338-350).
+  /** A18 — global-quantile IQR capping. The quantiles come from the
+    * bounded-state radix selection (graft.util.ScalableQuantile) — same
+    * values as exact `percentile`, but no aggregation state that grows
+    * with the number of distinct prices; the clip itself is then a pure
+    * codegen'd projection over constant-folded bounds (no crossJoin, no
+    * ObjectHashAggregate anywhere in the plan).
     */
   def a12IqrClip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val q = li.agg(
-      round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-      round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
-    val bounds = q.select(
-      (col("q1") - (col("q3") - col("q1")) * 3).as("lo"),
-      (col("q3") + (col("q3") - col("q1")) * 3).as("hi"))
-    li.crossJoin(broadcast(bounds))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        round(clip(col("l_extendedprice"), col("lo"), col("hi")), 4)
-          .as("clipped_price"))
+    val qs = graft.util.ScalableQuantile
+      .quantiles(li, Seq("l_extendedprice" -> Seq(0.25, 0.75)))
+    // keep the rounding + bound arithmetic as Column ops so the doubles
+    // go through exactly the arithmetic the oracle SQL describes
+    val q1 = round(lit(qs(("l_extendedprice", 0.25)).get), 4)
+    val q3 = round(lit(qs(("l_extendedprice", 0.75)).get), 4)
+    val lo = q1 - (q3 - q1) * 3
+    val hi = q3 + (q3 - q1) * 3
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        round(clip(col("l_extendedprice"), lo, hi), 4).as("clipped_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("clipped_price"))
   }
 
@@ -312,10 +319,12 @@ object Relational {
     */
   def a13MedianFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val med = ev.agg(round(expr("percentile(value, 0.5)"), 4).as("med_value"))
-    ev.crossJoin(broadcast(med))
-      .select(col("event_id"),
-        round(coalesce(col("value"), col("med_value")), 4).as("filled_value"),
+    // exact median via ScalableQuantile (see a12IqrClip) → the fill is a
+    // pure projection with a constant-folded literal
+    val med = graft.util.ScalableQuantile.medians(ev, Seq("value"))("value")
+    val medValue = round(lit(med.orNull), 4)
+    ev.select(col("event_id"),
+        round(coalesce(col("value"), medValue), 4).as("filled_value"),
         coalesce(col("event_type"), lit("Unknown")).as("filled_type"))
       .orderBy(col("event_id"), col("filled_value"), col("filled_type"))
   }

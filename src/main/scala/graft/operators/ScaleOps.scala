@@ -21,7 +21,16 @@ object ScaleOps {
     */
   def denseIds(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
     val sortCols = keys.map(col)
-    val arranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    // Persist the arranged rows: the counts pass and the id pass would
+    // otherwise EACH re-run the range exchange + sort + the entire
+    // upstream plan (in the health ETL that is the whole cleaning
+    // pipeline, twice). Spilling one sorted copy to disk beats two full
+    // recomputes at any scale. The cache is released by the context
+    // cleaner once the returned frame is dropped; `arranged.rdd` below
+    // reads the same InMemoryRelation for both passes.
+    val arranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = arranged.rdd.mapPartitionsWithIndex {
       case (pid, it) => Iterator((pid, it.size.toLong))
     }.collect().sortBy(_._1)

@@ -209,6 +209,84 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Custom sessionization via `flatMapGroupsWithState` — the hand-rolled
+    * equivalent of [[st04SessionWindow]] for when session semantics
+    * outgrow `session_window` (e.g. per-session early emits, dynamic
+    * gaps). Event-time timeout closes a user's final session once the
+    * watermark passes lastTs + gap; earlier sessions close inline when a
+    * later event arrives more than `gap` after them. Sums are int64
+    * cents, so emitted values equal the batch aggregate bit-for-bit
+    * (EventStreamSpec asserts the closed-session set).
+    *
+    * A session still open when the stream drains (its last event within
+    * `gap` of the final watermark) is NOT emitted — that is the correct
+    * append-mode contract, and the spec accounts for it.
+    */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              n_events: Long, sum_value: Double)
+
+  def flatSessionize(spark: SparkSession, dir: String,
+                     gapHours: Int = 6,
+                     queryName: String = "st_flat_sessions"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapHours * 3600L * 1000000L
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_sess_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sessions = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsc", "0 seconds")
+      .selectExpr("user_id", "unix_micros(tsc) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          def emit(s: SessionState) =
+            SessionOut(uid, s.startUs, s.n, s.sumCents / 100.0)
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the open session is final
+            val out = state.getOption.toList.flatten.map(emit)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+            var open = state.getOption.toList.flatten.headOption
+            val closed = List.newBuilder[SessionState]
+            sorted.foreach { case (_, us, cents) =>
+              open match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  open = Some(SessionState(s.startUs, us, s.n + 1, s.sumCents + cents))
+                case Some(s) =>
+                  closed += s
+                  open = Some(SessionState(us, us, 1, cents))
+                case None =>
+                  open = Some(SessionState(us, us, 1, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(List(s))
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1)
+            }
+            closed.result().map(emit).iterator
+          }
+      }
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),

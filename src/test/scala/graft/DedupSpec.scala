@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d04's IVF-sourced candidate generation must have 100% recall on this
+  * corpus: the emitted pairs are verified against the exact int64 cosine
+  * either way, so equality with brute force proves the cell layer lost
+  * no true pair (the DuckDB oracle is the brute-force form, so any miss
+  * would also fail the correctness gate).
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("d04 IVF-sourced pairs == brute-force pairs (100% recall)") {
+    graft.functions.GraftFunctions.register(spark)
+    val quantize =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(quantize).as("q"))
+    val perturbed = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), expr(
+        "concat(array(element_at(q, 1) + 50), slice(q, 2, size(q) - 1))").as("q"))
+    val all = base.unionByName(perturbed)
+      .withColumn("nrm", expr("vec_dot(q, q)"))
+    val a = all.select(col("vec_id").as("ida"), col("q").as("qa"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("idb"), col("q").as("qb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", expr(
+        "CAST(vec_dot(qa, qb) AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"))
+      .filter(col("cos") >= 0.99)
+      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue, r.getDouble(2))).toSet
+
+    val ivf = operators.Dedup.d04EmbeddingNearDup(spark, sf)
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue, r.getDouble(2))).toSet
+
+    assert(brute.nonEmpty, "corpus must contain planted near-dups")
+    assert(ivf == brute,
+      s"IVF candidates missed pairs: ${(brute -- ivf).take(5)} / extra: ${(ivf -- brute).take(5)}")
+  }
+}

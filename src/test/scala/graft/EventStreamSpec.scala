@@ -56,6 +56,92 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("flatMapGroupsWithState sessionization == batch sessions (closed set)") {
+    import org.apache.spark.sql.functions._
+    // batch truth: session_window agg + each session's LAST event time, so
+    // we can predict which sessions the stream can close: a session is
+    // emitted iff it closed inline (a later event arrived > gap after it)
+    // or its event-time timeout fired (final watermark = max event ts with
+    // a 0s delay passed lastTs + gap). Sessions still open at drain —
+    // last event within gap of the stream's max ts — are correctly absent.
+    val gapUs = 6L * 3600 * 1000000
+    val withLast = Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("sum_value"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+              col("n_events"), col("sum_value"), col("last_us"))
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val expected = withLast.collect()
+      .filter(r => r.getAs[Long]("last_us") + gapUs <= maxUs)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+                 r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val streamed = EventStream.flatSessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+                 r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(expected.nonEmpty, "corpus must contain closable sessions")
+    assert(streamed == expected,
+      s"missing: ${(expected -- streamed).take(3)} extra: ${(streamed -- expected).take(3)}")
+  }
+
+  test("append-mode watermark drops late rows across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_late_")
+    def writeBatch(name: String, rowsUs: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_w_")
+      rowsUs.toDF("us").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), stageDir.resolve(name))
+    }
+    val H = 3600L * 1000000 // one hour in micros
+    // Two sequential AvailableNow drains over ONE checkpoint: the
+    // watermark commits to the checkpoint between drains, so drain 2
+    // genuinely runs with drain 1's watermark — a deterministic
+    // micro-batch boundary (a single drain can batch all files together).
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck_")
+    def drain(queryName: String): Map[Long, Long] = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("us", org.apache.spark.sql.types.LongType))))
+        .parquet(stageDir.toString)
+        .withColumn("ts", expr("timestamp_micros(us)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("ws"), col("n"))
+        .writeStream.format("memory").queryName(queryName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(queryName).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    // drain 1: two events in window [1:00,2:00) and one at 5:00 that
+    // pushes the watermark (1h delay) to 4:00, finalizing window 1
+    writeBatch("b1.parquet", Seq(1 * H, 1 * H + 30 * 60 * 1000000L, 5 * H))
+    val got1 = drain("st_late_1")
+    // drain 2: a LATE row at 1:15 (window already finalized -> dropped),
+    // an on-time row at 4:30, and a 9:00 row that advances the watermark
+    // to 8:00, finalizing windows 4 and 5
+    writeBatch("b2.parquet", Seq(1 * H + 15 * 60 * 1000000L, 4 * H + 30 * 60 * 1000000L, 9 * H))
+    val got2 = drain("st_late_2")
+    val got = got1 ++ got2
+    // the late 1:15 row must NOT be in window 1's finalized count
+    assert(got.get(1 * H).contains(2L), s"window 1 wrong (late row kept?): $got")
+    // the on-time 4:30 row must be kept and finalized
+    assert(got.get(4 * H).contains(1L), s"window 4 missing: $got")
+    assert(got.get(5 * H).contains(1L), s"window 5 missing: $got")
+    // the 9:00 row's window never finalizes in append mode
+    assert(!got.contains(9 * H), s"unfinalized window emitted: $got")
+  }
+
   test("driver entry() smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

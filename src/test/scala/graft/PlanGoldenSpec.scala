@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape goldens for the flagship queries: a committed fingerprint
+  * of each final physical plan (operator names only — no ids, sizes, or
+  * codegen stage numbers), so a regression that drops a pushdown,
+  * broadcast, or codegen stage — or introduces a cartesian product —
+  * fails CI instead of only showing up in bench numbers.
+  *
+  * Regenerate intentionally with:
+  *   GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanGoldenSpec"
+  * and review the diff like any other golden change.
+  */
+class PlanGoldenSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val goldenDir = Paths.get("src/test/resources/golden_plans")
+  private val regen = sys.env.get("GRAFT_REGEN_PLANS").contains("1")
+
+  private val flagships = Seq(
+    "a01_pricing_summary", "p01_project_filter", "j01_broadcast_star",
+    "j03_semi_join", "w01_topn_per_group", "a12_iqr_clip",
+    "d01_minhash_lsh", "d04_embedding_neardup", "v02_ivf_topk",
+    "st01_tumbling_counts")
+
+  /** Final-plan operator fingerprint: one op name per plan line, AQE
+    * final-plan section only, whole-stage-codegen markers and node ids
+    * stripped. Stable across runs; changes exactly when the plan SHAPE
+    * changes.
+    */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // materialize so AQE finalizes the physical plan
+    val full = df.queryExecution.executedPlan.toString
+    val section = full.split("== Initial Plan ==").head
+    section.linesIterator
+      .map(_.replaceAll("^[\\s:+\\-]*", "").replaceAll("^\\*\\(\\d+\\)\\s*", ""))
+      .map(_.takeWhile(ch => ch.isLetterOrDigit))
+      .filter(_.nonEmpty)
+      .filterNot(Seq("AdaptiveSparkPlan", "ResultQueryStage", "ShuffleQueryStage",
+        "AQEShuffleRead", "ReusedExchange", "ReusedSubquery", "Final", "Initial")
+        .contains)
+      .toSeq
+  }
+
+  flagships.foreach { name =>
+    test(s"$name plan shape matches golden") {
+      val d = Registry.all.find(_.name == name)
+        .getOrElse(fail(s"unknown query $name"))
+      val fp = fingerprint(d.fn(spark, sf))
+      val file = goldenDir.resolve(s"$name.txt")
+      if (regen) {
+        Files.createDirectories(goldenDir)
+        Files.write(file, fp.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        info(s"regenerated ${file}")
+      } else {
+        assert(Files.exists(file),
+          s"missing golden $file — run with GRAFT_REGEN_PLANS=1 to create")
+        val want = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+          .linesIterator.toSeq
+        assert(fp == want,
+          s"plan shape drifted for $name:\n  got : ${fp.mkString(" / ")}\n  want: ${want.mkString(" / ")}")
+      }
+      // structural invariants that must hold regardless of golden updates
+      val joined = fp.mkString(" ")
+      assert(!joined.contains("CartesianProduct"), s"cartesian product in $name")
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BitHistAgg
+import graft.util.ScalableQuantile
+
+/** ScalableQuantile must reproduce Spark's exact `percentile` BIT-FOR-BIT
+  * — it replaces it on every global-quantile path (a12, a13, the health
+  * ETL's five passes), so any deviation breaks the DuckDB oracles and the
+  * pandas bit-exact ETL diff.
+  */
+class QuantileSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def sparkPercentile(df: org.apache.spark.sql.DataFrame,
+      c: String, p: Double): Option[Double] = {
+    val r = df.agg(expr(s"percentile(CAST(`$c` AS DOUBLE), ${p}D)")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("bit key is order-isomorphic and invertible") {
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1.0, -Double.MinPositiveValue,
+      -0.0, 0.0, Double.MinPositiveValue, 0.1, 1.0, 2.5, 1e300, Double.PositiveInfinity,
+      Double.NaN)
+    val keys = vals.map(BitHistAgg.keyOf)
+    assert(keys.sliding(2).forall { case Seq(a, b) =>
+      java.lang.Long.compareUnsigned(a, b) < 0 })
+    vals.zip(keys).foreach { case (v, k) =>
+      val back = BitHistAgg.keyToDouble(k)
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(v), s"round-trip $v")
+    }
+  }
+
+  test("matches percentile bit-for-bit on real tables (nulls included)") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val ev = graft.Tables.events(spark, sf)
+    val probs = Seq(0.25, 0.5, 0.75)
+    val got = ScalableQuantile.quantiles(li,
+      Seq("l_quantity" -> probs, "l_extendedprice" -> probs))
+    for (c <- Seq("l_quantity", "l_extendedprice"); p <- probs) {
+      val want = sparkPercentile(li, c, p)
+      assert(got((c, p)).map(java.lang.Double.doubleToLongBits) ==
+        want.map(java.lang.Double.doubleToLongBits), s"$c @ $p: ${got((c, p))} vs $want")
+    }
+    // events.value has nulls — percentile ignores them
+    val gotEv = ScalableQuantile.quantiles(ev, Seq("value" -> Seq(0.5)))
+    assert(gotEv(("value", 0.5)).map(java.lang.Double.doubleToLongBits) ==
+      sparkPercentile(ev, "value", 0.5).map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("edge cases: tiny n, duplicates, negatives, all-null") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(42.0),                                  // n = 1
+      Seq(1.0, 2.0),                              // n = 2, interpolation
+      Seq(-5.0, -1.0, 3.5, 3.5, 3.5, 100.0),      // duplicates + negatives
+      Seq(0.0, -0.0, 1.0, null),                  // signed zero + null
+      Seq(null, null),                            // all null -> None
+      Seq(2.0, 2.0, 2.0, 2.0))                    // all equal
+    cases.foreach { vs =>
+      val df = vs.toDF("v")
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { p =>
+        val got = ScalableQuantile.quantiles(df, Seq("v" -> Seq(p)))(("v", p))
+        val want = sparkPercentile(df, "v", p)
+        assert(got.map(java.lang.Double.doubleToLongBits) ==
+          want.map(java.lang.Double.doubleToLongBits), s"$vs @ $p: $got vs $want")
+      }
+    }
+  }
+}
