@@ -15,6 +15,9 @@ Test / fork := true
 // the default-session slot — run suites serially
 Test / parallelExecution := false
 run / fork := true
+// the driver parses Bench's single JSON line from stdout — emit the forked
+// process's output RAW, not through sbt's "[info] "-prefixing logger
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -197,7 +197,8 @@ object HealthEtl {
     // selection pass (and the final result) reads the cached columns
     // instead of re-scanning + re-parsing the CSV — at 100 TB this is
     // the difference between one source scan and a dozen
-    df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scrubbed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df = scrubbed
 
     // 2c — Year: to_numeric(coerce) → fillna(median) → astype(int) → range filter
     // All global medians/quantiles below use ScalableQuantile — exact
@@ -314,8 +315,16 @@ object HealthEtl {
     // this same pipeline runs at 100 TB; proven equal to
     // row_number() OVER (ORDER BY keys) in EventStreamSpec.
     df = df.dropDuplicates()
-    graft.operators.ScaleOps
+    val result = graft.operators.ScaleOps
       .denseIds(df, Seq("Country", "Year", "Disease Name", "Row_num"), "Record_ID")
+    // denseIds has materialized its own (RDD-level) sorted copy — every
+    // scalar pass above already ran — so the scrubbed base's cache has
+    // served all its readers. Release it EXPLICITLY (on the persisted
+    // frame itself — unpersisting a derived frame is a no-op): a
+    // DataFrame persist is pinned by the CacheManager forever otherwise
+    // (the context cleaner never collects InMemoryRelations).
+    scrubbed.unpersist(blocking = false)
+    result
   }
 
   /** S2 — CSV sink (Health_Jim.py:431-434): single header CSV. */

@@ -3,6 +3,8 @@ package graft.health
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.util.Exact.{stableAvg, stableSum}
+
 /** The reference's 11 analytic queries + support aggregates (SURVEY §2.4
   * A1–A13) over the cleaned table — each a declarative group-sort-topk
   * plan (partial+final HashAggregate + TakeOrderedAndProject), plus the
@@ -15,7 +17,7 @@ object HealthQueries {
   def topDeadliest(df: DataFrame, n: Int = 5): DataFrame =
     df.filter(col("Mortality_Rate_per_100").isNotNull)
       .groupBy(col("Disease Name"))
-      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+      .agg(stableAvg(col("Mortality_Rate_per_100")).as("avg_mortality"),
            count(lit(1)).as("total_records"))
       .orderBy(col("avg_mortality").desc)
       .limit(n)
@@ -24,7 +26,7 @@ object HealthQueries {
   def recoveryTrends(df: DataFrame, n: Int = 50): DataFrame =
     df.groupBy(col("Year"), col("Disease Name"))
       .agg(count(lit(1)).as("cases"),
-           avg(col("Recovery_Rate")).as("avg_recovery"))
+           stableAvg(col("Recovery_Rate")).as("avg_recovery"))
       .orderBy(col("avg_recovery").asc, col("cases").desc)
       .limit(n)
 
@@ -32,9 +34,9 @@ object HealthQueries {
     * post-agg not-null filter on the alias ≡ SQL HAVING. */
   def accessVsMortality(df: DataFrame): DataFrame =
     df.groupBy(col("Country"))
-      .agg(avg(col("Healthcare_Access_Pct")).as("avg_healthcare_access"),
-           avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
-           avg(col("Doctors_per_1000")).as("avg_doctors"))
+      .agg(stableAvg(col("Healthcare_Access_Pct")).as("avg_healthcare_access"),
+           stableAvg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           stableAvg(col("Doctors_per_1000")).as("avg_doctors"))
       .filter(col("avg_mortality").isNotNull)
       .orderBy(col("avg_healthcare_access").desc)
 
@@ -42,8 +44,8 @@ object HealthQueries {
   def costByTreatment(df: DataFrame): DataFrame =
     df.filter(col("Avg_Treatment_Cost_USD").isNotNull)
       .groupBy(col("Disease Name"), col("Treatment_Type"))
-      .agg(avg(col("Avg_Treatment_Cost_USD")).as("avg_cost"),
-           avg(col("Recovery_Rate")).as("avg_recovery"),
+      .agg(stableAvg(col("Avg_Treatment_Cost_USD")).as("avg_cost"),
+           stableAvg(col("Recovery_Rate")).as("avg_recovery"),
            count(lit(1)).as("cases"))
       .orderBy(col("avg_cost").desc)
 
@@ -54,9 +56,9 @@ object HealthQueries {
     */
   def genderBurden(df: DataFrame, n: Int = 10): DataFrame =
     df.groupBy(col("Disease Name"))
-      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
-           sum(col("Affected_Male")).as("total_male_affected"),
-           sum(col("Affected_Female")).as("total_female_affected"))
+      .agg(stableAvg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           stableSum(col("Affected_Male")).as("total_male_affected"),
+           stableSum(col("Affected_Female")).as("total_female_affected"))
       .orderBy(col("avg_mortality").desc)
       .limit(n)
 
@@ -64,10 +66,10 @@ object HealthQueries {
   def urbanRuralLevel1(df: DataFrame): DataFrame =
     df.filter(col("Healthcare_Access_Pct").isNotNull)
       .groupBy(col("Country"), col("Disease Name"))
-      .agg(avg(col("Healthcare_Access_Pct")).as("avg_access"),
-           avg(col("Population_Affected")).as("avg_affected"),
-           avg(col("Urban_Population_Pct")).as("avg_urban"),
-           avg(col("Rural_Population_Pct")).as("avg_rural"))
+      .agg(stableAvg(col("Healthcare_Access_Pct")).as("avg_access"),
+           stableAvg(col("Population_Affected")).as("avg_affected"),
+           stableAvg(col("Urban_Population_Pct")).as("avg_urban"),
+           stableAvg(col("Rural_Population_Pct")).as("avg_rural"))
       .orderBy(col("avg_affected").desc)
 
   /** A7 — level 2: avg-of-avgs over level 1, each (country, disease)
@@ -76,10 +78,10 @@ object HealthQueries {
   def urbanRuralLevel2(df: DataFrame, n: Int = 50): DataFrame =
     urbanRuralLevel1(df)
       .groupBy(col("Disease Name"))
-      .agg(avg(col("avg_access")).as("avg_access"),
-           avg(col("avg_affected")).as("avg_affected"),
-           avg(col("avg_urban")).as("avg_urban"),
-           avg(col("avg_rural")).as("avg_rural"))
+      .agg(stableAvg(col("avg_access")).as("avg_access"),
+           stableAvg(col("avg_affected")).as("avg_affected"),
+           stableAvg(col("avg_urban")).as("avg_urban"),
+           stableAvg(col("avg_rural")).as("avg_rural"))
       .orderBy(col("avg_affected").desc)
       .limit(n)
 
@@ -87,32 +89,32 @@ object HealthQueries {
   def avgCostPerDisease(df: DataFrame, n: Int = 10): DataFrame =
     df.filter(col("Avg_Treatment_Cost_USD").isNotNull)
       .groupBy(col("Disease Name"))
-      .agg(avg(col("Avg_Treatment_Cost_USD")).as("avg_cost"))
+      .agg(stableAvg(col("Avg_Treatment_Cost_USD")).as("avg_cost"))
       .orderBy(col("avg_cost").desc)
       .limit(n)
 
   /** A9 — app: mortality trend by year (Health_Jim.py:461-471). */
   def mortalityTrend(df: DataFrame): DataFrame =
     df.groupBy(col("Year"))
-      .agg(avg(col("Mortality_Rate_per_100")).as("avg_mortality"))
+      .agg(stableAvg(col("Mortality_Rate_per_100")).as("avg_mortality"))
       .orderBy(col("Year").asc)
 
   /** A10 — app: gender impact, aggregated then unpivoted wide→long
     * (Health_Jim.py:487-501, pandas melt). */
   def genderImpactLong(df: DataFrame): DataFrame =
     df.groupBy(col("Disease Name"))
-      .agg(sum(col("Affected_Male")).as("Total_Male"),
-           sum(col("Affected_Female")).as("Total_Female"))
+      .agg(stableSum(col("Affected_Male")).as("Total_Male"),
+           stableSum(col("Affected_Female")).as("Total_Female"))
       .select(col("Disease Name"),
         expr("stack(2, 'Total_Male', Total_Male, 'Total_Female', Total_Female) AS (Gender, Affected_Population)"))
 
   /** A11 — app: disease burden, avg ×4 (Health_Jim.py:505-517). */
   def diseaseBurden(df: DataFrame, n: Int = 50): DataFrame =
     df.groupBy(col("Disease Name"))
-      .agg(avg(col("Population_Affected")).as("avg_affected"),
-           avg(col("Mortality_Rate_per_100")).as("avg_mortality"),
-           avg(col("Recovery_Rate")).as("avg_recovery"),
-           avg(col("DALYs")).as("avg_dalys"))
+      .agg(stableAvg(col("Population_Affected")).as("avg_affected"),
+           stableAvg(col("Mortality_Rate_per_100")).as("avg_mortality"),
+           stableAvg(col("Recovery_Rate")).as("avg_recovery"),
+           stableAvg(col("DALYs")).as("avg_dalys"))
       .orderBy(col("avg_affected").desc)
       .limit(n)
 
@@ -149,9 +151,9 @@ object HealthQueries {
     df.agg(count(lit(1)).as("total_records"),
            countDistinct(col("Country")).as("n_countries"),
            countDistinct(col("Disease Name")).as("n_diseases"),
-           round(avg(col("Mortality_Rate_per_100")), 4).as("avg_mortality"),
-           round(avg(col("Recovery_Rate")), 2).as("avg_recovery"),
-           round(avg(col("Avg_Treatment_Cost_USD")), 2).as("avg_cost"))
+           round(stableAvg(col("Mortality_Rate_per_100")), 4).as("avg_mortality"),
+           round(stableAvg(col("Recovery_Rate")), 2).as("avg_recovery"),
+           round(stableAvg(col("Avg_Treatment_Cost_USD")), 2).as("avg_cost"))
 
   /** Data-quality report (nb:cell0:342-403): missing values per column,
     * top-10 value counts for the key categoricals, min/mean/median/max
@@ -162,9 +164,10 @@ object HealthQueries {
     val spark = df.sparkSession
     import spark.implicits._
     // One agg pass for all columns — a per-column filter+count would scan
-    // the table once per column (35 scans at this schema).
+    // the table once per column (35 scans at this schema). count(when)
+    // (not sum(when)) so an EMPTY input yields 0, never null.
     val missingRow = df.select(df.columns.map(c =>
-      sum(when(col(s"`$c`").isNull, 1).otherwise(0)).as(c)): _*).head()
+      count(when(col(s"`$c`").isNull, lit(1))).as(c)): _*).head()
     val missing = df.columns.zipWithIndex.map { case (c, i) =>
       (c, missingRow.getLong(i))
     }.toSeq.toDF("column", "n_missing")
@@ -176,7 +179,7 @@ object HealthQueries {
     val metricStats = Seq("Mortality_Rate_per_100", "Recovery_Rate",
         "Avg_Treatment_Cost_USD", "DALYs").map { c =>
       df.agg(lit(c).as("metric"), min(col(c)).as("min"),
-        avg(col(c)).as("mean"), expr(s"percentile(`$c`, 0.5)").as("median"),
+        stableAvg(col(c)).as("mean"), expr(s"percentile(`$c`, 0.5)").as("median"),
         max(col(c)).as("max"))
     }.reduce(_ unionByName _)
     (missing, topCounts, metricStats)

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  - one-hot matches pandas `get_dummies(drop_first=True)`: levels in
   *    alphabetical order, first level dropped, explicit 0/1 columns (no
   *    StringIndexer frequency ordering — SURVEY M2);
-  *  - sklearn's permutation split and Spark's per-row Bernoulli
-  *    `randomSplit` select different rows, so parity is a metric band
-  *    (R² ≈ 0.785 published; we assert [0.70, 0.85] — SURVEY M3);
+  *  - sklearn's seeded permutation split and our deterministic
+  *    `xxhash64(Record_ID) % 100` split select different rows, so parity
+  *    is a metric band (R² ≈ 0.785 published; we assert [0.70, 0.85] —
+  *    SURVEY M3). Unlike `randomSplit`, the hash split is invariant
+  *    under row order and partitioning, so the band is STABLE;
   *  - RF mapping: n_estimators→numTrees, max_depth→maxDepth,
   *    min_samples_leaf→minInstancesPerNode; sklearn regression default
   *    max_features=1.0 → featureSubsetStrategy="all" (M4).
@@ -40,7 +42,8 @@ object MortalityModel {
   /** pandas get_dummies(drop_first=True): alphabetical levels minus the
     * first, as explicit 0/1 double columns named `col_level`. The level
     * inventory is tiny (≤21) — collecting it is fit-time metadata, like
-    * StringIndexer.fit.
+    * StringIndexer.fit. `Record_ID` is retained (excluded from features)
+    * as the deterministic split key.
     */
   def encode(df: DataFrame): (DataFrame, Seq[String]) = {
     // Level inventory for all categoricals in ONE aggregate pass (a
@@ -51,7 +54,7 @@ object MortalityModel {
     val levelsByCol = catCols.zipWithIndex.map { case (c, i) =>
       c -> levelRow.getSeq[String](i).sorted.drop(1) // drop_first
     }
-    var out = df.drop(dropCols: _*)
+    var out = df.drop(dropCols.filterNot(_ == "Record_ID"): _*)
     val dummyNames = levelsByCol.flatMap { case (c, levels) =>
       levels.map { lvl =>
         val name = s"${c}_$lvl"
@@ -62,20 +65,36 @@ object MortalityModel {
     (out.drop(catCols: _*), dummyNames)
   }
 
-  /** M1-M4 — encode, split 0.76/0.24 seed 42, fit RF 300×3×leaf5. */
+  /** Deterministic train/test split: hash the stable row id, not the row
+    * POSITION. `randomSplit` is per-partition Bernoulli sampling — which
+    * rows land where depends on partitioning and row order, so any ETL
+    * replan silently reshuffles the split (and the metrics). Hashing
+    * `Record_ID` (SURVEY §2.8 M3) assigns every row a split side that is
+    * invariant under row order, partitioning, and cluster size — the same
+    * property sklearn gets from its seeded permutation of a fixed-order
+    * frame. Parity with sklearn remains a metric band either way (the
+    * selected rows differ).
+    */
+  private def hashSplit(assembled: DataFrame, trainPct: Int): (DataFrame, DataFrame) = {
+    val side = pmod(xxhash64(col("__rid")), lit(100))
+    (assembled.filter(side < trainPct).drop("__rid"),
+     assembled.filter(side >= trainPct).drop("__rid"))
+  }
+
+  /** M1-M4 — encode, deterministic 76/24 split, fit RF 300×3×leaf5. */
   def fit(df: DataFrame): Fitted = {
     val (encoded, dummies) = encode(df)
     val numericFeatures = encoded.schema.fields
       .filter(f => f.dataType == DoubleType || f.dataType == LongType)
       .map(_.name)
-      .filterNot((Seq(label) ++ leakyCols ++ dummies).contains)
+      .filterNot((Seq(label, "Record_ID") ++ leakyCols ++ dummies).contains)
     val featureNames = numericFeatures.toSeq ++ dummies
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("features")
       .transform(encoded.select(
         (featureNames.map(c => col(s"`$c`").cast(DoubleType).as(c)) :+
-          col(s"`$label`").as("label")): _*))
-    val Array(train, test) = assembled.randomSplit(Array(0.76, 0.24), seed = 42)
+          col(s"`$label`").as("label") :+ col("Record_ID").as("__rid")): _*))
+    val (train, test) = hashSplit(assembled, 76)
     val rf = new RandomForestRegressor()
       .setNumTrees(300).setMaxDepth(3).setMinInstancesPerNode(5)
       .setFeatureSubsetStrategy("all").setSeed(42)
@@ -102,8 +121,8 @@ object MortalityModel {
       .setInputCols(names.toArray).setOutputCol("features")
       .transform(df.select(
         (names.map(c => col(s"`$c`").cast(DoubleType).as(c)) :+
-          col(s"`$label`").as("label")): _*))
-    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 42)
+          col(s"`$label`").as("label") :+ col("Record_ID").as("__rid")): _*))
+    val (train, test) = hashSplit(assembled, 80)
     val rf = new RandomForestRegressor()
       .setNumTrees(300).setMaxDepth(3).setMinInstancesPerNode(5)
       .setFeatureSubsetStrategy("all").setSeed(42)

@@ -21,22 +21,29 @@ object ScaleOps {
     */
   def denseIds(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
     val sortCols = keys.map(col)
-    // Persist the arranged rows: the counts pass and the id pass would
-    // otherwise EACH re-run the range exchange + sort + the entire
-    // upstream plan (in the health ETL that is the whole cleaning
-    // pipeline, twice). Spilling one sorted copy to disk beats two full
-    // recomputes at any scale. The cache is released by the context
-    // cleaner once the returned frame is dropped; `arranged.rdd` below
-    // reads the same InMemoryRelation for both passes.
+    // Persist the arranged rows AT THE RDD LEVEL: the counts pass and the
+    // id pass would otherwise EACH re-run the range exchange + sort + the
+    // entire upstream plan (in the health ETL that is the whole cleaning
+    // pipeline, twice) — and, because the range partitioner re-samples its
+    // bounds per execution, a recompute could even produce DIFFERENT
+    // partition boundaries than the ones `offsets` was built from. One
+    // materialized copy pins both.
+    //
+    // RDD persist (not DataFrame.persist) on purpose: an InMemoryRelation
+    // is held strongly by the session's CacheManager until an explicit
+    // unpersist, so each call would leak a sorted copy of the input. An
+    // RDD-level cache is released by the ContextCleaner as soon as the
+    // returned frame (whose lineage is the only reference) is dropped.
     val arranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+    val arrangedRdd = arranged.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = arranged.rdd.mapPartitionsWithIndex {
+    val counts = arrangedRdd.mapPartitionsWithIndex {
       case (pid, it) => Iterator((pid, it.size.toLong))
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val schema = StructType(arranged.schema.fields :+ StructField(idCol, LongType))
-    val withIds = arranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+    val withIds = arrangedRdd.mapPartitionsWithIndex { case (pid, it) =>
       var i = offsets(pid)
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
     }

@@ -20,12 +20,12 @@ import graft.{QueryDef, Tables}
   *    (the planner sees the small side); at 100 TB you shard the corpus and
   *    TakeOrdered per query — the plan shape Spark already emits here
   *    (window top-k per query over a join, no global sort).
-  *  - v02 is the IVF scale path: a deterministic coarse quantizer (first
-  *    16 vectors as cell centroids — no iterative training, so the
-  *    assignment is reproducible and oracle-checkable), cell assignment
-  *    by max cosine, queries probe their 2 nearest cells only. At 100 TB
-  *    the assignment is a narrow shuffle by cell and each query touches
-  *    nprobe/nlist of the corpus.
+  *  - v02 is the IVF scale path: a deterministic coarse quantizer (the
+  *    first `nlist` vectors as cell centroids — no iterative training, so
+  *    the assignment is reproducible and oracle-checkable), cell
+  *    assignment by max cosine, queries probe their 2 nearest cells only.
+  *    At 100 TB the assignment is a narrow shuffle by cell, each query
+  *    touches nprobe/nlist of the corpus, and nlist sizes ~√n.
   */
 object Similarity {
 
@@ -76,16 +76,21 @@ object Similarity {
       |FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
-  /** v02 — IVF top-3: cells = first 16 vectors as centroids, assignment by
-    * max cosine (tie → lower centroid id), queries probe their 2 nearest
-    * cells, search only those cells' members.
+  /** v02 — IVF top-3: cells = the first `nlist` vectors as centroids
+    * (deterministic seeding — no iterative training, so the assignment is
+    * reproducible and oracle-checkable), assignment by max cosine (tie →
+    * lower centroid id), queries probe their 2 nearest cells, search only
+    * those cells' members. `nlist` sizes with the corpus (~√n is the
+    * usual IVF sizing; the oracle contract pins 16); recall is
+    * approximate by construction — see the d04 recall contract note in
+    * [[graft.operators.Dedup]].
     */
-  def v02IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def v02IvfTopK(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
-    val centroids = vecs.filter(col("vec_id") < 16)
+    val centroids = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
     val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
@@ -145,6 +150,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
-    QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3", v02IvfTopK, Some(v02Sql))
+    QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",
+      v02IvfTopK(_, _), Some(v02Sql))
   )
 }

@@ -44,7 +44,6 @@ object PdfWriter {
     objects += s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
     objects += "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
     pages.foreach { pageLines =>
-      val pageId = 4 + 2 * objects.size - 6 // sequential: 4, 6, 8, ...
       val content = {
         val sb = new StringBuilder
         sb.append(s"BT /F1 $FontSize Tf $MarginX ${PageH - MarginY} Td $Leading TL\n")

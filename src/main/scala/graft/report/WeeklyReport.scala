@@ -12,10 +12,12 @@ import graft.ml.MortalityModel
   * the analytic DAG runs distributed, only the tiny result tables are
   * collected for rendering.
   *
-  * Output sinks are abstracted behind [[ReportSink]]: the default
-  * renders the reference's PDF/Excel section structure as plain text /
-  * CSV-able sections (this environment is egress-free and ships no PDF
-  * lib); the email sink (S10) is a no-op stub by design.
+  * Output sinks are abstracted behind [[ReportSink]]: [[PdfReportSink]]
+  * (S8, hand-rolled PDF 1.4 — the CLI default, see ReportMain) and
+  * [[ExcelReportSink]] (S9, hand-rolled XLSX) render the reference's
+  * reportlab/ExcelWriter outputs; [[TextReportSink]] is the in-process
+  * default for string-returning callers; the email sink (S10) is a
+  * no-op stub by design (egress-free environment).
   */
 trait ReportSink {
   def write(reportName: String, sections: Seq[(String, String)]): String

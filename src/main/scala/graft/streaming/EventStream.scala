@@ -236,14 +236,17 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // the watermarked column (`tsc`) must SURVIVE the projection feeding
+    // the stateful operator — EventTimeTimeout resolves its event-time
+    // attribute from the child plan, and dropping it fails analysis
     val sessions = spark.readStream
       .schema(eventsSchema)
       .parquet(stageDir.toString)
       .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("tsc", "0 seconds")
-      .selectExpr("user_id", "unix_micros(tsc) AS us",
+      .selectExpr("user_id", "tsc", "unix_micros(tsc) AS us",
         "CAST(round(value * 100) AS BIGINT) AS cents")
-      .as[(Long, Long, Long)]
+      .as[(Long, java.sql.Timestamp, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -257,12 +260,15 @@ object EventStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+            val sorted = rows.toSeq.sortBy(e => (e._3, e._4))
             var open = state.getOption.toList.flatten.headOption
             val closed = List.newBuilder[SessionState]
-            sorted.foreach { case (_, us, cents) =>
+            sorted.foreach { case (_, _, us, cents) =>
               open match {
-                case Some(s) if us - s.lastUs <= gapUs =>
+                // STRICT inequality: session_window merges only on strict
+                // overlap of [t, t+gap), so an event exactly `gap` after
+                // the previous one starts a NEW session
+                case Some(s) if us - s.lastUs < gapUs =>
                   open = Some(SessionState(s.startUs, us, s.n + 1, s.sumCents + cents))
                 case Some(s) =>
                   closed += s
@@ -273,7 +279,11 @@ object EventStream {
             }
             open.foreach { s =>
               state.update(List(s))
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1)
+              // the watermark is tracked in FLOOR(ms); timeout fires when
+              // wm_ms > ts_ms, so ts_ms = floor(end/1000) - 1 makes the
+              // session close exactly when wm_ms >= floor((lastUs+gap)/1000)
+              // — the ms-granular image of session_window's `wm >= end`
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L - 1)
             }
             closed.result().map(emit).iterator
           }

@@ -25,15 +25,28 @@ object Exact {
     c.cast(DecimalType(prec, scale))
 
   /** Exact sum of a column whose values carry at most `scale` decimals. */
-  def exactSum(c: Column, scale: Int = 2): Column =
-    sum(dec(c, scale)).cast(DoubleType)
+  def exactSum(c: Column, scale: Int = 2, prec: Int = 18): Column =
+    sum(dec(c, scale, prec)).cast(DoubleType)
 
   /** Deterministic average: exact decimal sum, cast to double, divided by the
     * non-null count. Both operands are bit-identical across engines, so the
     * quotient is too.
     */
-  def exactAvg(c: Column, scale: Int = 2): Column =
-    sum(dec(c, scale)).cast(DoubleType) / count(c)
+  def exactAvg(c: Column, scale: Int = 2, prec: Int = 18): Column =
+    sum(dec(c, scale, prec)).cast(DoubleType) / count(c)
+
+  /** Order-invariant AVG for columns that are NOT fixed-decimal: decimal(38,12)
+    * rounds each double at the 12th decimal (error ≤ 5e-13 — far below any
+    * published tolerance) and then sums EXACTLY, so the result is identical
+    * under any partitioning, row order, or plan change. Used by the health
+    * analytics layer so a replan of the ETL can never shift a reported
+    * aggregate by an ulp (the reference's own pandas sums are order-fixed;
+    * ours must be order-FREE to match from a distributed engine).
+    */
+  def stableAvg(c: Column): Column = exactAvg(c, 12, 38)
+
+  /** Order-invariant SUM, same decimal(38,12) contract as [[stableAvg]]. */
+  def stableSum(c: Column): Column = exactSum(c, 12, 38)
 
   /** clip(lo, hi) — the reference's pandas `Series.clip` (SURVEY §2.3 F8). */
   def clip(c: Column, lo: Column, hi: Column): Column =

@@ -33,12 +33,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
         r.get(1).asInstanceOf[Number].longValue, r.getDouble(2))).toSet
 
-    val ivf = operators.Dedup.d04EmbeddingNearDup(spark, sf)
-      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
-        r.get(1).asInstanceOf[Number].longValue, r.getDouble(2))).toSet
-
     assert(brute.nonEmpty, "corpus must contain planted near-dups")
-    assert(ivf == brute,
-      s"IVF candidates missed pairs: ${(brute -- ivf).take(5)} / extra: ${(ivf -- brute).take(5)}")
+    // nlist is a free parameter (sized ~√n in production); recall must
+    // hold at the oracle-pinned 16 AND at a coarser/finer quantizer —
+    // two settings with entirely different cell boundaries
+    Seq(16, 32).foreach { nlist =>
+      val ivf = operators.Dedup.d04EmbeddingNearDup(spark, sf, nlist)
+        .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+          r.get(1).asInstanceOf[Number].longValue, r.getDouble(2))).toSet
+      assert(ivf == brute,
+        s"nlist=$nlist missed: ${(brute -- ivf).take(5)} / extra: ${(ivf -- brute).take(5)}")
+    }
   }
 }

@@ -74,8 +74,10 @@ class EventStreamSpec extends AnyFunSuite {
               col("n_events"), col("sum_value"), col("last_us"))
     val maxUs = Tables.events(spark, sf)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // the streaming watermark is tracked in FLOOR(ms), so a session times
+    // out iff floor((last+gap)/1000) <= floor(max/1000) — compare in ms
     val expected = withLast.collect()
-      .filter(r => r.getAs[Long]("last_us") + gapUs <= maxUs)
+      .filter(r => (r.getAs[Long]("last_us") + gapUs) / 1000L <= maxUs / 1000L)
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
                  r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     val streamed = EventStream.flatSessionize(spark, sf).collect()
@@ -104,8 +106,11 @@ class EventStreamSpec extends AnyFunSuite {
     // watermark commits to the checkpoint between drains, so drain 2
     // genuinely runs with drain 1's watermark — a deterministic
     // micro-batch boundary (a single drain can batch all files together).
+    // The sink must be RECOVERABLE for the second start() to resume from
+    // the checkpoint — a file (parquet) sink is; the memory sink is not.
     val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck_")
-    def drain(queryName: String): Map[Long, Long] = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out_")
+    def drain(): Map[Long, Long] = {
       val q = s.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("us", org.apache.spark.sql.types.LongType))))
@@ -115,24 +120,29 @@ class EventStreamSpec extends AnyFunSuite {
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("w.start")).as("ws"), col("n"))
-        .writeStream.format("memory").queryName(queryName)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(queryName).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val rows = s.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.map(_._1).distinct.size == rows.size,
+        s"a window finalized twice (late data leaked into state): $rows")
+      rows.toMap
     }
     // drain 1: two events in window [1:00,2:00) and one at 5:00 that
     // pushes the watermark (1h delay) to 4:00, finalizing window 1
     writeBatch("b1.parquet", Seq(1 * H, 1 * H + 30 * 60 * 1000000L, 5 * H))
-    val got1 = drain("st_late_1")
+    val got1 = drain()
+    assert(got1.get(1 * H).contains(2L), s"drain 1 must finalize window 1: $got1")
     // drain 2: a LATE row at 1:15 (window already finalized -> dropped),
     // an on-time row at 4:30, and a 9:00 row that advances the watermark
     // to 8:00, finalizing windows 4 and 5
     writeBatch("b2.parquet", Seq(1 * H + 15 * 60 * 1000000L, 4 * H + 30 * 60 * 1000000L, 9 * H))
-    val got2 = drain("st_late_2")
-    val got = got1 ++ got2
+    val got = drain()
     // the late 1:15 row must NOT be in window 1's finalized count
     assert(got.get(1 * H).contains(2L), s"window 1 wrong (late row kept?): $got")
     // the on-time 4:30 row must be kept and finalized

@@ -99,18 +99,30 @@ class HealthSpec extends AnyFunSuite {
   }
 
   test("EP2: SQL texts over the temp view agree with the DataFrame API") {
+    // The SQL texts are the reference's VERBATIM queries (plain AVG — an
+    // order-dependent double sum); the DataFrame layer is order-invariant
+    // by design (Exact.stableAvg, decimal(38,12)). The two agree to the
+    // 12th decimal; bit-equality between them is not a meaningful contract.
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
     HealthQueries.registerView(cleaned)
     val sqlQ1 = HealthQueries.runSql(spark, "q1").collect()
     val dfQ1 = HealthQueries.topDeadliest(cleaned, 5).collect()
     sqlQ1.zip(dfQ1).foreach { case (s, d) =>
       assert(s.getString(0) == d.getString(0))
-      assert(s.getDouble(1) == d.getDouble(1))
+      assert(close(s.getDouble(1), d.getDouble(1)), s"${s.getDouble(1)} vs ${d.getDouble(1)}")
     }
+    // q3 compares KEYED BY COUNTRY: near-tied avg_healthcare_access sort
+    // keys (Unknown vs United Kingdom differ in the 11th decimal) order
+    // differently under plain-AVG vs stableAvg, and tie order was never
+    // part of the contract
     val sqlQ3 = HealthQueries.runSql(spark, "q3").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val dfQ3 = HealthQueries.accessVsMortality(cleaned).collect()
-    assert(sqlQ3.length == dfQ3.length)
-    sqlQ3.zip(dfQ3).foreach { case (s, d) =>
-      assert(s.getString(0) == d.getString(0) && s.getDouble(1) == d.getDouble(1))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sqlQ3.keySet == dfQ3.keySet)
+    sqlQ3.foreach { case (country, v) =>
+      assert(close(v, dfQ3(country)), s"$country: $v vs ${dfQ3(country)}")
     }
   }
 
@@ -129,6 +141,22 @@ class HealthSpec extends AnyFunSuite {
     val long = HealthQueries.genderImpactLong(cleaned)
     assert(long.count() == 42) // 21 diseases × 2 genders
     assert(long.columns.toSeq == Seq("Disease Name", "Gender", "Affected_Population"))
+  }
+
+  test("ETL leaves no CacheManager entries behind (explicit unpersist)") {
+    // delta-based: other suites legitimately hold caches on the shared
+    // session; clean() itself must add at most denseIds' one RDD-level
+    // cache (context-cleaner-collectable), and NO InMemoryRelation
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = HealthEtl.clean(spark, HealthEtl.defaultCsvPath)
+    assert(out.count() == 10006)
+    val fresh = sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+    // the scrubbed base (InMemoryRelation) must be GONE; only denseIds'
+    // arranged RDD may remain, and it is plain-RDD (GC-collectable)
+    assert(fresh.size <= 1, s"leaked caches: ${fresh.values.map(_.toString)}")
+    assert(!fresh.values.exists(r => r.name != null && r.name.contains("In-memory")),
+      s"InMemoryRelation leaked: ${fresh.values.map(_.name)}")
   }
 
   test("A12 correlation ranking: target correlates 1.0 with itself, Severity leads") {

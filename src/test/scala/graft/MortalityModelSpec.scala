@@ -34,6 +34,7 @@ class MortalityModelSpec extends AnyFunSuite {
   test("test R2 in the reference band [0.70, 0.85] (published 0.7855)") {
     val m = MortalityModel.metrics(fitted, onTest = true).head()
     val (r2, mse, mae) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    info(f"notebook-variant test r2 = $r2%.4f mse = $mse%.6f mae = $mae%.6f")
     assert(r2 > 0.70 && r2 < 0.85, s"test r2=$r2 outside band")
     assert(mse < 2e-3, s"mse=$mse") // published 8.2e-4
     assert(mae < 0.03, s"mae=$mae") // published 0.0135
@@ -59,16 +60,21 @@ class MortalityModelSpec extends AnyFunSuite {
     assert(p >= 0.0 && p <= 1.0, s"prediction $p outside [0,1]")
   }
 
-  test("app variant: 16 numeric features, no dummies — weaker model (observed r2≈0.54)") {
-    // Severity Score looks leaky (0.7·label + 0.3·log1p(DALYs)) but the
-    // round(2) erases the 0.7·label term (≈0.02) next to log1p(DALYs)≈9,
-    // so the app variant predicts mostly from epidemiological numerics
-    // and lands well below the disease-dummied notebook variant
+  test("app variant: 16 numeric features incl. leaky Severity Score") {
+    // Severity Score = round(0.7·label + 0.3·log1p(DALYs), 2): the label
+    // term (≤0.8) survives the rounding, so the app variant IS partially
+    // leaky — but log1p(DALYs)·0.3 (≈2-3) dominates the feature, so at
+    // depth 3 the leak is diluted rather than decisive. The split is now
+    // hash-deterministic, so the metric is a stable point, not a band
+    // tuned to one lucky randomSplit ordering.
     val app = MortalityModel.fitAppVariant(
       graft.health.HealthEtl.clean(spark, graft.health.HealthEtl.defaultCsvPath))
     assert(app.featureNames.contains("Severity Score"))
     val r2 = MortalityModel.metrics(app).head().getDouble(0)
-    assert(r2 > 0.35 && r2 < 0.75, s"app-variant r2=$r2 outside observed band")
+    info(f"app-variant test r2 = $r2%.4f")
+    // observed 0.5673 with the deterministic split; band ±0.07 for MLlib
+    // version drift (the value itself cannot drift run-to-run anymore)
+    assert(r2 > 0.50 && r2 < 0.65, s"app-variant r2=$r2 outside observed band")
   }
 
   test("quality report: zero missing, 21-value categoricals, sane metric stats") {

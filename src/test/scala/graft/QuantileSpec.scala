@@ -51,6 +51,27 @@ class QuantileSpec extends AnyFunSuite {
       sparkPercentile(ev, "value", 0.5).map(java.lang.Double.doubleToLongBits))
   }
 
+  test("adversarial full-64-bit spread exercises the deep-refinement bound") {
+    // values spanning ~2000 binades plus ULP-adjacent clusters: every
+    // radix pass down to the last 12 bits must refine correctly (worst
+    // case for the 4096-bucket histogram: the quantile sits inside a
+    // cluster of bit-adjacent doubles, so early passes cannot isolate it)
+    val s = spark
+    import s.implicits._
+    val base = java.lang.Double.doubleToLongBits(1.0)
+    val cluster = (0 until 64).map(k => java.lang.Double.longBitsToDouble(base + k))
+    val spread = Seq(-1e308, -1e300, -1.0, -1e-300, -Double.MinPositiveValue,
+      -0.0, 0.0, Double.MinPositiveValue, 1e-300, 1e300, 1e308)
+    val vs = (cluster ++ spread).map(Double.box)
+    val df = vs.toDF("v")
+    Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0).foreach { p =>
+      val got = ScalableQuantile.quantiles(df, Seq("v" -> Seq(p)))(("v", p))
+      val want = sparkPercentile(df, "v", p)
+      assert(got.map(java.lang.Double.doubleToLongBits) ==
+        want.map(java.lang.Double.doubleToLongBits), s"@ $p: $got vs $want")
+    }
+  }
+
   test("edge cases: tiny n, duplicates, negatives, all-null") {
     val s = spark
     import s.implicits._
