@@ -167,11 +167,102 @@ object TextOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** t06 — the COMPOSED corpus-cleaning pipeline every pretraining-data
+    * job runs end-to-end: language-ID → quality gate (q ≥ 0.8 keeps
+    * ~40% of this corpus) → exact dedup on the normalized-text
+    * fingerprint (keep lowest doc_id) → per-language corpus accounting.
+    * The natural table has no exact dups, so the corpus is augmented
+    * in-query with verbatim copies of the first 40 docs (doc_id+100000)
+    * — identically on both engines — so the dedup stage provably
+    * removes rows.
+    *
+    * Scale shape: one projection (no shuffle) → filter → ONE hash
+    * shuffle on the 128-bit fingerprint (the window is per-fp, thousands
+    * of tiny groups) → partial+final aggregate on the 5-value lang key.
+    * Nothing in the plan is corpus-quadratic and no stage buffers more
+    * than a fingerprint group.
+    */
+  def t06CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val docs = base.unionByName(planted)
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+    def hits(words: Seq[String]): org.apache.spark.sql.Column = {
+      val lst = words.map(w => s"'$w'").mkString(",")
+      size(expr(s"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($lst))"))
+    }
+    val en = hits(Seq("the", "and", "of", "to", "in", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "los"))
+    val fr = hits(Seq("le", "la", "de", "et", "les", "des"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+    val best = greatest(en, es, fr, de)
+    val scored = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      round(least(lit(1.0), nWords / lit(100.0)) * 0.4 +
+            (lit(1.0) - nPunct / nChars) * 0.3 +
+            (nAlpha / nChars) * 0.3, 6).as("q"),
+      when(best === 0, "und")
+        .when(en === best, "en").when(es === best, "es")
+        .when(fr === best, "fr").otherwise("de").as("predicted_lang"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val kept = scored.filter(col("q") >= 0.8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    deduped.groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_ws_tokens")).as("total_tokens"),
+           graft.util.Exact.exactAvg(col("q"), 6).as("avg_quality"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  private val t06Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40),
+      |scored AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |    ROUND(LEAST(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0) * 0.4
+      |        + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
+      |        + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 0.3, 6) AS q,
+      |    CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      |         WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      |         WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      |         WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      |         ELSE 'de' END AS predicted_lang,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('the','and','of','to','in','is'))) AS en,
+      |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('el','la','de','que','y','los'))) AS es,
+      |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('le','la','de','et','les','des'))) AS fr,
+      |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('der','die','und','das','ist','ein'))) AS de
+      |    FROM docs)),
+      |dedup AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM scored WHERE q >= 0.8)
+      |SELECT predicted_lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_ws_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(q) AS avg_quality
+      |FROM dedup WHERE rn = 1
+      |GROUP BY predicted_lang
+      |ORDER BY predicted_lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
     QueryDef("t03_langid", "marker-word language ID heuristic", t03LangId, Some(t03Sql)),
     QueryDef("t04_fingerprint", "md5 + 60-bit + rolling-hash fingerprints", t04Fingerprint, Some(t04Sql)),
-    QueryDef("t05_json_extract", "JSON property extraction + typed agg", t05JsonExtract, Some(t05Sql))
+    QueryDef("t05_json_extract", "JSON property extraction + typed agg", t05JsonExtract, Some(t05Sql)),
+    QueryDef("t06_corpus_pipeline",
+      "composed corpus clean: langid -> quality gate -> exact dedup -> accounting",
+      t06CorpusPipeline, Some(t06Sql))
   )
 }
