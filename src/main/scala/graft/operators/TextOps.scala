@@ -86,17 +86,21 @@ object TextOps {
       val lst = words.map(w => s"'$w'").mkString(",")
       size(expr(s"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($lst))"))
     }
-    val en = hits(Seq("the", "and", "of", "to", "in", "is"))
-    val es = hits(Seq("el", "la", "de", "que", "y", "los"))
-    val fr = hits(Seq("le", "la", "de", "et", "les", "des"))
-    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
-    val best = greatest(en, es, fr, de)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang").as("labeled_lang"),
+    // materialize the four hit-counters ONCE, then pick argmax over the
+    // plain integer columns (a Column tree referenced N times re-executes
+    // its interpreted HOF filter N times — see t06's note)
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(Seq("the", "and", "of", "to", "in", "is")).as("en"),
+        hits(Seq("el", "la", "de", "que", "y", "los")).as("es"),
+        hits(Seq("le", "la", "de", "et", "les", "des")).as("fr"),
+        hits(Seq("der", "die", "und", "das", "ist", "ein")).as("de"))
+    val best = greatest(col("en"), col("es"), col("fr"), col("de"))
+    feats.select(col("doc_id"), col("lang").as("labeled_lang"),
         when(best === 0, "und")
-          .when(en === best, "en").when(es === best, "es")
-          .when(fr === best, "fr").otherwise("de").as("predicted_lang"),
-        en.cast("long").as("en_hits"))
+          .when(col("en") === best, "en").when(col("es") === best, "es")
+          .when(col("fr") === best, "fr").otherwise("de").as("predicted_lang"),
+        col("en").cast("long").as("en_hits"))
       .orderBy(col("doc_id"))
   }
 
@@ -187,7 +191,6 @@ object TextOps {
     val planted = base.filter(col("doc_id") < 40)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val docs = base.unionByName(planted)
-    val nWords = size(split(trim(col("text")), "\\s+")).cast("double")
     val nChars = length(col("text")).cast("double")
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
@@ -196,20 +199,30 @@ object TextOps {
       val lst = words.map(w => s"'$w'").mkString(",")
       size(expr(s"filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($lst))"))
     }
-    val en = hits(Seq("the", "and", "of", "to", "in", "is"))
-    val es = hits(Seq("el", "la", "de", "que", "y", "los"))
-    val fr = hits(Seq("le", "la", "de", "et", "les", "des"))
-    val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
-    val best = greatest(en, es, fr, de)
-    val scored = docs.select(col("doc_id"),
+    // Two-stage projection ON PURPOSE: Column expressions are trees, so
+    // every reference to `best` in the CASE below would re-expand all
+    // four interpreted higher-order `filter(split(...))` hit-counters
+    // (≈20 full-text regex splits per row in one mega-projection, which
+    // also blows past codegen limits). Materialize each expensive
+    // signal ONCE, then derive q/lang from plain integer columns —
+    // measured 6.4 s → ~1 s at sf0.1.
+    val feats = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
-      round(least(lit(1.0), nWords / lit(100.0)) * 0.4 +
-            (lit(1.0) - nPunct / nChars) * 0.3 +
-            (nAlpha / nChars) * 0.3, 6).as("q"),
-      when(best === 0, "und")
-        .when(en === best, "en").when(es === best, "es")
-        .when(fr === best, "fr").otherwise("de").as("predicted_lang"),
+      nChars.as("nc"), nPunct.as("np"), nAlpha.as("na"),
+      hits(Seq("the", "and", "of", "to", "in", "is")).as("en"),
+      hits(Seq("el", "la", "de", "que", "y", "los")).as("es"),
+      hits(Seq("le", "la", "de", "et", "les", "des")).as("fr"),
+      hits(Seq("der", "die", "und", "das", "ist", "ein")).as("de"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val best = greatest(col("en"), col("es"), col("fr"), col("de"))
+    val scored = feats.select(col("doc_id"), col("n_ws_tokens"),
+      round(least(lit(1.0), col("n_ws_tokens").cast("double") / lit(100.0)) * 0.4 +
+            (lit(1.0) - col("np") / col("nc")) * 0.3 +
+            (col("na") / col("nc")) * 0.3, 6).as("q"),
+      when(best === 0, "und")
+        .when(col("en") === best, "en").when(col("es") === best, "es")
+        .when(col("fr") === best, "fr").otherwise("de").as("predicted_lang"),
+      col("fp"))
     val kept = scored.filter(col("q") >= 0.8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
