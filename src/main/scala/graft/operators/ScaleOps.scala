@@ -50,6 +50,80 @@ object ScaleOps {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** Distributed prefix sum: the running total of `valueCol` in
+    * `orderCols` order WITHOUT a single-partition window — the same
+    * two-pass shape as [[denseIds]] (range repartition + sort, collect
+    * ONE long per partition, add each partition's offset to its local
+    * running sum). Nulls contribute 0. Identical to
+    * `sum(value) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)` when the
+    * keys form a total order; every stage is partition-parallel, so this
+    * is the 100 TB path for cumulative token accounting / sequence
+    * packing.
+    */
+  def prefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                outCol: String): DataFrame = {
+    val sortCols = orderCols.map(col)
+    val arranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // RDD-level persist for the same two reasons as denseIds: pin the
+    // range boundaries across both passes, collectable by the cleaner
+    val arrangedRdd = arranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = arranged.schema.fieldIndex(valueCol)
+    val partSums = arrangedRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(idx)) s += r.getLong(idx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val schema = StructType(arranged.schema.fields :+ StructField(outCol, LongType))
+    val out = arrangedRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = offsets(pid)
+      it.map { r =>
+        if (!r.isNullAt(idx)) s += r.getLong(idx)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** t08 — sequence packing for LLM training batches: documents in
+    * doc_id order are laid out on one token stream and cut into packs of
+    * `budget` tokens; a document belongs to the pack its FIRST token
+    * lands in (contiguous packing — the deterministic, fully parallel
+    * variant of greedy first-fit: packs can overflow by at most one
+    * document, never reorder). The cumulative count comes from
+    * [[prefixSum]], so no single-partition window anywhere.
+    */
+  def t08SequencePacking(spark: SparkSession, dir: String,
+                         budget: Long = 512L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+    prefixSum(docs, Seq("doc_id"), "n_tok", "cum_tok")
+      .withColumn("pack_id", expr(s"(cum_tok - n_tok) div $budget"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("pack_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
+  private val t08Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM d)
+      |SELECT (cum_tok - n_tok) // 512 AS pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** a17 — the scalable row-id over customers: must equal a15's
     * single-partition `row_number` exactly (same oracle SQL).
     */
@@ -71,6 +145,9 @@ object ScaleOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a17_row_number_scalable",
       "P13 dense ids via range partition + offsets (no global window)",
-      a17ScalableRowNumber, Some(a17Sql))
+      a17ScalableRowNumber, Some(a17Sql)),
+    QueryDef("t08_sequence_packing",
+      "contiguous token packing via distributed prefix sum",
+      t08SequencePacking(_, _), Some(t08Sql))
   )
 }

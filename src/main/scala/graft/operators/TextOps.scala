@@ -268,6 +268,61 @@ object TextOps {
       |GROUP BY predicted_lang
       |ORDER BY predicted_lang""".stripMargin
 
+  /** t07 — repetition-based quality filters (the Gopher/C4 rule family):
+    * fraction of tokens that are the single most-frequent word, fraction
+    * of bigrams that are the most-frequent bigram, distinct-word ratio,
+    * and symbols-per-word; `keep` applies the standard thresholds. All
+    * per-row (vocabulary per doc is small, so the distinct×n counting
+    * lambda is bounded); no shuffle except the presentation sort.
+    */
+  def t07RepetitionFilters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      // sequence(1, n-1) on n=1 would yield DESCENDING [1,0] — guard
+      .withColumn("bg", expr(
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"))
+    docs.select(col("doc_id"),
+        expr("size(w)").cast("long").as("n_words"),
+        round(expr("CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) AS DOUBLE) / size(w)"), 6)
+          .as("top_word_frac"),
+        round(expr("CASE WHEN size(bg) = 0 THEN 0.0 " +
+          "ELSE CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) AS DOUBLE) / size(bg) END"), 6)
+          .as("top_bigram_frac"),
+        round(expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)"), 6)
+          .as("distinct_word_frac"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("double") /
+          expr("size(w)"), 6).as("symbols_per_word"))
+      .withColumn("keep",
+        col("top_word_frac") <= 0.2 && col("top_bigram_frac") <= 0.18 &&
+        col("distinct_word_frac") >= 0.1 && col("symbols_per_word") <= 1.0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t07Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT *, CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+      |            ELSE list_transform(range(1, len(w)), i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]) END AS bg
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id, text, w, bg,
+      |    ROUND(CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6) AS top_word_frac,
+      |    ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+      |          ELSE CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END, 6) AS top_bigram_frac,
+      |    ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_word_frac,
+      |    ROUND(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(w), 6) AS symbols_per_word
+      |  FROM b)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, top_word_frac, top_bigram_frac,
+      |  distinct_word_frac, symbols_per_word,
+      |  (top_word_frac <= 0.2 AND top_bigram_frac <= 0.18
+      |   AND distinct_word_frac >= 0.1 AND symbols_per_word <= 1.0) AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -276,6 +331,9 @@ object TextOps {
     QueryDef("t05_json_extract", "JSON property extraction + typed agg", t05JsonExtract, Some(t05Sql)),
     QueryDef("t06_corpus_pipeline",
       "composed corpus clean: langid -> quality gate -> exact dedup -> accounting",
-      t06CorpusPipeline, Some(t06Sql))
+      t06CorpusPipeline, Some(t06Sql)),
+    QueryDef("t07_repetition_filters",
+      "Gopher/C4 repetition + symbol quality rules per document",
+      t07RepetitionFilters, Some(t07Sql))
   )
 }

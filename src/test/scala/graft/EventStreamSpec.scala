@@ -162,6 +162,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a17.toSeq == a15.toSeq)
   }
 
+  test("distributed prefix sum == single-partition window cumsum") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val scalable = operators.ScaleOps.prefixSum(docs, Seq("doc_id"), "n_tok", "cum")
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val window = docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    assert(scalable.nonEmpty && scalable.toSeq == window.toSeq)
+  }
+
   test("m02 metadata aggregation never reads the text payload column... beyond length") {
     val df = operators.Multimodal.m02MetadataOnly(spark, sf)
     df.collect()
