@@ -96,8 +96,60 @@ object Multimodal {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  final case class FrameRow(doc_id: Long, frame_idx: Long,
+                            n_bytes: Long, checksum: Long)
+
+  /** m03 — frame sampling: the video-shaped decode path. The payload is
+    * treated as fixed-width frames (32 bytes — a stand-in for decoded
+    * video frames; a real build swaps the splitter for a container
+    * demuxer); every 4th frame is sampled and emitted as its own row
+    * with per-frame metadata. This is the 1→N `flatMap` batch shape
+    * (Generate, no shuffle) that frame-level curation runs at 100 TB —
+    * sampled-frame rows are what a downstream dedup/captioning stage
+    * consumes. Checksums are plain byte sums, so the oracle reproduces
+    * them arithmetically (ASCII text ⇒ bytes == character codes).
+    */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameSize = 32
+    val stride = 4
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('VID0', text) AS BINARY)").as("payload"),
+        lit("vid/fake").as("format"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+    media.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (frame, idx) if idx % stride == 0 =>
+          var sum = 0L
+          var i = 0
+          while (i < frame.length) { sum += (frame(i) & 0xff); i += 1 }
+          FrameRow(r.doc_id, idx.toLong, frame.length.toLong, sum)
+      }
+    }.toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val m03Sql =
+    """WITH p AS (SELECT doc_id, 'VID0' || text AS s FROM documents),
+      |k AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(0, CAST(ceil(length(s) / 32.0) AS BIGINT))) AS frame_idx
+      |  FROM p),
+      |g AS (
+      |  SELECT doc_id, frame_idx,
+      |    substr(s, CAST(frame_idx * 32 + 1 AS INTEGER), 32) AS fr
+      |  FROM k WHERE frame_idx % 4 = 0)
+      |SELECT doc_id, frame_idx, CAST(length(fr) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(1, length(fr) + 1),
+      |    i -> ascii(substr(fr, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum
+      |FROM g
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
-    QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql))
+    QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql)),
+    QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql))
   )
 }
