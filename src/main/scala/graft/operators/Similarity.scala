@@ -148,9 +148,84 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v03 — one exact Lloyd (k-means) step over the embedding corpus:
+    * assign every vector to its nearest seed centroid (the deterministic
+    * first-`nlist` quantizer, max cosine, tie → lower id), then reduce
+    * each cell's new centroid. The centroid is reported as its EXACT
+    * integer form — member count + element-wise int64 sum vector (first
+    * coordinate and the sum-vector self-dot as scalars) — so the oracle
+    * compares integers, never engine-dependent float means. This is the
+    * clustering step semantic-dedup / curation pipelines iterate
+    * (SemDeDup-style); at 100 TB it is one broadcast-assign projection
+    * plus one (cell, dim)-keyed partial+final aggregate — no per-cell
+    * data motion beyond the sums.
+    */
+  def v03KmeansStep(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val centroids = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = scored.withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("centroid_id").as("cell"), col("vec_id"), col("q"))
+    // element-wise exact sum: explode to (cell, dim) pairs, partial+final
+    // hash aggregate, re-assemble the sum vector in dim order
+    val sums = assigned
+      .select(col("cell"), col("vec_id"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)").as("sumvec"))
+    val members = assigned.groupBy(col("cell"))
+      .agg(countDistinct(col("vec_id")).as("n_members"))
+    members.join(sums, "cell")
+      .select(col("cell").as("centroid_id"), col("n_members"),
+        expr("element_at(sumvec, 1)").as("sum_first"),
+        expr("vec_dot(sumvec, sumvec)").as("sum_self_dot"))
+      .orderBy(col("centroid_id"))
+  }
+
+  private val v03Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT n.vec_id, n.q, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |assigned AS (
+      |  SELECT vec_id, q, centroid_id AS cell
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |        FROM scored)
+      |  WHERE crank = 1),
+      |p AS (
+      |  SELECT cell, u.dim, q[CAST(u.dim AS INTEGER)] AS val
+      |  FROM assigned, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS dim) u),
+      |s AS (SELECT cell, dim, CAST(SUM(val) AS BIGINT) AS sv FROM p GROUP BY cell, dim),
+      |vecsum AS (
+      |  SELECT cell, list(sv ORDER BY dim) AS sumvec
+      |  FROM s GROUP BY cell)
+      |SELECT a.cell AS centroid_id, a.n_members, vs.sumvec[1] AS sum_first,
+      |  CAST(list_sum(list_transform(vs.sumvec, x -> x * x)) AS BIGINT) AS sum_self_dot
+      |FROM (SELECT cell, COUNT(DISTINCT vec_id) AS n_members FROM assigned GROUP BY cell) a
+      |JOIN vecsum vs USING (cell)
+      |ORDER BY centroid_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",
-      v02IvfTopK(_, _), Some(v02Sql))
+      v02IvfTopK(_, _), Some(v02Sql)),
+    QueryDef("v03_kmeans_step", "one exact Lloyd step (int64 centroid sums)",
+      v03KmeansStep(_, _), Some(v03Sql))
   )
 }

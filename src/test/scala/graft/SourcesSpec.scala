@@ -40,6 +40,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("partitioned parquet layout: filter becomes a PartitionFilter, not a scan") {
+    // the 100 TB layout pattern: partition the fact table on the hot
+    // predicate column so a filter prunes DIRECTORIES, reading none of
+    // the other partitions' bytes
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val out = new java.io.File("target/lineitem_part").getAbsolutePath
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val q = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+    val expect = li.filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+      .collect().map(_.toString)
+    assert(q.collect().map(_.toString).toSeq == expect.toSeq)
+    val scan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("l_returnflag"),
+      s"partition filter not pushed to the scan: $scanLine")
+    // the data filter must NOT remain as a post-scan Filter on the column
+    assert(!scan.linesIterator.exists(l =>
+      l.trim.startsWith("Filter") && l.contains("l_returnflag")),
+      "partition predicate re-evaluated per row instead of pruning directories")
+  }
+
   test("ORC round-trip preserves the lineitem aggregate bit-for-bit") {
     val li = Tables.lineitem(spark, sf)
     val out = new java.io.File("target/lineitem_orc").getAbsolutePath
