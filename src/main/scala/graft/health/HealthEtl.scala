@@ -26,9 +26,11 @@ import graft.functions.PyText
   *    .PyText → `Parkinson'S Disease`, `Usa` (Q8).
   *
   * Scale notes: grouped medians are window aggregates (one shuffle per
-  * key-set); global medians/quantiles are 1-row aggregates broadcast back
-  * via crossJoin (never a driver collect); `bround` = numpy/pandas
-  * HALF_EVEN rounding; exact `percentile`, never approx.
+  * key-set); global medians/quantiles resolve through
+  * [[graft.util.ScalableQuantile]] (bounded-state radix selection, map-side
+  * combinable — the driver walks 4096-bucket histograms, never rows) and
+  * are folded back as literals; `bround` = numpy/pandas HALF_EVEN
+  * rounding; exact percentile semantics, never approx.
   */
 object HealthEtl {
 

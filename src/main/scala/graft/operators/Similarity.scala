@@ -29,6 +29,16 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
+  /** IVF cell-count sizing for a corpus of `n` vectors: ~√n (the
+    * standard IVF heuristic — keeps Σ|cell|² ≈ n·√n for the cell-join
+    * candidate generation in d04 and the probe cost in v02/v03), floored
+    * at the oracle-pinned 16. Callers at scale pass
+    * `defaultNlist(corpus.count())` for `nlist`; the contract queries
+    * keep the pinned value so results stay oracle-checkable.
+    */
+  def defaultNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   private val quantize =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
   private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
