@@ -126,6 +126,38 @@ object EventStream {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** Bounded-state streaming dedup — the production ingest-dedup path.
+    * `dropDuplicates` on a stream keeps EVERY key's state forever;
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time + delay, so state is bounded by the
+    * dedup horizon instead of the key cardinality — the only shape that
+    * survives an unbounded 100 TB ingest. Within a batch the kept row
+    * per key is the first ENCOUNTERED (partition order, not event-time
+    * order), so the spec asserts key-set + membership, not a specific
+    * event id.
+    */
+  def streamingDedupBounded(spark: SparkSession, dir: String,
+                            queryName: String = "st_dedup_bounded"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_dedup_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsc", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val q = src.writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** st04 — session windows (6h inactivity gap) per user: Spark's
     * `session_window` runs identically in batch and streaming; the
     * oracle rebuilds sessions relationally (lag → gap flag → cumulative

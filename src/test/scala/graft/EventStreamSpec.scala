@@ -162,6 +162,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a17.toSeq == a15.toSeq)
   }
 
+  test("bounded-state streaming dedup: one row per key, keys == batch distinct") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.streamingDedupBounded(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    // exactly one survivor per key
+    assert(got.map(_._1).distinct.length == got.length)
+    // the surviving key set is the batch distinct key set
+    val batchKeys = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(_._1).toSet == batchKeys)
+    // every survivor is a real event of its key (the WHICH-row choice is
+    // arrival order within the batch — deliberately not asserted)
+    val byKey = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id")).collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.forall { case (k, id) => byKey(k).contains(id) })
+  }
+
   test("distributed prefix sum == single-partition window cumsum") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select(col("doc_id"),
