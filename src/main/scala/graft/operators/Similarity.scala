@@ -185,16 +185,18 @@ object Similarity {
       .filter(col("crank") === 1)
       .select(col("centroid_id").as("cell"), col("vec_id"), col("q"))
     // element-wise exact sum: explode to (cell, dim) pairs, partial+final
-    // hash aggregate, re-assemble the sum vector in dim order
-    val sums = assigned
+    // hash aggregate, re-assemble the sum vector in dim order. The member
+    // count rides the SAME aggregation (each vector contributes exactly
+    // one row per dim, so rows-per-(cell,dim) == members) — a separate
+    // members aggregate would recompute the whole assignment subtree
+    // (cross-join + window) a second time.
+    assigned
       .select(col("cell"), col("vec_id"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
-      .agg(sum(col("v")).as("s"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("m"))
       .groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)").as("sumvec"))
-    val members = assigned.groupBy(col("cell"))
-      .agg(countDistinct(col("vec_id")).as("n_members"))
-    members.join(sums, "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)").as("sumvec"),
+           max(col("m")).as("n_members"))
       .select(col("cell").as("centroid_id"), col("n_members"),
         expr("element_at(sumvec, 1)").as("sum_first"),
         expr("vec_dot(sumvec, sumvec)").as("sum_self_dot"))

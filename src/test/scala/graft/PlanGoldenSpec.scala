@@ -25,7 +25,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a01_pricing_summary", "p01_project_filter", "j01_broadcast_star",
     "j03_semi_join", "w01_topn_per_group", "a12_iqr_clip",
     "d01_minhash_lsh", "d04_embedding_neardup", "v02_ivf_topk",
-    "st01_tumbling_counts")
+    "st01_tumbling_counts", "t06_corpus_pipeline", "t07_repetition_filters",
+    "t08_sequence_packing", "v03_kmeans_step")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
