@@ -38,6 +38,30 @@ object Functions2 {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
 
+  /** a22 — CUBE: every grouping combination (both one-dimension margins
+    * plus the grand total — strictly more than a18's ROLLUP hierarchy)
+    * in one pass; GROUPING() columns disambiguate margin rows from
+    * real null keys.
+    */
+  def a22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           exactSum(col("o_totalprice")).as("total"),
+           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+           grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+               col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+
+  private val a22Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+
   /** a19 — pivot with an explicit value list (the engine's long→wide
     * inverse of a07's unpivot); explicit values keep the plan one-pass
     * (no distinct-discovery job).
@@ -173,6 +197,7 @@ object Functions2 {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a18_rollup", "ROLLUP subtotals + GROUPING()", a18Rollup, Some(a18Sql)),
+    QueryDef("a22_cube", "CUBE margins + GROUPING()", a22Cube, Some(a22Sql)),
     QueryDef("a21_distinct_agg", "distinct aggregates within group", a21DistinctAgg, Some(a21Sql)),
     QueryDef("a19_pivot", "pivot long-to-wide w/ explicit values", a19Pivot, Some(a19Sql)),
     QueryDef("a20_collect_list", "ordered array collection per group", a20CollectList, Some(a20Sql)),

@@ -126,6 +126,37 @@ object EventStream {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** Stream-static enrichment join: the streaming side (events) joins a
+    * STATIC dimension (customer) per micro-batch — no state store, the
+    * static side is just re-planned (and broadcast, it being the small
+    * side) each batch. This is how a 100 TB ingest enriches against
+    * reference data without a stateful stream-stream join. Aggregates
+    * per segment so the replay is compact and exactly comparable to the
+    * batch plan (EventStreamSpec asserts equality).
+    */
+  def streamingStaticJoin(spark: SparkSession, dir: String,
+                          queryName: String = "st_enrich"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_enrich_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+    val q = src.writeStream
+      .format("memory").queryName(queryName).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy(col("c_mktsegment"))
+  }
+
   /** Bounded-state streaming dedup — the production ingest-dedup path.
     * `dropDuplicates` on a stream keeps EVERY key's state forever;
     * `dropDuplicatesWithinWatermark` evicts a key's state once the

@@ -162,6 +162,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a17.toSeq == a15.toSeq)
   }
 
+  test("stream-static enrichment join replay == batch join") {
+    import org.apache.spark.sql.functions._
+    import graft.util.Exact._
+    val streamed = EventStream.streamingStaticJoin(spark, sf).collect().map(_.toString)
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+            col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment")).collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("bounded-state streaming dedup: one row per key, keys == batch distinct") {
     import org.apache.spark.sql.functions._
     val got = EventStream.streamingDedupBounded(spark, sf).collect()
