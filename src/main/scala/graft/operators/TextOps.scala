@@ -347,6 +347,45 @@ object TextOps {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** t09 — URL parsing + per-domain accounting: the web-corpus curation
+    * shape (domain blocklists / per-domain caps are standard pretraining
+    * filters). The documents table carries `source`, not URLs, so a
+    * deterministic URL is synthesized per doc — identically on both
+    * engines — and then PARSED back with the same regexes a real crawl
+    * table would need. Per-row projection + one aggregate on the domain
+    * key.
+    */
+  def t09DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("url",
+      concat(lit("https://"), col("source"), lit(".example.com/"),
+             col("lang"), lit("/"), col("doc_id")))
+    docs.select(col("doc_id"), col("n_chars"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1).as("domain"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(expr("element_at(split(path, '/'), 2)")).as("n_langs"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("domain"))
+  }
+
+  private val t09Sql =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://' || source || '.example.com/' || lang || '/' || doc_id AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+      |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+      |  FROM u)
+      |SELECT domain, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT string_split(path, '/')[2]) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM p
+      |GROUP BY domain
+      |ORDER BY domain""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -358,6 +397,9 @@ object TextOps {
       t06CorpusPipeline, Some(t06Sql)),
     QueryDef("t07_repetition_filters",
       "Gopher/C4 repetition + symbol quality rules per document",
-      t07RepetitionFilters, Some(t07Sql))
+      t07RepetitionFilters, Some(t07Sql)),
+    QueryDef("t09_domain_stats",
+      "URL parse -> per-domain corpus accounting (blocklist shape)",
+      t09DomainStats, Some(t09Sql))
   )
 }

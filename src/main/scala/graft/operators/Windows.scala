@@ -160,8 +160,32 @@ object Windows {
       |WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** w07 — cume_dist + dense_rank, PARTITIONED by segment (unlike w05's
+    * deliberately-global decile ranking, this is the shape that scales:
+    * each partition ranks independently, one shuffle on the key).
+    */
+  def w07CumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).cast(IntegerType).as("drk"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val w07Sql =
+    """SELECT c_custkey, c_mktsegment,
+      |  ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+      |                          ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cd,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+      |                          ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS drk
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w07_cume_dist", "partitioned cume_dist + dense_rank", w07CumeDist, Some(w07Sql)),
     QueryDef("w06_topk_aggregate", "custom TypedImperativeAggregate top-k", w06TopKAggregate, Some(w06Sql)),
     QueryDef("w02_lag_delta", "lag/lead offsets per key", w02LagDelta, Some(w02Sql)),
     QueryDef("w03_rolling_avg", "5-row rolling average frame", w03RollingAvg, Some(w03Sql)),
