@@ -147,9 +147,51 @@ object Multimodal {
       |FROM g
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  final case class ResizedRow(doc_id: Long, n_bytes_in: Long,
+                              n_bytes_out: Long, checksum_out: Long)
+
+  /** m04 — resize: the payload-TRANSFORM shape (decode → downscale →
+    * re-encode). The stand-in transform keeps every 2nd byte (a real
+    * build swaps in an image downscale; the contract — bytes in,
+    * smaller bytes out, 1:1 rows, partition-batched — is what matters
+    * at 100 TB: the transform never shuffles and output size is
+    * metadata the planner can reason about downstream).
+    */
+  def m04Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('IMG0', text) AS BINARY)").as("payload"),
+        lit("img/fake").as("format"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+    media.mapPartitions(_.map { r =>
+      var sum = 0L
+      var n = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        sum += (r.payload(i) & 0xff)
+        n += 1
+        i += 2
+      }
+      ResizedRow(r.doc_id, r.payload.length.toLong, n, sum)
+    }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val m04Sql =
+    """WITH p AS (SELECT doc_id, 'IMG0' || text AS s FROM documents)
+      |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_bytes_in,
+      |  CAST(ceil(length(s) / 2.0) AS BIGINT) AS n_bytes_out,
+      |  CAST(list_sum(list_transform(range(1, length(s) + 1, 2),
+      |    i -> ascii(substr(s, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum_out
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
     QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql)),
-    QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql))
+    QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql)),
+    QueryDef("m04_resize", "payload transform: 2x byte downsample (stub resize)", m04Resize, Some(m04Sql))
   )
 }
