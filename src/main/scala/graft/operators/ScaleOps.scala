@@ -117,7 +117,7 @@ object ScaleOps {
       |  SELECT doc_id, n_tok,
       |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
       |  FROM d)
-      |SELECT (cum_tok - n_tok) // 512 AS pack_id, COUNT(*) AS n_docs,
+      |SELECT CAST((cum_tok - n_tok) // 512 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c

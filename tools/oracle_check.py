@@ -39,7 +39,21 @@ def compare(name, got, want):
         return [f"row count differs: spark={len(got)} oracle={len(want)}"]
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
-        if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(want[c].dtype, np.floating):
+        # The driver hashes str(value), so an int64 Spark column vs a
+        # float64/object oracle column (e.g. DuckDB SUM(BIGINT) -> HUGEINT
+        # -> float) mismatches REMOTELY even when values are numerically
+        # equal — caught this with t08's uncast pack_id in r03. Fail here.
+        g_int = np.issubdtype(got[c].dtype, np.integer)
+        w_int = np.issubdtype(want[c].dtype, np.integer)
+        g_f = np.issubdtype(got[c].dtype, np.floating)
+        w_f = np.issubdtype(want[c].dtype, np.floating)
+        if (g_int and (w_f or want[c].dtype == object)) or \
+           (w_int and (g_f or got[c].dtype == object)):
+            problems.append(
+                f"col {c}: dtype KIND mismatch spark={got[c].dtype} oracle={want[c].dtype} "
+                f"(driver hashes these differently — cast the oracle SQL)")
+            continue
+        if g_f or w_f:
             g = got[c].astype(float).to_numpy()
             w = want[c].astype(float).to_numpy()
             both_nan = np.isnan(g) & np.isnan(w)
