@@ -15,6 +15,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.Functions2.defs ++
       operators.Bucketing.defs ++
+      operators.Sampling.defs ++
       operators.Multimodal.defs ++
       operators.ScaleOps.defs ++
       streaming.EventStream.defs

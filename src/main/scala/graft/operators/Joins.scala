@@ -227,6 +227,98 @@ object Joins {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** j11 — Bloom-filter semi-join pushdown: build a Bloom filter over the
+    * BUILDING-segment customer keys (the small side), pre-filter orders
+    * with `might_contain` BEFORE the shuffle, then run the real join.
+    * False positives survive the filter but die in the join, so the
+    * result is EXACTLY the plain join (the oracle is plain SQL) — the
+    * Bloom stage only cuts shuffle volume.
+    *
+    * Scale rationale: at 100 TB the orders scan dwarfs everything; a
+    * ~1 MB filter with fpp 0.01 drops ~79% of rows (4/5 segments) before
+    * the exchange. This is the explicit form of what AQE's runtime bloom
+    * filters (spark.sql.optimizer.runtime.bloomFilter.enabled) do for
+    * qualifying shapes; having it as an operator lets a pipeline apply
+    * it where the optimizer can't prove it safe.
+    */
+  def j11BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // The builder aggregates the SMALL side only (one tree-reduce of a
+    // fixed-size bitset). expectedNumItems from the contract scale; fpp
+    // 1% keeps the filter ~1 MB at 1M build keys.
+    val bloom = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val might = udf((k: Long) => bloomBc.value.mightContain(k))
+    Tables.orders(spark, dir)
+      .filter(might(col("o_custkey")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_custs"),
+           exactSum(col("o_totalprice"), 2).as("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val j11Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** j12 — CDC merge / upsert (MERGE INTO semantics): apply a change
+    * batch to a base table — updates override matching keys, inserts add
+    * new keys — via the union + latest-wins-window compaction idiom.
+    * The change batch is derived deterministically in-query (every 10th
+    * customer gets +100 balance; five brand-new keys 900001..900005) so
+    * both engines see the same input.
+    *
+    * Scale shape: NO join — one union (no shuffle) + one hash shuffle on
+    * the key with 1-2-row groups. This is how streaming CDC compaction
+    * (Delta/Hudi-style) scales: the window form handles ANY number of
+    * versions per key in one pass, where a full-outer-join form handles
+    * exactly two tables and re-shuffles per batch.
+    */
+  def j12Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        lit(0L).as("version"))
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit(1L).as("version"))
+    val inserts = spark.range(900001L, 900006L)
+      .select(col("id").as("c_custkey"), lit("MACHINERY").as("c_mktsegment"),
+        lit(0.0).as("c_acctbal"), lit(1L).as("version"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("version").desc)
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        (col("version") === 1L).as("changed"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j12Sql =
+    """WITH all_rows AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal, 0 AS version FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0, 1 AS version
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT k AS c_custkey, 'MACHINERY' AS c_mktsegment, 0.0 AS c_acctbal, 1 AS version
+      |  FROM range(900001, 900006) t(k)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+      |  FROM all_rows)
+      |SELECT c_custkey, c_mktsegment, c_acctbal, version = 1 AS changed
+      |FROM ranked WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
     QueryDef("j02_fact_fact_revenue", "fact-fact shuffle join w/ pre-join partial agg", j02FactFactRevenue, Some(j02Sql)),
@@ -235,6 +327,10 @@ object Joins {
     QueryDef("j05_outer_join", "left outer join + null-safe agg", j05OuterJoin, Some(j05Sql)),
     QueryDef("j06_asof_enrich", "as-of enrichment via window carry-forward", j06AsOf, Some(j06Sql)),
     QueryDef("j07_range_join", "broadcast range join on price bands", j07RangeJoin, Some(j07Sql)),
-    QueryDef("j08_agg_then_join", "aggregate-before-join dim enrichment", j08AggThenJoin, Some(j08Sql))
+    QueryDef("j08_agg_then_join", "aggregate-before-join dim enrichment", j08AggThenJoin, Some(j08Sql)),
+    QueryDef("j11_bloom_join", "Bloom-filter semi-join pushdown before shuffle",
+      j11BloomJoin, Some(j11Sql)),
+    QueryDef("j12_upsert", "CDC merge/upsert via union + latest-wins window",
+      j12Upsert, Some(j12Sql))
   )
 }

@@ -546,6 +546,26 @@ object Relational {
       |GROUP BY 1
       |ORDER BY source_norm ASC""".stripMargin
 
+  /** a23 — sketch-based approximate distinct counting, the cardinality
+    * path for 100 TB-scale accounting where exact countDistinct's
+    * per-group hash sets no longer fit: HLL++ (`approx_count_distinct`)
+    * and a DataSketches HLL sketch (`hll_sketch_agg` — mergeable across
+    * partitions/days, the industrial form) side by side with the exact
+    * count so the error is visible in the result itself.
+    *
+    * No DuckDB oracle: DuckDB's approx_count_distinct is a different
+    * sketch with different estimates — driver records the rows-only
+    * check; ApproxSpec asserts the relative-error band vs exact.
+    */
+  def a23ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("n_hllpp"),
+           hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).cast("long").as("n_sketch"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a01_pricing_summary", "A1/A13 hash agg, exact sums/avgs", a01PricingSummary, Some(a01Sql)),
     QueryDef("a02_yearly_trend", "A2 two-key group, mixed-direction sort, limit", a02YearlyTrend, Some(a02Sql)),
@@ -568,6 +588,9 @@ object Relational {
     QueryDef("f02_regex_clean", "F1 regex strip + trim", f02RegexClean, Some(f02Sql)),
     QueryDef("f03_numeric_clean", "F3 numeric cleaner round trip", f03NumericClean, Some(f03Sql)),
     QueryDef("f04_casewhen_map", "F4 categorical normalization map", f04CasewhenMap, Some(f04Sql)),
-    QueryDef("f05_null_vocab", "S1 null-vocabulary normalization", f05NullVocab, Some(f05Sql))
+    QueryDef("f05_null_vocab", "S1 null-vocabulary normalization", f05NullVocab, Some(f05Sql)),
+    QueryDef("a23_approx_distinct",
+      "HLL++ + DataSketches HLL cardinality vs exact (no SQL oracle)",
+      a23ApproxDistinct, None)
   )
 }

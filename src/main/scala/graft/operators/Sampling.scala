@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deterministic sampling for training-data curation. `df.sample()` is
+  * seed-dependent AND partitioning-dependent (Bernoulli over partition
+  * iterators), so two runs of the same pipeline can train on different
+  * data. Curation samplers must instead be pure functions of the ROW —
+  * then any engine, any partitioning, any retry produces the same
+  * sample, and the oracle can verify it exactly.
+  */
+object Sampling {
+
+  /** s05 — stratified exact-fraction sampling: 20% of each source
+    * stratum (rounded up), chosen by a per-row LCG scramble of doc_id so
+    * the choice is pseudo-random but reproducible. The per-stratum
+    * quota (vs a global Bernoulli) guarantees small strata are not
+    * wiped out — the standard fix for domain balance in corpus
+    * sampling.
+    *
+    * Scale shape: one hash shuffle on the stratum key; per-stratum
+    * window sort. Strata at corpus scale are domains/sources (millions
+    * of rows each) — if a single stratum outgrows one task, swap the
+    * rank for [[ScaleOps.denseIds]] over (stratum, scramble).
+    */
+  def s05StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // 31-bit LCG scramble — doc_id is small enough that the product
+    // stays well inside int64 on both engines
+    val scramble = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483648L))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), scramble.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quota", ceil(count(lit(1)).over(wc) * 0.2))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("pick_rank"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
+
+  private val s05Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+      |    CAST(CEIL(COUNT(*) OVER (PARTITION BY source) * 0.2) AS BIGINT) AS quota
+      |  FROM h)
+      |SELECT source, doc_id, rn AS pick_rank
+      |FROM r WHERE rn <= quota
+      |ORDER BY source, pick_rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s05_stratified_sample",
+      "deterministic 20% exact-fraction sample per stratum",
+      s05StratifiedSample, Some(s05Sql))
+  )
+}

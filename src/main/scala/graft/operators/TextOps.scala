@@ -386,6 +386,165 @@ object TextOps {
       |GROUP BY domain
       |ORDER BY domain""".stripMargin
 
+  /** t10 — benchmark decontamination: flag corpus documents sharing any
+    * word 3-gram with a held-out eval set (docs with doc_id % 50 == 0).
+    * To prove the operator catches verbatim leakage, the corpus is
+    * augmented with copies of the eval texts (doc_id+200000) —
+    * identically on both engines, like d04/t06.
+    *
+    * Scale shape: the eval side is SMALL by construction (eval suites
+    * are thousands of docs, the corpus is billions), so its distinct
+    * n-gram set is broadcast; the corpus side is one explode + one
+    * broadcast hash join + one per-doc aggregate — no all-pairs stage
+    * and no shuffle of the corpus text itself, only of (doc_id, gram)
+    * hits, which contamination keeps sparse.
+    */
+  def t10Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // +200001, NOT +200000: the copies must not themselves be ≡ 0 mod 50
+    // or the eval-set exclusion below would silently drop them
+    val planted = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200001).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    val grams3 = expr(
+      "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' ')) END")
+    // split eval/corpus BEFORE exploding — the optimizer does not push
+    // these filters below the Generate, and at corpus scale generating
+    // grams only to discard them is the dominant cost
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), explode(grams3).as("gram"))
+    val evalGrams = grams(corpus.filter(col("doc_id") % 50 === 0))
+      .select(col("gram")).distinct()
+    val hits = grams(corpus.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_3grams"))
+    corpus.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_3grams"), lit(0L)).as("n_shared_3grams"),
+        (coalesce(col("n_shared_3grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')) END) AS gram
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_3grams
+      |  FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0
+      |  GROUP BY g.doc_id)
+      |SELECT c.doc_id, COALESCE(h.n_shared_3grams, 0) AS n_shared_3grams,
+      |  COALESCE(h.n_shared_3grams, 0) > 0 AS contaminated
+      |FROM corpus c LEFT JOIN hits h USING (doc_id)
+      |WHERE c.doc_id % 50 <> 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** t11 — PII detection + redaction. The synthetic corpus carries no
+    * PII, so emails/phone numbers are planted deterministically on every
+    * 7th document — identically on both engines — then detected and
+    * redacted with the same regex family a real scrubber uses. Pure
+    * per-row projection (no shuffle); the redacted text is emitted as an
+    * md5 so the oracle compares full content without shipping strings.
+    */
+  def t11PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .withColumn("aug",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(col("text")))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(aug, '$phonePat', 0)")).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("aug"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      text || ' contact user' || doc_id || '@mail.example.com or call 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      |    ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_fp
+      |FROM aug
+      |ORDER BY doc_id""".stripMargin
+
+  /** t12 — TF-IDF salient terms per source: term frequency per (source,
+    * term), document frequency per term over the whole corpus, idf =
+    * ln(n_docs / df), top-3 terms per source by tf·idf. The classic
+    * corpus-characterization / domain-drift query.
+    *
+    * Scale shape: explode → two partial+final hash aggregates (one on
+    * (source, term), one on term) → the term-level df table is tiny
+    * (vocabulary-sized) so it broadcasts into the join → per-source
+    * top-k window over vocabulary-sized groups. The corpus itself is
+    * never shuffled, only (term, count) pairs.
+    */
+  def t12Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    // corpus size as a 1-row broadcast, NOT a driver-side count() — the
+    // whole query must stay one lazy plan (a .count() here would be an
+    // extra full scan of a 100 TB table before the real job even starts)
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tf = docs.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = docs.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val t12Sql =
+    """WITH x AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM x GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM x) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.source, tf.term, tf.tf, df.df,
+      |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM s)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+      |FROM r WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -400,6 +559,15 @@ object TextOps {
       t07RepetitionFilters, Some(t07Sql)),
     QueryDef("t09_domain_stats",
       "URL parse -> per-domain corpus accounting (blocklist shape)",
-      t09DomainStats, Some(t09Sql))
+      t09DomainStats, Some(t09Sql)),
+    QueryDef("t10_decontam",
+      "eval-set 3-gram decontamination via broadcast gram join",
+      t10Decontam, Some(t10Sql)),
+    QueryDef("t11_pii_redact",
+      "PII detection + regex redaction (planted emails/phones)",
+      t11PiiRedact, Some(t11Sql)),
+    QueryDef("t12_tfidf",
+      "per-source TF-IDF top terms (corpus characterization)",
+      t12Tfidf, Some(t12Sql))
   )
 }

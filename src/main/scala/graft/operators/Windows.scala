@@ -183,6 +183,62 @@ object Windows {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** w08 — batch sessionization via gap detection: a new session starts
+    * when a user's inter-event gap exceeds 30 minutes; session index =
+    * running count of session starts per user; then one aggregate per
+    * (user, session). The lag + cumulative-flag idiom is THE standard
+    * batch sessionizer (st04/flatSessionize are its streaming duals).
+    *
+    * Scale shape: ONE hash shuffle on user_id serves both windows (same
+    * partition key, Catalyst plans a single Exchange) and the final
+    * aggregate re-uses it. Value sums use floor-to-cents int64 so the
+    * result is bit-identical under any partitioning or engine.
+    */
+  def w08Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all time arithmetic in epoch MICROS (the events table is
+    // microsecond-precise) so both engines compare identical integers;
+    // value sums floor to cents for partition-order invariance
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(wLag).isNull
+          or col("us") - lag(col("us"), 1).over(wLag) > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("us")).as("session_start_us"),
+           max(col("us")).as("session_end_us"),
+           sum(col("cents")).as("sum_cents"))
+      .withColumn("duration_us", col("session_end_us") - col("session_start_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val w08Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM sess
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
     QueryDef("w07_cume_dist", "partitioned cume_dist + dense_rank", w07CumeDist, Some(w07Sql)),
@@ -190,6 +246,8 @@ object Windows {
     QueryDef("w02_lag_delta", "lag/lead offsets per key", w02LagDelta, Some(w02Sql)),
     QueryDef("w03_rolling_avg", "5-row rolling average frame", w03RollingAvg, Some(w03Sql)),
     QueryDef("w04_running_share", "running total + share of partition", w04RunningShare, Some(w04Sql)),
-    QueryDef("w05_distribution", "ntile decile + percent_rank", w05Distribution, Some(w05Sql))
+    QueryDef("w05_distribution", "ntile decile + percent_rank", w05Distribution, Some(w05Sql)),
+    QueryDef("w08_sessionize", "batch gap-based sessionization (lag + cumsum)",
+      w08Sessionize, Some(w08Sql))
   )
 }

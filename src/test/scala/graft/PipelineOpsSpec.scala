@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-4 curation operators (t10-t12, d05, s05,
+  * w08, j11, j12, a23) — semantic invariants the DuckDB oracle can't
+  * express (planted-row guarantees, equivalence to the unoptimized form,
+  * sketch error bands, determinism across runs).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("t10: planted eval copies are all flagged contaminated, with every gram shared") {
+    val out = operators.TextOps.t10Decontam(spark, sf001).collect()
+    val planted = out.filter(_.getLong(0) >= 200000)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getBoolean(2)), "a planted verbatim copy escaped decontamination")
+    // a verbatim copy shares EVERY one of its 3-grams with the eval set
+    assert(planted.forall(_.getLong(1) > 0))
+  }
+
+  test("t11: exactly the planted docs carry PII, one email + one phone each") {
+    val out = operators.TextOps.t11PiiRedact(spark, sf001).collect()
+    out.foreach { r =>
+      val (id, emails, phones) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (id % 7 == 0) assert(emails == 1 && phones == 1, s"doc $id: $emails/$phones")
+      else assert(emails == 0 && phones == 0, s"doc $id unexpectedly matched PII")
+    }
+  }
+
+  test("t12: three ranked terms per source, tfidf non-increasing within source") {
+    val out = operators.TextOps.t12Tfidf(spark, sf001).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.size == 20)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), s"ranks in $src")
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"tfidf order in $src")
+    }
+  }
+
+  test("d05: every url_key keeps exactly the larger candidate") {
+    val docs = Tables.documents(spark, sf001)
+      .select((col("doc_id") % 250).as("k"), col("doc_id"), col("n_chars")).collect()
+      .groupBy(_.getLong(0))
+    val out = operators.Dedup.d05KeepBest(spark, sf001).collect()
+    assert(out.length == 250)
+    out.foreach { r =>
+      val cands = docs(r.getLong(0))
+      assert(r.getLong(3) == cands.length)
+      val bestChars = cands.map(_.getLong(2)).max
+      assert(r.getLong(2) == bestChars)
+      // tie-break: lowest doc_id among the max-n_chars candidates
+      val want = cands.filter(_.getLong(2) == bestChars).map(_.getLong(1)).min
+      assert(r.getLong(1) == want)
+    }
+  }
+
+  test("s05: exact per-stratum quota and run-to-run determinism") {
+    val a = operators.Sampling.s05StratifiedSample(spark, sf001).collect()
+    val b = operators.Sampling.s05StratifiedSample(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "sample is not deterministic across runs")
+    val per = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(per.values.forall(_ == 5), s"expected ceil(25*0.2)=5 per source: $per")
+  }
+
+  test("w08: session indexes are dense from 1 and events are conserved") {
+    val out = operators.Windows.w08Sessionize(spark, sf001).collect()
+    val total = Tables.events(spark, sf001).count()
+    assert(out.map(_.getLong(2)).sum == total, "events lost or duplicated across sessions")
+    out.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val idx = rows.map(_.getLong(1)).sorted.toSeq
+      assert(idx == (1L to idx.length).toSeq, s"user $user session idx $idx")
+      rows.foreach(r => assert(r.getLong(4) >= r.getLong(3), s"user $user end<start"))
+    }
+  }
+
+  test("j11: bloom-prefiltered join result is exactly the plain join result") {
+    import graft.util.Exact._
+    val plain = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_custs"),
+           exactSum(col("o_totalprice"), 2).as("sum_total"))
+      .orderBy(col("o_orderpriority")).collect()
+    val bloomed = operators.Joins.j11BloomJoin(spark, sf001).collect()
+    assert(bloomed.toSeq == plain.toSeq)
+  }
+
+  test("j12: merge keeps every base key once, applies updates, adds inserts") {
+    val out = operators.Joins.j12Upsert(spark, sf001).collect()
+    val baseN = Tables.customer(spark, sf001).count()
+    assert(out.length == baseN + 5)
+    val changed = out.filter(_.getBoolean(3))
+    assert(changed.length == out.count(r => r.getLong(0) % 10 == 0 && r.getLong(0) < 900000) + 5)
+    val inserted = out.filter(_.getLong(0) >= 900001L)
+    assert(inserted.length == 5 && inserted.forall(r => r.getDouble(2) == 0.0))
+    // spot-check one updated balance: +100 vs the base table
+    val base = Tables.customer(spark, sf001).filter(col("c_custkey") === 10)
+      .select(col("c_acctbal")).head().getDouble(0)
+    val merged = out.find(_.getLong(0) == 10L).get.getDouble(2)
+    assert(merged == base + 100.0)
+  }
+
+  test("a23: both sketch estimates within 5% of exact per group") {
+    val out = operators.Relational.a23ApproxDistinct(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      assert(math.abs(r.getLong(2) - exact) / exact < 0.05, s"hllpp off: $r")
+      assert(math.abs(r.getLong(3) - exact) / exact < 0.05, s"sketch off: $r")
+    }
+  }
+}

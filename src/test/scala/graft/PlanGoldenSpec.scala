@@ -26,7 +26,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "j03_semi_join", "w01_topn_per_group", "a12_iqr_clip",
     "d01_minhash_lsh", "d04_embedding_neardup", "v02_ivf_topk",
     "st01_tumbling_counts", "t06_corpus_pipeline", "t07_repetition_filters",
-    "t08_sequence_packing", "v03_kmeans_step")
+    "t08_sequence_packing", "v03_kmeans_step",
+    "t10_decontam", "t12_tfidf", "j11_bloom_join", "j12_upsert",
+    "w08_sessionize", "s05_stratified_sample", "d05_keep_best")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
