@@ -558,11 +558,19 @@ object Relational {
     * check; ApproxSpec asserts the relative-error band vs exact.
     */
   def a23ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
-           approx_count_distinct(col("l_orderkey"), 0.02).as("n_hllpp"),
+    // The sketches and the exact count are SEPARATE aggregates joined on
+    // the 3-row group key. Mixing countDistinct with sketch aggs in one
+    // agg triggers Spark's distinct-rewrite: the partial aggregate keys
+    // on (flag, orderkey) and maintains + merges a full HLL buffer PER
+    // ORDERKEY — measured 17 s at sf0.1 vs ~1 s for this form.
+    val li = Tables.lineitem(spark, dir)
+    val sketches = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("n_hllpp"),
            hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).cast("long").as("n_sketch"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact.join(broadcast(sketches), "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("n_hllpp"), col("n_sketch"))
       .orderBy(col("l_returnflag"))
   }
 
