@@ -360,10 +360,99 @@ object EventStream {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** st05 — click→purchase attribution: every purchase a user makes
+    * within (click, click + 1 h] is attributed to that click. The
+    * contract query is the BATCH interval join (one shuffle on user_id;
+    * the range predicate evaluates post-join per user group); the
+    * streaming dual — a real stream-stream inner join with watermarks
+    * on BOTH sides, state bounded by the 1 h interval — is
+    * [[streamingAttributionJoin]], asserted pair-identical to this plan
+    * by EventStreamSpec.
+    */
+  def st05AttributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") > col("click_us") &&
+        col("p_us") <= col("click_us") + 3600L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+           countDistinct(col("click_id")).as("n_converting_clicks"),
+           sum(col("p_cents")).as("attributed_cents"),
+           min(col("p_us") - col("click_us")).as("min_delay_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val st05Sql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS p_cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_attributed,
+      |  COUNT(DISTINCT c.click_id) AS n_converting_clicks,
+      |  CAST(SUM(p.p_cents) AS BIGINT) AS attributed_cents,
+      |  MIN(p.p_us - c.click_us) AS min_delay_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.p_us > c.click_us AND p.p_us <= c.click_us + CAST(3600000000 AS BIGINT)
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
+  /** The streaming dual of [[st05AttributionJoin]]: a stream-stream
+    * INNER join. Both sides carry watermarks and the join condition
+    * bounds event time in both directions, so the state store holds at
+    * most ~1 h + watermark of either side — the canonical bounded-state
+    * stream-stream join shape. Emits raw attributed PAIRS in append
+    * mode (aggregation happens downstream/batch); EventStreamSpec
+    * asserts the pair set equals the batch plan's.
+    */
+  def streamingAttributionJoin(spark: SparkSession, dir: String,
+                               queryName: String = "st_attrib"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def src() = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsc").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsc").as("p_ts"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+      .withWatermark("p_ts", "1 hour")
+    val pairs = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("p_us"), col("p_cents"))
+    val q = pairs.writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy(col("user_id"), col("click_id"), col("p_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
     QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql)),
-    QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql))
+    QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql)),
+    QueryDef("st05_attribution_join", "click->purchase interval join (1h)",
+      st05AttributionJoin, Some(st05Sql))
   )
 }

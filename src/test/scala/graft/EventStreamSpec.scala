@@ -162,6 +162,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(a17.toSeq == a15.toSeq)
   }
 
+  test("stream-stream interval join replay == batch interval join pairs") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+    val batchPairs = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") > col("click_us") &&
+        col("p_us") <= col("click_us") + 3600L * 1000000L)
+      .select(col("user_id"), col("click_id"), col("click_us"),
+        col("p_us"), col("p_cents"))
+      .orderBy(col("user_id"), col("click_id"), col("p_us"))
+      .collect().map(_.toString)
+    val streamed = EventStream.streamingAttributionJoin(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batchPairs.toSeq)
+  }
+
   test("stream-static enrichment join replay == batch join") {
     import org.apache.spark.sql.functions._
     import graft.util.Exact._
