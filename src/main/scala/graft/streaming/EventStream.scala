@@ -157,6 +157,58 @@ object EventStream {
     spark.table(queryName).orderBy(col("c_mktsegment"))
   }
 
+  /** Streaming CDC upsert sink via foreachBatch: every micro-batch
+    * compacts to its latest row per user (ts, event_id ordering) and
+    * MERGEs into a parquet target with the same union + latest-wins
+    * window as j12_upsert. The write lands in a temp dir first and is
+    * renamed over the target, so a crashed batch never leaves a torn
+    * table and a REPLAYED batch converges to the same state
+    * (idempotent merge — upserting the same rows twice is a no-op by
+    * construction). This is the file-format-level shape of what a
+    * transactional table format does with a commit log; swap the
+    * rename for a Delta/Iceberg MERGE on a real lake.
+    *
+    * `srcDir` may hold many files; pair with maxFilesPerTrigger to
+    * exercise true multi-batch incremental behavior (EventStreamSpec
+    * stages 3 chunks and asserts the final table equals the batch
+    * latest-per-user over everything).
+    */
+  def streamingUpsertSink(spark: SparkSession, srcDir: String,
+                          target: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val latestInBatch = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        val targetPath = new org.apache.hadoop.fs.Path(target)
+        val fs = targetPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(targetPath))
+            sp.read.parquet(target).unionByName(latestInBatch)
+              .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+          else latestInBatch
+        val tmp = target + "_staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(targetPath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target).orderBy(col("user_id"))
+  }
+
   /** Bounded-state streaming dedup — the production ingest-dedup path.
     * `dropDuplicates` on a stream keeps EVERY key's state forever;
     * `dropDuplicatesWithinWatermark` evicts a key's state once the

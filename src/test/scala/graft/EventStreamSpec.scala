@@ -198,6 +198,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch streaming upsert: 3-batch incremental merge == batch latest-per-user") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stage the events as 3 files so maxFilesPerTrigger=1 drives three
+    // REAL micro-batches through the merge; raw read keeps ts as long
+    // nanos, matching EventStream.eventsSchema
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_upsert_src_")
+    (0 until 3).foreach { i =>
+      raw.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/chunk$i")
+    }
+    val flat = java.nio.file.Files.createTempDirectory("graft_upsert_flat_")
+    (0 until 3).foreach { i =>
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$stage/chunk$i"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, flat.resolve(s"chunk$i.parquet"))
+    }
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert_tgt_")
+      .resolve("state").toString
+    val got = EventStream.streamingUpsertSink(spark, flat.toString, target)
+      .collect().map(_.toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val want = raw
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
+      .collect().map(_.toString)
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("bounded-state streaming dedup: one row per key, keys == batch distinct") {
     import org.apache.spark.sql.functions._
     val got = EventStream.streamingDedupBounded(spark, sf).collect()
