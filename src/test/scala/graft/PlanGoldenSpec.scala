@@ -28,7 +28,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "st01_tumbling_counts", "t06_corpus_pipeline", "t07_repetition_filters",
     "t08_sequence_packing", "v03_kmeans_step",
     "t10_decontam", "t12_tfidf", "j11_bloom_join", "j12_upsert",
-    "w08_sessionize", "s05_stratified_sample", "d05_keep_best")
+    "w08_sessionize", "s05_stratified_sample", "d05_keep_best",
+    "st05_attribution_join")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
