@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{PyCapWords, PyCapitalize, PyTitle, VecDotLong}
+import graft.functions.{NfcNormalize, PyCapWords, PyCapitalize, PyTitle, VecDotLong}
 
 /** Spark-native installation point for the engine's custom expressions:
   *
@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("py_cap_words"),
       new ExpressionInfo(classOf[PyCapWords].getName, "py_cap_words"),
       es => PyCapWords(es.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      es => NfcNormalize(es.head)))
   }
 }

@@ -80,5 +80,9 @@ object GraftFunctions {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDotLong(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }

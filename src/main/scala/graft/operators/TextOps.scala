@@ -545,6 +545,55 @@ object TextOps {
       |FROM r WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin
 
+  /** t13 — Unicode NFC normalization + control-character strip, stage
+    * zero of text curation: crawled corpora mix composed and decomposed
+    * grapheme forms, which silently fragments exact dedup,
+    * fingerprinting, and token counts. Spark has no NFC built-in — this
+    * uses the engine's [[graft.functions.NfcNormalize]] native
+    * expression (codegen'd; a Scala UDF here would break whole-stage
+    * codegen on the pipeline's hottest projection). The synthetic corpus
+    * is pure ASCII, so denormalized sequences (combining acute/ring/
+    * diaeresis) and a control char are planted deterministically —
+    * identically on both engines. Pure per-row projection, no shuffle.
+    */
+  def t13NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("aug",
+        // explicit \u escapes: DECOMPOSED combining marks (U+0301 acute,
+        // U+030A ring, U+0308 diaeresis) + a U+0007 control — composed
+        // glyphs here would make NFC a no-op and invisibly so
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" cafe\u0301 test")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" A\u030Angstro\u0308m"), lit("\u0007")))
+        .otherwise(col("text")))
+      .withColumn("norm",
+        regexp_replace(expr("nfc_normalize(aug)"), "[\\x00-\\x1f]", ""))
+      .select(col("doc_id"),
+        (col("norm") =!= col("aug")).as("changed"),
+        (length(col("aug")) - length(col("norm"))).cast("long").as("delta_chars"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t13Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769) || ' test'
+      |         WHEN doc_id % 7 = 0 THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm' || chr(7)
+      |         ELSE text END AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(nfc_normalize(t), '[\x00-\x1f]', '', 'g') AS norm
+      |  FROM aug)
+      |SELECT doc_id, norm <> t AS changed,
+      |  length(t) - length(norm) AS delta_chars,
+      |  md5(norm) AS norm_fp
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -568,6 +617,9 @@ object TextOps {
       t11PiiRedact, Some(t11Sql)),
     QueryDef("t12_tfidf",
       "per-source TF-IDF top terms (corpus characterization)",
-      t12Tfidf, Some(t12Sql))
+      t12Tfidf, Some(t12Sql)),
+    QueryDef("t13_nfc_normalize",
+      "Unicode NFC + control strip via native codegen expression",
+      t13NfcNormalize, Some(t13Sql))
   )
 }

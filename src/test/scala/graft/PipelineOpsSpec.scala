@@ -107,6 +107,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(merged == base + 100.0)
   }
 
+  test("t13: NFC composes planted sequences, strips the control, leaves ASCII alone") {
+    val out = operators.TextOps.t13NfcNormalize(spark, sf001).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // %5 branch: one combining acute composes (-1); %7 branch: ring +
+      // diaeresis compose (-2) and the U+0007 is stripped (-1)
+      if (id % 5 == 0) assert(r.getBoolean(1) && r.getLong(2) == 1, s"doc $id: $r")
+      else if (id % 7 == 0) assert(r.getBoolean(1) && r.getLong(2) == 3, s"doc $id: $r")
+      else assert(!r.getBoolean(1) && r.getLong(2) == 0, s"doc $id: $r")
+    }
+  }
+
+  test("nfc_normalize: matches java.text.Normalizer and stays in whole-stage codegen") {
+    functions.GraftFunctions.register(spark)
+    // explicit escapes: decomposed inputs that NFC must compose, plus
+    // already-NFC inputs that must pass through untouched
+    val cases = Seq("cafe\u0301", "A\u030Angstro\u0308m", "plain ascii",
+      "\u00e9 already composed", "")
+    import spark.implicits._
+    val got = cases.toDF("s").selectExpr("nfc_normalize(s) AS n").as[String].collect()
+    val want = cases.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    val df = operators.TextOps.t13NfcNormalize(spark, sf)
+    df.collect()
+    // codegen stages print as "*(n) Op" in the executed-plan string; the
+    // Project carrying nfc_normalize must be inside one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val projLine = plan.linesIterator.find(_.contains("nfc_normalize"))
+    assert(projLine.exists(_.contains("*(")),
+      s"nfc_normalize projection fell out of whole-stage codegen: $projLine")
+  }
+
   test("a23: both sketch estimates within 5% of exact per group") {
     val out = operators.Relational.a23ApproxDistinct(spark, sf001).collect()
     assert(out.nonEmpty)
