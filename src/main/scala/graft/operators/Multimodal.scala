@@ -188,10 +188,60 @@ object Multimodal {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  /** m05 — content-addressed payload dedup accounting: group binary
+    * payloads by content hash, report reference counts and the bytes a
+    * CAS (content-addressed store) would save. At 100 TB of media this
+    * is the first storage win a lake takes — identical images uploaded
+    * under many doc_ids stored once. Duplicate payloads are planted
+    * in-query (verbatim copies of the first 60, doc_id+300000) since the
+    * natural corpus has none.
+    *
+    * Scale shape: the 128-bit content key is computed MAP-SIDE and the
+    * payload column is projected away before the aggregate, so only
+    * (fp, doc_id, n_bytes) tuples ever shuffle — never payload bytes.
+    */
+  def m05PayloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('IMG0', text) AS BINARY)").as("payload"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+    val planted = base.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 300000).as("doc_id"), col("payload"), col("n_bytes"))
+    base.unionByName(planted)
+      .select(md5(col("payload")).as("content_fp"), col("doc_id"), col("n_bytes"))
+      .groupBy(col("content_fp"))
+      .agg(count(lit(1)).as("n_refs"),
+           min(col("doc_id")).as("canonical_doc"),
+           max(col("n_bytes")).as("payload_bytes"))
+      .filter(col("n_refs") > 1)
+      .withColumn("saved_bytes", (col("n_refs") - 1) * col("payload_bytes"))
+      .orderBy(col("canonical_doc"))
+  }
+
+  private val m05Sql =
+    """WITH media AS (
+      |  SELECT doc_id, 'IMG0' || text AS payload, length(text) + 4 AS n_bytes
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, 'IMG0' || text AS payload, length(text) + 4 AS n_bytes
+      |  FROM documents WHERE doc_id < 60),
+      |grp AS (
+      |  SELECT md5(payload) AS content_fp, COUNT(*) AS n_refs,
+      |    MIN(doc_id) AS canonical_doc,
+      |    CAST(MAX(n_bytes) AS BIGINT) AS payload_bytes
+      |  FROM media
+      |  GROUP BY 1)
+      |SELECT content_fp, n_refs, canonical_doc, payload_bytes,
+      |  (n_refs - 1) * payload_bytes AS saved_bytes
+      |FROM grp WHERE n_refs > 1
+      |ORDER BY canonical_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
     QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql)),
     QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql)),
-    QueryDef("m04_resize", "payload transform: 2x byte downsample (stub resize)", m04Resize, Some(m04Sql))
+    QueryDef("m04_resize", "payload transform: 2x byte downsample (stub resize)", m04Resize, Some(m04Sql)),
+    QueryDef("m05_payload_dedup", "content-addressed binary dedup accounting (CAS)",
+      m05PayloadDedup, Some(m05Sql))
   )
 }

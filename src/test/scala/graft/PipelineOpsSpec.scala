@@ -139,6 +139,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"nfc_normalize projection fell out of whole-stage codegen: $projLine")
   }
 
+  test("m05: exactly the planted payload copies dedup, savings = one payload each") {
+    val out = operators.Multimodal.m05PayloadDedup(spark, sf001).collect()
+    assert(out.length == 60)
+    out.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getLong(2) < 60, s"unexpected dup group: $r")
+      assert(r.getLong(4) == r.getLong(3), s"savings != one payload: $r")
+    }
+  }
+
   test("a23: both sketch estimates within 5% of exact per group") {
     val out = operators.Relational.a23ApproxDistinct(spark, sf001).collect()
     assert(out.nonEmpty)
