@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       es => NfcNormalize(es.head)))
+    // Rule tier: idempotence collapse for nfc_normalize chains
+    ext.injectOptimizerRule(s => graft.plans.CollapseNfcNormalize(s))
   }
 }

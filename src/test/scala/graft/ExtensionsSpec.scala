@@ -36,6 +36,25 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT py_capitalize('USA')").head().getString(0) == "Usa")
       assert(spark.sql("SELECT py_cap_words(' united  kingdom ')")
         .head().getString(0) == "United Kingdom")
+      // rule tier: the injected optimizer rule collapses the idempotent
+      // double application to ONE NfcNormalize in the optimized plan.
+      // The input must be a COLUMN \u2014 over a literal, ConstantFolding
+      // would evaluate the whole chain away and prove nothing.
+      // ...and ConvertToLocalRelation would eagerly evaluate a projection
+      // over the local relation, leaving zero nodes to count \u2014 exclude it
+      // so the attribute-input projection survives into the optimized plan
+      import spark.implicits._
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      try {
+        Seq("cafe\u0301").toDF("s").createOrReplaceTempView("nfc_t")
+        val doubled = spark.sql("SELECT nfc_normalize(nfc_normalize(s)) AS n FROM nfc_t")
+        assert(doubled.head().getString(0) == "caf\u00e9")
+        val nNodes = doubled.queryExecution.optimizedPlan.expressions
+          .map(_.collect { case e: graft.functions.NfcNormalize => e }.size).sum
+        assert(nNodes == 1,
+          s"CollapseNfcNormalize did not fire: $nNodes nfc_normalize nodes remain")
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

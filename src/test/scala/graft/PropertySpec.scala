@@ -27,6 +27,28 @@ class PropertySpec extends AnyFunSuite {
     Gen.alphaNumChar, Gen.oneOf('@', '%', '!', '?', '~', ' ', '-', '.', '\'', '(', ')'),
     Gen.oneOf('¥', 'Ą', 'é'))).map(_.mkString.take(39))
 
+  // code points mixing ASCII, precomposed accents, combining marks
+  // (U+0301/U+0308/U+030A), CJK and controls — the NFC-interesting space
+  private val nfcWeird: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '.', '!'),
+    Gen.oneOf('é', 'Å', 'ö', '中', '文'),
+    Gen.oneOf('\u0301', '\u0308', '\u030A'),
+    Gen.oneOf('\u0007', '\u001f'))).map(_.mkString.take(40))
+
+  test("nfc_normalize agrees with java.text.Normalizer and is idempotent") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val inputs = Seq.fill(300)(nfcWeird.sample).flatten
+    val out = inputs.toDF("s")
+      .selectExpr("nfc_normalize(s) AS once", "nfc_normalize(nfc_normalize(s)) AS twice")
+      .collect()
+    inputs.zip(out).foreach { case (in, r) =>
+      val want = java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC)
+      assert(r.getString(0) == want, s"mismatch for ${in.map(_.toInt.toHexString)}")
+      assert(r.getString(1) == r.getString(0), "nfc_normalize is not idempotent")
+    }
+  }
+
   test("cleanCountry is idempotent (clean(clean(x)) == clean(x))") {
     val samples = Gen.listOfN(200, weird).sample.get
     val once = evalCleaner(samples, HealthEtl.cleanCountry)
