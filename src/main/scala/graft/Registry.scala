@@ -12,11 +12,13 @@ object Registry {
       operators.Windows.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
+      operators.Components.defs ++
       operators.Similarity.defs ++
       operators.Functions2.defs ++
       operators.Bucketing.defs ++
       operators.Sampling.defs ++
       operators.Multimodal.defs ++
+      operators.Formats.defs ++
       operators.ScaleOps.defs ++
       streaming.EventStream.defs
 

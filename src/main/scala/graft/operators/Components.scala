@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.QueryDef
+
+/** Connected components over near-duplicate pairs — the step AFTER pair
+  * generation in every real dedup pipeline: LSH emits pairs, but keeping
+  * "one doc per duplicate CLUSTER" needs the transitive closure of those
+  * pairs (a~b, b~c => keep one of {a,b,c}), then a canonical survivor per
+  * component.
+  *
+  * Algorithm: distributed min-label propagation. Every node starts
+  * labelled with its own id; each round every node takes the min of its
+  * label and its neighbours' labels (one hash-shuffle join + one
+  * partial/final min-aggregate per round); converged when the global
+  * label sum stops falling (the sum is monotone non-increasing, so a
+  * single cheap scalar per round decides termination — no row-level
+  * diff join).
+  *
+  * Scale shape: near-dup components are quasi-cliques (LSH banding emits
+  * most intra-cluster pairs directly), so the graph diameter is tiny and
+  * propagation converges in 2–3 rounds. Rounds cost one shuffle on the
+  * edge key each; edges stay memory-resident across rounds
+  * (MEMORY_AND_DISK via RDD-backed localCheckpoint, collectable by the
+  * context cleaner). For adversarial long-chain graphs swap the
+  * propagation loop for alternating large-star/small-star (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) — same
+  * per-round join shape, O(log n) round bound.
+  */
+object Components {
+
+  /** Min-label propagation to a fixed point.
+    *
+    * @param pairs two-column DataFrame of undirected edges (ida, idb)
+    * @return (node, component) with component = min node id reachable
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    // symmetric closure so one join direction sees every neighbour
+    val e = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node"))
+        .localCheckpoint(true)
+      // coalesce: an empty pair set must converge, not NPE on a null sum
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 64) {
+        // node's next label = min(own, min over neighbours). The left join
+        // keeps isolated nodes (none here — every node has an edge — but
+        // the contract shouldn't depend on that).
+        val nbrMin = e.join(labels, e("b") === labels("node"))
+          .groupBy(e("a").as("n2")).agg(min("comp").as("nc"))
+        val next = labels.join(nbrMin, labels("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+          .localCheckpoint(true) // materializes; cuts the per-round lineage
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp").as("component_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** d06 — duplicate clusters: connected components of the d03
+    * word-bigram-Jaccard (>= 0.7) pair graph, with the canonical
+    * component id (min doc_id) and the component size per member.
+    */
+  def d06CcClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(Dedup.d03NgramJaccard(spark, dir).select("ida", "idb"))
+
+  /** Oracle: d03's pair CTEs + a recursive transitive closure; DuckDB's
+    * UNION-dedup recursion terminates because the reachability set is
+    * finite. Component id = min over the reachable set (incl. self).
+    */
+  private val d06Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
+      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+      |p AS (
+      |  SELECT a.doc_id ida, b.doc_id idb
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+      |e AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a),
+      |sz AS (SELECT component_id, COUNT(*) AS n FROM lab GROUP BY 1)
+      |SELECT lab.doc_id, lab.component_id, CAST(sz.n AS BIGINT) AS cluster_size
+      |FROM lab JOIN sz USING (component_id)
+      |ORDER BY lab.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d06_cc_clusters",
+      "connected components of near-dup pairs (min-label propagation)",
+      d06CcClusters, Some(d06Sql))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Interchange-format sources/sinks beyond parquet: JSON-lines and ORC
+  * round trips, each proven by writing a table out, reading it back, and
+  * hash-matching an aggregate against the DuckDB oracle computed from
+  * the ORIGINAL parquet — i.e. the round trip must be lossless for the
+  * columns it carries.
+  *
+  * Scale rules baked in:
+  *  - schema-on-read is always EXPLICIT (`.schema(...)`) for schemaless
+  *    formats — inference is an extra full scan of the data lake before
+  *    the real job starts, and a sampled inference can mistype columns;
+  *  - timestamps cross format boundaries as epoch-micros int64 (the
+  *    NOTES rule) — JSON has no timestamp type and ORC's is
+  *    timezone-rebased, so integers are the only representation that is
+  *    bit-stable across engines and sessions;
+  *  - writes are partitioned where a downstream read filters on the
+  *    partition key, so the read-back plan prunes directories instead of
+  *    listing the world (asserted in FormatsSpec via the plan's
+  *    PartitionFilters).
+  */
+object Formats {
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** io01 — JSON-lines round trip with a partitioned layout: orders ->
+    * json (partitioned by status) -> read back (explicit schema,
+    * partition-pruned to status 'F') -> per-priority aggregate. The
+    * oracle computes the same aggregate straight from parquet, so any
+    * loss in the json sink/source (precision, nulls, partition-column
+    * restore) flips the hash.
+    */
+  def io01JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io01_json_")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"),
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the cast to LTZ is
+        // exact under the UTC session tz (same convention f06 relies on)
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_date_us"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date_us", LongType),
+      StructField("o_orderstatus", StringType)))
+    spark.read.schema(schema).json(out)
+      .filter(col("o_orderstatus") === "F") // directory pruning, not a scan filter
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"),
+        min(col("o_date_us")).as("min_date_us"),
+        max(col("o_date_us")).as("max_date_us"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val io01Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(epoch_us(o_orderdate)) AS min_date_us,
+      |  MAX(epoch_us(o_orderdate)) AS max_date_us
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** io02 — ORC round trip: lineitem -> ORC -> read back with a
+    * quantity predicate that the native ORC reader pushes down
+    * (min/max stripe stats skip whole stripes at scale) -> grouped
+    * aggregate. Timestamps travel as epoch-micros (see object doc).
+    */
+  def io02OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io02_orc_")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("l_ship_us"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out) // ORC is self-describing; no inference scan needed
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"),
+        min(col("l_ship_us")).as("min_ship_us"),
+        max(col("l_ship_us")).as("max_ship_us"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val io02Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(epoch_us(l_shipdate)) AS min_ship_us,
+      |  MAX(epoch_us(l_shipdate)) AS max_ship_us
+      |FROM lineitem WHERE l_quantity >= 25
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("io01_json_roundtrip",
+      "JSON-lines sink+source round trip, partitioned layout + pruning",
+      io01JsonRoundtrip, Some(io01Sql)),
+    QueryDef("io02_orc_roundtrip",
+      "ORC sink+source round trip with predicate pushdown",
+      io02OrcRoundtrip, Some(io02Sql))
+  )
+}

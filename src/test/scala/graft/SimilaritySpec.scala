@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("v04: int8 quantized ranking recalls the exact float top-3") {
+    graft.functions.GraftFunctions.register(spark)
+    // exact float-cosine top-3 per query, computed independently of the
+    // ×1000-int64 path the other queries share
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x)"))
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val exact = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qe, ce, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (s, x) -> s + x)" +
+          " / sqrt(qn * cn)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val got = Similarity.v04Int8TopK(spark, sf)
+      .select(col("qid"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    assert(got.keySet === exact.keySet)
+    val recalls = exact.map { case (qid, e) => (e & got(qid)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    // deterministic: observed 0.983 at sf0.001, 1.0 at sf0.01; the band
+    // leaves room for a regenerated corpus, not for a broken quantizer
+    assert(mean >= 0.9, s"mean recall@3 $mean below band")
+  }
+}
