@@ -56,9 +56,62 @@ object Sampling {
       |FROM r WHERE rn <= quota
       |ORDER BY source, pick_rank""".stripMargin
 
+  /** s06 — training-mixture apportionment: split a fixed sample budget
+    * across sources proportionally to their token mass, using
+    * largest-remainder (Hamilton) apportionment so the quotas are exact
+    * integers that sum to EXACTLY the budget — the arithmetic every
+    * mixture config ("20% code, 30% web...") needs before a sampler like
+    * s05 can execute it. Floating-point shares ("rate = 0.237...") drift
+    * under re-partitioning; integer quotas don't.
+    *
+    * All math is exact int64: `B*tokens div T` + a remainder rank. The
+    * window is unpartitioned, which is safe BECAUSE the frame is one row
+    * per source (mixture configs are tens of rows, not data-scale); the
+    * heavy part — the per-source token sums — is an ordinary partial+
+    * final hash aggregate. At extreme token counts (B*tokens near 2^63)
+    * widen the product to decimal(38,0).
+    */
+  def s06MixApportion(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("tt"))
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val wAll = Window.partitionBy()
+    per.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"$budget * tokens div tt"))
+      .withColumn("rem", expr(s"($budget * tokens) % tt"))
+      .withColumn("leftover", lit(budget) - sum(col("base_quota")).over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("source"), col("tokens"),
+        (col("base_quota") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val s06Sql =
+    """WITH per AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) tokens FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(tokens) AS BIGINT) tt FROM per),
+      |q AS (
+      |  SELECT source, tokens,
+      |    1000000 * tokens // tt AS base_quota,
+      |    (1000000 * tokens) % tt AS rem
+      |  FROM per CROSS JOIN t),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) rr,
+      |    1000000 - SUM(base_quota) OVER () leftover
+      |  FROM q)
+      |SELECT source, tokens,
+      |  CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM r ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s05_stratified_sample",
       "deterministic 20% exact-fraction sample per stratum",
-      s05StratifiedSample, Some(s05Sql))
+      s05StratifiedSample, Some(s05Sql)),
+    QueryDef("s06_mix_apportion",
+      "largest-remainder token-budget apportionment across sources",
+      s06MixApportion(_, _), Some(s06Sql))
   )
 }

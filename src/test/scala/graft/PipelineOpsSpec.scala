@@ -158,6 +158,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d07: planted copies drop to their originals, originals survive") {
+    val out = operators.Dedup.d07SemanticDedup(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    val dropped = out.filter(!_._2._2)
+    assert(dropped.nonEmpty, "planted near-identical copies must be dropped")
+    // only planted copies (id >= 100000) can be near-identical to a
+    // lower id — the natural corpus tops out around cos 0.51
+    assert(dropped.keys.forall(_ >= 100000L), s"natural vector dropped: $dropped")
+    dropped.foreach { case (id, (cell, _, dupOf)) =>
+      assert(dupOf === id - 100000L, s"$id should dup to its own original")
+      assert(out(dupOf)._2, s"survivor chain broken: $dupOf itself dropped")
+      assert(out(dupOf)._1 === cell, s"$id dups across cells")
+    }
+    // kept rows carry the -1 sentinel
+    out.filter(_._2._2).foreach { case (id, (_, _, dupOf)) =>
+      assert(dupOf === -1L, s"kept $id has dup_of $dupOf")
+    }
+  }
+
+  test("s06: quotas are integers that sum exactly to the budget, within 1 of proportional") {
+    Seq(1000000L, 777L).foreach { budget =>
+      val rows = operators.Sampling.s06MixApportion(spark, sf001, budget).collect()
+      val quotas = rows.map(_.getLong(2))
+      assert(quotas.sum === budget, s"budget $budget: quotas sum to ${quotas.sum}")
+      val total = rows.map(_.getLong(1)).sum.toDouble
+      rows.foreach { r =>
+        val ideal = budget * r.getLong(1) / total
+        assert(math.abs(r.getLong(2) - ideal) < 1.0,
+          s"budget $budget source ${r.getString(0)}: quota ${r.getLong(2)} vs ideal $ideal")
+      }
+    }
+  }
+
   test("t14: token conservation and a sane surprisal range") {
     val out = operators.TextOps.t14Surprisal(spark, sf001).collect()
     assert(out.length === 500)
