@@ -20,6 +20,7 @@ object Registry {
       operators.Multimodal.defs ++
       operators.Formats.defs ++
       operators.ScaleOps.defs ++
+      operators.ScaleDiag.defs ++
       streaming.EventStream.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap

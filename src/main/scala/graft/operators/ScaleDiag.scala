@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Physical-layout and skew tooling — the queries an operator of a
+  * 100 TB lake runs to DECIDE how to lay data out and when to salt,
+  * expressed as exact-integer plans so the oracle can check them.
+  */
+object ScaleDiag {
+
+  /** l01 — Z-order (Morton) layout audit: interleave the low 8 bits of
+    * two query dimensions (customer key, order epoch-day) into a 16-bit
+    * Morton code, tile the space by `z >> 8` (each tile = a 16×16
+    * rectangle in (a, b)), and report per-tile row counts and per-dim
+    * min/max envelopes.
+    *
+    * Why it matters at scale: writing the table SORTED by z makes every
+    * parquet row group's min/max stats tight in BOTH dimensions at once
+    * (the per-tile envelopes this query reports are exactly those
+    * stats), so a two-predicate scan prunes row groups multiplicatively
+    * — the effect Delta/Iceberg `OPTIMIZE ZORDER BY` exists for. A sort
+    * by (a, b) instead leaves b's envelope as wide as the table.
+    * ScaleDiagSpec asserts the guarantee: every 16×16 tile envelope has
+    * side <= 15.
+    *
+    * The bit math is `aggregate` over a constant 8-element sequence —
+    * plain codegen'd int64 ops, no UDF; the whole query is one scan +
+    * one partial/final hash aggregate.
+    */
+  def l01Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val interleave =
+      "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc" +
+        " + shiftleft(shiftright(za, i) & 1, 2 * i)" +
+        " + shiftleft(shiftright(zb, i) & 1, 2 * i + 1))"
+    Tables.orders(spark, dir)
+      // pmod, not % — orderdate spans 1992-1998 so the day delta is
+      // signed, and a negative operand would poison the bit interleave
+      .select(pmod(col("o_custkey"), lit(256)).cast("long").as("za"),
+        pmod(datediff(col("o_orderdate"), to_date(lit("1995-01-01"))), lit(256))
+          .cast("long").as("zb"))
+      .withColumn("z", expr(interleave))
+      .groupBy(expr("z div 256").as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("za")).as("min_a"), max(col("za")).as("max_a"),
+        min(col("zb")).as("min_b"), max(col("zb")).as("max_b"))
+      .orderBy(col("tile"))
+  }
+
+  private val l01Sql =
+    """WITH d AS (
+      |  SELECT ((o_custkey % 256) + 256) % 256 AS za,
+      |    ((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 256 + 256) % 256 AS zb
+      |  FROM orders),
+      |z AS (
+      |  SELECT za, zb,
+      |    CAST(list_sum(list_transform(range(0, 8),
+      |      i -> ((za >> CAST(i AS INTEGER)) & 1) * (1 << CAST(2 * i AS INTEGER))
+      |         + ((zb >> CAST(i AS INTEGER)) & 1) * (1 << CAST(2 * i + 1 AS INTEGER))))
+      |      AS BIGINT) AS zv
+      |  FROM d)
+      |SELECT zv // 256 AS tile, COUNT(*) AS n,
+      |  MIN(za) AS min_a, MAX(za) AS max_a,
+      |  MIN(zb) AS min_b, MAX(zb) AS max_b
+      |FROM z GROUP BY 1 ORDER BY tile""".stripMargin
+
+  /** a24 — key-skew diagnostic over the order fact's customer key: the
+    * numbers that decide whether a join/agg on this key needs salting
+    * (j09/j10) or AQE skew handling. Everything exact-integer: the skew
+    * ratio is reported ×1000 under integer division, heavy-hitter ties
+    * break by key. Shape: one partial/final count aggregate (the only
+    * pass over data), then top-5 + scalar stats over the SMALL key-count
+    * table (a second, key-cardinality-sized aggregate — never row-scale).
+    */
+  def a24SkewStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    // top-5 via sort+limit = distributed TakeOrdered, NOT a row_number
+    // window (which would single-partition the whole key-count table);
+    // the rank window then runs over exactly 5 rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+    counts.orderBy(col("cnt").desc, col("o_custkey").asc).limit(5)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("rank").cast("long").as("rank"),
+        col("o_custkey").as("key"), col("cnt"),
+        col("n_keys"), col("n_rows"),
+        expr("1000 * max_cnt * n_keys div n_rows").as("skew_x1000"))
+      .orderBy(col("rank"))
+  }
+
+  private val a24Sql =
+    """WITH c AS (SELECT o_custkey, COUNT(*) cnt FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) n_keys, CAST(SUM(cnt) AS BIGINT) n_rows,
+      |             CAST(MAX(cnt) AS BIGINT) max_cnt FROM c),
+      |r AS (SELECT o_custkey, cnt,
+      |        ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey ASC) rank
+      |      FROM c)
+      |SELECT CAST(rank AS BIGINT) rank, o_custkey AS key, CAST(cnt AS BIGINT) cnt,
+      |  n_keys, n_rows, 1000 * max_cnt * n_keys // n_rows AS skew_x1000
+      |FROM r CROSS JOIN t WHERE rank <= 5
+      |ORDER BY rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("l01_zorder",
+      "Morton-code tile audit: per-tile envelopes for 2-dim pruning",
+      l01Zorder, Some(l01Sql)),
+    QueryDef("a24_skew_stats",
+      "key-skew diagnostic: heavy hitters + exact skew ratio",
+      a24SkewStats, Some(a24Sql))
+  )
+}

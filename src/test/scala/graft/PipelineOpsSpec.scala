@@ -158,6 +158,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d08: incremental pairs == d03 pairs restricted to batch-vs-corpus") {
+    val full = operators.Dedup.d03NgramJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossSide = full.filter { case (a, b, _) => (a % 10 == 7) != (b % 10 == 7) }
+      .map { case (a, b, j) => if (a % 10 == 7) (a, b, j) else (b, a, j) }.toSet
+    val inc = operators.Dedup.d08IncrementalDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === crossSide)
+    // and the batch side never pairs with itself
+    assert(inc.forall { case (a, b, _) => a % 10 == 7 && b % 10 != 7 })
+  }
+
   test("d07: planted copies drop to their originals, originals survive") {
     val out = operators.Dedup.d07SemanticDedup(spark, sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScaleDiag
+
+class ScaleDiagSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("l01: every z-tile envelope is a 16x16 rectangle or smaller") {
+    val rows = ScaleDiag.l01Zorder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minA, maxA) = (r.getLong(2), r.getLong(3))
+      val (minB, maxB) = (r.getLong(4), r.getLong(5))
+      assert(maxA - minA <= 15, s"tile ${r.getLong(0)}: a-envelope ${maxA - minA}")
+      assert(maxB - minB <= 15, s"tile ${r.getLong(0)}: b-envelope ${maxB - minB}")
+      // tile t covers exactly rows whose interleaved code div 256 == t,
+      // so the envelope must also sit inside the tile's own 16x16 cell
+      assert(minA / 16 === maxA / 16 && minB / 16 === maxB / 16,
+        s"tile ${r.getLong(0)} spills its cell")
+    }
+  }
+
+  test("a24: top-k comes from a distributed TakeOrdered, stats are exact") {
+    val df = ScaleDiag.a24SkewStats(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // the heavy-hitter path must be sort+limit (TakeOrderedAndProject),
+    // not a single-partition row_number window over every key
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    val (nKeys, nRows) = (rows.head.getLong(3), rows.head.getLong(4))
+    val maxCnt = rows.head.getLong(2) // rank 1 row IS the max key
+    assert(rows.head.getLong(5) === 1000L * maxCnt * nKeys / nRows)
+    // counts are non-increasing down the ranks
+    assert(rows.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
+  }
+}
