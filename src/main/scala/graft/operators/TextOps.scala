@@ -642,6 +642,41 @@ object TextOps {
       |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t15 — one BPE (byte-pair-encoding) merge step, the inner loop of
+    * tokenizer-vocabulary training: count word frequencies, weight every
+    * adjacent character pair inside a word by that word's corpus
+    * frequency, and emit the top merge candidates. Tokenizer training
+    * over a 100 TB corpus is exactly this job iterated: the expensive
+    * part (word counting) is one shuffle on a Heaps'-law-sized key space
+    * and is REUSED across merge iterations; each iteration then runs
+    * over the compact (word, freq) vocab table, never the raw corpus.
+    *
+    * All counts are exact integers; top-10 via sort+limit
+    * (TakeOrdered), ties broken by pair text.
+    */
+  def t15BpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("word")) >= 2) // guard: sequence(1,0) is DESCENDING
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(10)
+  }
+
+  private val t15Sql =
+    """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) word FROM documents),
+      |f AS (SELECT word, COUNT(*) freq FROM w GROUP BY 1),
+      |i AS (SELECT word, freq, unnest(range(1, length(word))) i
+      |      FROM f WHERE length(word) >= 2),
+      |p AS (SELECT substr(word, CAST(i AS INTEGER), 2) pair, freq FROM i),
+      |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) cnt FROM p GROUP BY 1)
+      |SELECT pair, cnt FROM c
+      |ORDER BY cnt DESC, pair ASC LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -671,6 +706,9 @@ object TextOps {
       t13NfcNormalize, Some(t13Sql)),
     QueryDef("t14_surprisal",
       "unigram LM log-perplexity scoring (micro-nat exact aggregation)",
-      t14Surprisal, Some(t14Sql))
+      t14Surprisal, Some(t14Sql)),
+    QueryDef("t15_bpe_merge",
+      "one BPE merge step: frequency-weighted adjacent-pair counts",
+      t15BpeMergeStep, Some(t15Sql))
   )
 }

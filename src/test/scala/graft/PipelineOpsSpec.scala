@@ -203,6 +203,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t15: merge candidates are 2-char pairs with non-increasing exact counts") {
+    val rows = operators.TextOps.t15BpeMergeStep(spark, sf001).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getString(0).length == 2))
+    assert(rows.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
+    // ground-truth the top pair by brute force on the driver
+    val words = Tables.documents(spark, sf001)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    words.foreach(w => (0 until w.length - 1).foreach(i =>
+      counts(w.substring(i, i + 2)) += 1L))
+    val best = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert((rows.head.getString(0), rows.head.getLong(1)) === best)
+  }
+
   test("t14: token conservation and a sane surprisal range") {
     val out = operators.TextOps.t14Surprisal(spark, sf001).collect()
     assert(out.length === 500)

@@ -31,7 +31,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w08_sessionize", "s05_stratified_sample", "d05_keep_best",
     "st05_attribution_join", "t13_nfc_normalize", "m05_payload_dedup",
     "t14_surprisal", "v04_int8_topk", "d07_semantic_dedup",
-    "d08_incremental_dedup", "l01_zorder", "a24_skew_stats")
+    "d08_incremental_dedup", "l01_zorder", "a24_skew_stats",
+    "t15_bpe_merge")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
