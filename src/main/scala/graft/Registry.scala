@@ -13,6 +13,7 @@ object Registry {
       operators.TextOps.defs ++
       operators.Dedup.defs ++
       operators.Components.defs ++
+      operators.LinkRank.defs ++
       operators.Similarity.defs ++
       operators.Functions2.defs ++
       operators.Bucketing.defs ++

@@ -203,6 +203,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g01: dangling nodes sit at the damping floor, total mass is bounded") {
+    val rows = operators.LinkRank.g01LinkRank(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    assert(n === 500)
+    // ground-truth in-degree-0 nodes from the edge formula
+    val inDeg = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    for (src <- 0L until n; k <- 1 to 3)
+      inDeg((src * src * 31 + k * 17) % n) += 1
+    rows.foreach { case (node, r) =>
+      if (inDeg(node) == 0) assert(r === 150000L, s"dangling $node rank $r")
+      else assert(r >= 150000L, s"$node below floor")
+    }
+    assert(rows.values.exists(_ > 1000000L), "no hub outranked the uniform start")
+    // damped mass bound: sum <= N * (0.15 + 0.85) * 1e6 (floor division
+    // only loses mass)
+    assert(rows.values.sum <= n.toLong * 1000000L)
+  }
+
   test("t15: merge candidates are 2-char pairs with non-increasing exact counts") {
     val rows = operators.TextOps.t15BpeMergeStep(spark, sf001).collect()
     assert(rows.length === 10)
