@@ -236,12 +236,51 @@ object Multimodal {
       |FROM grp WHERE n_refs > 1
       |ORDER BY canonical_doc""".stripMargin
 
+  /** m06 — deterministic modality-balanced interleave: assign each
+    * modality's items a dense rank, then lane them into a global batch
+    * order (`(rank-1)·L + lane`) so a sequential dataloader alternates
+    * modalities — the batch-composition step multimodal training needs,
+    * made reproducible across retries and partitionings.
+    *
+    * The ranks come from [[ScaleOps.denseIds]] (range-repartition +
+    * per-partition offsets), NOT a `row_number` over an unpartitioned
+    * window — a two-partition window (one per modality) would serialize
+    * the whole corpus through two tasks at 100 TB. Lane arithmetic stays
+    * injective for unequal modality sizes (each modality owns a residue
+    * class); equal sizes — as in this corpus — make the positions dense.
+    */
+  def m06ModalityInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("item_id"), lit("text").as("modality"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item_id"), lit("vector").as("modality"))
+    val t = ScaleOps.denseIds(docs, Seq("item_id"), "rk")
+    val v = ScaleOps.denseIds(vecs, Seq("item_id"), "rk")
+    t.unionByName(v)
+      .withColumn("position", (col("rk") - 1) * 2 +
+        when(col("modality") === "text", 0L).otherwise(1L))
+      .select(col("position"), col("modality"), col("item_id"))
+      .orderBy(col("position"))
+  }
+
+  private val m06Sql =
+    """WITH t AS (SELECT doc_id item_id, 'text' modality,
+      |             ROW_NUMBER() OVER (ORDER BY doc_id) rk FROM documents),
+      |v AS (SELECT vec_id item_id, 'vector' modality,
+      |        ROW_NUMBER() OVER (ORDER BY vec_id) rk FROM embeddings),
+      |u AS (SELECT * FROM t UNION ALL SELECT * FROM v)
+      |SELECT CAST((rk - 1) * 2 + CASE WHEN modality = 'text' THEN 0 ELSE 1 END AS BIGINT) AS position,
+      |  modality, item_id
+      |FROM u ORDER BY position""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
     QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql)),
     QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql)),
     QueryDef("m04_resize", "payload transform: 2x byte downsample (stub resize)", m04Resize, Some(m04Sql)),
     QueryDef("m05_payload_dedup", "content-addressed binary dedup accounting (CAS)",
-      m05PayloadDedup, Some(m05Sql))
+      m05PayloadDedup, Some(m05Sql)),
+    QueryDef("m06_modality_interleave", "deterministic modality-balanced batch order",
+      m06ModalityInterleave, Some(m06Sql))
   )
 }

@@ -203,6 +203,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m06: positions are dense and modalities strictly alternate") {
+    val rows = operators.Multimodal.m06ModalityInterleave(spark, sf001).collect()
+    assert(rows.length === 1000)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong, s"position gap at $i")
+      assert(r.getString(1) === (if (i % 2 == 0) "text" else "vector"),
+        s"lane violation at $i")
+    }
+  }
+
   test("g01: dangling nodes sit at the damping floor, total mass is bounded") {
     val rows = operators.LinkRank.g01LinkRank(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
