@@ -62,6 +62,33 @@ object Functions2 {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
 
+  /** a25 — explicit GROUPING SETS: the two 1-dim margins plus the grand
+    * total, WITHOUT the (status, priority) cross cells a CUBE would also
+    * compute — the shape reporting dashboards want, at strictly less
+    * aggregate state than a22's cube (one expand-factor per requested
+    * set, not 2^dims).
+    */
+  def a25GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           exactSum(col("o_totalprice")).as("total"),
+           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+           grouping(col("o_orderpriority")).cast(IntegerType).as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+               col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+
+  private val a25Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+
   /** a19 — pivot with an explicit value list (the engine's long→wide
     * inverse of a07's unpivot); explicit values keep the plan one-pass
     * (no distinct-discovery job).
@@ -198,6 +225,8 @@ object Functions2 {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a18_rollup", "ROLLUP subtotals + GROUPING()", a18Rollup, Some(a18Sql)),
     QueryDef("a22_cube", "CUBE margins + GROUPING()", a22Cube, Some(a22Sql)),
+    QueryDef("a25_grouping_sets", "explicit GROUPING SETS (two 1-dim margins + total)",
+      a25GroupingSets, Some(a25Sql)),
     QueryDef("a21_distinct_agg", "distinct aggregates within group", a21DistinctAgg, Some(a21Sql)),
     QueryDef("a19_pivot", "pivot long-to-wide w/ explicit values", a19Pivot, Some(a19Sql)),
     QueryDef("a20_collect_list", "ordered array collection per group", a20CollectList, Some(a20Sql)),

@@ -677,6 +677,99 @@ object TextOps {
       |SELECT pair, cnt FROM c
       |ORDER BY cnt DESC, pair ASC LIMIT 10""".stripMargin
 
+  /** t16 — line-level duplication profile (the CCNet/RefinedWeb
+    * boilerplate signal): split documents into sentence-ish lines,
+    * fingerprint each line, count how many DISTINCT documents share it,
+    * and report per document how much of it is corpus-common material.
+    * Docs with a high common-line fraction are navigation chrome,
+    * cookie banners, templates — removed line-wise in production; the
+    * profile here is the decision input.
+    *
+    * Shape: one explode + one (fingerprint)-keyed partial/final distinct
+    * count + one broadcast-back join + one doc-keyed aggregate. The
+    * line-count table is Heaps'-bounded like a vocab; at open-web scale
+    * drop the broadcast hint and the join shuffles on fingerprint.
+    */
+  def t16LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), md5(trim(col("line"))).as("fp"))
+    val byLine = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    lines.join(broadcast(byLine), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("ndocs") >= 2, 1)).as("n_common"))
+      .withColumn("common_frac",
+        round(col("n_common").cast("double") / col("n_lines"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t16Sql =
+    """WITH l AS (
+      |  SELECT doc_id, md5(trim(line)) fp
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\. ')) line FROM documents)
+      |  WHERE length(trim(line)) > 0),
+      |c AS (SELECT fp, COUNT(DISTINCT doc_id) ndocs FROM l GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS BIGINT) AS n_common,
+      |  ROUND(CAST(COUNT(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS common_frac
+      |FROM l JOIN c USING (fp)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** f09 — URL canonicalization: the normalization pass every crawl
+    * dedup keys on BEFORE any content dedup (d05's url_key assumes it):
+    * lowercase scheme+host, drop the default port, strip fragments and
+    * utm_* tracking params. Dirty URLs are synthesized in-query from
+    * stable columns (t09's convention) so both engines see byte-equal
+    * inputs; every rule is a plain regexp_replace chain — codegen'd,
+    * no UDF.
+    */
+  def f09UrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+      col("source"), lit(".Example.COM:443/"), col("lang"), lit("/"), col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id")))
+        .otherwise(concat(lit("?id="), col("doc_id"))),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("url"))
+      .withColumn("c1", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("c2", concat(
+        lower(regexp_extract(col("c1"), "^([^/]*//[^/]+)", 1)),
+        regexp_extract(col("c1"), "^[^/]*//[^/]+(.*)$", 1)))
+      .withColumn("c3", regexp_replace(col("c2"), ":443/", "/"))
+      .withColumn("canon", regexp_replace(col("c3"), "utm_[^&#]*&", ""))
+      .select(col("doc_id"), col("url"), col("canon"),
+        (col("canon") =!= col("url")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val f09Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+      |      || source || '.Example.COM:443/' || lang || '/' || doc_id
+      |      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || doc_id
+      |              ELSE '?id=' || doc_id END
+      |      || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') c1 FROM d),
+      |h AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(c1, '^([^/]*//[^/]+)', 1))
+      |      || regexp_extract(c1, '^[^/]*//[^/]+(.*)$', 1) c2
+      |  FROM s),
+      |p AS (SELECT doc_id, url, regexp_replace(c2, ':443/', '/') c3 FROM h)
+      |SELECT doc_id, url,
+      |  regexp_replace(c3, 'utm_[^&#]*&', '') AS canon,
+      |  regexp_replace(c3, 'utm_[^&#]*&', '') <> url AS changed
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
@@ -709,6 +802,12 @@ object TextOps {
       t14Surprisal, Some(t14Sql)),
     QueryDef("t15_bpe_merge",
       "one BPE merge step: frequency-weighted adjacent-pair counts",
-      t15BpeMergeStep, Some(t15Sql))
+      t15BpeMergeStep, Some(t15Sql)),
+    QueryDef("t16_line_dedup",
+      "line-level duplication profile (boilerplate signal)",
+      t16LineDedup, Some(t16Sql)),
+    QueryDef("f09_url_canonicalize",
+      "URL canonicalization: host case, default port, fragment, utm params",
+      f09UrlCanonicalize, Some(f09Sql))
   )
 }

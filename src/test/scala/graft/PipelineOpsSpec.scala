@@ -203,6 +203,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t16: line dedup profile matches a driver-side brute force") {
+    val sf0 = "/root/testdata/sf0.001"
+    val got = operators.TextOps.t16LineDedup(spark, sf0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\. ")
+        .map(_.trim).filter(_.nonEmpty))
+    val lineDocs = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    docs.foreach { case (id, ls) => ls.foreach(l =>
+      lineDocs.getOrElseUpdate(l, scala.collection.mutable.Set()) += id) }
+    docs.foreach { case (id, ls) =>
+      val common = ls.count(l => lineDocs(l).size >= 2)
+      assert(got(id) === ((ls.length.toLong, common.toLong)), s"doc $id")
+    }
+  }
+
+  test("f09: canonical urls are clean and preserve identity") {
+    val rows = operators.TextOps.f09UrlCanonicalize(spark, sf001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (id, url, canon) = (r.getLong(0), r.getString(1), r.getString(2))
+      assert(!canon.contains("#") && !canon.contains("utm_") && !canon.contains(":443"),
+        s"dirty canon: $canon")
+      val host = canon.split("/")(2)
+      assert(host == host.toLowerCase, s"host case survives: $canon")
+      assert(canon.endsWith(s"?id=$id"), s"identity lost: $canon")
+      assert(r.getBoolean(3) === (canon != url))
+    }
+  }
+
+  test("a25: each grouping set partitions the full row count") {
+    val rows = operators.Functions2.a25GroupingSets(spark, sf001).collect()
+    val total = Tables.orders(spark, sf001).count()
+    val statusMargin = rows.filter(r => r.getInt(4) == 0 && r.getInt(5) == 1)
+    val prioMargin = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 0)
+    val grand = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(statusMargin.map(_.getLong(2)).sum === total)
+    assert(prioMargin.map(_.getLong(2)).sum === total)
+    assert(grand.length === 1 && grand.head.getLong(2) === total)
+    // and NO cross cells — that is what distinguishes this from a22's cube
+    assert(rows.forall(r => r.getInt(4) + r.getInt(5) >= 1))
+  }
+
   test("m06: positions are dense and modalities strictly alternate") {
     val rows = operators.Multimodal.m06ModalityInterleave(spark, sf001).collect()
     assert(rows.length === 1000)
