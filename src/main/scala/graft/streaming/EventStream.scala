@@ -499,12 +499,87 @@ object EventStream {
       .orderBy(col("user_id"), col("click_id"), col("p_us"))
   }
 
+  /** Exact-integer document quality gate shared by the st06 batch
+    * contract and its streaming twin: length bounds plus a lexical-
+    * diversity floor (distinct words >= 30% of words, in integer math so
+    * every engine agrees on the boundary rows).
+    */
+  private def gated(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(trim(col("text")), "\\s+"))
+    .withColumn("verdict",
+      when(col("n_chars") >= 100 && col("n_chars") <= 5000 &&
+        size(array_distinct(col("ws"))) * 10 >= size(col("ws")) * 3,
+        lit("pass")).otherwise(lit("quarantine")))
+
+  /** st06 (batch contract) — per-source pass/quarantine accounting for
+    * the ingest quality gate. The streaming twin
+    * [[streamingQualityGate]] applies the SAME gate per micro-batch and
+    * fans out to two parquet sinks (accepted corpus vs quarantine for
+    * human/model review) inside one foreachBatch — the standard
+    * split-sink ingest topology; EventStreamSpec asserts the drained
+    * sinks reproduce this batch result exactly.
+    */
+  def st06QualityGate(spark: SparkSession, dir: String): DataFrame =
+    gated(graft.Tables.documents(spark, dir))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("verdict"))
+
+  private val st06Sql =
+    """WITH g AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 100 AND n_chars <= 5000
+      |           AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10
+      |               >= len(string_split_regex(trim(text), '\s+')) * 3
+      |         THEN 'pass' ELSE 'quarantine' END AS verdict
+      |  FROM documents)
+      |SELECT source, verdict, COUNT(*) AS n
+      |FROM g GROUP BY source, verdict
+      |ORDER BY source, verdict""".stripMargin
+
+  /** Streaming twin of st06: documents arrive as a file stream, each
+    * micro-batch is gated and appended to a pass sink and a quarantine
+    * sink (two writes inside ONE foreachBatch — atomic per batch, no
+    * second stream). Returns the per-source accounting read back from
+    * the two sinks.
+    */
+  def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_gate_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_out_").toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = gated(spark.readStream.schema(docsSchema).parquet(stageDir.toString))
+      .select(col("doc_id"), col("source"), col("verdict"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(col("verdict") === "pass")
+          .write.mode("append").parquet(s"$out/pass")
+        batch.filter(col("verdict") === "quarantine")
+          .write.mode("append").parquet(s"$out/quarantine")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/pass").unionByName(spark.read.parquet(s"$out/quarantine"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
     QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql)),
     QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql)),
     QueryDef("st05_attribution_join", "click->purchase interval join (1h)",
-      st05AttributionJoin, Some(st05Sql))
+      st05AttributionJoin, Some(st05Sql)),
+    QueryDef("st06_quality_gate", "ingest quality gate: pass/quarantine accounting",
+      st06QualityGate, Some(st06Sql))
   )
 }

@@ -16,6 +16,13 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quality gate split sinks == batch gate accounting") {
+    val batch = EventStream.st06QualityGate(spark, sf).collect().map(_.toString)
+    val streamed = EventStream.streamingQualityGate(spark, sf).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming session windows == batch session windows on replay") {
     import org.apache.spark.sql.functions._
     import graft.util.Exact._
