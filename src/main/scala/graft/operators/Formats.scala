@@ -105,12 +105,95 @@ object Formats {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** io03 — schema evolution across parquet batches: an early batch
+    * wrote three columns, a later batch added `o_orderpriority`; a
+    * `mergeSchema` read reconciles them (old rows surface NULL for the
+    * new column) and downstream code null-handles explicitly. This is
+    * the append-only data-lake reality — producers add columns without
+    * rewriting history. mergeSchema is opt-in because it footer-scans
+    * every file: at 100 TB, pin the merged schema in a catalog and pass
+    * it explicitly; the read below models the discovery step.
+    */
+  def io03SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io03_evo_")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .orderBy(col("priority"))
+  }
+
+  private val io03Sql =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN' ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS BIGINT) AS n_with_priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** io04 — corrupt-tolerant CSV ingest: rows whose key column can't
+    * parse (planted: every 97th key becomes a non-numeric token) land
+    * in `_corrupt_record` under PERMISSIVE mode instead of failing the
+    * job, and the query accounts for both populations. This is the
+    * at-scale posture for third-party feeds: never let one bad row kill
+    * a 100 TB load, never silently drop it either — count it, keep the
+    * raw line, quarantine downstream (st06's topology).
+    */
+  def io04CorruptCsv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = scratch("graft_io04_csv_")
+    Tables.orders(spark, dir)
+      .select(concat_ws(",",
+        when(col("o_orderkey") % 97 === 0, lit("NOT_A_KEY"))
+          .otherwise(col("o_orderkey").cast("string")),
+        col("o_custkey"), col("o_totalprice")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("c", LongType),
+      StructField("p", DoubleType), StructField("_corrupt_record", StringType)))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+    back.agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      expr("CAST(SUM(CASE WHEN _corrupt_record IS NULL THEN CAST(p AS DECIMAL(18,2)) END) AS DOUBLE)")
+        .as("sum_good_price"),
+      min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+  }
+
+  private val io04Sql =
+    """SELECT
+      |  COUNT(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS n_good,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_good_price,
+      |  MIN(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS min_key,
+      |  MAX(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS max_key
+      |FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("io01_json_roundtrip",
       "JSON-lines sink+source round trip, partitioned layout + pruning",
       io01JsonRoundtrip, Some(io01Sql)),
     QueryDef("io02_orc_roundtrip",
       "ORC sink+source round trip with predicate pushdown",
-      io02OrcRoundtrip, Some(io02Sql))
+      io02OrcRoundtrip, Some(io02Sql)),
+    QueryDef("io03_schema_evolution",
+      "mergeSchema read across batches with added column",
+      io03SchemaEvolution, Some(io03Sql)),
+    QueryDef("io04_corrupt_csv",
+      "PERMISSIVE csv ingest with corrupt-record accounting",
+      io04CorruptCsv, Some(io04Sql))
   )
 }

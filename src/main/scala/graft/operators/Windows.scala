@@ -239,6 +239,39 @@ object Windows {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** w09 — time-RANGE window frame: per user, the count and exact sum
+    * of events in the trailing 2-hour interval ending at each event —
+    * a `RANGE BETWEEN` frame over epoch-micros, not a row-count frame
+    * (w03): the frame width follows the DATA's timestamps, so bursts
+    * and gaps change how many rows each frame holds. Peers with equal
+    * timestamps enter the frame together in every engine, which is what
+    * makes the result engine-independent. The trailing-interval shape
+    * is the batch analogue of a sliding streaming window (st02) — same
+    * semantics, windowed per row instead of per bucket.
+    */
+  def w09RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-7200000000L, 0) // 2 h in micros, inclusive
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_2h", count(lit(1)).over(w))
+      .withColumn("sum_2h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_2h"), col("sum_2h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w09Sql =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  COUNT(*) OVER w AS n_2h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_2h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
     QueryDef("w07_cume_dist", "partitioned cume_dist + dense_rank", w07CumeDist, Some(w07Sql)),
@@ -248,6 +281,8 @@ object Windows {
     QueryDef("w04_running_share", "running total + share of partition", w04RunningShare, Some(w04Sql)),
     QueryDef("w05_distribution", "ntile decile + percent_rank", w05Distribution, Some(w05Sql)),
     QueryDef("w08_sessionize", "batch gap-based sessionization (lag + cumsum)",
-      w08Sessionize, Some(w08Sql))
+      w08Sessionize, Some(w08Sql)),
+    QueryDef("w09_range_frame", "trailing 2h RANGE frame (count + exact sum)",
+      w09RangeFrame, Some(w09Sql))
   )
 }

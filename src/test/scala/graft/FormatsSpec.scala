@@ -19,6 +19,44 @@ class FormatsSpec extends AnyFunSuite {
     assert(plan.contains("o_orderstatus"), s"status not in partition filters:\n$plan")
   }
 
+  test("io03: merged schema surfaces the late column, nulls for early batches") {
+    val df = Formats.io03SchemaEvolution(spark, sf)
+    val rows = df.collect()
+    // the UNKNOWN bucket is exactly the early-batch (even-key) rows,
+    // which must report zero non-null priorities
+    val unknown = rows.filter(_.getString(0) == "UNKNOWN")
+    assert(unknown.length === 1 && unknown.head.getLong(2) === 0L)
+    // every named-priority bucket is fully populated
+    rows.filterNot(_.getString(0) == "UNKNOWN")
+      .foreach(r => assert(r.getLong(1) === r.getLong(2), s"partial priority: $r"))
+  }
+
+  test("io04: corrupt rows keep their raw line for quarantine") {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_io04spec_").toString
+    Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.concat_ws(",",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("o_orderkey") % 97 === 0,
+          org.apache.spark.sql.functions.lit("NOT_A_KEY"))
+          .otherwise(org.apache.spark.sql.functions.col("o_orderkey").cast("string")),
+        org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_totalprice")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("c", LongType),
+      StructField("p", DoubleType), StructField("_corrupt_record", StringType)))
+    // Spark disallows queries touching ONLY the corrupt column
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a parsed column in the
+    // projection so the scan is legal
+    val corrupt = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record").csv(out)
+      .select("k", "_corrupt_record").collect()
+      .filter(!_.isNullAt(1)).map(_.getString(1))
+    assert(corrupt.nonEmpty)
+    assert(corrupt.forall(_.startsWith("NOT_A_KEY,")), "raw line not preserved")
+  }
+
   test("io02: quantity predicate is pushed to the ORC reader") {
     val df = Formats.io02OrcRoundtrip(spark, sf)
     df.collect()
