@@ -89,6 +89,42 @@ object Functions2 {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
 
+  /** f10 — higher-order collection functions over grouped arrays:
+    * collect each order's quantities once, then answer several
+    * questions WITHOUT re-shuffling — filter (big items), aggregate
+    * (exact sum), zip_with over shifted slices (max adjacent gap in the
+    * sorted list). The point at scale: one groupBy materializes the
+    * array, every subsequent HOF is a codegen'd per-row computation —
+    * versus one shuffle per question if each stayed a separate
+    * aggregate.
+    */
+  def f10Collections(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n_items"),
+        expr("CAST(size(filter(qs, x -> x >= 25)) AS BIGINT)").as("big_items"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qty_sum"),
+        expr("CASE WHEN size(qs) >= 2 THEN array_max(zip_with(" +
+          "slice(qs, 2, size(qs) - 1), slice(qs, 1, size(qs) - 1), (a, b) -> a - b))" +
+          " ELSE CAST(0 AS BIGINT) END").as("max_gap"))
+      .orderBy(col("l_orderkey"))
+
+  private val f10Sql =
+    """WITH g AS (
+      |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) qs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(len(qs) AS BIGINT) AS n_items,
+      |  CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS big_items,
+      |  CAST(list_sum(qs) AS BIGINT) AS qty_sum,
+      |  CAST(CASE WHEN len(qs) >= 2 THEN list_max(list_transform(range(2, len(qs) + 1),
+      |         i -> qs[CAST(i AS INTEGER)] - qs[CAST(i AS INTEGER) - 1]))
+      |       ELSE 0 END AS BIGINT) AS max_gap
+      |FROM g ORDER BY l_orderkey""".stripMargin
+
   /** a19 — pivot with an explicit value list (the engine's long→wide
     * inverse of a07's unpivot); explicit values keep the plan one-pass
     * (no distinct-discovery job).
@@ -232,6 +268,8 @@ object Functions2 {
     QueryDef("a20_collect_list", "ordered array collection per group", a20CollectList, Some(a20Sql)),
     QueryDef("f06_datetime", "datetime extract/trunc/diff family", f06Datetime, Some(f06Sql)),
     QueryDef("f07_strings", "string pad/substr/locate/translate/levenshtein", f07Strings, Some(f07Sql)),
-    QueryDef("f08_conditionals", "nullif/coalesce/case/least/greatest", f08Conditionals, Some(f08Sql))
+    QueryDef("f08_conditionals", "nullif/coalesce/case/least/greatest", f08Conditionals, Some(f08Sql)),
+    QueryDef("f10_collections", "higher-order array functions over grouped lists",
+      f10Collections, Some(f10Sql))
   )
 }

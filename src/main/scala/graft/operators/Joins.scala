@@ -319,6 +319,44 @@ object Joins {
       |FROM ranked WHERE rn = 1
       |ORDER BY c_custkey""".stripMargin
 
+  /** j13 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a
+    * nullable segment key joins its dimension INCLUDING the null
+    * segment ("unassigned"), where a plain equi-join would silently
+    * drop every null-keyed fact row. Null keys are pervasive in
+    * curation metadata (missing language, unknown license); the
+    * null-safe operator keeps them first-class. Still a hash join —
+    * null compares as a regular key value — so the plan shape is
+    * identical to j01's.
+    */
+  def j13NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_custkey") % 7 === 0, lit(null)).otherwise(col("o_custkey") % 7)
+          .as("seg"))
+    val dim = facts.select(col("seg")).distinct()
+      .select(col("seg").as("dseg"),
+        coalesce(concat(lit("seg-"), col("seg")), lit("unassigned")).as("label"))
+    facts.join(broadcast(dim), facts("seg") <=> dim("dseg"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy(col("label"))
+  }
+
+  private val j13Sql =
+    """WITH f AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 7 END AS seg
+      |  FROM orders),
+      |d AS (
+      |  SELECT seg AS dseg,
+      |    COALESCE('seg-' || seg, 'unassigned') AS label
+      |  FROM (SELECT DISTINCT seg FROM f))
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM f JOIN d ON f.seg IS NOT DISTINCT FROM d.dseg
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
     QueryDef("j02_fact_fact_revenue", "fact-fact shuffle join w/ pre-join partial agg", j02FactFactRevenue, Some(j02Sql)),
@@ -331,6 +369,8 @@ object Joins {
     QueryDef("j11_bloom_join", "Bloom-filter semi-join pushdown before shuffle",
       j11BloomJoin, Some(j11Sql)),
     QueryDef("j12_upsert", "CDC merge/upsert via union + latest-wins window",
-      j12Upsert, Some(j12Sql))
+      j12Upsert, Some(j12Sql)),
+    QueryDef("j13_nullsafe_join", "null-safe (<=>) dim join keeps null-keyed facts",
+      j13NullSafeJoin, Some(j13Sql))
   )
 }

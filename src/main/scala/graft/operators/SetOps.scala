@@ -80,10 +80,60 @@ object SetOps {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY o_custkey""".stripMargin
 
+  /** INTERSECT ALL — multiset semantics: a customer with 3 finished and
+    * 2 urgent orders appears min(3,2)=2 times. The ALL variants matter
+    * at scale precisely because they avoid the full-row distinct of
+    * s03/s04: Spark plans them as a counted semi-aggregate, not a
+    * dedup-then-join.
+    */
+  def s07IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    finished.intersectAll(urgent)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val s07Sql =
+    """WITH i AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_custkey, COUNT(*) AS multiplicity
+      |FROM i GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT ALL — multiset difference: occurrences survive count-wise
+    * (5 finished minus 2 urgent leaves 3 rows), where s04's EXCEPT
+    * removes the key entirely.
+    */
+  def s08ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    finished.exceptAll(urgent)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val s08Sql =
+    """WITH e AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_custkey, COUNT(*) AS multiplicity
+      |FROM e GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s01_union_all", "UNION ALL two sources + re-agg", s01UnionAll, Some(s01Sql)),
     QueryDef("s02_union_distinct", "UNION DISTINCT", s02UnionDistinct, Some(s02Sql)),
     QueryDef("s03_intersect", "INTERSECT", s03Intersect, Some(s03Sql)),
-    QueryDef("s04_except", "EXCEPT", s04Except, Some(s04Sql))
+    QueryDef("s04_except", "EXCEPT", s04Except, Some(s04Sql)),
+    QueryDef("s07_intersect_all", "INTERSECT ALL (multiset) + multiplicity",
+      s07IntersectAll, Some(s07Sql)),
+    QueryDef("s08_except_all", "EXCEPT ALL (multiset) + multiplicity",
+      s08ExceptAll, Some(s08Sql))
   )
 }

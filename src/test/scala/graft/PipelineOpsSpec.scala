@@ -247,6 +247,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(4) + r.getInt(5) >= 1))
   }
 
+  test("s07/s08: multiset algebra — min and difference of per-key counts") {
+    val orders = Tables.orders(spark, sf001)
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inter = operators.SetOps.s07IntersectAll(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val except = operators.SetOps.s08ExceptAll(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (f.keySet ++ u.keySet).foreach { k =>
+      val (cf, cu) = (f.getOrElse(k, 0L), u.getOrElse(k, 0L))
+      assert(inter.getOrElse(k, 0L) === math.min(cf, cu), s"intersect all @ $k")
+      assert(except.getOrElse(k, 0L) === math.max(0L, cf - cu), s"except all @ $k")
+    }
+  }
+
+  test("j13: null-keyed facts survive the null-safe join as 'unassigned'") {
+    val rows = operators.Joins.j13NullSafeJoin(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedNull = Tables.orders(spark, sf001)
+      .filter(col("o_custkey") % 7 === 0).count()
+    assert(rows("unassigned") === expectedNull)
+    assert(rows.values.sum === Tables.orders(spark, sf001).count(),
+      "null-safe join must be lossless over the fact side")
+  }
+
   test("m06: positions are dense and modalities strictly alternate") {
     val rows = operators.Multimodal.m06ModalityInterleave(spark, sf001).collect()
     assert(rows.length === 1000)
