@@ -89,6 +89,37 @@ object Functions2 {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
 
+  /** a26 — correlated subqueries through the SQL surface: a scalar
+    * COUNT subquery and a correlated EXISTS, both correlated on the
+    * outer customer key. Catalyst DECORRELATES them — the executed plan
+    * is an aggregate + two joins, no per-row re-execution (the golden
+    * plan pins that rewrite). This is the query shape SQL users write
+    * and the optimizer behavior that makes it survive 100 TB.
+    */
+  def a26CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("a26_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("a26_customer")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM a26_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM a26_customer c
+        |WHERE EXISTS (SELECT 1 FROM a26_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val a26Sql =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   /** f10 — higher-order collection functions over grouped arrays:
     * collect each order's quantities once, then answer several
     * questions WITHOUT re-shuffling — filter (big items), aggregate
@@ -270,6 +301,8 @@ object Functions2 {
     QueryDef("f07_strings", "string pad/substr/locate/translate/levenshtein", f07Strings, Some(f07Sql)),
     QueryDef("f08_conditionals", "nullif/coalesce/case/least/greatest", f08Conditionals, Some(f08Sql)),
     QueryDef("f10_collections", "higher-order array functions over grouped lists",
-      f10Collections, Some(f10Sql))
+      f10Collections, Some(f10Sql)),
+    QueryDef("a26_correlated_subquery", "scalar + EXISTS correlated subqueries, decorrelated",
+      a26CorrelatedSubquery, Some(a26Sql))
   )
 }

@@ -32,7 +32,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "st05_attribution_join", "t13_nfc_normalize", "m05_payload_dedup",
     "t14_surprisal", "v04_int8_topk", "d07_semantic_dedup",
     "d08_incremental_dedup", "l01_zorder", "a24_skew_stats",
-    "t15_bpe_merge", "g01_link_rank", "t16_line_dedup", "a25_grouping_sets")
+    "t15_bpe_merge", "g01_link_rank", "t16_line_dedup", "a25_grouping_sets",
+    "a26_correlated_subquery", "w09_range_frame", "j13_nullsafe_join",
+    "f10_collections")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
