@@ -106,12 +106,50 @@ object ScaleDiag {
       |FROM r CROSS JOIN t WHERE rank <= 5
       |ORDER BY rank""".stripMargin
 
+  /** l02 — small-file compaction plan (lakehouse OPTIMIZE): roll the
+    * partition inventory (here: per (returnflag, linestatus, ship-month)
+    * "files", bytes proxied at 128 B/row) into target-size output
+    * groups. A file joins the bin where its FIRST byte lands —
+    * contiguous packing, the deterministic fully-parallel variant of
+    * first-fit (bins can overflow by at most one file, never reorder;
+    * ScaleDiagSpec asserts the bound). The cumulative byte count comes
+    * from [[ScaleOps.prefixSum]] — range repartition + per-partition
+    * offsets, no single-partition window — so planning compaction for a
+    * million-file inventory is itself a parallel job.
+    */
+  def l02CompactionPlan(spark: SparkSession, dir: String,
+                        targetBytes: Long = 131072L): DataFrame = {
+    val files = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)").as("ym"))
+      .agg((count(lit(1)) * 128L).as("bytes"))
+    ScaleOps.prefixSum(files, Seq("rf", "ls", "ym"), "bytes", "cum")
+      .withColumn("bin", expr(s"(cum - bytes) div $targetBytes"))
+      .select(col("rf"), col("ls"), col("ym"), col("bytes"), col("bin"))
+      .orderBy(col("rf"), col("ls"), col("ym"))
+  }
+
+  private val l02Sql =
+    """WITH f AS (
+      |  SELECT l_returnflag rf, l_linestatus ls,
+      |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) ym,
+      |    CAST(COUNT(*) * 128 AS BIGINT) bytes
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT *, SUM(bytes) OVER (ORDER BY rf, ls, ym ROWS UNBOUNDED PRECEDING) cum
+      |  FROM f)
+      |SELECT rf, ls, ym, bytes, CAST((cum - bytes) // 131072 AS BIGINT) AS bin
+      |FROM c ORDER BY rf, ls, ym""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("l01_zorder",
       "Morton-code tile audit: per-tile envelopes for 2-dim pruning",
       l01Zorder, Some(l01Sql)),
     QueryDef("a24_skew_stats",
       "key-skew diagnostic: heavy hitters + exact skew ratio",
-      a24SkewStats, Some(a24Sql))
+      a24SkewStats, Some(a24Sql)),
+    QueryDef("l02_compaction_plan",
+      "small-file compaction bins via distributed prefix sum",
+      l02CompactionPlan(_, _), Some(l02Sql))
   )
 }

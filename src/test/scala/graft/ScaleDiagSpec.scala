@@ -22,6 +22,24 @@ class ScaleDiagSpec extends AnyFunSuite {
     }
   }
 
+  test("l02: bins are contiguous and overflow by at most one file") {
+    val target = 131072L
+    val rows = operators.ScaleDiag.l02CompactionPlan(spark, sf, target).collect()
+      .map(r => (r.getLong(3), r.getLong(4))) // (bytes, bin)
+    assert(rows.nonEmpty)
+    // bins non-decreasing in file order and starting at 0
+    val bins = rows.map(_._2)
+    assert(bins.head === 0L)
+    assert(bins.sliding(2).forall(p => p(1) - p(0) >= 0))
+    // contiguous packing bound: a bin's total is < target + its last
+    // file's bytes (only the file that crosses the boundary overflows)
+    rows.groupBy(_._2).foreach { case (bin, fs) =>
+      val total = fs.map(_._1).sum
+      assert(total < target + fs.last._1,
+        s"bin $bin total $total exceeds the overflow bound")
+    }
+  }
+
   test("a24: top-k comes from a distributed TakeOrdered, stats are exact") {
     val df = ScaleDiag.a24SkewStats(spark, sf)
     val rows = df.collect()
