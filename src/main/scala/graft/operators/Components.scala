@@ -69,6 +69,11 @@ object Components {
         labels = next
         rounds += 1
       }
+      // fail loud rather than return silently-wrong labels: a diameter
+      // beyond the cap means the caller should raise the cap or switch
+      // to the log-round star algorithm, not consume split components
+      require(converged,
+        s"connectedComponents: no fixpoint after $rounds rounds (graph diameter exceeds cap)")
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp").as("component_id"),

@@ -462,6 +462,10 @@ object TextOps {
   def t11PiiRedact(spark: SparkSession, dir: String): DataFrame = {
     val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phonePat = "555-[0-9]{4}"
+    // the SQL-literal path re-unescapes backslashes (\. would reach the
+    // regex engine as a bare ., matching ANY char) — double them for the
+    // expr() usages; the Column-API regexp_replace takes emailPat as-is
+    val emailPatSql = emailPat.replace("\\", "\\\\")
     Tables.documents(spark, dir)
       .withColumn("aug",
         when(col("doc_id") % 7 === 0,
@@ -470,7 +474,7 @@ object TextOps {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
         .otherwise(col("text")))
       .select(col("doc_id"),
-        size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(aug, '$emailPatSql', 0)")).cast("long").as("n_emails"),
         size(expr(s"regexp_extract_all(aug, '$phonePat', 0)")).cast("long").as("n_phones"),
         md5(regexp_replace(regexp_replace(col("aug"), emailPat, "[EMAIL]"),
           phonePat, "[PHONE]")).as("redacted_fp"))
@@ -742,7 +746,10 @@ object TextOps {
         lower(regexp_extract(col("c1"), "^([^/]*//[^/]+)", 1)),
         regexp_extract(col("c1"), "^[^/]*//[^/]+(.*)$", 1)))
       .withColumn("c3", regexp_replace(col("c2"), ":443/", "/"))
-      .withColumn("canon", regexp_replace(col("c3"), "utm_[^&#]*&", ""))
+      // two rules: mid-position utm params (global) and a trailing utm
+      // param with no following '&' — one rule alone misses the other
+      .withColumn("c4", regexp_replace(col("c3"), "utm_[^&#]*&", ""))
+      .withColumn("canon", regexp_replace(col("c4"), "[?&]utm_[^&#]*$", ""))
       .select(col("doc_id"), col("url"), col("canon"),
         (col("canon") =!= col("url")).as("changed"))
       .orderBy(col("doc_id"))
@@ -764,11 +771,13 @@ object TextOps {
       |    lower(regexp_extract(c1, '^([^/]*//[^/]+)', 1))
       |      || regexp_extract(c1, '^[^/]*//[^/]+(.*)$', 1) c2
       |  FROM s),
-      |p AS (SELECT doc_id, url, regexp_replace(c2, ':443/', '/') c3 FROM h)
-      |SELECT doc_id, url,
-      |  regexp_replace(c3, 'utm_[^&#]*&', '') AS canon,
-      |  regexp_replace(c3, 'utm_[^&#]*&', '') <> url AS changed
-      |FROM p ORDER BY doc_id""".stripMargin
+      |p AS (SELECT doc_id, url, regexp_replace(c2, ':443/', '/') c3 FROM h),
+      |q AS (SELECT doc_id, url,
+      |        regexp_replace(regexp_replace(c3, 'utm_[^&#]*&', '', 'g'),
+      |          '[?&]utm_[^&#]*$', '') AS canon
+      |      FROM p)
+      |SELECT doc_id, url, canon, canon <> url AS changed
+      |FROM q ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),

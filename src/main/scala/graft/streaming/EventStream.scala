@@ -197,10 +197,25 @@ object EventStream {
             sp.read.parquet(target).unionByName(latestInBatch)
               .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
           else latestInBatch
+        // swap via retire-then-promote, checking every FS result: rename
+        // returns false (not an exception) on HDFS-style failures, and a
+        // discarded false after the old table is deleted would silently
+        // destroy all previously merged state. Retiring the old table to
+        // a side name first also means a crash mid-swap leaves either
+        // the old or the new table present — never neither.
         val tmp = target + "_staging"
         merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(targetPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
+        val retired = new org.apache.hadoop.fs.Path(target + "_retired")
+        if (fs.exists(retired) && !fs.delete(retired, true))
+          sys.error(s"upsert sink: cannot clear $retired")
+        val hadOld = fs.exists(targetPath)
+        if (hadOld && !fs.rename(targetPath, retired))
+          sys.error(s"upsert sink: cannot retire $targetPath")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)) {
+          if (hadOld) fs.rename(retired, targetPath) // roll back
+          sys.error(s"upsert sink: cannot promote $tmp")
+        }
+        if (hadOld) fs.delete(retired, true)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -566,7 +581,15 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/pass").unionByName(spark.read.parquet(s"$out/quarantine"))
+    // a sink directory only exists if some batch wrote that verdict —
+    // an all-pass corpus must yield the correct accounting, not a
+    // PATH_NOT_FOUND from the empty quarantine side
+    val readable = Seq(s"$out/pass", s"$out/quarantine").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    readable.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
       .groupBy(col("source"), col("verdict"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("source"), col("verdict"))

@@ -158,6 +158,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t12: tfidf values sit clear of their rounding boundaries") {
+    // t12 hash-compares round(tf*ln(n/df), 6) cross-engine; safe only
+    // while every value keeps a margin over worst-case libm ulp drift
+    // (~3e-7 micro-units at this corpus's magnitudes). Observed minimum
+    // at sf0.01 is ~9e-4 micro-units; assert a 1e-5 floor so a corpus
+    // regen that lands near a boundary fails HERE, not in the oracle.
+    val x = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val nDocs = Tables.documents(spark, sf001).count().toDouble
+    val tf = x.groupBy("source", "term").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val df = x.select("doc_id", "term").distinct().groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tf.foreach { case (s, t, f) =>
+      val v = f * math.log(nDocs / df(t)) * 1e6
+      val dist = math.abs(v - math.floor(v) - 0.5)
+      assert(dist > 1e-5, s"($s,$t) tfidf within $dist micro-units of a boundary")
+    }
+  }
+
   test("d08: incremental pairs == d03 pairs restricted to batch-vs-corpus") {
     val full = operators.Dedup.d03NgramJaccard(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
