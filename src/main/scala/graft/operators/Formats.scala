@@ -27,20 +27,7 @@ import graft.{QueryDef, Tables}
   */
 object Formats {
 
-  private def scratch(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    // each invocation writes a serialized table copy; without cleanup a
-    // long bench session accumulates gigabytes in the system temp dir
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(dir) catch { case _: Exception => () }
-    }))
-    dir.toString
-  }
+  private def scratch(prefix: String): String = graft.util.Scratch.dir(prefix)
 
   /** io01 — JSON-lines round trip with a partitioned layout: orders ->
     * json (partitioned by status) -> read back (explicit schema,

@@ -296,6 +296,54 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v05 — IVF index LIFECYCLE: build the index once (cell-partitioned
+    * member table, written `partitionBy(cell)`), then answer queries
+    * from the STORED index — the production ANN serving shape, where
+    * index build is an offline job and probes run against storage.
+    * Probing reads only the 2 probed cells' directories per query
+    * (partition pruning on `cell`), so probe cost scales with cell
+    * size, not corpus size — at 100 TB the index table is the thing
+    * that lives on disk, and this layout IS the pruning structure.
+    * Results are identical to v02 (same quantizer, same probes, same
+    * exact int64 scoring) — asserted by SimilaritySpec, and the oracle
+    * is the same computation in SQL.
+    */
+  def v05IvfIndexLifecycle(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = graft.util.Scratch.dir("graft_v05_idx_")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val centroids = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val ranked = vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+      .withColumn("crank", row_number().over(wAssign))
+    // OFFLINE: persist the cell-partitioned member index
+    ranked.filter(col("crank") === 1)
+      .select(col("centroid_id").as("cell"), col("vec_id").as("cid"),
+        col("q").as("cq"), col("nrm").as("cn"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    // ONLINE: probe the stored index; the cell equi-join prunes to the
+    // probed cells' directories
+    val members = spark.read.parquet(idx)
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= 2)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"), col("centroid_id").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    probes.join(members, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",
@@ -303,6 +351,9 @@ object Similarity {
     QueryDef("v03_kmeans_step", "one exact Lloyd step (int64 centroid sums)",
       v03KmeansStep(_, _), Some(v03Sql)),
     QueryDef("v04_int8_topk", "scalar-quantized (int8) cosine top-3",
-      v04Int8TopK, Some(v04Sql))
+      v04Int8TopK, Some(v04Sql)),
+    // same SQL as v02: the lifecycle split must not change results
+    QueryDef("v05_ivf_index", "IVF index build-to-storage + pruned probe",
+      v05IvfIndexLifecycle(_, _), Some(v02Sql))
   )
 }

@@ -8,6 +8,23 @@ import graft.operators.Similarity
 class SimilaritySpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("v05: stored-index probe == in-plan v02, and the probe prunes on cell") {
+    val fromIndex = Similarity.v05IvfIndexLifecycle(spark, sf)
+    val got = fromIndex.collect().map(_.toString)
+    val want = Similarity.v02IvfTopK(spark, sf).collect().map(_.toString)
+    assert(got.nonEmpty && got.toSeq === want.toSeq,
+      "index lifecycle split changed results")
+    // the member side must come from a partitioned parquet scan keyed
+    // on cell (the pruning structure), not a recomputation
+    val plan = fromIndex.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val indexScan = plan.linesIterator
+      .find(l => l.contains("graft_v05_idx_") && l.contains("FileScan"))
+    assert(indexScan.isDefined, s"no stored-index scan in:\n$plan")
+    assert(indexScan.get.contains("isnotnull(cell"),
+      s"no cell partition pruning on the index scan:\n${indexScan.get}")
+  }
+
   test("v04: int8 quantized ranking recalls the exact float top-3") {
     graft.functions.GraftFunctions.register(spark)
     // exact float-cosine top-3 per query, computed independently of the
