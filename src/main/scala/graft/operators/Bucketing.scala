@@ -105,8 +105,33 @@ object Bucketing {
       .agg(exactSum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** j14 — the full bucketed-layout lifecycle as one contract query:
+    * bucket both fact tables on the join key (the one-time layout
+    * cost), then join them with NO exchange on the data path — the
+    * bucketed scan already satisfies the join's required distribution,
+    * so only the 3-row aggregate shuffles. BucketingSpec asserts the
+    * no-shuffle plan; this entry pins the RESULT. At 100 TB the write
+    * is amortized across every subsequent join/agg on the key — this
+    * query deliberately measures layout + join together so the bench
+    * shows the real one-shot cost next to j02's shuffle join.
+    */
+  def j14BucketedLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketed(spark, dir)
+    bucketedJoin(spark)
+  }
+
+  private val j14Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j09_salted_agg", "skew-safe two-stage salted aggregation", j09SaltedAgg, Some(j09Sql)),
-    QueryDef("j10_salted_join", "skew-safe salted fact-fact join", j10SaltedJoin, Some(j10Sql))
+    QueryDef("j10_salted_join", "skew-safe salted fact-fact join", j10SaltedJoin, Some(j10Sql)),
+    QueryDef("j14_bucketed_join", "bucketed-layout lifecycle: write + exchange-free join",
+      j14BucketedLifecycle, Some(j14Sql))
   )
 }

@@ -181,7 +181,55 @@ object Formats {
       |  MAX(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey END) AS max_key
       |FROM orders""".stripMargin
 
+  /** io05 — dynamic partition overwrite: the idempotent-backfill
+    * primitive of every partitioned data lake. A day-partitioned
+    * parquet table is written once; then ONE day is recomputed (a late
+    * fee lands on 2024-01-15) and rewritten with
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    * partitions present in the incoming frame — static overwrite mode
+    * would truncate the whole table first, turning a one-day backfill
+    * into a full rewrite (at 100 TB: the difference between touching
+    * 1/30th of the data and all of it, and between an idempotent retry
+    * and data loss). The read-back aggregate proves both properties:
+    * untouched days match the raw table exactly; the backfilled day
+    * carries the fee. The partition column round-trips through the
+    * directory layout (cast back from the inferred date so the oracle
+    * compares strings).
+    */
+  def io05PartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io05_pq_")
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    base.filter(col("day") === "2024-01-15")
+      .withColumn("cents", col("cents") + 7L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .withColumn("day", col("day").cast(StringType))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  private val io05Sql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+      |    + CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' THEN 7 ELSE 0 END)
+      |    AS BIGINT) AS sum_cents,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io05_partition_overwrite",
+      "dynamic partition overwrite: one-day backfill, other partitions pinned",
+      io05PartitionOverwrite, Some(io05Sql)),
     QueryDef("io01_json_roundtrip",
       "JSON-lines sink+source round trip, partitioned layout + pruning",
       io01JsonRoundtrip, Some(io01Sql)),

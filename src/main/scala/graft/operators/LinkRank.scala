@@ -79,9 +79,91 @@ object LinkRank {
       |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro
       |FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** g02 — triangle census over the same deterministic link graph as
+    * g01 (undirected form: id-normalized, self-loops dropped, distinct).
+    * Triangles + wedge counts give global transitivity — the
+    * link-farm / spam-cluster signal crawl curation reads next to
+    * PageRank.
+    *
+    * The Spark plan uses DEGREE-ORDERED edge orientation (each edge
+    * points from its lower-(degree, id) endpoint to the higher): every
+    * triangle then has exactly ONE vertex with out-edges to the other
+    * two, so enumerating out-neighbor pairs per vertex counts each
+    * triangle once, and — the scale property — the wedge-join fan-out
+    * is Σ C(outdeg, 2) with outdeg bounded by O(√m) under this
+    * orientation, the classic O(m^{3/2}) bound. A hub with degree 10⁶
+    * generates ZERO wedges from its own out-list beyond √m — the naive
+    * id-ordered join would square it. The closure check is an
+    * orientation-free semi-join against the undirected edge set, so the
+    * oracle can verify with the simple a<b<c formulation: same
+    * triangle set, engine-independent counts. `n_wedges` reported is
+    * Σ C(deg, 2) (orientation-independent), and transitivity is the
+    * exact integer ppm of 3·triangles / wedges.
+    */
+  def g02TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val directed = docs.crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val und = directed.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("x"),
+              when(lowFirst, col("b")).otherwise(col("a")).as("y"))
+    // out-neighbor pairs of each lowest-rank vertex, id-normalized so the
+    // closure semi-join hits the undirected set's (a < b) layout
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.y").as("p"), col("e2.y").as("q"))
+    val tri = wedges.join(und,
+      wedges("p") === und("a") && wedges("q") === und("b"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN (1000000 * 3 * n_triangles) div n_wedges ELSE CAST(0 AS BIGINT) END")
+          .as("transitivity_ppm"))
+  }
+
+  private val g02Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |e AS (SELECT DISTINCT LEAST(src, dst) a, GREATEST(src, dst) b
+      |      FROM e0 WHERE src <> dst),
+      |deg AS (SELECT v, COUNT(*) d
+      |        FROM (SELECT a v FROM e UNION ALL SELECT b v FROM e) GROUP BY v),
+      |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) nw FROM deg),
+      |tri AS (SELECT COUNT(*) t
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT nw FROM w) AS n_wedges,
+      |  (SELECT t FROM tri) AS n_triangles,
+      |  CAST(CASE WHEN (SELECT nw FROM w) > 0
+      |    THEN (1000000 * 3 * (SELECT t FROM tri)) // (SELECT nw FROM w)
+      |    ELSE 0 END AS BIGINT) AS transitivity_ppm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_link_rank",
       "3-step integer PageRank over a deterministic link graph",
-      g01LinkRank, Some(g01Sql))
+      g01LinkRank, Some(g01Sql)),
+    QueryDef("g02_triangle_count",
+      "degree-oriented triangle census + exact transitivity ppm",
+      g02TriangleCount, Some(g02Sql))
   )
 }

@@ -106,7 +106,53 @@ object Sampling {
       |  CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM r ORDER BY source""".stripMargin
 
+  /** s09 — deterministic WEIGHTED sampling without replacement: 10 docs
+    * per source, where a doc's chance of selection scales with its
+    * length (n_chars) — the "sample long documents preferentially"
+    * knob every mixture pipeline has. The scheme is
+    * Efraimidis–Spirakis priority sampling with the exponential key
+    * replaced by a fixed-point reciprocal: u = MINSTD(doc_id) uniform
+    * in [0, 2^31), priority = u·10^6 div w, keep the k smallest per
+    * stratum. Heavier w → smaller expected priority → more likely
+    * kept; everything stays in int64 (u·10^6 < 2^62), so the sample is
+    * a pure function of the row — reproducible under any partitioning,
+    * any engine, any retry, and exactly checkable by the oracle
+    * (true A-ES uses -ln(u)/w; libm ln differs across engines in the
+    * last ulp, which is exactly the nondeterminism this variant
+    * removes). Scale shape: one shuffle on the stratum key + per-
+    * stratum top-k window; a stratum too big for one task swaps the
+    * window for w06's bounded-state top-k aggregate.
+    */
+  def s09WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"(pmod(doc_id * 48271, 2147483647) * 1000000) div greatest(n_chars, 1)")
+          .as("priority"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= 10)
+      .select(col("source"), col("pick_rank").cast("long").as("pick_rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
+
+  private val s09Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ((doc_id * 48271) % 2147483647) * 1000000 // GREATEST(n_chars, 1) AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+      |  FROM h)
+      |SELECT source, rn AS pick_rank, doc_id, n_chars
+      |FROM r WHERE rn <= 10
+      |ORDER BY source, pick_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s09_weighted_sample",
+      "deterministic weighted priority sample (integer A-ES), 10 per stratum",
+      s09WeightedSample, Some(s09Sql)),
     QueryDef("s05_stratified_sample",
       "deterministic 20% exact-fraction sample per stratum",
       s05StratifiedSample, Some(s05Sql)),

@@ -344,8 +344,55 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** v06 — exact maximum-inner-product top-5 per query. Retrieval
+    * rankers (DSSM-style two-tower models) score by raw dot product, not
+    * cosine: magnitude matters. The int64-quantized dot keeps EVERY
+    * score an exact integer, so the ranking (and the oracle hash) is
+    * engine-independent with no float rounding anywhere — the strongest
+    * determinism contract in the v-family. Same plan shape as v01
+    * (broadcast query side, per-query window top-k, no global sort); the
+    * standard scale path is the norm-augmentation reduction of MIPS to
+    * cosine ANN (append sqrt(M²-|x|²) as an extra dimension), after
+    * which v02/v05's IVF index applies unchanged.
+    */
+  def v06MipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val corpus = vecs.select(col("vec_id").as("cid"), col("q").as("cq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("dot", expr(dot("qq", "cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), col("dot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v06Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS BIGINT) dot
+      |  FROM v a, v b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, cid, dot,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) rank
+      |      FROM p)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, dot
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
+    QueryDef("v06_mips_topk", "exact max-inner-product top-5 (int64 scores)",
+      v06MipsTopK, Some(v06Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",
       v02IvfTopK(_, _), Some(v02Sql)),
     QueryDef("v03_kmeans_step", "one exact Lloyd step (int64 centroid sums)",

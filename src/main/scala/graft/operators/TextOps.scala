@@ -779,8 +779,47 @@ object TextOps {
       |SELECT doc_id, url, canon, canon <> url AS changed
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** t17 — corpus-wide word-bigram top-20 by frequency: the counting
+    * primitive behind n-gram language models, contamination screens
+    * (t10 uses 3-gram shingles the same way) and collocation mining.
+    * Bigrams are materialized per row with `transform(sequence(...))`
+    * over the token array (`element_at` is 1-based on both engines'
+    * surface here) and exploded straight into a partial+final hash
+    * count — the explode never crosses a shuffle un-aggregated, so the
+    * shuffled payload is one row per DISTINCT bigram per partition, not
+    * per occurrence. The top-20 is a TakeOrdered (count desc, bigram
+    * asc — deterministic tie-break), no global sort. At 100 TB this is
+    * the exact shape you want: vocabulary-bounded shuffle, no skew
+    * (bigram keys are near-uniform after partial agg), linear scan.
+    */
+  def t17NgramTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  private val t17Sql =
+    """WITH d AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') ws FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      |  FROM d WHERE len(ws) >= 2)
+      |SELECT bigram, COUNT(*) AS cnt
+      |FROM b GROUP BY bigram
+      |ORDER BY cnt DESC, bigram ASC
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
+    QueryDef("t17_ngram_topk", "corpus-wide bigram top-20 (vocabulary-bounded shuffle)",
+      t17NgramTopK, Some(t17Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),
     QueryDef("t03_langid", "marker-word language ID heuristic", t03LangId, Some(t03Sql)),
     QueryDef("t04_fingerprint", "md5 + 60-bit + rolling-hash fingerprints", t04Fingerprint, Some(t04Sql)),

@@ -272,8 +272,52 @@ object Windows {
       |             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** w10 — last-observation-carried-forward gap fill: sensor/telemetry
+    * tables carry sparse measurements, and the standard repair is "each
+    * row sees the latest non-null reading at or before it" — a
+    * `last_value(... IGNORE NULLS)` running frame, which Spark evaluates
+    * in one pass per partition (no self-join, no correlated subquery).
+    * Nulls are planted deterministically ('view' events report no
+    * value) so the oracle sees the same gaps. Rows before the first
+    * reading stay null — LOCF never invents data. The filled value is a
+    * carried INPUT double (no arithmetic), so cross-engine equality is
+    * bit-trivial. Scale shape: one hash shuffle on user_id; the frame
+    * is streaming (running state = one value), never buffering the
+    * partition.
+    */
+  def w10LocfFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") =!= "view", col("value")).as("reading"))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("reading").isNull && col("filled").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("filled"), col("was_gap"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w10Sql =
+    """WITH s AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type <> 'view' THEN value END AS reading
+      |  FROM events),
+      |f AS (
+      |  SELECT *, LAST_VALUE(reading IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM s)
+      |SELECT event_id, user_id, us, filled,
+      |  (reading IS NULL AND filled IS NOT NULL) AS was_gap
+      |FROM f ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w10_locf_fill", "LOCF gap fill via last_value IGNORE NULLS running frame",
+      w10LocfFill, Some(w10Sql)),
     QueryDef("w07_cume_dist", "partitioned cume_dist + dense_rank", w07CumeDist, Some(w07Sql)),
     QueryDef("w06_topk_aggregate", "custom TypedImperativeAggregate top-k", w06TopKAggregate, Some(w06Sql)),
     QueryDef("w02_lag_delta", "lag/lead offsets per key", w02LagDelta, Some(w02Sql)),
