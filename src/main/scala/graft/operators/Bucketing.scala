@@ -86,9 +86,17 @@ object Bucketing {
   def writeBucketed(spark: SparkSession, dir: String,
                     buckets: Int = 8): Unit = {
     // tables land in the session's warehouse dir (static conf, set at
-    // session build time); callers drop them when done
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // session build time); callers drop them when done. DROP TABLE alone
+    // is not enough across JVMs: the in-memory catalog of a NEW session
+    // has no entry to drop, but the previous run's warehouse directory
+    // is still on disk and saveAsTable refuses to reuse the location —
+    // purge the physical path as well so the write is idempotent.
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     Tables.orders(spark, dir).write
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")

@@ -108,10 +108,22 @@ object LinkRank {
         explode(expr("array(1, 2, 3)")).as("k"), col("n"))
       .select(col("src"),
         ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
-    val und = directed.filter(col("src") =!= col("dst"))
+    // The edge set feeds FIVE consumers (degrees, two orientation joins,
+    // the closure semi-join, the edge count) and Catalyst does not share
+    // common subplans across a DAG — without pinning, the scan+distinct
+    // runs once per consumer. RDD-level persist (not DataFrame.persist:
+    // CacheManager pins InMemoryRelations until explicit unpersist; the
+    // ContextCleaner DOES collect RDD caches once the result frame is
+    // dropped — same reasoning as ScaleOps.denseIds) materializes the
+    // edge list exactly once, which is also the 100 TB shape: an edge
+    // table is built once and served to every downstream graph pass.
+    val undRaw = directed.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    val undRdd = undRaw.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = spark.createDataFrame(undRdd, undRaw.schema)
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val lowFirst = col("da") < col("db") ||

@@ -34,7 +34,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "d08_incremental_dedup", "l01_zorder", "a24_skew_stats",
     "t15_bpe_merge", "g01_link_rank", "t16_line_dedup", "a25_grouping_sets",
     "a26_correlated_subquery", "w09_range_frame", "j13_nullsafe_join",
-    "f10_collections")
+    "f10_collections",
+    "t17_ngram_topk", "g02_triangle_count", "s09_weighted_sample",
+    "v06_mips_topk", "w10_locf_fill", "io05_partition_overwrite")
 
   /** Final-plan operator fingerprint: one op name per plan line, AQE
     * final-plan section only, whole-stage-codegen markers and node ids
