@@ -38,23 +38,35 @@ class PlanGoldenSpec extends AnyFunSuite {
     "t17_ngram_topk", "g02_triangle_count", "s09_weighted_sample",
     "v06_mips_topk", "w10_locf_fill", "io05_partition_overwrite")
 
-  /** Final-plan operator fingerprint: one op name per plan line, AQE
-    * final-plan section only, whole-stage-codegen markers and node ids
-    * stripped. Stable across runs; changes exactly when the plan SHAPE
-    * changes.
+  /** Final-plan operator fingerprint: one op name per tree node in
+    * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
+    * ids stripped. Every ReusedExchange/ReusedSubquery is EXPANDED into
+    * the subtree it references: which of two identical exchanges AQE
+    * materializes first (and which becomes the Reused pointer) is a
+    * thread race, so the raw plan string is nondeterministic — after
+    * expansion both runs print the identical canonical tree. Changes
+    * exactly when the plan SHAPE changes.
     */
   private def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     df.collect() // materialize so AQE finalizes the physical plan
-    val full = df.queryExecution.executedPlan.toString
-    val section = full.split("== Initial Plan ==").head
-    section.linesIterator
-      .map(_.replaceAll("^[\\s:+\\-]*", "").replaceAll("^\\*\\(\\d+\\)\\s*", ""))
-      .map(_.takeWhile(ch => ch.isLetterOrDigit))
-      .filter(_.nonEmpty)
-      .filterNot(Seq("AdaptiveSparkPlan", "ResultQueryStage", "ShuffleQueryStage",
-        "AQEShuffleRead", "ReusedExchange", "ReusedSubquery", "Final", "Initial")
-        .contains)
-      .toSeq
+    val silent = Set("AQEShuffleRead", "ReusedSubquery", "ColumnarToRow",
+      "InputAdapter", "ResultQueryStage", "ShuffleQueryStage")
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case w: WholeStageCodegenExec => walk(w.child)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case s: QueryStageExec =>
+        val name = s.nodeName.takeWhile(_.isLetterOrDigit)
+        (if (silent(name)) Seq.empty else Seq(name)) ++ walk(s.plan)
+      case other =>
+        val name = other.nodeName.takeWhile(_.isLetterOrDigit)
+        (if (silent(name) || name.isEmpty) Seq.empty else Seq(name)) ++
+          other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
   }
 
   flagships.foreach { name =>
