@@ -337,6 +337,65 @@ object Relational {
       |FROM events e CROSS JOIN m
       |ORDER BY e.event_id, filled_value, filled_type""".stripMargin
 
+  /** A27 — exact global decile binning WITHOUT a global sort: the nine
+    * boundaries come from the bounded-state radix selection
+    * (graft.util.ScalableQuantile — same values as exact `percentile`),
+    * and the bin assignment is then a pure codegen'd projection counting
+    * boundaries ≤ x. The standard curriculum/quality-binning primitive
+    * for training-data pipelines: `ntile()` over one global window would
+    * funnel 100 TB through a single sort — this shape never sorts at all
+    * (ties land deterministically: a value equal to a boundary goes up).
+    */
+  def a27QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val probs = (1 to 9).map(_ / 10.0)
+    val qs = graft.util.ScalableQuantile
+      .quantiles(ord, Seq("o_totalprice" -> probs))
+    // boundaries round to 4 dp as Column ops — the exact arithmetic the
+    // oracle SQL describes (the a12 convention)
+    val decile = probs.map { p =>
+      when(col("o_totalprice") >= round(lit(qs(("o_totalprice", p)).get), 4), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    ord.select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", decile.cast(IntegerType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("decile"))
+  }
+
+  private val a27Sql =
+    """WITH q AS (
+      |  SELECT ROUND(quantile_cont(o_totalprice, 0.1), 4) AS b1,
+      |         ROUND(quantile_cont(o_totalprice, 0.2), 4) AS b2,
+      |         ROUND(quantile_cont(o_totalprice, 0.3), 4) AS b3,
+      |         ROUND(quantile_cont(o_totalprice, 0.4), 4) AS b4,
+      |         ROUND(quantile_cont(o_totalprice, 0.5), 4) AS b5,
+      |         ROUND(quantile_cont(o_totalprice, 0.6), 4) AS b6,
+      |         ROUND(quantile_cont(o_totalprice, 0.7), 4) AS b7,
+      |         ROUND(quantile_cont(o_totalprice, 0.8), 4) AS b8,
+      |         ROUND(quantile_cont(o_totalprice, 0.9), 4) AS b9
+      |  FROM orders),
+      |d AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST((CASE WHEN o_totalprice >= q.b1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b3 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b4 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b5 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b6 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b7 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b8 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN o_totalprice >= q.b9 THEN 1 ELSE 0 END) AS INTEGER) AS decile
+      |  FROM orders CROSS JOIN q)
+      |SELECT decile, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   /** P8/A16 — exact deduplication: hash-group on content, keep min id,
     * count copies (Health_Jim.py:414, nb:cell1:1). The groupBy form (vs
     * dropDuplicates) also yields the duplicate count in the same shuffle.
@@ -587,6 +646,8 @@ object Relational {
     QueryDef("a10_column_stats", "A15 mean/min/max/exact-median stats", a10ColumnStats, Some(a10Sql)),
     QueryDef("a11_window_median", "A17 grouped-median imputation (agg + broadcast join-back)", a11WindowMedian, Some(a11Sql)),
     QueryDef("a12_iqr_clip", "A18 global-quantile IQR capping", a12IqrClip, Some(a12Sql)),
+    QueryDef("a27_quantile_bins", "exact global decile binning, no global sort",
+      a27QuantileBins, Some(a27Sql)),
     QueryDef("a13_median_fill", "A19/A20 global-median + constant fill", a13MedianFill, Some(a13Sql)),
     QueryDef("a14_dedup_exact", "P8/A16 exact dedup w/ duplicate counts", a14DedupExact, Some(a14Sql)),
     QueryDef("a15_row_number", "P13 global row-number id", a15RowNumber, Some(a15Sql)),

@@ -389,8 +389,84 @@ object Similarity {
       |FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** v07 — ANN recall evaluation: per-query recall@3 of the IVF probe
+    * path (v02) against the exact brute-force ranking (v01), computed as
+    * ONE distributed query. This is the index-quality gate a production
+    * vector pipeline runs after every (re)build — recall as data, not a
+    * test-only assertion (SimilaritySpec asserts the bound; this operator
+    * ships the measurement itself).
+    *
+    * Scale shape: both sides are the existing top-k plans (each bounded
+    * at k rows per query); the eval is a left join on (query, neighbor)
+    * plus a per-query count — negligible next to the searches it audits.
+    * Recall crosses the oracle boundary in exact ppm.
+    */
+  def v07RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = v01CosineTopK(spark, dir)
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor_id"))
+    val approx = v02IvfTopK(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("neighbor_id") === col("an"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_match"))
+      .select(col("qid"), col("n_match"),
+        expr("n_match * 1000000 div k").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  // exact (v01 top-3) and approx (v02) rankings re-derived from shared
+  // CTEs, then joined: recall@3 per query in exact ppm
+  private val v07Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |bp AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |    FROM bp) WHERE rank <= 3),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT n.vec_id, n.q, n.nrm, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |  FROM scored),
+      |members AS (SELECT centroid_id cell, vec_id cid, q cq, nrm cn FROM ranked WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, q qq, nrm qn, centroid_id cell
+      |           FROM ranked WHERE vec_id % 25 = 0 AND crank <= 2),
+      |ap AS (
+      |  SELECT probes.qid, members.cid,
+      |    CAST(list_sum(list_transform(range(1, len(probes.qq) + 1),
+      |           i -> probes.qq[CAST(i AS INTEGER)] * members.cq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(probes.qn AS DOUBLE) * CAST(members.cn AS DOUBLE)) cos
+      |  FROM probes JOIN members USING (cell)
+      |  WHERE probes.qid <> members.cid),
+      |approx AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |    FROM ap) WHERE rank <= 3)
+      |SELECT e.qid, CAST(COUNT(a.cid) AS BIGINT) AS n_match,
+      |  CAST(COUNT(a.cid) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+      |GROUP BY e.qid
+      |ORDER BY e.qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
+    QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
+      v07RecallEval, Some(v07Sql)),
     QueryDef("v06_mips_topk", "exact max-inner-product top-5 (int64 scores)",
       v06MipsTopK, Some(v06Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",

@@ -816,8 +816,117 @@ object TextOps {
       |ORDER BY cnt DESC, bigram ASC
       |LIMIT 20""".stripMargin
 
+  /** t18 — overlapping token-window chunking: every document becomes
+    * ceil((n-W)/S)+1 chunks of W=64 whitespace tokens at stride S=48
+    * (16-token overlap) — the standard context-window packing/RAG
+    * preprocessing step. Chunk text crosses the oracle boundary as md5
+    * so the comparator never ships megabytes of text.
+    *
+    * Scale shape: pure per-row explode (1→k rows, k ≈ n/S) — no shuffle
+    * at all except the presentation sort; at 100 TB this runs entirely
+    * map-side. The chunk-count arithmetic is integer (ceil division via
+    * (n-W+S-1) div S), so row counts are engine-exact.
+    */
+  def t18Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      // last chunk index: 0 when the doc fits one window, else exact
+      // integer ceil((n-W)/S). S < W guarantees last*S < n (no empty chunk)
+      .withColumn("last",
+        when(col("n") > W, expr(s"(n - $W + ${S - 1}) div $S")).otherwise(lit(0)))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("last"))))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        expr(s"slice(toks, chunk_idx * $S + 1, $W)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val t18Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |         len(string_split_regex(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END)) AS chunk_idx
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** t19 — n-gram novelty of an incoming batch against the standing
+    * corpus: docs with doc_id ≡ 0 (mod 10) are "the new batch", the rest
+    * are the corpus; each batch document reports how many of its word
+    * 3-gram instances are unseen in the corpus. The freshness /
+    * information-gain signal used to prioritize crawl batches.
+    *
+    * Scale shape: corpus grams distinct-aggregate once, then ONE shuffle
+    * join gram-to-gram (the same asymmetric batch-vs-corpus shape as
+    * d08); everything after is a per-doc aggregate. At 100 TB the join
+    * key would be xxhash64(gram) rather than the string — kept as the
+    * string here so the oracle can join on identical values.
+    */
+  def t19NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as("gram"))
+    val corpusGrams = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("gram").as("cg")).distinct()
+    val stats = grams.filter(col("doc_id") % 10 === 0)
+      .join(corpusGrams, col("gram") === col("cg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           count(when(col("cg").isNull, 1)).as("n_novel"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("n_novel * 1000000 div n_grams"), lit(0L)).as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t19Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      |        FROM tok WHERE len(t) >= 3)),
+      |corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+      |stats AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN corpus.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM g b LEFT JOIN corpus ON b.gram = corpus.gram
+      |  WHERE b.doc_id % 10 = 0
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_grams, 0) AS n_grams,
+      |  COALESCE(s.n_novel, 0) AS n_novel,
+      |  COALESCE(CAST(s.n_novel * 1000000 // s.n_grams AS BIGINT), 0) AS novelty_ppm
+      |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+      |WHERE d.doc_id % 10 = 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
+    QueryDef("t18_chunking", "overlapping token-window chunking (pure map-side explode)",
+      t18Chunking, Some(t18Sql)),
+    QueryDef("t19_ngram_novelty", "batch-vs-corpus 3-gram novelty (asymmetric gram join)",
+      t19NgramNovelty, Some(t19Sql)),
     QueryDef("t17_ngram_topk", "corpus-wide bigram top-20 (vocabulary-bounded shuffle)",
       t17NgramTopK, Some(t17Sql)),
     QueryDef("t02_quality_score", "length/punct/stopword quality scoring", t02QualityScore, Some(t02Sql)),

@@ -314,8 +314,62 @@ object Windows {
       |  (reading IS NULL AND filled IS NOT NULL) AS was_gap
       |FROM f ORDER BY event_id""".stripMargin
 
+  /** w11 — cohort retention over the event stream: users are cohorted by
+    * their first active epoch-day, then each (cohort, day-offset) cell
+    * counts the distinct users still active. The classic growth-analytics
+    * matrix, and a window/agg composition the reference's dashboard
+    * queries gesture at (A2 yearly trends) without the per-entity anchor.
+    *
+    * Scale shape: ONE hash exchange on user_id serves the cohort-anchor
+    * window (min day per user); the retention cell aggregate then
+    * shuffles on (cohort, offset) with partial distinct. The cohort-size
+    * denominator is the offset-0 diagonal picked out by a window over
+    * the aggregated CELLS (weeks² rows) — a self-join against the raw
+    * aggregate would re-scan the whole event stream a second time. All
+    * time math is integer epoch-micros → epoch-days; retention is
+    * emitted in exact ppm (integer floor division) so no float quotient
+    * crosses the engine boundary.
+    */
+  def w11CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val wCohort = Window.partitionBy(col("cohort_day"))
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(wUser))
+    base
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+           count(lit(1)).as("n_events"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(wCohort))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("n_events"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val w11Sql =
+    """WITH w AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    MIN(epoch_us(ts) // 86400000000) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM events),
+      |cells AS (
+      |  SELECT cohort_day, day - cohort_day AS day_offset,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+      |    COUNT(*) AS n_events
+      |  FROM w GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, n_active, n_events,
+      |  CAST(n_active * 1000000 //
+      |    MAX(CASE WHEN day_offset = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort_day) AS BIGINT) AS retention_ppm
+      |FROM cells
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w11_cohort_retention", "cohort-day retention matrix (one exchange anchor)",
+      w11CohortRetention, Some(w11Sql)),
     QueryDef("w10_locf_fill", "LOCF gap fill via last_value IGNORE NULLS running frame",
       w10LocfFill, Some(w10Sql)),
     QueryDef("w07_cume_dist", "partitioned cume_dist + dense_rank", w07CumeDist, Some(w07Sql)),

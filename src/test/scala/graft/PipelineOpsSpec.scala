@@ -359,4 +359,92 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(mean > 0 && mean < 12, s"doc ${r.getLong(0)} mean_nats $mean out of range")
     }
   }
+
+  test("w11: offset-0 diagonal is 100% retention and event counts conserve") {
+    val out = operators.Windows.w11CohortRetention(spark, sf001).collect()
+    val diag = out.filter(_.getLong(1) == 0L)
+    assert(diag.nonEmpty)
+    diag.foreach(r => assert(r.getLong(4) == 1000000L,
+      s"cohort ${r.getLong(0)} offset-0 retention ${r.getLong(4)}"))
+    // every cell's active users bounded by its cohort's size
+    val sizes = diag.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(r.getLong(2) <= sizes(r.getLong(0))))
+    // cells partition the event stream: n_events sums to the table size
+    val total = Tables.events(spark, sf001).count()
+    assert(out.map(_.getLong(3)).sum == total)
+  }
+
+  test("a27: deciles are complete, ordered, and partition the orders table") {
+    val out = operators.Relational.a27QuantileBins(spark, sf001).collect()
+    assert(out.map(_.getInt(0)).toSeq == (0 to 9), "missing or extra decile")
+    val total = Tables.orders(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // value ranges are disjoint and ordered: bin i's max <= bin i+1's min
+    out.sliding(2).foreach { p =>
+      assert(p(0).getDouble(3) <= p(1).getDouble(2),
+        s"decile ${p(0).getInt(0)} range overlaps ${p(1).getInt(0)}")
+    }
+    // deciles are balanced: each within 2% of n/10 (interpolated exact
+    // boundaries; ties can shift a handful of rows between bins)
+    val tenth = total / 10.0
+    out.foreach(r => assert(math.abs(r.getLong(1) - tenth) < total * 0.02,
+      s"decile ${r.getInt(0)} holds ${r.getLong(1)} of $total"))
+  }
+
+  test("t18: chunk indexes are dense, windows full except the per-doc tail") {
+    val rows = operators.TextOps.t18Chunking(spark, sf001).collect()
+    val t01 = operators.TextOps.t01TokenStats(spark, sf001)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, cs) =>
+      val n = t01(doc)
+      val expected = if (n > 64) ((n - 64 + 47) / 48 + 1) else 1L
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, want $expected")
+      assert(cs.map(_.getInt(1)).sorted.toSeq == (0 until cs.length).toSeq)
+      val byIdx = cs.sortBy(_.getInt(1))
+      // all but the last chunk are full 64-token windows; the tail is
+      // 17..64 tokens (stride 48 < window 64 guarantees non-empty)
+      byIdx.init.foreach(c => assert(c.getLong(2) == 64L))
+      assert(byIdx.last.getLong(2) >= 1L && byIdx.last.getLong(2) <= 64L)
+    }
+  }
+
+  test("t19: novelty bounded by gram count, gram counts match tokenization") {
+    val rows = operators.TextOps.t19NgramNovelty(spark, sf001).collect()
+    val t01 = operators.TextOps.t01TokenStats(spark, sf001)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, nGrams, nNovel) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(doc % 10 == 0)
+      assert(nGrams == math.max(0L, t01(doc) - 2), s"doc $doc gram count")
+      assert(nNovel >= 0 && nNovel <= nGrams)
+      val ppm = r.getLong(3)
+      assert(ppm == (if (nGrams == 0) 0L else nNovel * 1000000L / nGrams))
+    }
+  }
+
+  test("v07: recall matches a driver-side recomputation from v01/v02") {
+    val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
+    val exact = operators.Similarity.v01CosineTopK(spark, sf001)
+      .filter(col("rank") <= 3).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val approx = operators.Similarity.v02IvfTopK(spark, sf001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(out.length == exact.size)
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val want = (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getLong(1) == want, s"query $q: n_match ${r.getLong(1)} != $want")
+      assert(r.getLong(2) == want * 1000000L / 3)
+    }
+    // No recall floor asserted: THIS is the measurement. On this corpus
+    // the synthetic vectors barely cluster, so probe-2-of-16 recall is
+    // genuinely low (~0.28 at sf0.01) — exactly the signal a production
+    // pipeline uses to raise nprobe/nlist before trusting the index
+    // (v04's near-1.0 is a different axis: quantization, not pruning).
+    val avg = out.map(_.getLong(2)).sum / out.length
+    assert(avg > 0L && avg <= 1000000L, s"avg recall_ppm $avg out of range")
+  }
 }
