@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => NfcNormalize(es.head)))
     // Rule tier: idempotence collapse for nfc_normalize chains
     ext.injectOptimizerRule(s => graft.plans.CollapseNfcNormalize(s))
+    // Whole-operator tier: the native as-of join (logical node + merge exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

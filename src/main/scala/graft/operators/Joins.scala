@@ -357,8 +357,51 @@ object Joins {
       |FROM f JOIN d ON f.seg IS NOT DISTINCT FROM d.dseg
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** j15 — the NATIVE as-of join ([[graft.plans.AsOfJoin]]): every event
+    * enriched with the user's latest strictly-earlier error event. Same
+    * point-in-time family as j06's window encoding, but as a true
+    * two-relation operator: the error side is its own (filtered, narrow)
+    * relation, and the physical plan is two co-partitioning exchanges +
+    * a one-pass per-partition merge — no window over the full stream
+    * carrying every payload column, no O(pairs) inequality join.
+    * Determinism: ties in error time break by event_id (last wins).
+    */
+  def j15AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("us").as("err_us"),
+              col("event_id").as("err_event_id"))
+    graft.plans.AsOfJoin.asof(
+        ev, errors,
+        leftKeys = Seq("user_id"), rightKeys = Seq("err_user"),
+        leftTimeCol = "us", rightTimeCol = "err_us",
+        rightTieBreak = Seq("err_event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("err_us"), col("err_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j15Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |r AS (
+      |  SELECT user_id AS err_user, us AS err_us, event_id AS err_event_id
+      |  FROM e WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT e.event_id, r.err_us, r.err_event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                       ORDER BY r.err_us DESC, r.err_event_id DESC) AS rn
+      |  FROM e JOIN r ON e.user_id = r.err_user AND r.err_us < e.us)
+      |SELECT e.event_id, e.user_id, e.event_type, p.err_us, p.err_event_id
+      |FROM e LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (event_id)
+      |ORDER BY e.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
+    QueryDef("j15_asof_join", "NATIVE as-of join (custom plan + strategy + merge exec)",
+      j15AsOfJoin, Some(j15Sql)),
     QueryDef("j02_fact_fact_revenue", "fact-fact shuffle join w/ pre-join partial agg", j02FactFactRevenue, Some(j02Sql)),
     QueryDef("j03_semi_join", "left semi join (EXISTS)", j03SemiJoin, Some(j03Sql)),
     QueryDef("j04_anti_join", "left anti join (NOT EXISTS)", j04AntiJoin, Some(j04Sql)),
