@@ -595,8 +595,98 @@ object EventStream {
       .orderBy(col("source"), col("verdict"))
   }
 
+  /** st07 — conversion-funnel drop-off: every click LEFT OUTER interval-
+    * joined to the purchases it could have driven; clicks with no
+    * purchase within (click, click+1h] count as unattributed. The
+    * contract query is the batch plan (one shuffle on user_id, the same
+    * exchange the interval join and the aggregate share); the streaming
+    * dual — a watermarked stream-stream LEFT OUTER join, where unmatched
+    * clicks emit with nulls only once the watermark proves no purchase
+    * can still arrive — is [[streamingUnattributedClicks]], asserted
+    * equal to this plan on the watermark-closed region by
+    * EventStreamSpec.
+    */
+  def st07UnattributedClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") > col("click_us") &&
+        col("p_us") <= col("click_us") + 3600L * 1000000L, "left")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("click_id")).as("n_clicks"),
+           countDistinct(when(col("p_user").isNull, col("click_id")))
+             .as("n_unattributed"))
+      .orderBy(col("user_id"))
+  }
+
+  private val st07Sql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id,
+      |  CAST(COUNT(DISTINCT c.click_id) AS BIGINT) AS n_clicks,
+      |  CAST(COUNT(DISTINCT CASE WHEN p.p_user IS NULL THEN c.click_id END) AS BIGINT)
+      |    AS n_unattributed
+      |FROM c LEFT JOIN p ON c.user_id = p.p_user
+      |  AND p.p_us > c.click_us AND p.p_us <= c.click_us + CAST(3600000000 AS BIGINT)
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
+  /** The streaming dual of [[st07UnattributedClicks]]: a stream-stream
+    * LEFT OUTER join with watermarks on both sides. Matched pairs emit
+    * as they join; an unmatched click emits (with null purchase columns)
+    * only when the watermark passes click_ts + 1 h — the state store
+    * can then prove no qualifying purchase will arrive. Returns the raw
+    * outer-join rows in append mode. Clicks newer than
+    * max(event time) − (1 h + watermark) are still open when a finite
+    * replay drains, so callers compare against batch on the CLOSED
+    * region only (the flatMapGroupsWithState convention).
+    */
+  def streamingUnattributedClicks(spark: SparkSession, dir: String,
+                                  queryName: String = "st_unattrib"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def src() = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsc").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsc").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"), "leftOuter")
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+    val q = joined.writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy(col("user_id"), col("click_id"), col("p_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
+    QueryDef("st07_unattributed_clicks",
+      "funnel drop-off: LEFT OUTER interval join + distinct accounting",
+      st07UnattributedClicks, Some(st07Sql)),
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
     QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql)),
     QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql)),

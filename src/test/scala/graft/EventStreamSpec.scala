@@ -192,6 +192,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batchPairs.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join == batch outer pairs on the closed region") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    // the closed region: clicks old enough that the final watermark has
+    // passed click_ts + 1h, so the streaming side has provably decided
+    // matched-vs-unmatched. The global watermark is the MIN across both
+    // input streams (the purchase stream's max event usually trails the
+    // click stream's), floored to ms — minus a 1 ms guard for the floor.
+    val maxSideUs = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(_.getLong(1)).min
+    val closedUs = (maxSideUs / 1000L) * 1000L - 2L * 3600L * 1000000L - 1000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+      .filter(col("click_us") < closedUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    val batchOuter = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") > col("click_us") &&
+        col("p_us") <= col("click_us") + 3600L * 1000000L, "left")
+      .select(col("user_id"), col("click_id"), col("click_us"), col("p_us"))
+      .orderBy(col("user_id"), col("click_id"), col("p_us"))
+      .collect().map(_.toString)
+    val streamed = EventStream.streamingUnattributedClicks(spark, sf)
+      .filter(col("click_us") < closedUs)
+      .orderBy(col("user_id"), col("click_id"), col("p_us"))
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    // unmatched clicks must actually appear as null-purchase rows
+    assert(streamed.exists(_.endsWith(",null]")), "no outer rows emitted")
+    assert(streamed.toSeq == batchOuter.toSeq)
+  }
+
   test("stream-static enrichment join replay == batch join") {
     import org.apache.spark.sql.functions._
     import graft.util.Exact._
