@@ -136,8 +136,55 @@ object Bucketing {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** j16 — DYNAMIC partition pruning, the other half of the layout
+    * story (j14 buckets the join key; this partitions the filter key):
+    * orders re-laid-out as month-partitioned parquet, then joined to a
+    * tiny month-dimension filtered on a DIM-ONLY attribute (quarter).
+    * No static filter mentions the fact table, so only runtime DPP can
+    * prune — Catalyst plants an IN-subquery over the broadcast dim into
+    * the fact scan's PartitionFilters and reads 3 of ~80 month
+    * directories (BucketingSpec asserts both the `dynamicpruning`
+    * expression and the pruned result equality). At 100 TB date-
+    * partitioned layouts this is THE difference between scanning a
+    * quarter and scanning seven years.
+    */
+  def j16DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.util.Scratch.dir("graft_dpp_")
+    // one file per month partition: repartition on the partition column
+    // so the 80-dir layout doesn't shatter into 32 files each
+    Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("o_month"))
+      .write.partitionBy("o_month").mode("overwrite").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("d_month"))
+      .distinct()
+      .withColumn("d_quarter",
+        concat(substring(col("d_month"), 1, 4), lit("-Q"),
+          expr("(CAST(substring(d_month, 6, 2) AS INT) + 2) div 3")))
+    fact.join(dim.filter(col("d_quarter") === "1996-Q1"),
+        col("o_month") === col("d_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_month"))
+  }
+
+  private val j16Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("j09_salted_agg", "skew-safe two-stage salted aggregation", j09SaltedAgg, Some(j09Sql)),
+    QueryDef("j16_dynamic_pruning", "runtime DPP over a month-partitioned layout",
+      j16DynamicPruning, Some(j16Sql)),
     QueryDef("j10_salted_join", "skew-safe salted fact-fact join", j10SaltedJoin, Some(j10Sql)),
     QueryDef("j14_bucketed_join", "bucketed-layout lifecycle: write + exchange-free join",
       j14BucketedLifecycle, Some(j14Sql))

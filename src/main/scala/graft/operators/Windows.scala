@@ -366,8 +366,88 @@ object Windows {
       |FROM cells
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** w12 — ORDERED, time-bounded funnel conversion (view → click within
+    * 6 h → purchase within 6 h more, other events freely interleaved):
+    * the sequence-pattern query behind every product-analytics funnel
+    * (MATCH_RECOGNIZE's most common case). Stage progress is a chain of
+    * running-max timestamps — "latest view", "latest click within 6 h
+    * of a view", "purchase within 6 h of that" — so membership in stage
+    * k is decidable per row with O(1) state.
+    *
+    * Scale shape: both running maxes share ONE (user_id) exchange and
+    * sort; the per-user collapse reuses the same key. No collect_list
+    * of event sequences, no self-joins — at 100 TB the funnel costs one
+    * shuffle of (user, time, type) triples.
+    */
+  def w12FunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(wRun))
+      .withColumn("vc_us",
+        when(col("event_type") === "click" && col("last_view_us").isNotNull &&
+             col("us") - col("last_view_us") <= gapUs, col("us")))
+      .withColumn("last_vc_us", max(col("vc_us")).over(wRun))
+      .withColumn("is_full",
+        when(col("event_type") === "purchase" && col("last_vc_us").isNotNull &&
+             col("us") - col("last_vc_us") <= gapUs, 1).otherwise(0))
+    staged.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+           max(when(col("vc_us").isNotNull, 1).otherwise(0)).as("s2"),
+           max(col("is_full")).as("s3"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("s1")).as("n_view"),
+           sum(col("s2")).as("n_view_click"),
+           sum(col("s3")).as("n_full_funnel"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        expr("n_full_funnel * 1000000 div n_view").as("conversion_ppm"))
+  }
+
+  private val w12Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+      |                  AND us - last_view_us <= CAST(21600000000 AS BIGINT)
+      |                 THEN us END AS vc_us
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, MAX(vc_us)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_vc_us
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND last_vc_us IS NOT NULL
+      |                  AND us - last_vc_us <= CAST(21600000000 AS BIGINT)
+      |                 THEN 1 ELSE 0 END AS is_full
+      |  FROM s3),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN vc_us IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |    MAX(is_full) AS s3
+      |  FROM s4 GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(s1) AS BIGINT) AS n_view,
+      |  CAST(SUM(s2) AS BIGINT) AS n_view_click,
+      |  CAST(SUM(s3) AS BIGINT) AS n_full_funnel,
+      |  CAST(SUM(s3) * 1000000 // SUM(s1) AS BIGINT) AS conversion_ppm
+      |FROM u""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
+    QueryDef("w12_funnel_steps", "ordered view->click->purchase funnel (one exchange)",
+      w12FunnelSteps, Some(w12Sql)),
     QueryDef("w11_cohort_retention", "cohort-day retention matrix (one exchange anchor)",
       w11CohortRetention, Some(w11Sql)),
     QueryDef("w10_locf_fill", "LOCF gap fill via last_value IGNORE NULLS running frame",

@@ -43,4 +43,24 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("j16: runtime DPP plants a dynamicpruning filter and prunes to the quarter") {
+    val df = operators.Bucketing.j16DynamicPruning(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the fact scan must carry a runtime IN-subquery on the partition
+    // column — no static filter mentions the fact table at all
+    assert(plan.contains("dynamicpruning"), s"no DPP expression in plan:\n$plan")
+    // pruned result == statically-filtered recomputation
+    val want = Tables.orders(spark, "/root/testdata/sf0.01")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1996-04-01"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           graft.util.Exact.exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_month")).collect()
+    assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    assert(rows.length == 3, "1996-Q1 spans three month partitions")
+  }
 }

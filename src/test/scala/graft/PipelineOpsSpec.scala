@@ -425,6 +425,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w12: funnel counts match a driver-side sequence scan") {
+    val row = operators.Windows.w12FunnelSteps(spark, sf001).head()
+    // brute-force ground truth: walk each user's events in (us, id) order
+    val events = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .groupBy(_.getLong(0))
+    val gapUs = 6L * 3600L * 1000000L
+    var (nView, nVc, nFull) = (0L, 0L, 0L)
+    events.foreach { case (_, rs) =>
+      var (sawV, sawVC, sawFull) = (false, false, false)
+      var lastView = Long.MinValue
+      var lastVc = Long.MinValue
+      rs.sortBy(r => (r.getLong(3), r.getLong(1))).foreach { r =>
+        val us = r.getLong(3)
+        r.getString(2) match {
+          case "view" => sawV = true; lastView = math.max(lastView, us)
+          case "click" if lastView != Long.MinValue && us - lastView <= gapUs =>
+            sawVC = true; lastVc = math.max(lastVc, us)
+          case "purchase" if lastVc != Long.MinValue && us - lastVc <= gapUs =>
+            sawFull = true
+          case _ =>
+        }
+      }
+      if (sawV) nView += 1
+      if (sawVC) nVc += 1
+      if (sawFull) nFull += 1
+    }
+    assert(row.getLong(0) == events.size)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((nView, nVc, nFull)))
+    assert(row.getLong(4) == nFull * 1000000L / nView)
+    // a real funnel: strictly narrowing stages on this corpus
+    assert(nView > nVc && nVc > nFull && nFull > 0)
+  }
+
   test("v07: recall matches a driver-side recomputation from v01/v02") {
     val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
     val exact = operators.Similarity.v01CosineTopK(spark, sf001)
