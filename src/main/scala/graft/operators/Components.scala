@@ -113,9 +113,64 @@ object Components {
       |FROM lab JOIN sz USING (component_id)
       |ORDER BY lab.doc_id""".stripMargin
 
+  /** g03 — the dedup impact profile: component-SIZE histogram over the
+    * whole corpus, singletons included (documents with no near-dup pair
+    * are their own size-1 component — d06 alone only sees paired docs).
+    * This is the number a curation run reports before committing a
+    * dedup pass: how many clusters of each size, how many docs they
+    * hold, and (as the size-weighted tail) how many docs dedup would
+    * remove. One left join against the propagation output + one tiny
+    * aggregate — the profile costs nothing beyond d06 itself.
+    */
+  def g03ComponentProfile(spark: SparkSession, dir: String): DataFrame = {
+    val comp = d06CcClusters(spark, dir)
+      .select(col("doc_id"), col("component_id"), col("cluster_size"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("component_id"), col("doc_id")).as("component_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("component_id")).as("n_components"),
+           count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val g03Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
+      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+      |p AS (
+      |  SELECT a.doc_id ida, b.doc_id idb
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+      |e AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a),
+      |sz AS (SELECT component_id, COUNT(*) AS n FROM lab GROUP BY 1),
+      |prof AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(lab.component_id, d.doc_id) AS component_id,
+      |    CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size
+      |  FROM documents d
+      |  LEFT JOIN lab ON d.doc_id = lab.doc_id
+      |  LEFT JOIN sz ON lab.component_id = sz.component_id)
+      |SELECT cluster_size,
+      |  CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components,
+      |  COUNT(*) AS n_docs
+      |FROM prof GROUP BY cluster_size
+      |ORDER BY cluster_size""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d06_cc_clusters",
       "connected components of near-dup pairs (min-label propagation)",
-      d06CcClusters, Some(d06Sql))
+      d06CcClusters, Some(d06Sql)),
+    QueryDef("g03_component_profile",
+      "dedup impact: component-size histogram incl. singletons",
+      g03ComponentProfile, Some(g03Sql))
   )
 }

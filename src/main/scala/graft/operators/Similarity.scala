@@ -463,10 +463,106 @@ object Similarity {
       |GROUP BY e.qid
       |ORDER BY e.qid""".stripMargin
 
+  /** v08 — product-quantization (PQ) top-3 by asymmetric distance
+    * computation: the 64-dim int64 vectors split into 8 subspaces of 8
+    * dims; each subspace's codebook is the deterministic first-16
+    * vectors' subvectors (the v02/v03 seeding convention); every corpus
+    * vector encodes as 8 code bytes (nearest codeword by exact int64
+    * L2, tie → lower code). A query builds its ADC lookup table — the
+    * 8×16 partial dot products against every codeword — and each
+    * query-corpus score is then Σ over 8 table entries instead of a
+    * 64-dim dot: THE memory/compute trade every production ANN system
+    * (FAISS IVFPQ lineage) makes.
+    *
+    * Scale shape: encoding is one broadcast(codebook) join + per-
+    * (vector, subspace) argmin (narrow, corpus×8 rows); scoring joins
+    * corpus codes to the broadcast ADC tables on (subspace, code) so
+    * the big side never re-reads the raw vectors. All arithmetic is
+    * int64 (L2 expanded as x·x − 2x·c + c·c over vec_dot), so ranking
+    * is bit-identical in any engine. Recall vs the exact ranking is
+    * measured, not assumed — SimilaritySpec prints-and-bounds it.
+    */
+  def v08PqTopK(spark: SparkSession, dir: String, nSub: Int = 8, subDim: Int = 8,
+                nCodes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+    // (vector, subspace) subvectors — slice is 1-based
+    val sub = vecs
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${nSub - 1})")).as("s"), col("q"))
+      .select(col("vec_id"), col("s"), expr(s"slice(q, s * $subDim + 1, $subDim)").as("qs"))
+    val codebook = sub.filter(col("vec_id") < nCodes)
+      .select(col("s").as("cb_s"), col("vec_id").as("code"), col("qs").as("cw"))
+    // encode: nearest codeword per (vector, subspace) by exact int64 L2
+    val wCode = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("code").asc)
+    val encoded = sub.join(broadcast(codebook), col("s") === col("cb_s"))
+      .withColumn("dist",
+        expr("vec_dot(qs, qs) - 2 * vec_dot(qs, cw) + vec_dot(cw, cw)"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("s"), col("code"))
+    // ADC tables: every query's partial dot against every codeword
+    val lut = sub.filter(col("vec_id") % 25 === 0)
+      .join(broadcast(codebook), col("s") === col("cb_s"))
+      .select(col("vec_id").as("qid"), col("s"), col("code"),
+        expr("vec_dot(qs, cw)").as("partial"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    encoded.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("partial")).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v08Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS qs
+      |  FROM v, (SELECT unnest(generate_series(0, 7)) AS s)),
+      |cb AS (SELECT s AS cb_s, vec_id AS code, qs AS cw FROM sub WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT sub.vec_id, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)])
+      |         * (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)]))) AS dist
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s),
+      |encoded AS (
+      |  SELECT vec_id AS cid, s, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY dist ASC, code ASC) rn
+      |    FROM dists) WHERE rn = 1),
+      |lut AS (
+      |  SELECT sub.vec_id AS qid, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> sub.qs[CAST(i AS INTEGER)] * cb.cw[CAST(i AS INTEGER)])) AS partial
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s
+      |  WHERE sub.vec_id % 25 = 0),
+      |scores AS (
+      |  SELECT lut.qid, encoded.cid, CAST(SUM(lut.partial) AS BIGINT) AS score
+      |  FROM encoded JOIN lut ON encoded.s = lut.s AND encoded.code = lut.code
+      |  WHERE lut.qid <> encoded.cid
+      |  GROUP BY lut.qid, encoded.cid),
+      |r AS (SELECT qid, cid, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) rank
+      |      FROM scores)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, score
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
     QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
       v07RecallEval, Some(v07Sql)),
+    QueryDef("v08_pq_topk", "product-quantization ADC top-3 (8x8 int64 codebooks)",
+      v08PqTopK(_, _), Some(v08Sql)),
     QueryDef("v06_mips_topk", "exact max-inner-product top-5 (int64 scores)",
       v06MipsTopK, Some(v06Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",

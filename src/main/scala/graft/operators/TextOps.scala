@@ -921,8 +921,56 @@ object TextOps {
       |WHERE d.doc_id % 10 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** t20 — per-source vocabulary statistics: token count, type count
+    * (distinct words), hapax legomena (words seen once in the source),
+    * and the type-token ratio in exact ppm. The Zipf-profile summary a
+    * corpus audit reports per provenance bucket — low TTR or a thin
+    * hapax tail flags template/boilerplate sources that repetition
+    * filters (t07, t16) should then inspect.
+    *
+    * Scale shape: one (source, word) hash aggregate — vocabulary-
+    * bounded like t17, with map-side partial counts absorbing the
+    * per-document explosion — then a 20-row rollup. No distinct over
+    * raw tokens, no per-document state.
+    */
+  def t20VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val t20Sql =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax
+      |  FROM wc GROUP BY source)
+      |SELECT source, n_tokens, n_types, n_hapax,
+      |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+      |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
+    QueryDef("t20_vocab_stats", "per-source Zipf profile: types, hapax, TTR",
+      t20VocabStats, Some(t20Sql)),
     QueryDef("t18_chunking", "overlapping token-window chunking (pure map-side explode)",
       t18Chunking, Some(t18Sql)),
     QueryDef("t19_ngram_novelty", "batch-vs-corpus 3-gram novelty (asymmetric gram join)",

@@ -460,6 +460,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nView > nVc && nVc > nFull && nFull > 0)
   }
 
+  test("g03: size histogram conserves documents and matches d06 on the clustered mass") {
+    val prof = operators.Components.g03ComponentProfile(spark, sf001).collect()
+    val total = Tables.documents(spark, sf001).count()
+    // every document lands in exactly one component
+    assert(prof.map(_.getLong(2)).sum == total)
+    // n_docs = size * n_components per row
+    prof.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    // the non-singleton mass agrees with d06's member count
+    val clustered = operators.Components.d06CcClusters(spark, sf001).count()
+    assert(prof.filter(_.getLong(0) > 1).map(_.getLong(2)).sum == clustered)
+  }
+
+  test("t20: vocabulary stats match a driver recount on one source") {
+    val rows = operators.TextOps.t20VocabStats(spark, sf001).collect()
+    assert(rows.length == 20)
+    val src = rows.head.getString(0)
+    val words = Tables.documents(spark, sf001).filter(col("source") === src)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+    val counts = words.groupBy(identity).view.mapValues(_.length).toMap
+    val r = rows.head
+    assert(r.getLong(1) == words.length, "token count")
+    assert(r.getLong(2) == counts.size, "type count")
+    assert(r.getLong(3) == counts.count(_._2 == 1), "hapax count")
+    assert(r.getLong(4) == counts.size.toLong * 1000000L / words.length)
+  }
+
   test("v07: recall matches a driver-side recomputation from v01/v02") {
     val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
     val exact = operators.Similarity.v01CosineTopK(spark, sf001)

@@ -39,7 +39,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "v06_mips_topk", "w10_locf_fill", "io05_partition_overwrite",
     "w11_cohort_retention", "a27_quantile_bins", "t18_chunking",
     "t19_ngram_novelty", "v07_recall_eval", "j15_asof_join",
-    "j16_dynamic_pruning", "w12_funnel_steps")
+    "j16_dynamic_pruning", "w12_funnel_steps", "v08_pq_topk",
+    "t20_vocab_stats")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -58,4 +58,27 @@ class SimilaritySpec extends AnyFunSuite {
     // leaves room for a regenerated corpus, not for a broken quantizer
     assert(mean >= 0.9, s"mean recall@3 $mean below band")
   }
+
+  test("v08: PQ codes are complete and ADC recall against exact is measured") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.v08PqTopK(spark, sf).collect()
+    // every query emits exactly 3 ranked neighbors, scores non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"ranks for $q")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"score order for $q")
+    }
+    val exact = Similarity.v01CosineTopK(spark, sf)
+      .filter(col("rank") <= 3).select(col("qid"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    val mean = exact.map { case (q, e) => (e & got(q)).size.toDouble / e.size }.sum / exact.size
+    // 8x compression of 64 dims on a barely-clustered corpus: the
+    // MEASUREMENT is the contract (the v07 philosophy) — assert only
+    // that the quantizer beats random top-3 (expected recall ~3/n =
+    // 0.0045 here; observed 0.117 at sf0.001) by an order of magnitude
+    info(s"v08 mean recall@3 vs exact: $mean")
+    assert(mean > 0.05, s"PQ recall $mean is indistinguishable from random")
+  }
 }
