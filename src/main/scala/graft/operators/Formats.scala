@@ -226,7 +226,58 @@ object Formats {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** io06 — the custom `graft-lines` DataSource V2
+    * ([[graft.sources.LinesDataSource]]) exercised end to end: the
+    * documents table serialized as one deterministic text shard
+    * (doc_id TAB text, sorted), read back through the source with an
+    * offset predicate that the scan PUSHES DOWN — whole byte-range
+    * chunks are pruned at planning time and the surviving chunk
+    * boundary is enforced row-level, so only the shard's tail is ever
+    * decoded. Offsets are byte-exact provenance; the oracle recomputes
+    * them as a running sum of encoded line lengths over the same sort
+    * order. FormatsSpec tortures the split-ownership rule with a prime
+    * chunk size and asserts the pruning/pushdown plan.
+    */
+  def io06LinesSource(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("graft_lines_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("doc_id").cast("string"),
+        lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .select(col("value"))
+      .write.mode("overwrite").text(scratch)
+    spark.read.format("graft-lines")
+      .option("chunkBytes", 16384)
+      .load(scratch)
+      .filter(col("offset") >= 100000L)
+      .select(col("offset"),
+        split(col("line"), "\t").getItem(0).cast(LongType).as("doc_id"),
+        length(col("line")).cast(LongType).as("n_chars"),
+        md5(col("line")).as("line_md5"))
+      .orderBy(col("offset"))
+  }
+
+  private val io06Sql =
+    """WITH l AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || chr(9) || text AS line
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, line,
+      |    CAST(COALESCE(SUM(octet_length(encode(line)) + 1)
+      |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS "offset"
+      |  FROM l)
+      |SELECT "offset", doc_id,
+      |  CAST(length(line) AS BIGINT) AS n_chars,
+      |  md5(line) AS line_md5
+      |FROM o
+      |WHERE "offset" >= 100000
+      |ORDER BY "offset"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io06_lines_source",
+      "custom DSv2 text-shard source: offset pushdown + chunk pruning",
+      io06LinesSource, Some(io06Sql)),
     QueryDef("io05_partition_overwrite",
       "dynamic partition overwrite: one-day backfill, other partitions pinned",
       io05PartitionOverwrite, Some(io05Sql)),

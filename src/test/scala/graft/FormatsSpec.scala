@@ -65,4 +65,50 @@ class FormatsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)]"),
       s"quantity filter not pushed:\n$plan")
   }
+
+  test("graft-lines DSv2: split ownership is exact under a prime chunk size") {
+    import org.apache.spark.sql.functions._
+    val scratch = graft.util.Scratch.dir("graft_lines_spec_")
+    Tables.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(scratch)
+    def read(chunk: Long) = spark.read.format("graft-lines")
+      .option("chunkBytes", chunk).load(scratch)
+      .select(col("offset"), col("line")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val single = read(1L << 30)      // one chunk: trivially correct
+    val tortured = read(97L)         // prime chunk size: every boundary case
+    assert(tortured.length == single.length, "line lost or duplicated at a split boundary")
+    assert(tortured.sameElements(single))
+    // ground truth: Spark's own text reader sees the same line multiset
+    val plain = spark.read.text(scratch).collect().map(_.getString(0)).sorted
+    assert(single.map(_._2).sorted.sameElements(plain))
+  }
+
+  test("graft-lines DSv2: offset pushdown prunes chunks; column pruning reaches the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions._
+    val scratch = graft.util.Scratch.dir("graft_lines_spec2_")
+    Tables.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(scratch)
+    def src = spark.read.format("graft-lines").option("chunkBytes", 16384).load(scratch)
+    val all = src.select("offset")
+    val tail = src.filter(col("offset") >= 100000L).select("offset")
+    val allParts = all.rdd.getNumPartitions
+    val tailParts = tail.rdd.getNumPartitions
+    assert(allParts >= 9, s"expected ~150KB/16KB chunks, got $allParts")
+    assert(tailParts < allParts / 2,
+      s"offset pushdown did not prune: $tailParts of $allParts chunks survive")
+    // row-level bound enforced on the straddling chunk
+    assert(tail.collect().forall(_.getLong(0) >= 100000L))
+    assert(tail.count() == all.filter(col("offset") >= 100000L).count())
+    // column pruning: the scan's read schema drops line and path
+    val scan = tail.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    assert(scan.readSchema().fieldNames.sameElements(Array("offset")),
+      s"scan still reads ${scan.readSchema().fieldNames.mkString(",")}")
+  }
 }

@@ -40,7 +40,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w11_cohort_retention", "a27_quantile_bins", "t18_chunking",
     "t19_ngram_novelty", "v07_recall_eval", "j15_asof_join",
     "j16_dynamic_pruning", "w12_funnel_steps", "v08_pq_topk",
-    "t20_vocab_stats")
+    "t20_vocab_stats", "io06_lines_source")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
