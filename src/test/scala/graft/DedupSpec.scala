@@ -45,4 +45,29 @@ class DedupSpec extends AnyFunSuite {
         s"nlist=$nlist missed: ${(brute -- ivf).take(5)} / extra: ${(ivf -- brute).take(5)}")
     }
   }
+
+  test("d09: deletion-key blocking finds EXACTLY the brute-force lev<=1 pairs") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Dedup.d09FuzzyPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val names = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb))).toSet
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(5)} / extra: ${(got -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
 }
