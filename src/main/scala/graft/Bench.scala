@@ -10,14 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One untimed warmup so the first timed queries don't pay JIT/codegen/
-    // shuffle-service startup (r1 showed 10x inflation on the first few).
-    SparkEntry.queries.headOption.foreach { case (name, fn) =>
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    // Untimed warmups so the first timed queries don't pay JIT/codegen/
+    // shuffle-service startup (r1 showed 10x inflation on the first few;
+    // one warmup was not enough — whichever queries ran 2nd-4th still
+    // absorbed the compiler lottery). Three shapes: broadcast join,
+    // shuffle agg+window, scan projection.
+    Seq("j01_broadcast_star", "w01_topn_per_group", "t01_token_stats")
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
