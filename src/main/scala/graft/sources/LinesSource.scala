@@ -186,23 +186,36 @@ final class LinesPartitionReader(part: LinesPartition, cols: Array[String],
     buf.toByteArray
   }
 
+  // column dispatch decided once, not string-matched per row
+  private val colCodes: Array[Int] = cols.map {
+    case "path" => 0
+    case "offset" => 1
+    case "line" => 2
+  }
+
   override def next(): Boolean = {
     while (true) {
       val lineStart = pos
       if (lineStart > part.end) return false       // next chunk's territory
+      if (lineStart > hi) return false             // past the pushed range: done
       val bytes = readLineBytes()
       if (bytes == null) return false              // EOF
-      if (lineStart >= lo && lineStart <= hi) {    // pushed offset interval
-        val vals = cols.map {
-          case "path"   => pathUtf8
-          case "offset" => java.lang.Long.valueOf(lineStart)
-          case "line"   => UTF8String.fromBytes(bytes)
+      if (lineStart >= lo) {                       // pushed offset interval
+        val vals = new Array[Any](colCodes.length)
+        var i = 0
+        while (i < colCodes.length) {
+          vals(i) = colCodes(i) match {
+            case 0 => pathUtf8
+            case 1 => java.lang.Long.valueOf(lineStart)
+            case 2 => UTF8String.fromBytes(bytes)
+          }
+          i += 1
         }
-        row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        row = new GenericInternalRow(vals)
         return true
       }
-      // else: row outside the pushed range — keep scanning (cheap: the
-      // chunk itself was already pruned unless it straddles the bound)
+      // else: line below the pushed lower bound — keep scanning (cheap:
+      // the chunk itself was already pruned unless it straddles lo)
     }
     false
   }
