@@ -633,6 +633,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The ORACLE form of a23: the raw estimates can't cross engines
+    * (DuckDB's sketch produces different numbers), but the error-band
+    * CONTRACT can — each estimate collapses to an in-band boolean the
+    * oracle states as TRUE alongside the exact counts it recomputes. A
+    * sketch regression (>5% off) flips the boolean and fails the remote
+    * hash compare, which a rows-only check never could. PipelineOpsSpec
+    * keeps asserting the band on the raw numbers.
+    */
+  def a23Contract(spark: SparkSession, dir: String): DataFrame =
+    a23ApproxDistinct(spark, dir)
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("n_hllpp") - col("n_exact")) <= col("n_exact") * 0.05).as("hllpp_ok"),
+        (abs(col("n_sketch") - col("n_exact")) <= col("n_exact") * 0.05).as("sketch_ok"))
+      .orderBy(col("l_returnflag"))
+
+  private val a23Sql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+      |  TRUE AS hllpp_ok, TRUE AS sketch_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a01_pricing_summary", "A1/A13 hash agg, exact sums/avgs", a01PricingSummary, Some(a01Sql)),
     QueryDef("a02_yearly_trend", "A2 two-key group, mixed-direction sort, limit", a02YearlyTrend, Some(a02Sql)),
@@ -659,7 +682,7 @@ object Relational {
     QueryDef("f04_casewhen_map", "F4 categorical normalization map", f04CasewhenMap, Some(f04Sql)),
     QueryDef("f05_null_vocab", "S1 null-vocabulary normalization", f05NullVocab, Some(f05Sql)),
     QueryDef("a23_approx_distinct",
-      "HLL++ + DataSketches HLL cardinality vs exact (no SQL oracle)",
-      a23ApproxDistinct, None)
+      "HLL++ + DataSketches HLL cardinality: exact counts + in-band booleans",
+      a23Contract, Some(a23Sql))
   )
 }
