@@ -44,6 +44,46 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition (the automatic dual of j09/j10 salting)") {
+    import org.apache.spark.sql.functions._
+    // funnel ~97% of lineitem onto ONE join key: the classic hot-key
+    // shape. AQE splits a skewed REDUCER by map-output ranges, so the
+    // input must span several map tasks (at 100 TB it spans thousands;
+    // this 2 MB parquet reads as one) — fan it out first.
+    val skewed = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .repartition(16)
+      .select(when(col("l_orderkey") % 30 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_extendedprice"))
+    val dim = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",       // force the shuffle path
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // the hot partition is ~58k rows but compresses hard (one repeated
+      // key) — the byte thresholds must sit BELOW its compressed size
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sum(price) keeps a poorly-compressible column in the shuffled
+      // rows so the skew is visible in bytes, not just row counts
+      val joined = skewed.join(dim, "k")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == 60000L, "join lost rows")
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // AQE marks the split join: SortMergeJoin ... (skew=true)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("j16: runtime DPP plants a dynamicpruning filter and prunes to the quarter") {
     val df = operators.Bucketing.j16DynamicPruning(spark, "/root/testdata/sf0.01")
     val rows = df.collect()
