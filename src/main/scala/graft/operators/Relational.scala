@@ -633,6 +633,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** a28 — cumulative distinct users per day (the growth/adoption curve):
+    * a windowed `count(distinct)` over an ever-growing frame is
+    * quadratic state; the scalable identity is that a user adds to the
+    * cumulative count exactly ONCE, on their first-appearance hour. One
+    * (user) aggregate → one tiny (hour) aggregate → a running sum over
+    * the small hour table. At 100 TB nothing beyond the per-user min
+    * ever shuffles, and the only window runs over hours, not events.
+    */
+  def a28RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("min(unix_micros(ts) div 3600000000)").as("first_hour"))
+    val wCum = Window.orderBy(col("first_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("first_hour"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(wCum))
+      .orderBy(col("first_hour"))
+  }
+
+  private val a28Sql =
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS first_hour
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT first_hour, COUNT(*) AS n_new_users FROM f GROUP BY first_hour)
+      |SELECT first_hour, n_new_users,
+      |  CAST(SUM(n_new_users) OVER (ORDER BY first_hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d
+      |ORDER BY first_hour""".stripMargin
+
   /** The ORACLE form of a23: the raw estimates can't cross engines
     * (DuckDB's sketch produces different numbers), but the error-band
     * CONTRACT can — each estimate collapses to an in-band boolean the
@@ -683,6 +714,9 @@ object Relational {
     QueryDef("f05_null_vocab", "S1 null-vocabulary normalization", f05NullVocab, Some(f05Sql)),
     QueryDef("a23_approx_distinct",
       "HLL++ + DataSketches HLL cardinality: exact counts + in-band booleans",
-      a23Contract, Some(a23Sql))
+      a23Contract, Some(a23Sql)),
+    QueryDef("a28_running_distinct",
+      "cumulative distinct users via first-appearance days (no quadratic window)",
+      a28RunningDistinct, Some(a28Sql))
   )
 }
