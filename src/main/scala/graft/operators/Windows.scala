@@ -444,10 +444,55 @@ object Windows {
       |  CAST(SUM(s3) * 1000000 // SUM(s1) AS BIGINT) AS conversion_ppm
       |FROM u""".stripMargin
 
+  /** w13 — gaps-and-islands: each user's longest streak of CONSECUTIVE
+    * active days. The island identity — `day - dense_rank(day)` is
+    * constant exactly within a consecutive run — turns streak detection
+    * into a plain aggregation, the canonical SQL-pattern the reference's
+    * trend queries stop short of.
+    *
+    * Scale shape: one (user) exchange serves the dedup-to-days
+    * aggregate, the ranking window, and both streak aggregates — no
+    * self-joins, no sequence materialization.
+    */
+  def w13LongestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - dense_rank().over(wRank))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("streak")).as("n_active_days"),
+           max(col("streak")).as("longest_streak"),
+           count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  private val w13Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, island, COUNT(*) AS streak
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id,
+      |  CAST(SUM(streak) AS BIGINT) AS n_active_days,
+      |  CAST(MAX(streak) AS BIGINT) AS longest_streak,
+      |  COUNT(*) AS n_streaks
+      |FROM s
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
     QueryDef("w12_funnel_steps", "ordered view->click->purchase funnel (one exchange)",
       w12FunnelSteps, Some(w12Sql)),
+    QueryDef("w13_longest_streak", "gaps-and-islands: longest consecutive-day streak",
+      w13LongestStreak, Some(w13Sql)),
     QueryDef("w11_cohort_retention", "cohort-day retention matrix (one exchange anchor)",
       w11CohortRetention, Some(w11Sql)),
     QueryDef("w10_locf_fill", "LOCF gap fill via last_value IGNORE NULLS running frame",

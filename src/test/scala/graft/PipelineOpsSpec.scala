@@ -487,6 +487,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == counts.size.toLong * 1000000L / words.length)
   }
 
+  test("w13: streak stats match a driver-side consecutive-day scan") {
+    val out = operators.Windows.w13LongestStreak(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byUser = Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    assert(out.size == byUser.size)
+    byUser.foreach { case (u, days) =>
+      var streaks = Seq.empty[Long]
+      var cur = 1L
+      days.sliding(2).foreach {
+        case Seq(a, b) => if (b == a + 1) cur += 1 else { streaks :+= cur; cur = 1 }
+        case _ =>
+      }
+      streaks :+= cur
+      val (nDays, longest, nStreaks) = out(u)
+      assert(nDays == days.length, s"user $u active days")
+      assert(longest == streaks.max, s"user $u longest streak")
+      assert(nStreaks == streaks.length, s"user $u streak count")
+    }
+  }
+
   test("v07: recall matches a driver-side recomputation from v01/v02") {
     val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
     val exact = operators.Similarity.v01CosineTopK(spark, sf001)
