@@ -664,6 +664,45 @@ object Relational {
       |FROM d
       |ORDER BY first_hour""".stripMargin
 
+  /** a29 — robust outlier accounting by Median Absolute Deviation: the
+    * second member of the robust-statistics family next to a12's IQR
+    * capping, and a composition test for the bounded-state quantile
+    * machinery — the MAD needs TWO dependent radix selections (median
+    * first, then the median of |x − median| over a derived column),
+    * each a ≤6-pass map-side-combinable aggregate, never a global sort
+    * or a value-buffering percentile. The outlier rule is the standard
+    * |x − med| > 3 · 1.4826 · MAD (σ-consistent MAD).
+    */
+  def a29MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val med = graft.util.ScalableQuantile
+      .medians(ord, Seq("o_totalprice"))("o_totalprice").get
+    val dev = ord.withColumn("dev", abs(col("o_totalprice") - round(lit(med), 4)))
+    val mad = graft.util.ScalableQuantile.medians(dev, Seq("dev"))("dev").get
+    // keep every double step as Column arithmetic in the same shape the
+    // oracle SQL spells, so the fold is bit-identical
+    val thr = lit(3.0) * lit(1.4826) * round(lit(mad), 4)
+    dev.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           count(when(col("dev") > thr, 1)).as("n_outliers"),
+           max(round(lit(med), 4)).as("median_price"),
+           max(round(lit(mad), 4)).as("mad"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val a29Sql =
+    """WITH m AS (SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders),
+      |d AS (SELECT o_orderstatus, ABS(o_totalprice - m.med) AS dev FROM orders, m),
+      |md AS (SELECT ROUND(quantile_cont(dev, 0.5), 4) AS mad FROM d)
+      |SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(COUNT(CASE WHEN dev > 3.0 * 1.4826 * md.mad THEN 1 END) AS BIGINT) AS n_outliers,
+      |  MAX(m.med) AS median_price,
+      |  MAX(md.mad) AS mad
+      |FROM d, m, md
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** The ORACLE form of a23: the raw estimates can't cross engines
     * (DuckDB's sketch produces different numbers), but the error-band
     * CONTRACT can — each estimate collapses to an in-band boolean the
@@ -717,6 +756,9 @@ object Relational {
       a23Contract, Some(a23Sql)),
     QueryDef("a28_running_distinct",
       "cumulative distinct users via first-appearance days (no quadratic window)",
-      a28RunningDistinct, Some(a28Sql))
+      a28RunningDistinct, Some(a28Sql)),
+    QueryDef("a29_mad_outliers",
+      "MAD robust outliers: two dependent bounded-state radix selections",
+      a29MadOutliers, Some(a29Sql))
   )
 }
