@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -273,8 +274,100 @@ object Multimodal {
       |  modality, item_id
       |FROM u ORDER BY position""".stripMargin
 
+  /** m07 — content-defined chunking (CDC) dedup accounting: payload
+    * boundaries fall where a WINDOWED polynomial rolling hash (8 bytes,
+    * base 31, mod 1e9+7) hits 0 (mod 64), so insertions shift chunk
+    * boundaries only locally — the property that makes CDC the storage
+    * dedup standard (LBFS/FastCDC lineage) where fixed-size chunking
+    * (m05's whole-payload CAS) loses all alignment after one inserted
+    * byte. No min-chunk constraint: boundary decisions stay pure
+    * per-position functions, fully parallel (a min-size rule makes
+    * boundaries sequentially dependent — the one CDC feature that does
+    * NOT map to dataflow; noted, not hidden).
+    *
+    * Scale shape: position explode (bytes × 1 row) → per-position hash
+    * (an 8-term HOF, constant work) → boundary filter → one (doc)
+    * window for consecutive-boundary pairing → chunk md5 group. The
+    * accounting join back is a broadcast of the chunk-frequency table.
+    */
+  def m07CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // windowed hash at byte position i (1-based, i >= W): boundary iff 0 mod 64
+    val bounds = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence($W, length(text))")).as("i"))
+      .withColumn("h", expr(
+        s"aggregate(sequence(0, ${W - 1}), CAST(0 AS BIGINT), " +
+          s"(acc, j) -> (acc * 31 + ascii(substring(text, i - $W + 1 + j, 1))) % 1000000007)"))
+      .filter(col("h") % 64 === 0)
+      .select(col("doc_id"), col("text"), col("i"))
+    // boundary list per doc: 0, each hit, and length(text)
+    val withEnds = bounds
+      .unionByName(docs.select(col("doc_id"), col("text"), lit(0).cast("int").as("i")))
+      .unionByName(docs.select(col("doc_id"), col("text"), length(col("text")).as("i")))
+      .distinct()
+    val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val chunks = withEnds
+      .withColumn("prev", lag(col("i"), 1).over(wSeq))
+      .filter(col("prev").isNotNull && col("i") > col("prev"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, prev + 1, i - prev)")).as("chunk_md5"),
+        (col("i") - col("prev")).cast("long").as("n_bytes"))
+    val freq = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    chunks.join(broadcast(freq), "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("n_bytes")).as("n_bytes"),
+           count(when(col("n_docs_sharing") > 1, 1)).as("n_shared_chunks"),
+           coalesce(sum(when(col("n_docs_sharing") > 1, col("n_bytes"))), lit(0L))
+             .as("shared_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m07Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |hits AS (
+      |  SELECT doc_id, text, i
+      |  FROM (
+      |    SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+      |    FROM d)
+      |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(0, 7),
+      |            j -> CAST(ascii(substr(text, CAST(i - 8 + 1 + j AS INTEGER), 1)) AS BIGINT))),
+      |          (acc, b) -> (acc * 31 + b) % 1000000007) % 64 = 0),
+      |bounds AS (
+      |  SELECT doc_id, text, i FROM hits
+      |  UNION
+      |  SELECT doc_id, text, 0 FROM d
+      |  UNION
+      |  SELECT doc_id, text, length(text) FROM d),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, CAST(prev + 1 AS INTEGER), CAST(i - prev AS INTEGER))) AS chunk_md5,
+      |    CAST(i - prev AS BIGINT) AS n_bytes
+      |  FROM (
+      |    SELECT doc_id, text, i,
+      |      LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |    FROM bounds)
+      |  WHERE prev IS NOT NULL AND i > prev),
+      |freq AS (
+      |  SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+      |  FROM chunks GROUP BY chunk_md5)
+      |SELECT c.doc_id,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(c.n_bytes) AS BIGINT) AS n_bytes,
+      |  CAST(COUNT(CASE WHEN f.n_docs_sharing > 1 THEN 1 END) AS BIGINT) AS n_shared_chunks,
+      |  CAST(COALESCE(SUM(CASE WHEN f.n_docs_sharing > 1 THEN c.n_bytes END), 0) AS BIGINT) AS shared_bytes
+      |FROM chunks c JOIN freq f USING (chunk_md5)
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
+    QueryDef("m07_cdc_chunks", "content-defined chunking dedup accounting (CDC)",
+      m07CdcChunks, Some(m07Sql)),
     QueryDef("m02_metadata_only", "metadata-only agg, payloads never read", m02MetadataOnly, Some(m02Sql)),
     QueryDef("m03_frame_sample", "1->N sampled-frame rows from binary payloads", m03FrameSample, Some(m03Sql)),
     QueryDef("m04_resize", "payload transform: 2x byte downsample (stub resize)", m04Resize, Some(m04Sql)),

@@ -510,6 +510,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m07: CDC chunks tile each document exactly; duplicate docs share chunks") {
+    val out = operators.Multimodal.m07CdcChunks(spark, sf001).collect()
+    val lens = Tables.documents(spark, sf001)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == lens.size)
+    out.foreach { r =>
+      assert(r.getLong(2) == lens(r.getLong(0)),
+        s"doc ${r.getLong(0)}: chunks don't tile the payload")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+    }
+    // the corpus's planted duplicates must surface as shared chunks
+    assert(out.count(_.getLong(3) > 0) > 50, "no cross-document chunk sharing found")
+  }
+
   test("v07: recall matches a driver-side recomputation from v01/v02") {
     val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
     val exact = operators.Similarity.v01CosineTopK(spark, sf001)
