@@ -290,30 +290,51 @@ object Multimodal {
     * window for consecutive-boundary pairing → chunk md5 group. The
     * accounting join back is a broadcast of the chunk-frequency table.
     */
-  def m07CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  final case class ChunkRow(doc_id: Long, chunk_md5: String, n_bytes: Long)
+
+  /** Rolling-hash chunker for one payload: boundary positions where the
+    * 8-byte windowed hash (base 31, mod 1e9+7 — the exact left-fold the
+    * oracle SQL spells) is ≡ 0 (mod 64). O(1) per byte: the window
+    * slides by adding the entering byte and subtracting the leaving
+    * byte's 31^W term. ASCII payloads, so char codes == bytes (the m01
+    * convention, asserted by the corpus).
+    */
+  private def cdcChunks(id: Long, text: String): Seq[ChunkRow] = {
     val W = 8
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // windowed hash at byte position i (1-based, i >= W): boundary iff 0 mod 64
-    val bounds = docs
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence($W, length(text))")).as("i"))
-      .withColumn("h", expr(
-        s"aggregate(sequence(0, ${W - 1}), CAST(0 AS BIGINT), " +
-          s"(acc, j) -> (acc * 31 + ascii(substring(text, i - $W + 1 + j, 1))) % 1000000007)"))
-      .filter(col("h") % 64 === 0)
-      .select(col("doc_id"), col("text"), col("i"))
-    // boundary list per doc: 0, each hit, and length(text)
-    val withEnds = bounds
-      .unionByName(docs.select(col("doc_id"), col("text"), lit(0).cast("int").as("i")))
-      .unionByName(docs.select(col("doc_id"), col("text"), length(col("text")).as("i")))
-      .distinct()
-    val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val chunks = withEnds
-      .withColumn("prev", lag(col("i"), 1).over(wSeq))
-      .filter(col("prev").isNotNull && col("i") > col("prev"))
-      .select(col("doc_id"),
-        md5(expr("substring(text, prev + 1, i - prev)")).as("chunk_md5"),
-        (col("i") - col("prev")).cast("long").as("n_bytes"))
+    val P = 1000000007L
+    var pow = 1L // 31^W mod P
+    var j = 0
+    while (j < W) { pow = pow * 31 % P; j += 1 }
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = (h * 31 + text.charAt(i)) % P
+      if (i >= W) h = java.lang.Math.floorMod(h - text.charAt(i - W) * pow, P)
+      if (i >= W - 1 && h % 64 == 0) bounds += (i + 1) // 1-based hash position
+      i += 1
+    }
+    if (bounds.last != text.length) bounds += text.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    bounds.iterator.sliding(2).withPartial(false).map { case Seq(prev, cur) =>
+      md.reset()
+      val hex = md.digest(text.substring(prev, cur).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ChunkRow(id, hex, (cur - prev).toLong)
+    }.toSeq
+  }
+
+  def m07CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // partition-batched imperative chunking (the m01/m03/m04 convention):
+    // a per-position SQL formulation either duplicates the full text onto
+    // every position row (explode form: 17.9 s at sf0.1) or interprets a
+    // nested HOF per position (30 s); the typed flatMap runs the same
+    // hash as a tight O(bytes) loop
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => cdcChunks(id, text) }
+      .toDF()
     val freq = chunks.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
     chunks.join(broadcast(freq), "chunk_md5")

@@ -967,8 +967,87 @@ object TextOps {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  /** t21 — asymmetric CONTAINMENT detection: |A∩B| / |A| ≥ 0.9 over
+    * word-bigram sets. Quote/excerpt/subset relationships — a short doc
+    * embedded verbatim in a long one — have LOW Jaccard (the union is
+    * dominated by the container), so the d01/d03 near-dup family
+    * structurally misses them; containment is the right metric and
+    * needs its own candidate generation. The corpus has no natural
+    * quotes, so it is augmented in-query (the d04 convention) with the
+    * first-30-word excerpt of every 10th document at id+300000 —
+    * identically on both engines.
+    *
+    * Scale shape: an inverted gram index with a document-frequency cap
+    * (df ≤ 50) generates candidates — a contained doc shares ALL its
+    * grams with its container, so any of its rare grams suffices to
+    * surface the pair; the exact |A∩B| count then comes from joining
+    * the candidate list through A's postings against B's postings
+    * (bounded: candidates × |A|, never df² on frequent grams).
+    *
+    * RECALL CONTRACT — approximate by construction, exact in value: a
+    * pair whose EVERY shared gram is more frequent than the cap escapes
+    * candidate generation (same architecture note as d04); every
+    * emitted containment is exact integer arithmetic.
+    */
+  def t21Containment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val quotes = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 30), ' ')").as("text"))
+    val corpus = base.unionByName(quotes)
+    val postings = corpus
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"))
+        .as("g"))
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val rare = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("g"))
+    val rarePost = postings.join(rare, "g")
+    val candidates = rarePost.select(col("g"), col("doc_id").as("ida"))
+      .join(rarePost.select(col("g"), col("doc_id").as("idb")), "g")
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val shared = candidates
+      .join(postings.select(col("doc_id").as("ida"), col("g")), "ida")
+      .join(postings.select(col("doc_id").as("idb"), col("g")), Seq("idb", "g"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes.select(col("doc_id").as("ida"), col("n_grams")), "ida")
+      .filter(col("n_shared") * 10 >= col("n_grams") * 9) // |A∩B|/|A| >= 0.9, integer form
+      .select(col("ida").as("contained_id"), col("idb").as("container_id"),
+        col("n_shared"), col("n_grams"),
+        round(col("n_shared") / col("n_grams"), 6).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  private val t21Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:30], ' ')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)),
+      |           i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM base)
+      |  WHERE len(ws) >= 2),
+      |p AS (
+      |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+      |    CAST(len(a.g) AS BIGINT) AS n_grams
+      |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id)
+      |SELECT contained_id, container_id, n_shared, n_grams,
+      |  ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS containment
+      |FROM p
+      |WHERE n_shared * 10 >= n_grams * 9
+      |ORDER BY contained_id, container_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
+    QueryDef("t21_containment", "asymmetric containment (quote detection) via rare-gram index",
+      t21Containment, Some(t21Sql)),
     QueryDef("t20_vocab_stats", "per-source Zipf profile: types, hapax, TTR",
       t20VocabStats, Some(t20Sql)),
     QueryDef("t18_chunking", "overlapping token-window chunking (pure map-side explode)",

@@ -525,6 +525,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count(_.getLong(3) > 0) > 50, "no cross-document chunk sharing found")
   }
 
+  test("t21: every planted excerpt is detected inside its source at containment 1.0") {
+    val out = operators.TextOps.t21Containment(spark, sf001).collect()
+    val plantPairs = out.filter(_.getLong(0) >= 300000)
+      .map(r => (r.getLong(0) - 300000, r.getLong(1), r.getDouble(4)))
+    (0L until 500L by 10).foreach { d =>
+      val hit = plantPairs.find(p => p._1 == d && p._2 == d)
+      assert(hit.isDefined, s"excerpt of doc $d not detected in its source")
+      assert(hit.get._3 == 1.0, s"excerpt of doc $d containment ${hit.get._3} != 1.0")
+    }
+    // asymmetry: a LONG document is never reported contained in its
+    // 30-word excerpt (short docs ARE their excerpt — both directions
+    // legitimately fire for them)
+    val nTok = operators.TextOps.t01TokenStats(spark, sf001)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(r => r.getLong(0) < 300000 && r.getLong(1) == r.getLong(0) + 300000)
+      .foreach(r => assert(nTok(r.getLong(0)) <= 34,
+        s"doc ${r.getLong(0)} (${nTok(r.getLong(0))} words) reported inside its excerpt"))
+  }
+
   test("v07: recall matches a driver-side recomputation from v01/v02") {
     val out = operators.Similarity.v07RecallEval(spark, sf001).collect()
     val exact = operators.Similarity.v01CosineTopK(spark, sf001)

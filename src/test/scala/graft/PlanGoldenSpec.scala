@@ -41,7 +41,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "t19_ngram_novelty", "v07_recall_eval", "j15_asof_join",
     "j16_dynamic_pruning", "w12_funnel_steps", "v08_pq_topk",
     "t20_vocab_stats", "io06_lines_source", "d09_fuzzy_pairs",
-    "a28_running_distinct", "a29_mad_outliers", "w13_longest_streak")
+    "a28_running_distinct", "a29_mad_outliers", "w13_longest_streak",
+    "m07_cdc_chunks", "t21_containment")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
