@@ -484,6 +484,22 @@ object Similarity {
     */
   def v08PqTopK(spark: SparkSession, dir: String, nSub: Int = 8, subDim: Int = 8,
                 nCodes: Int = 16): DataFrame = {
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    pqScores(spark, dir, nSub, subDim, nCodes)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The PQ ADC scoring frame shared by v08 (rank on the approximate
+    * score directly) and v09 (shortlist, then exact re-rank): one row per
+    * (query, corpus vector) with the Σ-of-LUT-entries int64 score.
+    */
+  private def pqScores(spark: SparkSession, dir: String, nSub: Int, subDim: Int,
+                       nCodes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
@@ -507,16 +523,48 @@ object Similarity {
       .join(broadcast(codebook), col("s") === col("cb_s"))
       .select(col("vec_id").as("qid"), col("s"), col("code"),
         expr("vec_dot(qs, cw)").as("partial"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid").asc)
     encoded.join(broadcast(lut), Seq("s", "code"))
       .filter(col("qid") =!= col("cid"))
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("partial")).as("score"))
+  }
+
+  /** v09 — the production two-stage retrieval shape: PQ ADC shortlist
+    * (top-`shortlist` per query by approximate score — cheap, code-table
+    * arithmetic only), then EXACT re-rank of just the shortlist against
+    * the raw int64 vectors. The expensive exact cosine runs on
+    * |queries|·shortlist rows instead of |queries|·|corpus| — the
+    * FAISS/ScaNN refinement step — and because the exact score orders the
+    * final top-3, PQ's quantization error only costs recall when a true
+    * neighbor misses a 32-deep shortlist entirely (SimilaritySpec
+    * measures the resulting recall against v01 and asserts it beats the
+    * raw-PQ ranking by construction).
+    *
+    * Scale shape: the shortlist is a per-query window top-k over the PQ
+    * score frame (one shuffle on qid), the re-rank joins the shortlist —
+    * now tiny — to the corpus vectors, so the raw 64-dim vectors are
+    * touched only |queries|·shortlist times.
+    */
+  def v09PqRerank(spark: SparkSession, dir: String, shortlist: Int = 32): DataFrame = {
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val short = pqScores(spark, dir, 8, 8, 16)
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val qside = vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val cside = vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    short.join(qside, "qid").join(cside, "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("int").as("rank"),
-              col("cid").as("neighbor_id"), col("score"))
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -557,12 +605,64 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  private val v09Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |sub AS (
+      |  SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS qs
+      |  FROM v, (SELECT unnest(generate_series(0, 7)) AS s)),
+      |cb AS (SELECT s AS cb_s, vec_id AS code, qs AS cw FROM sub WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT sub.vec_id, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)])
+      |         * (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)]))) AS dist
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s),
+      |encoded AS (
+      |  SELECT vec_id AS cid, s, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY dist ASC, code ASC) rn
+      |    FROM dists) WHERE rn = 1),
+      |lut AS (
+      |  SELECT sub.vec_id AS qid, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> sub.qs[CAST(i AS INTEGER)] * cb.cw[CAST(i AS INTEGER)])) AS partial
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s
+      |  WHERE sub.vec_id % 25 = 0),
+      |scores AS (
+      |  SELECT lut.qid, encoded.cid, CAST(SUM(lut.partial) AS BIGINT) AS score
+      |  FROM encoded JOIN lut ON encoded.s = lut.s AND encoded.code = lut.code
+      |  WHERE lut.qid <> encoded.cid
+      |  GROUP BY lut.qid, encoded.cid),
+      |short AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) srank
+      |    FROM scores) WHERE srank <= 32),
+      |rer AS (
+      |  SELECT short.qid, short.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM short JOIN n a ON short.qid = a.vec_id
+      |             JOIN n b ON short.cid = b.vec_id),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM rer)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
     QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
       v07RecallEval, Some(v07Sql)),
     QueryDef("v08_pq_topk", "product-quantization ADC top-3 (8x8 int64 codebooks)",
       v08PqTopK(_, _), Some(v08Sql)),
+    QueryDef("v09_pq_rerank", "PQ shortlist-32 + exact re-rank top-3 (two-stage retrieval)",
+      v09PqRerank(_, _), Some(v09Sql)),
     QueryDef("v06_mips_topk", "exact max-inner-product top-5 (int64 scores)",
       v06MipsTopK, Some(v06Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",
