@@ -646,6 +646,70 @@ object TextOps {
       |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t22 — interpolated bigram LM log-perplexity: train unigram + bigram
+    * counts over the corpus, score every bigram position with
+    * p = 3/4·p_bigram + 1/4·p_unigram (Jelinek–Mercer interpolation, λ
+    * exactly representable in binary), and aggregate per document in
+    * integer micro-nats — the t14 exactness convention, one model order
+    * up. The fluency signal a unigram model can't give: word-salad
+    * documents reuse frequent TOKENS but not frequent TRANSITIONS, so
+    * they separate only at bigram order.
+    *
+    * Scale shape: bigram extraction is pure map-side (positions from
+    * `sequence`, terms by `element_at` — no lambda in the hot path, no
+    * per-doc shuffle); the bigram-count join keys on (w1, w2) as a
+    * shuffle hash join (bigram vocab grows ~corpus-linearly, unlike the
+    * Heaps'-law unigram vocab, so it must NOT broadcast); the two
+    * unigram-count joins and the 1-row total broadcast. Docs shorter
+    * than 2 tokens have no bigram positions and drop out (both engines).
+    */
+  def t22BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
+    val bigrams = arr
+      .select(col("doc_id"), col("a"),
+        explode(expr("sequence(2, size(a))")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(a, i - 1)").as("w1"), expr("element_at(a, i)").as("w2"))
+    val uni = arr.select(explode(col("a")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val total = uni.agg(sum(col("c")).as("t"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("term").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("term").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(round(-ln(0.75 * CAST(c12 AS DOUBLE) / c1 + 0.25 * CAST(c2 AS DOUBLE) / t) * 1000000) AS BIGINT)")
+          .as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_micronats"))
+      .withColumn("mean_nats",
+        round(col("nll_micronats").cast("double") / col("n_bigrams") / 1000000, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t22Sql =
+    """WITH a AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') a FROM documents),
+      |bg AS (SELECT doc_id, a[CAST(i - 1 AS INTEGER)] w1, a[CAST(i AS INTEGER)] w2
+      |       FROM a, LATERAL unnest(range(2, len(a) + 1)) AS u(i)),
+      |uni AS (SELECT unnest(a) term FROM a),
+      |c AS (SELECT term, COUNT(*) c FROM uni GROUP BY 1),
+      |bi AS (SELECT w1, w2, COUNT(*) c12 FROM bg GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM c),
+      |s AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(-ln(0.75 * CAST(bi.c12 AS DOUBLE) / c1.c + 0.25 * CAST(c2.c AS DOUBLE) / t.t) * 1000000) AS BIGINT) nll_micro
+      |  FROM bg JOIN bi USING (w1, w2)
+      |          JOIN c c1 ON bg.w1 = c1.term
+      |          JOIN c c2 ON bg.w2 = c2.term
+      |          CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(nll_micro) AS BIGINT) AS nll_micronats,
+      |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** t15 — one BPE (byte-pair-encoding) merge step, the inner loop of
     * tokenizer-vocabulary training: count word frequencies, weight every
     * adjacent character pair inside a word by that word's corpus
@@ -1084,6 +1148,9 @@ object TextOps {
     QueryDef("t14_surprisal",
       "unigram LM log-perplexity scoring (micro-nat exact aggregation)",
       t14Surprisal, Some(t14Sql)),
+    QueryDef("t22_bigram_lm",
+      "interpolated bigram LM perplexity (map-side bigrams, shuffle-joined counts)",
+      t22BigramLm, Some(t22Sql)),
     QueryDef("t15_bpe_merge",
       "one BPE merge step: frequency-weighted adjacent-pair counts",
       t15BpeMergeStep, Some(t15Sql)),

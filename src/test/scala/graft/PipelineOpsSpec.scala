@@ -360,6 +360,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t22: bigram counts conserve vs t01 and a driver brute force agrees exactly") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.TextOps.t22BigramLm(spark, sfTiny).collect()
+    // n_bigrams = n_tokens - 1 for every (nonempty) doc
+    val t01 = operators.TextOps.t01TokenStats(spark, sfTiny)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === t01(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} bigrams vs ${t01(r.getLong(0))} tokens")
+    }
+    // driver-side brute force: same tokenization, same interpolation,
+    // same micro-nat rounding — sums must agree EXACTLY (int64)
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = docs.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = uni.values.sum.toDouble
+    val expected = docs.view.mapValues { ts =>
+      ts.zip(ts.tail).map { case (w1, w2) =>
+        val p = 0.75 * big((w1, w2)).toDouble / uni(w1) + 0.25 * uni(w2).toDouble / total
+        math.round(-math.log(p) * 1e6)
+      }.sum
+    }.toMap
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      assert(r.getLong(2) === expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: micronats ${r.getLong(2)} != ${expected(r.getLong(0))}")
+    }
+  }
+
   test("w11: offset-0 diagonal is 100% retention and event counts conserve") {
     val out = operators.Windows.w11CohortRetention(spark, sf001).collect()
     val diag = out.filter(_.getLong(1) == 0L)
