@@ -427,6 +427,84 @@ object EventStream {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** st08 — new users per hour: each user counts once, in the hour of
+    * their event-time-first event. The batch contract is the a28
+    * first-appearance identity (per-user min → tiny hour aggregate);
+    * the streaming dual is [[streamingFirstTouch]] — a keyed
+    * first-touch state machine — and EventStreamSpec asserts they agree
+    * on the watermark-closed region. This is THE distinct-user growth
+    * metric shape: state per user is one timestamp, never a set.
+    */
+  def st08NewUsersPerHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(date_trunc("hour", col("first_ts")).as("h"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(unix_micros(col("h")).as("window_start_us"), col("new_users"))
+      .orderBy(col("window_start_us"))
+
+  private val st08Sql =
+    """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1)
+      |SELECT epoch_us(date_trunc('hour', first_ts)) AS window_start_us,
+      |  COUNT(*) AS new_users
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  final case class FirstTouchOut(user_id: Long, first_us: Long)
+
+  /** Streaming first-touch: per-user min event time, emitted exactly
+    * once — when the watermark passes the candidate minimum, at which
+    * point no accepted future event can lower it (any event older than
+    * the watermark is dropped at the source). State per user is ONE
+    * long; eviction on emit keeps total state bounded by the number of
+    * users still inside the watermark horizon, not by event volume.
+    * Users whose minimum is still inside the horizon when the stream
+    * drains are correctly withheld (append-mode contract); the spec
+    * compares against the batch contract on the closed region only.
+    */
+  def streamingFirstTouch(spark: SparkSession, dir: String,
+                          queryName: String = "st_first_touch"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ft_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val firsts = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("tsc", "0 seconds")
+      .selectExpr("user_id", "tsc", "unix_micros(tsc) AS us")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, FirstTouchOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // wm passed the candidate min: it is final (nothing older
+            // than the wm is ever accepted), emit once and evict
+            val out = state.getOption.map(FirstTouchOut(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val batchMin = rows.map(_._3).min
+            val newMin = state.getOption.fold(batchMin)(math.min(_, batchMin))
+            state.update(newMin)
+            // fire as soon as wm_ms >= floor(min/1000) (ms-floor rule)
+            state.setTimeoutTimestamp(newMin / 1000L - 1)
+            Iterator.empty
+          }
+      }
+    val q = firsts.toDF().writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy(col("user_id"))
+  }
+
   /** st05 — click→purchase attribution: every purchase a user makes
     * within (click, click + 1 h] is attributed to that click. The
     * contract query is the BATCH interval join (one shuffle on user_id;
@@ -690,6 +768,8 @@ object EventStream {
     QueryDef("st02_sliding_counts", "sliding 2h/1h window counts", st02Sliding, Some(st02Sql)),
     QueryDef("st03_first_per_key", "streaming-dedup first event per key", st03FirstPerKey, Some(st03Sql)),
     QueryDef("st04_session_window", "session windows (6h gap) per user", st04SessionWindow, Some(st04Sql)),
+    QueryDef("st08_new_users", "new users per hour (first-touch identity)",
+      st08NewUsersPerHour, Some(st08Sql)),
     QueryDef("st05_attribution_join", "click->purchase interval join (1h)",
       st05AttributionJoin, Some(st05Sql)),
     QueryDef("st06_quality_gate", "ingest quality gate: pass/quarantine accounting",

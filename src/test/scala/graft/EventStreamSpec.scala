@@ -95,6 +95,40 @@ class EventStreamSpec extends AnyFunSuite {
       s"missing: ${(expected -- streamed).take(3)} extra: ${(streamed -- expected).take(3)}")
   }
 
+  test("streaming first-touch == batch per-user min on the watermark-closed region") {
+    import org.apache.spark.sql.functions._
+    val firsts = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // the timeout fires iff wm_ms >= floor(first/1000); the final wm with
+    // a 0s delay is floor(max/1000) — compare in ms like the sessionizer
+    val expected = firsts.collect()
+      .filter(r => r.getLong(1) / 1000L <= maxUs / 1000L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = EventStream.streamingFirstTouch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_us"))).toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected,
+      s"missing: ${(expected -- streamed).take(3)} extra: ${(streamed -- expected).take(3)}")
+    // and the hour rollup of the emitted firsts reproduces the st08
+    // batch contract on the closed region
+    val spark2 = spark; import spark2.implicits._
+    val rolled = streamed.toSeq.toDF("user_id", "first_us")
+      .groupBy(expr("unix_micros(date_trunc('hour', timestamp_micros(first_us)))").as("ws"))
+      .agg(count(lit(1)).as("new_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batchHours = EventStream.st08NewUsersPerHour(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every fully-closed hour must match exactly (the only hour that can
+    // differ is the one holding the withheld global-max first appearance)
+    batchHours.foreach { case (ws, n) =>
+      if (rolled.contains(ws) && ws + 3600L * 1000000 <= maxUs)
+        assert(rolled(ws) == n, s"hour $ws: streamed ${rolled(ws)} != batch $n")
+    }
+  }
+
   test("append-mode watermark drops late rows across micro-batches") {
     import org.apache.spark.sql.functions._
     val s = spark
