@@ -385,7 +385,57 @@ object Multimodal {
       |GROUP BY c.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** m08 — modality-manifest pairing audit: the text corpus (post-langid,
+    * English docs) FULL-OUTER-joined to the embedding store (minus the
+    * label-0 rows standing in for embedding-model refusals), with
+    * per-status accounting. Every multimodal training run starts with
+    * exactly this join: `paired` rows feed the trainer, `text_only`
+    * rows go back to the embedding queue, `vector_only` rows are
+    * orphans whose text was dropped after embedding — each status gets
+    * its row count and per-modality byte/dim mass so the gap is sized,
+    * not just counted.
+    *
+    * Scale shape: both sides are corpus-sized, so this is a plain
+    * shuffle join on the id — NO broadcast hint (the usual dim-join
+    * reflex would OOM an executor at 100 TB). Accounting aggregates to
+    * 3 rows, so the join output never materializes wide.
+    */
+  def m08ManifestPairing(spark: SparkSession, dir: String): DataFrame = {
+    val text = Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val vecs = Tables.embeddings(spark, dir)
+      .filter(col("label") =!= 0)
+      .select(col("vec_id"), size(col("embedding")).cast(LongType).as("dim"))
+    text.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+      .withColumn("status",
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, lit("paired"))
+          .when(col("doc_id").isNotNull, lit("text_only"))
+          .otherwise(lit("vector_only")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+           coalesce(sum(col("n_chars")), lit(0L)).cast(LongType).as("sum_chars"),
+           coalesce(sum(col("dim")), lit(0L)).cast(LongType).as("sum_dims"))
+      .orderBy(col("status"))
+  }
+
+  private val m08Sql =
+    """WITH t AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
+      |v AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) dim FROM embeddings WHERE label <> 0),
+      |j AS (
+      |  SELECT CASE WHEN t.doc_id IS NOT NULL AND v.vec_id IS NOT NULL THEN 'paired'
+      |              WHEN t.doc_id IS NOT NULL THEN 'text_only'
+      |              ELSE 'vector_only' END AS status,
+      |         t.n_chars, v.dim
+      |  FROM t FULL JOIN v ON t.doc_id = v.vec_id)
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |  CAST(COALESCE(SUM(dim), 0) AS BIGINT) AS sum_dims
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m08_manifest_pairing", "modality manifest full-outer pairing audit",
+      m08ManifestPairing, Some(m08Sql)),
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
     QueryDef("m07_cdc_chunks", "content-defined chunking dedup accounting (CDC)",
       m07CdcChunks, Some(m07Sql)),

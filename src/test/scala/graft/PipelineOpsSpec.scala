@@ -360,6 +360,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m08: pairing statuses conserve both modality populations exactly") {
+    val out = operators.Multimodal.m08ManifestPairing(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nText = Tables.documents(spark, sf001).filter(col("lang") === "en").count()
+    val nVec = Tables.embeddings(spark, sf001).filter(col("label") =!= 0).count()
+    def n(s: String) = out.get(s).map(_._1).getOrElse(0L)
+    assert(n("paired") + n("text_only") === nText, "text side not conserved")
+    assert(n("paired") + n("vector_only") === nVec, "vector side not conserved")
+    assert(n("paired") > 0 && n("text_only") > 0 && n("vector_only") > 0,
+      "corpus must exercise all three statuses")
+    // mass columns follow the modality: text chars never attach to
+    // vector_only rows, dims never attach to text_only rows
+    assert(out("vector_only")._2 === 0L && out("text_only")._3 === 0L)
+  }
+
   test("t22: bigram counts conserve vs t01 and a driver brute force agrees exactly") {
     val sfTiny = "/root/testdata/sf0.001"
     val out = operators.TextOps.t22BigramLm(spark, sfTiny).collect()
