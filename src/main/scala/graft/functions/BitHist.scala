@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * A row contributes iff `(u >>> prefixShift) == prefix` (prefixShift ≥ 64
   * means "all rows"); its bucket is `(u >>> bucketShift) & (nBuckets-1)`.
   * Nulls are skipped, mirroring `percentile`.
+  *
+  * The weighted form `bithistw(value, weight, ...)` accumulates int64
+  * WEIGHT per bucket instead of row counts (rows with null or ≤0 weight
+  * are skipped) — the building block of the exact weighted quantile,
+  * where `percentile(value, p, freq)`'s counts-map state has the same
+  * single-reducer bottleneck as the unweighted one.
   */
 case class BitHistAgg(
     child: Expression,
@@ -41,6 +47,7 @@ case class BitHistAgg(
     prefixE: Expression,
     bucketShiftE: Expression,
     nBucketsE: Expression,
+    weightE: Expression = org.apache.spark.sql.catalyst.expressions.Literal(1L),
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -55,7 +62,7 @@ case class BitHistAgg(
     nBucketsE.eval(InternalRow.empty).asInstanceOf[Number].intValue()
 
   override def children: Seq[Expression] =
-    Seq(child, prefixShiftE, prefixE, bucketShiftE, nBucketsE)
+    Seq(child, prefixShiftE, prefixE, bucketShiftE, nBucketsE, weightE)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bithist"
@@ -71,14 +78,19 @@ case class BitHistAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val u = BitHistAgg.keyOf(v.asInstanceOf[Double])
-      if (prefixShift >= 64 || (u >>> prefixShift) == prefix) {
-        val b = ((u >>> bucketShift) & (nBuckets - 1)).toInt
-        buf(b) += 1
-        if (buf(b) == 1 || java.lang.Long.compareUnsigned(u, buf(nBuckets + b)) < 0)
-          buf(nBuckets + b) = u
-        if (buf(b) == 1 || java.lang.Long.compareUnsigned(u, buf(2 * nBuckets + b)) > 0)
-          buf(2 * nBuckets + b) = u
+      val wAny = weightE.eval(input)
+      val w = if (wAny == null) 0L else wAny.asInstanceOf[Number].longValue()
+      if (w > 0) {
+        val u = BitHistAgg.keyOf(v.asInstanceOf[Double])
+        if (prefixShift >= 64 || (u >>> prefixShift) == prefix) {
+          val b = ((u >>> bucketShift) & (nBuckets - 1)).toInt
+          val first = buf(b) == 0
+          buf(b) += w
+          if (first || java.lang.Long.compareUnsigned(u, buf(nBuckets + b)) < 0)
+            buf(nBuckets + b) = u
+          if (first || java.lang.Long.compareUnsigned(u, buf(2 * nBuckets + b)) > 0)
+            buf(2 * nBuckets + b) = u
+        }
       }
     }
     buf
@@ -124,7 +136,7 @@ case class BitHistAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BitHistAgg =
     copy(child = newChildren(0), prefixShiftE = newChildren(1),
       prefixE = newChildren(2), bucketShiftE = newChildren(3),
-      nBucketsE = newChildren(4))
+      nBucketsE = newChildren(4), weightE = newChildren(5))
 }
 
 object BitHistAgg {
@@ -142,10 +154,16 @@ object BitHistAgg {
     java.lang.Double.longBitsToDouble(raw)
   }
 
-  /** Register `bithist` as a SQL aggregate on the session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `bithist` (row counts) and `bithistw` (weight sums — the
+    * weight is the SECOND argument) as SQL aggregates on the session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bithist"),
       new ExpressionInfo(classOf[BitHistAgg].getName, "bithist"),
       (es: Seq[Expression]) => BitHistAgg(es(0), es(1), es(2), es(3), es(4)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bithistw"),
+      new ExpressionInfo(classOf[BitHistAgg].getName, "bithistw"),
+      (es: Seq[Expression]) => BitHistAgg(es(0), es(2), es(3), es(4), es(5), es(1)))
+  }
 }

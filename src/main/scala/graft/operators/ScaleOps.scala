@@ -142,7 +142,59 @@ object ScaleOps {
       |FROM customer
       |ORDER BY record_id""".stripMargin
 
+  /** a30 — exact LOWER weighted median of extended price, weighted by
+    * quantity, per return flag: the smallest price v with
+    * 2·Σ(quantity | price ≤ v) ≥ total quantity. Spark's built-in
+    * weighted form (`percentile(v, 0.5, freq)`) buffers a counts-map
+    * over every distinct value into one final reducer; this instead
+    * runs the bounded-state `bithistw` radix selection (weight-sum
+    * histograms, ~100 KB state, map-side combined) once per slice, all
+    * slices sharing each of the ≤6 passes. The slice labels come from
+    * one tiny distinct scan — the return flag is a bounded analytics
+    * dimension (3 values), not data-scale fan-out. The median is an
+    * actual data value (no interpolation), so it is bit-exact
+    * cross-engine.
+    */
+  def a30WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull &&
+              col("l_quantity") > 0)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity").cast(LongType).as("w"))
+    val flags = base.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val meds = graft.util.ScalableQuantile.weightedLowerMedians(
+      base, "l_extendedprice", "w",
+      flags.map(f => f -> (col("l_returnflag") === f)))
+    val medDf = flags.map(f => (f, meds(f).get)).toDF("l_returnflag", "weighted_median")
+    base.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("total_weight"))
+      .join(broadcast(medDf), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("total_weight"),
+              col("weighted_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val a30Sql =
+    """WITH w AS (
+      |  SELECT l_returnflag g, l_extendedprice v, CAST(l_quantity AS BIGINT) wt
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0),
+      |t AS (SELECT g, CAST(SUM(wt) AS BIGINT) tw FROM w GROUP BY 1),
+      |c AS (SELECT g, v, SUM(wt) OVER (PARTITION BY g ORDER BY v) cum FROM w),
+      |m AS (SELECT c.g, MIN(c.v) med
+      |      FROM c JOIN t ON c.g = t.g
+      |      WHERE 2 * c.cum >= t.tw
+      |      GROUP BY c.g)
+      |SELECT t.g AS l_returnflag, t.tw AS total_weight, m.med AS weighted_median
+      |FROM t JOIN m ON t.g = m.g
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a30_weighted_median",
+      "exact weighted median per flag via bithistw radix selection",
+      a30WeightedMedian, Some(a30Sql)),
     QueryDef("a17_row_number_scalable",
       "P13 dense ids via range partition + offsets (no global window)",
       a17ScalableRowNumber, Some(a17Sql)),

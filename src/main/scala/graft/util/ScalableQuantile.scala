@@ -121,6 +121,85 @@ object ScalableQuantile {
   def medians(df: DataFrame, cols: Seq[String]): Map[String, Option[Double]] =
     quantiles(df, cols.map(c => c -> Seq(0.5))).map { case ((c, _), v) => c -> v }
 
+  private final class WSel(val label: String, val cond: org.apache.spark.sql.Column) {
+    var remaining: Long = 0L
+    var prefix: Long = 0L
+    var prefixShift: Int = 64
+    var done: Option[Long] = None
+    var empty: Boolean = false
+  }
+
+  /** Exact LOWER weighted median per labeled slice: the smallest value v
+    * with 2·cumweight(≤ v) ≥ W (total weight). Same radix selection as
+    * [[quantiles]], but over `bithistw` weight-sum histograms — the
+    * scalable replacement for `percentile(value, 0.5, freq)`, whose
+    * counts-map final state is a single-reducer bottleneck. All slices
+    * share each pass (one aggregate column per still-running slice, the
+    * slice condition folded into the value via CASE so nulls skip).
+    * Rows with null or ≤0 weight are ignored. Returns None for a slice
+    * with no weighted rows. The result is always an actual data value
+    * (no interpolation), so it is bit-exact across engines.
+    */
+  def weightedLowerMedians(df: DataFrame, valueCol: String, weightCol: String,
+      slices: Seq[(String, org.apache.spark.sql.Column)]): Map[String, Option[Double]] = {
+    BitHistAgg.register(df.sparkSession)
+    val sels = slices.map { case (l, c) => new WSel(l, c) }
+
+    def hist(needs: Seq[WSel]): Map[WSel, Array[Long]] = {
+      val aggCols = needs.zipWithIndex.map { case (s, j) =>
+        call_function("bithistw",
+          when(s.cond, col(valueCol).cast("double")),
+          col(weightCol).cast("long"),
+          lit(s.prefixShift), lit(s.prefix),
+          lit(math.max(s.prefixShift - Width, 0)), lit(NBuckets)).as(s"__h$j")
+      }
+      val row = df.select(aggCols: _*).head()
+      needs.zipWithIndex.map { case (s, j) => s -> row.getSeq[Long](j).toArray }.toMap
+    }
+
+    def advance(s: WSel, h: Array[Long]): Unit = {
+      val bucketShift = math.max(s.prefixShift - Width, 0)
+      val width = s.prefixShift - bucketShift
+      var b = 0
+      var rem = s.remaining
+      var found = false
+      while (!found && b < NBuckets) {
+        val c = h(b)
+        if (rem < c) {
+          found = true
+          val minU = h(NBuckets + b)
+          val maxU = h(2 * NBuckets + b)
+          if (minU == maxU || bucketShift == 0) s.done = Some(minU)
+          else {
+            s.prefix = (s.prefix << width) | b.toLong
+            s.prefixShift = bucketShift
+            s.remaining = rem
+          }
+        } else { rem -= c; b += 1 }
+      }
+      require(found, s"weighted rank not found for slice ${s.label}")
+    }
+
+    val first = hist(sels)
+    sels.foreach { s =>
+      val w = first(s).take(NBuckets).sum
+      if (w == 0) s.empty = true
+      // lower median = weighted 0-based rank ceil(W/2) - 1
+      else s.remaining = (w + 1) / 2 - 1
+    }
+    sels.filterNot(_.empty).foreach(s => advance(s, first(s)))
+    var round = 1
+    while (sels.exists(s => !s.empty && s.done.isEmpty)) {
+      round += 1
+      require(round <= 6, "weighted bit selection failed to terminate")
+      val running = sels.filter(s => !s.empty && s.done.isEmpty)
+      val hs = hist(running)
+      running.foreach(s => advance(s, hs(s)))
+    }
+    sels.map(s => s.label -> (if (s.empty) None
+                              else s.done.map(BitHistAgg.keyToDouble))).toMap
+  }
+
   /** One aggregate job computing a `bithist` per (colIdx, col, prefixShift,
     * prefix) need. Returns each need's 3×NBuckets array.
     */

@@ -72,6 +72,34 @@ class QuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted lower median == brute-force expansion, and weights actually matter") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // deterministic but irregular weights, including a 0-weight and a null value
+    val rows: Seq[(java.lang.Double, java.lang.Long)] =
+      (1 to 200).map(i => (Double.box(((i * 37) % 101).toDouble + i / 300.0),
+                           Long.box(((i * 13) % 7 + (if (i % 11 == 0) 0 else 1)).toLong))) ++
+      Seq((null: java.lang.Double, Long.box(5L)))
+    val df = rows.toDF("v", "w")
+    val got = ScalableQuantile.weightedLowerMedians(
+      df, "v", "w", Seq("all" -> lit(true), "half" -> (col("w") >= 3)))
+    // brute force: repeat each value by weight, sort, pick ceil(W/2)-1
+    def brute(f: ((java.lang.Double, java.lang.Long)) => Boolean): Double = {
+      val expanded = rows.filter(r => r._1 != null && r._2 > 0 && f(r))
+        .flatMap { case (v, w) => Seq.fill(w.toInt)(v.doubleValue) }.sorted
+      expanded(((expanded.size + 1) / 2 - 1).toInt)
+    }
+    assert(got("all") == Some(brute(_ => true)), s"all: ${got("all")}")
+    assert(got("half") == Some(brute(_._2 >= 3)), s"half: ${got("half")}")
+    // weighting must shift the answer vs the unweighted median on this data
+    val unweighted = ScalableQuantile.medians(df, Seq("v"))("v").get
+    assert(got("all").get != unweighted, "weights had no effect — test data too uniform")
+    // all-zero-weight slice resolves to None, not an error
+    val none = ScalableQuantile.weightedLowerMedians(df, "v", "w", Seq("z" -> lit(false)))
+    assert(none("z").isEmpty)
+  }
+
   test("edge cases: tiny n, duplicates, negatives, all-null") {
     val s = spark
     import s.implicits._
