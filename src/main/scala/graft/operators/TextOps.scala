@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.{QueryDef, Tables}
 
@@ -710,6 +712,73 @@ object TextOps {
       |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t23 — duplicated-substring mass per document: every 8-token window
+    * that occurs more than once in the corpus (cross-doc or self-repeat)
+    * marks its token span as duplicated; overlapping/adjacent spans merge
+    * (gaps-and-islands over span starts), and each document reports its
+    * covered-token total and exact ppm fraction — the accounting behind
+    * exact-substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): a suffix array finds the same
+    * repeated spans; the fixed-width gram index is its dataflow-shaped
+    * bound (a repeat of length ≥ 8 tokens is caught exactly; shorter
+    * repeats are below the dedup threshold by construction).
+    *
+    * Scale shape: gram extraction is map-side (`sequence` positions +
+    * `slice`, codegen-friendly); duplicate grams come from one count
+    * shuffle keyed on the gram; span merging is one window per doc over
+    * only the DUPLICATED positions (hit rows, not all positions). The
+    * gram string itself is the key — no hash function has to agree
+    * across engines.
+    */
+  def t23RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
+    val toks = arr.select(col("doc_id"), size(col("a")).cast(LongType).as("n_tokens"))
+    val grams = arr.filter(size(col("a")) >= 8)
+      .select(col("doc_id"), explode(expr("sequence(1, size(a) - 7)")).as("i"), col("a"))
+      .select(col("doc_id"), col("i"), expr("concat_ws(' ', slice(a, i, 8))").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("gram"))
+    val hits = grams.join(dup, "gram")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("brk", when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tok")).cast(LongType).as("dup_tokens"))
+    toks.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t23Sql =
+    """WITH a AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') a FROM documents),
+      |n AS (SELECT doc_id, CAST(len(a) AS BIGINT) n_tokens FROM a),
+      |g AS (SELECT doc_id, i, array_to_string(a[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') gram
+      |      FROM a, LATERAL unnest(range(1, len(a) - 6)) u(i) WHERE len(a) >= 8),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |h AS (SELECT g.doc_id, g.i s, g.i + 7 e FROM g JOIN d USING (gram)),
+      |brks AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |         THEN 1 ELSE 0 END brk
+      |  FROM h),
+      |isl AS (SELECT doc_id, s, e,
+      |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) island
+      |        FROM brks),
+      |cov AS (SELECT doc_id, island, MAX(e) - MIN(s) + 1 tok FROM isl GROUP BY 1, 2),
+      |dup AS (SELECT doc_id, CAST(SUM(tok) AS BIGINT) dup_tokens FROM cov GROUP BY 1)
+      |SELECT n.doc_id, n.n_tokens, COALESCE(dup.dup_tokens, 0) AS dup_tokens,
+      |  CAST(COALESCE(dup.dup_tokens, 0) * 1000000 // n.n_tokens AS BIGINT) AS dup_ppm
+      |FROM n LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** t15 — one BPE (byte-pair-encoding) merge step, the inner loop of
     * tokenizer-vocabulary training: count word frequencies, weight every
     * adjacent character pair inside a word by that word's corpus
@@ -1151,6 +1220,9 @@ object TextOps {
     QueryDef("t22_bigram_lm",
       "interpolated bigram LM perplexity (map-side bigrams, shuffle-joined counts)",
       t22BigramLm, Some(t22Sql)),
+    QueryDef("t23_repeated_spans",
+      "exact-substring duplication mass per doc (8-gram islands)",
+      t23RepeatedSpans, Some(t23Sql)),
     QueryDef("t15_bpe_merge",
       "one BPE merge step: frequency-weighted adjacent-pair counts",
       t15BpeMergeStep, Some(t15Sql)),

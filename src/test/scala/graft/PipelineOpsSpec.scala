@@ -360,6 +360,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t23: duplicated-span coverage matches a driver position-set brute force") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.TextOps.t23RepeatedSpans(spark, sfTiny).collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    // brute force: count every 8-gram occurrence corpus-wide, then per
+    // doc take the UNION of positions covered by duplicated grams — the
+    // set formulation of the interval-island sum
+    val gramCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    docs.values.foreach(ts => ts.sliding(8).filter(_.size == 8)
+      .foreach(g => gramCount(g.mkString(" ")) += 1))
+    val expected = docs.view.mapValues { ts =>
+      val covered = scala.collection.mutable.Set.empty[Int]
+      ts.sliding(8).zipWithIndex.foreach { case (g, i0) =>
+        if (g.size == 8 && gramCount(g.mkString(" ")) > 1) covered ++= (i0 to i0 + 7)
+      }
+      covered.size.toLong
+    }.toMap
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (id, n, dup, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup === expected(id), s"doc $id: dup $dup != brute ${expected(id)}")
+      assert(dup <= n && ppm === dup * 1000000 / n)
+    }
+    assert(out.exists(_.getLong(2) > 0), "corpus must contain repeated 8-grams")
+  }
+
   test("m08: pairing statuses conserve both modality populations exactly") {
     val out = operators.Multimodal.m08ManifestPairing(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
