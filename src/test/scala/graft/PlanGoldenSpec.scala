@@ -42,7 +42,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "j16_dynamic_pruning", "w12_funnel_steps", "v08_pq_topk",
     "t20_vocab_stats", "io06_lines_source", "d09_fuzzy_pairs",
     "a28_running_distinct", "a29_mad_outliers", "w13_longest_streak",
-    "m07_cdc_chunks", "t21_containment")
+    "m07_cdc_chunks", "t21_containment",
+    "v09_pq_rerank", "t22_bigram_lm", "t23_repeated_spans",
+    "a30_weighted_median", "m08_manifest_pairing", "st08_new_users")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
