@@ -487,7 +487,59 @@ object Windows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** w14 — time-weighted average value (TWAP) per user-day: each event's
+    * value holds until the next event (step-function semantics), the last
+    * event of the day holds to midnight, and the day's average weights
+    * each value by its holding duration — the time-series resampling
+    * primitive a plain AVG gets wrong whenever sampling is irregular
+    * (bursts over-represent themselves in an unweighted mean).
+    *
+    * Exactness: durations are int64 micros, values int64 cents, so the
+    * weighted sum is exact integer math (≤ 8.6e15 per row, no overflow);
+    * only the final divide is floating point, identically parenthesized
+    * in both engines. One exchange on (user, day) serves the lead()
+    * and the aggregate.
+    */
+  def w14Twap(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    base
+      .withColumn("dur",
+        coalesce(lead(col("us"), 1).over(w), (col("day") + 1) * 86400000000L) - col("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("cents") * col("dur")).as("wsum"),
+           sum(col("dur")).as("tdur"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        round(col("wsum").cast("double") / col("tdur") / 100.0, 6).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val w14Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) us,
+      |    CAST(round("value" * 100) AS BIGINT) cents,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, day, cents,
+      |    COALESCE(LEAD(us) OVER (PARTITION BY user_id, day ORDER BY us, event_id),
+      |             (day + 1) * 86400000000) - us AS dur
+      |  FROM e)
+      |SELECT user_id, day, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100.0, 6) AS twap
+      |FROM x
+      |GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w14_twap", "time-weighted average per user-day (step-function hold)",
+      w14Twap, Some(w14Sql)),
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),
     QueryDef("w12_funnel_steps", "ordered view->click->purchase funnel (one exchange)",
       w12FunnelSteps, Some(w12Sql)),

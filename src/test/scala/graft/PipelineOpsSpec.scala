@@ -360,6 +360,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w14: twap is value-bounded and equals the held value on single-event days") {
+    val out = operators.Windows.w14Twap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val perDay = Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("round(value * 100) / 100.0").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    assert(perDay.length === out.size)
+    perDay.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (n, twap) = out(key)
+      assert(n === r.getLong(2))
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      // a convex (duration-weighted) combination of the held values must
+      // stay inside their range; 1e-6 for the final rounding
+      assert(twap >= lo - 1e-6 && twap <= hi + 1e-6, s"$key: $twap outside [$lo, $hi]")
+      if (n == 1) assert(math.abs(twap - lo) <= 1e-6, s"$key: single event $twap != $lo")
+    }
+  }
+
   test("t23: duplicated-span coverage matches a driver position-set brute force") {
     val sfTiny = "/root/testdata/sf0.001"
     val out = operators.TextOps.t23RepeatedSpans(spark, sfTiny).collect()
