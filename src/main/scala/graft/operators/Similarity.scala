@@ -529,6 +529,57 @@ object Similarity {
       .agg(sum(col("partial")).as("score"))
   }
 
+  /** v10 — metadata-filtered similarity search: top-3 neighbors sharing
+    * the QUERY's label (the "filtered vector search" every retrieval
+    * product ships — class-constrained recommendations, per-tenant
+    * search, language-restricted retrieval). The filter composes BEFORE
+    * candidate ranking: the corpus-side join keys on (label) so each
+    * query only ever scores its own label's partition of the corpus —
+    * at 100 TB that is a per-label shuffle join (the label carries the
+    * partitioning), never a post-filter of a global top-k, which would
+    * under-fill k whenever the unfiltered neighborhood is dominated by
+    * other labels.
+    */
+  def v10FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label"), col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("label"), col("q").as("cq"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    queries.join(corpus, Seq("label"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("label"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v10Sql =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |p AS (
+      |  SELECT a.vec_id qid, a.label, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 25 = 0),
+      |r AS (SELECT qid, label, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p)
+      |SELECT qid, label, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   /** v09 — the production two-stage retrieval shape: PQ ADC shortlist
     * (top-`shortlist` per query by approximate score — cheap, code-table
     * arithmetic only), then EXACT re-rank of just the shortlist against
@@ -663,6 +714,8 @@ object Similarity {
       v08PqTopK(_, _), Some(v08Sql)),
     QueryDef("v09_pq_rerank", "PQ shortlist-32 + exact re-rank top-3 (two-stage retrieval)",
       v09PqRerank(_, _), Some(v09Sql)),
+    QueryDef("v10_filtered_topk", "label-filtered cosine top-3 (filtered vector search)",
+      v10FilteredTopK, Some(v10Sql)),
     QueryDef("v06_mips_topk", "exact max-inner-product top-5 (int64 scores)",
       v06MipsTopK, Some(v06Sql)),
     QueryDef("v02_ivf_topk", "IVF (fixed coarse quantizer) probe-2 top-3",

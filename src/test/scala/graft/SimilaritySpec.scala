@@ -82,6 +82,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean > 0.05, s"PQ recall $mean is indistinguishable from random")
   }
 
+  test("v10: filtered search is label-pure and differs from post-filtering global top-k") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.v10FilteredTopK(spark, sf).collect()
+    val labelOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(labelOf(r.getLong(3)) === r.getInt(1),
+        s"neighbor ${r.getLong(3)} leaked into label ${r.getInt(1)}")
+      assert(labelOf(r.getLong(0)) === r.getInt(1), "query label mismatch")
+    }
+    // the reason filter-then-rank exists: post-filtering the GLOBAL top-3
+    // must lose neighbors for at least one query on this corpus
+    val global = Similarity.v01CosineTopK(spark, sf).filter(col("rank") <= 3)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val filtered = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).toSet).toMap
+    val postFilterLoses = filtered.exists { case (q, neigh) =>
+      (global(q).filter(c => labelOf(c) == labelOf(q)) != neigh)
+    }
+    assert(postFilterLoses,
+      "corpus too clustered: post-filtering global top-3 equals filtered search everywhere")
+  }
+
   test("v09: exact re-rank of the PQ shortlist strictly improves on raw PQ ranking") {
     import org.apache.spark.sql.functions._
     val exact = Similarity.v01CosineTopK(spark, sf)
