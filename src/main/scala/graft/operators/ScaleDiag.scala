@@ -141,7 +141,60 @@ object ScaleDiag {
       |SELECT rf, ls, ym, bytes, CAST((cum - bytes) // 131072 AS BIGINT) AS bin
       |FROM c ORDER BY rf, ls, ym""".stripMargin
 
+  /** a31 — equi-width histogram profile of a numeric column: 20 exact
+    * integer bucket counts between the global min and max, with each
+    * bucket's closed-open [lo, hi) bounds. The data-profiling primitive
+    * behind every "distribution looks wrong" check; an approximate
+    * engine sketches this, a warehouse computes it exactly — one scan
+    * for the extent (a 1-row aggregate broadcast back via crossJoin,
+    * never a driver collect), one scan for the counts.
+    *
+    * The max value clamps into the last bucket (the standard closed
+    * final interval); empty buckets are emitted with n=0 via a
+    * sequence-generated bucket spine so the histogram is always
+    * 20 rows. All bound arithmetic (`min + b·width`) is written
+    * identically in both engines, so the doubles hash-match.
+    */
+  def a31Histogram(spark: SparkSession, dir: String, nBuckets: Int = 20): DataFrame = {
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v")).filter(col("v").isNotNull)
+    val extent = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("width", (col("mx") - col("mn")) / nBuckets)
+    val counted = vals.crossJoin(broadcast(extent))
+      .select(least(floor((col("v") - col("mn")) / col("width")).cast("long"),
+                    lit(nBuckets - 1L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val spine = extent
+      .select(explode(expr(s"sequence(0, ${nBuckets - 1})")).as("b"),
+              col("mn"), col("width"))
+      .select(col("b").cast("long").as("bucket"), col("mn"), col("width"))
+    spine.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("mn") + col("bucket").cast("double") * col("width")).as("lo"),
+        (col("mn") + (col("bucket") + 1).cast("double") * col("width")).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  private val a31Sql =
+    """WITH vals AS (SELECT l_extendedprice v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |ext AS (SELECT MIN(v) mn, MAX(v) mx, (MAX(v) - MIN(v)) / 20 width FROM vals),
+      |counted AS (
+      |  SELECT LEAST(CAST(FLOOR((v - mn) / width) AS BIGINT), 19) bucket, COUNT(*) n
+      |  FROM vals, ext GROUP BY 1),
+      |spine AS (SELECT CAST(u.b AS BIGINT) bucket, mn, width
+      |          FROM ext, LATERAL unnest(range(0, 20)) u(b))
+      |SELECT s.bucket,
+      |  s.mn + CAST(s.bucket AS DOUBLE) * s.width AS lo,
+      |  s.mn + CAST(s.bucket + 1 AS DOUBLE) * s.width AS hi,
+      |  COALESCE(c.n, 0) AS n
+      |FROM spine s LEFT JOIN counted c ON s.bucket = c.bucket
+      |ORDER BY s.bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a31_histogram",
+      "exact 20-bucket equi-width histogram (1-row extent broadcast)",
+      a31Histogram(_, _), Some(a31Sql)),
     QueryDef("l01_zorder",
       "Morton-code tile audit: per-tile envelopes for 2-dim pruning",
       l01Zorder, Some(l01Sql)),

@@ -40,6 +40,25 @@ class ScaleDiagSpec extends AnyFunSuite {
     }
   }
 
+  test("a31: histogram conserves mass, spans the extent, bounds are contiguous") {
+    import org.apache.spark.sql.functions._
+    val rows = ScaleDiag.a31Histogram(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 20L))
+    val (total, mn, mx) = {
+      val r = Tables.lineitem(spark, sf)
+        .agg(count(col("l_extendedprice")), min(col("l_extendedprice")),
+             max(col("l_extendedprice"))).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    assert(rows.map(_.getLong(3)).sum === total, "bucket counts must sum to non-null rows")
+    assert(rows.head.getDouble(1) === mn)
+    // contiguity: each bucket's hi is the next bucket's lo, last hi = max
+    rows.sliding(2).foreach(p => assert(p(0).getDouble(2) === p(1).getDouble(1)))
+    assert(math.abs(rows.last.getDouble(2) - mx) < 1e-9 * math.abs(mx))
+    assert(rows.map(_.getLong(3)).count(_ > 0) >= 2, "degenerate single-bucket histogram")
+  }
+
   test("a24: top-k comes from a distributed TakeOrdered, stats are exact") {
     val df = ScaleDiag.a24SkewStats(spark, sf)
     val rows = df.collect()
