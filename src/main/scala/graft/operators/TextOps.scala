@@ -814,6 +814,124 @@ object TextOps {
       |SELECT pair, cnt FROM c
       |ORDER BY cnt DESC, pair ASC LIMIT 10""".stripMargin
 
+  /** t24 — BPE tokenizer TRAINING, three full merge rounds: count
+    * frequency-weighted adjacent symbol pairs over the vocabulary, pick
+    * the top pair, apply the merge corpus-wide, recount — the actual
+    * iterated inner loop of byte-pair-encoding vocabulary induction
+    * (t15 is a single round in isolation). Emits the three learned merge
+    * rules with their pre-merge pair counts.
+    *
+    * Greedy left-to-right merge application (the tokenizers-library
+    * semantics: "aaaa" + rule a+a → [aa][aa], not [a][aa][a]) is
+    * re-expressed relationally: conflicts exist only between ADJACENT
+    * match positions, so within each island of consecutive matches
+    * (gaps-and-islands on position) greedy keeps exactly the odd-indexed
+    * members. No sequential scan survives into the plan.
+    *
+    * Scale shape: after the one corpus-sized word-count shuffle, every
+    * round runs over the COMPACT (word, freq, symbols) vocabulary —
+    * Heaps'-law-sized, not corpus-sized. The top pair is a 1-row
+    * TakeOrdered broadcast back into the merge join (never a driver
+    * constant); each round's vocabulary is localCheckpoint'ed so round
+    * N+1's plan starts from materialized blocks instead of re-deriving
+    * N rounds of lineage (the lineage tree triples per round otherwise;
+    * blocks are RDD-level and GC-collectable, unlike CacheManager
+    * entries).
+    */
+  def t24BpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val exploded = vocab
+        .select(col("word"), col("freq"), explode(expr("sequence(1, size(syms))")).as("i"),
+                col("syms"))
+        .select(col("word"), col("freq"), col("i"),
+          expr("element_at(syms, i)").as("sym"),
+          // ANSI mode: element_at past the end THROWS; try_ returns null
+          expr("try_element_at(syms, CAST(i + 1 AS INT))").as("nxt"))
+      val top = exploded.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("tp1"), col("nxt").as("tp2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("tp1").asc, col("tp2").asc)
+        .limit(1)
+      val wPos = Window.partitionBy(col("word")).orderBy(col("i"))
+      val kept = exploded.crossJoin(broadcast(top))
+        .filter(col("sym") === col("tp1") && col("nxt") === col("tp2"))
+        .withColumn("island", col("i") - row_number().over(wPos))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("word"), col("island")).orderBy(col("i"))))
+        .filter(col("rn") % 2 === 1)
+        .select(col("word"), col("i"))
+      vocab = exploded
+        .join(kept.select(col("word"), col("i"), lit(true).as("start")),
+              Seq("word", "i"), "left")
+        .join(kept.select(col("word"), (col("i") + 1).as("i"), lit(true).as("drop")),
+              Seq("word", "i"), "left")
+        .filter(col("drop").isNull)
+        .select(col("word"), col("freq"), col("i"),
+          when(col("start").isNotNull, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .groupBy(col("word"), col("freq"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)").as("syms"))
+        .localCheckpoint(true)
+      val row = top.select(lit(r).as("merge_round"), col("tp1").as("p1"),
+        col("tp2").as("p2"), concat(col("tp1"), col("tp2")).as("merged"), col("cnt"))
+      merges = if (merges == null) row else merges.unionByName(row)
+    }
+    merges.orderBy(col("merge_round"))
+  }
+
+  private val t24Sql = {
+    // one round of CTEs, parameterized by the previous vocab CTE name —
+    // the SQL mirror of the loop body above, unrolled
+    def round(r: Int, prev: String): String =
+      s"""e$r AS (
+         |  SELECT word, freq, CAST(i AS BIGINT) i,
+         |    syms[CAST(i AS INTEGER)] sym, syms[CAST(i + 1 AS INTEGER)] nxt
+         |  FROM $prev, LATERAL unnest(range(1, len(syms) + 1)) u(i)),
+         |tp$r AS (
+         |  SELECT sym tp1, nxt tp2, CAST(SUM(freq) AS BIGINT) cnt
+         |  FROM e$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, tp1 ASC, tp2 ASC LIMIT 1),
+         |k$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, island ORDER BY i) rn
+         |    FROM (
+         |      SELECT e.word, e.i, e.i - ROW_NUMBER() OVER (PARTITION BY e.word ORDER BY e.i) island
+         |      FROM e$r e, tp$r t WHERE e.sym = t.tp1 AND e.nxt = t.tp2))
+         |  WHERE rn % 2 = 1),
+         |v$r AS (
+         |  SELECT word, freq, list(sym ORDER BY i) syms FROM (
+         |    SELECT e.word, e.freq, e.i,
+         |      CASE WHEN k.word IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END sym
+         |    FROM e$r e
+         |    LEFT JOIN k$r k ON e.word = k.word AND e.i = k.i
+         |    LEFT JOIN k$r d ON e.word = d.word AND e.i = d.i + 1
+         |    WHERE d.word IS NULL)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) word FROM documents),
+       |f AS (SELECT word, COUNT(*) freq FROM w GROUP BY 1),
+       |v0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1),
+       |                   i -> substr(word, CAST(i AS INTEGER), 1)) syms
+       |  FROM f),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT merge_round, tp1 AS p1, tp2 AS p2, tp1 || tp2 AS merged, cnt FROM (
+       |  SELECT 1 merge_round, * FROM tp1
+       |  UNION ALL SELECT 2, * FROM tp2
+       |  UNION ALL SELECT 3, * FROM tp3)
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** t16 — line-level duplication profile (the CCNet/RefinedWeb
     * boilerplate signal): split documents into sentence-ish lines,
     * fingerprint each line, count how many DISTINCT documents share it,
@@ -1226,6 +1344,9 @@ object TextOps {
     QueryDef("t15_bpe_merge",
       "one BPE merge step: frequency-weighted adjacent-pair counts",
       t15BpeMergeStep, Some(t15Sql)),
+    QueryDef("t24_bpe_train",
+      "iterated BPE training: three merge rounds with greedy-apply semantics",
+      t24BpeTrain(_, _), Some(t24Sql)),
     QueryDef("t16_line_dedup",
       "line-level duplication profile (boilerplate signal)",
       t16LineDedup, Some(t16Sql)),

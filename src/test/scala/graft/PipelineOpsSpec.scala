@@ -360,6 +360,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t24: three merge rounds match a sequential reference BPE trainer exactly") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.TextOps.t24BpeTrain(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // classic sequential trainer: pair counts -> top pair -> GREEDY
+    // left-to-right apply (the overlap semantics the islands encode)
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, f) => w.split("").toVector -> f }
+    val expected = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += f)
+      }
+      val top = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      val ((p1, p2), cnt) = top
+      vocab = vocab.groupBy { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+            out += (p1 + p2); i += 2            // greedy: consume both
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.view.mapValues(_.values.sum).toMap
+      (r, p1, p2, p1 + p2, cnt)
+    }
+    assert(out.toSeq === expected,
+      s"engine merges ${out.toSeq} != reference ${expected}")
+  }
+
   test("w14: twap is value-bounded and equals the held value on single-event days") {
     val out = operators.Windows.w14Twap(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
