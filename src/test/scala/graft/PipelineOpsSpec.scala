@@ -360,6 +360,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 operators are invariant to shuffle-partition count and scan splits") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val ops: Seq[(String, () => Array[org.apache.spark.sql.Row])] = Seq(
+      "t22" -> (() => operators.TextOps.t22BigramLm(spark, sfTiny).collect()),
+      "t23" -> (() => operators.TextOps.t23RepeatedSpans(spark, sfTiny).collect()),
+      "a30" -> (() => operators.ScaleOps.a30WeightedMedian(spark, sfTiny).collect()),
+      "w14" -> (() => operators.Windows.w14Twap(spark, sfTiny).collect()),
+      "t24" -> (() => operators.TextOps.t24BpeTrain(spark, sfTiny).collect()))
+    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    def runAll(): Map[String, Seq[String]] =
+      ops.map { case (n, f) => n -> f().map(_.toString).toSeq }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val a = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+      val b = runAll()
+      ops.foreach { case (n, _) =>
+        assert(a(n) == b(n), s"$n drifted under replan: ${a(n).diff(b(n)).take(2)}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("t24: three merge rounds match a sequential reference BPE trainer exactly") {
     val sfTiny = "/root/testdata/sf0.001"
     val out = operators.TextOps.t24BpeTrain(spark, sfTiny).collect()
