@@ -932,6 +932,123 @@ object TextOps {
        |ORDER BY merge_round""".stripMargin
   }
 
+  /** t25 — the end-to-end curation FUNNEL with per-stage accounting:
+    * ingest → language gate → length gate → exact dedup → eval-set
+    * decontamination → sequence packing, one row of (docs, tokens) per
+    * stage. This is the report every training-data pipeline prints
+    * before a run — where did the mass go, and how many packed
+    * sequences come out the other end. Two planted batches make every
+    * stage live: verbatim copies of docs < 40 (+100000 — die at dedup)
+    * and copies of the EXTERNAL eval set (+200001, tagged en — die at
+    * decontamination with overlap 1.0).
+    *
+    * Decontamination uses the exact integer rule 2·shared ≥ own (3-gram
+    * overlap fraction ≥ ½) — no float compare crosses an engine
+    * boundary. Packing counts distinct prefix-sum buckets (t08's
+    * boundary rule), so an oversized doc that spans budgets does not
+    * inflate the pack count. Every stage is one aggregate over the
+    * previous stage's frame; the funnel unions six 1-row aggregates.
+    */
+  def t25CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang"))
+    val dupPlant = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+    val evalPlant = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200001).as("doc_id"), col("text"), lit("en").as("lang"))
+    val ingest = base.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(dupPlant).unionByName(evalPlant)
+      .withColumn("n_tok", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    val s1 = ingest.filter(col("lang") === "en")
+    val s2 = s1.filter(col("n_tok") >= 50)
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val s3 = s2
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_tok"))
+    val grams3 = expr(
+      "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(grams3).as("gram"))
+    val evalGrams = grams(base.filter(col("doc_id") % 50 === 0))
+      .select(col("gram")).distinct().withColumn("hit", lit(true))
+    val overlap = grams(s3)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("own"),
+           countDistinct(when(col("hit"), col("gram"))).as("shared"))
+    val s4 = s3.join(overlap, Seq("doc_id"))
+      .filter(col("shared") * 2 < col("own"))
+      .select(col("doc_id"), col("n_tok"))
+    val packed = ScaleOps.prefixSum(s4, Seq("doc_id"), "n_tok", "cum")
+      .select(expr("(cum - n_tok) div 512").as("pack_id"), col("n_tok"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+             coalesce(sum(col("n_tok")), lit(0L)).cast(LongType).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("0_ingest", ingest)
+      .unionByName(stage("1_langid", s1))
+      .unionByName(stage("2_length", s2))
+      .unionByName(stage("3_dedup", s3))
+      .unionByName(stage("4_decontam", s4))
+      .unionByName(packed.agg(countDistinct(col("pack_id")).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).cast(LongType).as("n_tokens"))
+        .select(lit("5_packed").as("stage"), col("n_docs"), col("n_tokens")))
+      .orderBy(col("stage"))
+  }
+
+  private val t25Sql =
+    """WITH base AS (SELECT doc_id, text, lang FROM documents),
+      |ingest AS (
+      |  SELECT doc_id, text, lang,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) n_tok
+      |  FROM (
+      |    SELECT doc_id, text, lang FROM base WHERE doc_id % 50 <> 0
+      |    UNION ALL
+      |    SELECT doc_id + 100000, text, lang FROM base WHERE doc_id < 40
+      |    UNION ALL
+      |    SELECT doc_id + 200001, text, 'en' FROM base WHERE doc_id % 50 = 0)),
+      |s1 AS (SELECT * FROM ingest WHERE lang = 'en'),
+      |s2 AS (SELECT * FROM s1 WHERE n_tok >= 50),
+      |s3 AS (
+      |  SELECT doc_id, text, n_tok FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY doc_id) rn
+      |    FROM s2) WHERE rn = 1),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') gram
+      |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') w
+      |        FROM base WHERE doc_id % 50 = 0),
+      |    LATERAL unnest(range(1, len(w) - 1)) u(i) WHERE len(w) >= 3),
+      |sg AS (
+      |  SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') gram
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM s3),
+      |    LATERAL unnest(range(1, len(w) - 1)) u(i) WHERE len(w) >= 3),
+      |ov AS (
+      |  SELECT sg.doc_id, COUNT(DISTINCT sg.gram) own,
+      |    COUNT(DISTINCT sg.gram) FILTER (WHERE eg.gram IS NOT NULL) shared
+      |  FROM sg LEFT JOIN eg ON sg.gram = eg.gram GROUP BY 1),
+      |s4 AS (
+      |  SELECT s3.doc_id, s3.n_tok FROM s3 JOIN ov USING (doc_id)
+      |  WHERE ov.shared * 2 < ov.own),
+      |packed AS (
+      |  SELECT (cum - n_tok) // 512 pack_id, n_tok FROM (
+      |    SELECT n_tok, SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |    FROM s4)),
+      |funnel AS (
+      |  SELECT '0_ingest' stage, COUNT(*) n_docs,
+      |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) n_tokens FROM ingest
+      |  UNION ALL SELECT '1_langid', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+      |  UNION ALL SELECT '2_length', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      |  UNION ALL SELECT '3_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      |  UNION ALL SELECT '4_decontam', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+      |  UNION ALL SELECT '5_packed', COUNT(DISTINCT pack_id),
+      |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM packed)
+      |SELECT stage, n_docs, n_tokens FROM funnel ORDER BY stage""".stripMargin
+
   /** t16 — line-level duplication profile (the CCNet/RefinedWeb
     * boilerplate signal): split documents into sentence-ish lines,
     * fingerprint each line, count how many DISTINCT documents share it,
@@ -1347,6 +1464,9 @@ object TextOps {
     QueryDef("t24_bpe_train",
       "iterated BPE training: three merge rounds with greedy-apply semantics",
       t24BpeTrain(_, _), Some(t24Sql)),
+    QueryDef("t25_curation_funnel",
+      "end-to-end curation funnel: lang -> length -> dedup -> decontam -> pack",
+      t25CurationFunnel, Some(t25Sql)),
     QueryDef("t16_line_dedup",
       "line-level duplication profile (boilerplate signal)",
       t16LineDedup, Some(t16Sql)),

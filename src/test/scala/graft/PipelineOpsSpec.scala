@@ -385,6 +385,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("t25: funnel is monotone, packing conserves tokens, decontam drops exactly the plants") {
+    val out = operators.TextOps.t25CurationFunnel(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stages = Seq("0_ingest", "1_langid", "2_length", "3_dedup", "4_decontam")
+    assert(out.keySet === (stages :+ "5_packed").toSet)
+    // docs and tokens both non-increasing through the filter stages
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(a)._1 >= out(b)._1 && out(a)._2 >= out(b)._2, s"$a -> $b grew")
+    }
+    assert(stages.forall(s => out(s)._1 > 0), "a stage emptied the corpus")
+    // every stage except langid/packing must actually drop something on
+    // this corpus (the planted batches guarantee dedup + decontam work)
+    assert(out("0_ingest")._1 > out("1_langid")._1)
+    assert(out("1_langid")._1 > out("2_length")._1)
+    assert(out("2_length")._1 > out("3_dedup")._1)
+    assert(out("3_dedup")._1 > out("4_decontam")._1)
+    // decontam removes exactly the planted eval copies that reached it:
+    // eval docs are tagged en in the plant and are unique in the corpus,
+    // so the survivors-to-s4-input among them = those with >= 50 tokens
+    val evalLong = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 50 === 0 &&
+              size(split(lower(trim(col("text"))), "\\s+")) >= 50)
+      .count()
+    assert(out("3_dedup")._1 - out("4_decontam")._1 === evalLong,
+      s"decontam dropped ${out("3_dedup")._1 - out("4_decontam")._1}, expected $evalLong plants")
+    // packing: token mass conserved, pack count bounded by the budget
+    assert(out("5_packed")._2 === out("4_decontam")._2)
+    assert(out("5_packed")._1 >= (out("4_decontam")._2 + 511) / 512)
+  }
+
   test("t24: three merge rounds match a sequential reference BPE trainer exactly") {
     val sfTiny = "/root/testdata/sf0.001"
     val out = operators.TextOps.t24BpeTrain(spark, sfTiny).collect()
