@@ -726,7 +726,57 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** a32 — market-basket co-occurrence: which parts ship together in
+    * the same order, ranked by pair count with exact integer lift
+    * (lift > 1 ⟺ the pair co-occurs more than independence predicts —
+    * the association-mining signal, in ppm so no float crosses the
+    * engine boundary). The shape is THE canonical co-occurrence plan:
+    * distinct (order, part) → self-join co-partitioned on the order key
+    * (one shuffle; pair explosion is per-order-local, Σ|basket|²) →
+    * pair count agg → two joins back to the per-part order counts.
+    * Part frequencies are catalog-bounded, so those joins broadcast;
+    * the basket self-join never does.
+    */
+  def a32MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val partCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_together"))
+    pairs
+      .join(broadcast(partCounts.select(col("pk").as("pa"), col("c").as("ca"))), Seq("pa"))
+      .join(broadcast(partCounts.select(col("pk").as("pb"), col("c").as("cb"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_together"),
+        expr("n_together * n_orders * 1000000 div (ca * cb)").as("lift_ppm"))
+      .orderBy(col("n_together").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  private val a32Sql =
+    """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) n_orders FROM items),
+      |pc AS (SELECT pk, COUNT(*) c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk pa, b.pk pb, COUNT(*) n_together
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, n_together,
+      |  CAST(n_together * n.n_orders * 1000000 // (ca.c * cb.c) AS BIGINT) lift_ppm
+      |FROM pairs
+      |JOIN pc ca ON pairs.pa = ca.pk
+      |JOIN pc cb ON pairs.pb = cb.pk
+      |CROSS JOIN n
+      |ORDER BY n_together DESC, pa ASC, pb ASC
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a32_market_basket",
+      "co-ordered part pairs with exact integer lift (basket self-join)",
+      a32MarketBasket, Some(a32Sql)),
     QueryDef("a01_pricing_summary", "A1/A13 hash agg, exact sums/avgs", a01PricingSummary, Some(a01Sql)),
     QueryDef("a02_yearly_trend", "A2 two-key group, mixed-direction sort, limit", a02YearlyTrend, Some(a02Sql)),
     QueryDef("a03_having_segment", "A3 HAVING on aggregate alias", a03HavingSegment, Some(a03Sql)),

@@ -537,7 +537,58 @@ object Windows {
       |GROUP BY user_id, day
       |ORDER BY user_id, day""".stripMargin
 
+  /** w15 — OHLC bars: per (event_type, hour) open/high/low/close of the
+    * value series — the time-series downsampling shape (finance bars,
+    * metric rollups). First/last are selected by row_number over
+    * (ts, event_id) — a total order, so ties at the same timestamp
+    * cannot make open/close nondeterministic — and both directions plus
+    * the extrema resolve in ONE exchange on the bar key (two window
+    * passes and the aggregate share it). Values stay int64 cents.
+    */
+  def w15OhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val key = Window.partitionBy(col("event_type"), col("hour"))
+    val asc = key.orderBy(col("us").asc, col("event_id").asc)
+    val desc = key.orderBy(col("us").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+           max(when(col("rna") === 1, col("cents"))).as("open_cents"),
+           max(col("cents")).as("high_cents"),
+           min(col("cents")).as("low_cents"),
+           max(when(col("rnd") === 1, col("cents"))).as("close_cents"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val w15Sql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS "hour",
+      |    epoch_us(ts) us, event_id,
+      |    CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, "hour" ORDER BY us ASC, event_id ASC) rna,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, "hour" ORDER BY us DESC, event_id DESC) rnd
+      |  FROM e)
+      |SELECT event_type, "hour", COUNT(*) n,
+      |  MAX(CASE WHEN rna = 1 THEN cents END) open_cents,
+      |  MAX(cents) high_cents,
+      |  MIN(cents) low_cents,
+      |  MAX(CASE WHEN rnd = 1 THEN cents END) close_cents
+      |FROM r
+      |GROUP BY event_type, "hour"
+      |ORDER BY event_type, "hour"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w15_ohlc_bars", "OHLC bars per (event_type, hour) in one exchange",
+      w15OhlcBars, Some(w15Sql)),
     QueryDef("w14_twap", "time-weighted average per user-day (step-function hold)",
       w14Twap, Some(w14Sql)),
     QueryDef("w01_topn_per_group", "row_number top-N per group", w01TopNPerGroup, Some(w01Sql)),

@@ -385,6 +385,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("a32: pair counts and lift match a driver basket brute force") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.Relational.a32MarketBasket(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 20)
+    assert(out.forall(r => r._1 < r._2), "pair not ordered pa < pb")
+    assert(out.sliding(2).forall(p => p.head._3 >= p.last._3), "counts not non-increasing")
+    val baskets = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nOrders = baskets.size.toLong
+    val partC = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairC = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) pairC((s(i), s(j))) += 1
+    }
+    out.foreach { case (pa, pb, n, lift) =>
+      assert(n === pairC((pa, pb)), s"pair ($pa,$pb) count $n != ${pairC((pa, pb))}")
+      assert(lift === n * nOrders * 1000000L / (partC(pa) * partC(pb)))
+    }
+  }
+
+  test("w15: bars bound their extremes and open/close match the time order") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.Windows.w15OhlcBars(spark, sfTiny).collect()
+    val events = Tables.events(spark, sfTiny)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L, r.getLong(1),
+                 r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    assert(out.length === events.size)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val rows = events(key).sortBy(t => (t._3, t._4))
+      val (n, open, high, low, close) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n === rows.size)
+      assert(open === rows.head._5 && close === rows.last._5, s"$key open/close order")
+      assert(high === rows.map(_._5).max && low === rows.map(_._5).min)
+      assert(high >= math.max(open, close) && low <= math.min(open, close))
+    }
+  }
+
   test("t25: funnel is monotone, packing conserves tokens, decontam drops exactly the plants") {
     val out = operators.TextOps.t25CurationFunnel(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
