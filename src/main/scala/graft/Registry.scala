@@ -21,6 +21,7 @@ object Registry {
       operators.Multimodal.defs ++
       operators.Formats.defs ++
       operators.ScaleOps.defs ++
+      operators.Maintenance.defs ++
       operators.ScaleDiag.defs ++
       streaming.EventStream.defs
 

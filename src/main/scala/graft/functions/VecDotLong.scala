@@ -84,5 +84,9 @@ object GraftFunctions {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("byte_surprisal"),
+      new ExpressionInfo(classOf[ByteSurprisal].getName, "byte_surprisal"),
+      (children: Seq[Expression]) => ByteSurprisal(children.head))
   }
 }

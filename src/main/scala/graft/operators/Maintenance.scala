@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.util.Exact._
+
+/** Pipeline-maintenance operators: the recurring jobs a 100 TB lake runs
+  * every day AROUND its analytics — incremental aggregate refresh,
+  * privacy-suppression audits, and seasonal anomaly gating on the ingest
+  * stream. Reference scope: the reference app recomputes its dashboard
+  * aggregates from the full table on every run (Health_Jim.py notebook
+  * cells re-run `GROUP BY` over the whole SQLite table); these operators
+  * are the forms that survive when "the whole table" is 100 TB.
+  */
+object Maintenance {
+
+  /** a33 — incremental aggregate maintenance (materialized-view refresh).
+    *
+    * The algebraic-aggregate identity: COUNT/SUM/MIN/MAX are commutative
+    * monoids, so a grouped aggregate over (history ∪ delta) equals the
+    * merge of per-side PARTIAL STATES — never rescan history. The
+    * snapshot partials are genuinely written to and read back from
+    * parquet (the stored-state lifecycle, same convention as v05's
+    * stored IVF index), then merged with the delta's partials: at 100 TB
+    * the daily refresh touches only the delta and a key-bounded state
+    * table. AVG is deliberately NOT a stored state — it is derived from
+    * (decimal sum, count) at the end, the only re-aggregatable form.
+    *
+    * The oracle recomputes from scratch; equality IS the maintenance
+    * contract.
+    */
+  def a33IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = expr("timestamp'2000-01-01 00:00:00'")
+    val li = Tables.lineitem(spark, dir)
+
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("l_quantity")).as("n_qty"),
+             sum(dec(col("l_quantity"))).as("sum_qty_dec"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"))
+
+    // Snapshot side: partial states persisted to storage, read back.
+    val snapDir = graft.util.Scratch.dir("graft_a33_snapshot_")
+    partials(li.filter(col("l_shipdate") < cutoff))
+      .write.mode("overwrite").parquet(snapDir)
+    val snapshot = spark.read.parquet(snapDir)
+
+    // Delta side: today's arrivals only.
+    val delta = partials(li.filter(col("l_shipdate") >= cutoff ||
+                                   col("l_shipdate").isNull))
+
+    snapshot.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+           sum(col("n_qty")).as("n_qty"),
+           sum(col("sum_qty_dec")).as("sum_qty_dec"),
+           min(col("min_price")).as("min_price"),
+           max(col("max_price")).as("max_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+        (col("sum_qty_dec").cast(DoubleType) / col("n_qty")).as("avg_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val a33Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** a34 — k-anonymity audit over quasi-identifiers (k = 10).
+    *
+    * Training-data releases carry re-identification risk through
+    * quasi-identifier combinations (the (segment, nation) pair here):
+    * any row whose QI group has fewer than k members must be suppressed
+    * or generalized before release. This is the audit table that drives
+    * that decision — group sizes with the suppression verdict. One hash
+    * aggregate over the QI columns; the group table is bounded by the
+    * QI domain product (|segments|×|nations|), so the row-level
+    * application (MaintenanceSpec) joins it back BROADCAST — the 100 TB
+    * fact side never shuffles.
+    */
+  def a34KAnonymity(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("suppress", col("n_rows") < k)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  private val a34Sql =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  COUNT(*) < 10 AS suppress
+      |FROM customer
+      |GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** w16 — seasonal anomaly gate: flag recent events whose value sits
+    * more than 3 sample standard deviations from the hour-of-week
+    * baseline of their event type — WITHOUT any float crossing the
+    * engine boundary or a sqrt anywhere.
+    *
+    * (x − μ)² > 9σ²  with  μ = S/n,  σ² = (nQ − S²)/(n(n−1))  rewrites
+    * to the integer form  (xn − S)²(n−1) > 9n(nQ − S²)  over cents;
+    * every operand is an exact DECIMAL(38,0), so the boolean is
+    * bit-identical across engines and partitionings (the usual
+    * stddev_samp plan folds doubles in shuffle order). Hour-of-week is
+    * pure integer epoch math (epoch-day mod 7 × hour), immune to the
+    * Spark-vs-DuckDB dayofweek numbering mismatch.
+    *
+    * Scale shape: the baseline is bounded by |event types| × 168 cells
+    * — a dimension table, not data-scale — so Spark broadcasts the
+    * join-back and the recent stream is flagged in one codegen'd
+    * projection with NO shuffle of the fact side.
+    */
+  def w16SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffUs = 1705881600000000L // 2024-01-22 00:00 UTC
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("d", expr("(us div 86400000000) % 7"))
+      .withColumn("h", expr("(us div 3600000000) % 24"))
+
+    val baseline = e.filter(col("us") < cutoffUs)
+      .groupBy(col("event_type"), col("d"), col("h"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents").cast(DecimalType(38, 0))).as("s"),
+           sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("q"))
+
+    e.filter(col("us") >= cutoffUs)
+      .join(broadcast(baseline), Seq("event_type", "d", "h"), "left")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        coalesce(col("n"), lit(0L)).as("baseline_n"),
+        coalesce(
+          col("n") >= 2 &&
+            (col("cents") * col("n") - col("s")) *
+            (col("cents") * col("n") - col("s")) * (col("n") - 1) >
+            (col("n") * col("q") - col("s") * col("s")) * col("n") * 9,
+          lit(false)).as("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w16Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_us(ts) us,
+      |    CAST(round(value * 100) AS BIGINT) cents,
+      |    (epoch_us(ts) // 86400000000) % 7 d,
+      |    (epoch_us(ts) // 3600000000) % 24 h
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (
+      |  SELECT event_type, d, h, COUNT(*) n,
+      |    SUM(CAST(cents AS HUGEINT)) s,
+      |    SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) q
+      |  FROM e WHERE us < 1705881600000000 GROUP BY 1, 2, 3)
+      |SELECT r.event_id, r.event_type, r.cents,
+      |  COALESCE(b.n, 0) AS baseline_n,
+      |  COALESCE(b.n >= 2 AND
+      |    (r.cents * b.n - b.s) * (r.cents * b.n - b.s) * (b.n - 1) >
+      |    (b.n * b.q - b.s * b.s) * b.n * 9, FALSE) AS is_anomaly
+      |FROM e r LEFT JOIN b ON r.event_type = b.event_type AND r.d = b.d AND r.h = b.h
+      |WHERE r.us >= 1705881600000000
+      |ORDER BY r.event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a33_incremental_agg",
+      "materialized-view refresh: stored partial states merged with a delta == full recompute",
+      a33IncrementalAgg, Some(a33Sql)),
+    QueryDef("a34_k_anonymity",
+      "k-anonymity QI group audit with broadcastable suppression verdicts",
+      a34KAnonymity(_, _), Some(a34Sql)),
+    QueryDef("w16_seasonal_anomaly",
+      "hour-of-week baseline anomaly gate, exact integer variance (no float, no sqrt)",
+      w16SeasonalAnomaly, Some(w16Sql))
+  )
+}
