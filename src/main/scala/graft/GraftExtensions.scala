@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{NfcNormalize, PyCapWords, PyCapitalize, PyTitle, VecDotLong}
+import graft.functions.{ByteSurprisal, NfcNormalize, PyCapWords, PyCapitalize, PyTitle, VecDotLong}
 
 /** Spark-native installation point for the engine's custom expressions:
   *
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       es => NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("byte_surprisal"),
+      new ExpressionInfo(classOf[ByteSurprisal].getName, "byte_surprisal"),
+      es => ByteSurprisal(es.head)))
     // Rule tier: idempotence collapse for nfc_normalize chains
     ext.injectOptimizerRule(s => graft.plans.CollapseNfcNormalize(s))
     // Whole-operator tier: the native as-of join (logical node + merge exec)

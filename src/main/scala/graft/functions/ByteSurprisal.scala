@@ -44,7 +44,7 @@ case class ByteSurprisal(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, b =>
       s"${ev.value} = graft.functions.ByteSurprisal.compute($b);")
 
-  override protected def withNewChildrenInternal(newChild: Expression): ByteSurprisal =
+  override protected def withNewChildInternal(newChild: Expression): ByteSurprisal =
     copy(child = newChild)
 }
 

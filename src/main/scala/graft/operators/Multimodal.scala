@@ -433,7 +433,49 @@ object Multimodal {
       |  CAST(COALESCE(SUM(dim), 0) AS BIGINT) AS sum_dims
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** m09 — byte-entropy corruption audit over opaque payloads: the
+    * Shannon entropy of each payload's byte distribution, computed by the
+    * native codegen expression [[graft.functions.ByteSurprisal]] in
+    * integer micro-nats (the t14 exactness convention — ln rounded per
+    * term, aggregate pure int64). Truncated-junk payloads score near 0;
+    * compressed/encrypted ones near ln 256 — the standard cheap gate
+    * before expensive decode stages. One narrow projection, no shuffle,
+    * no per-row allocation (the histogram lives in the generated class).
+    */
+  def m09PayloadEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('IMG0', text) AS BINARY)").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        expr("byte_surprisal(payload)").as("surprisal_micronats"))
+      .withColumn("mean_entropy_nats",
+        round(col("surprisal_micronats").cast(DoubleType) / col("n_bytes") / 1000000.0, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB recomputes the histogram from hex pairs (blob bytes aren't
+    * directly unnestable); text is ASCII so UTF-8 bytes == chars, and the
+    * per-term micro-nat rounding margins are audited in ByteSurprisal's
+    * docstring.
+    */
+  private val m09Sql =
+    """WITH p AS (SELECT doc_id, encode('IMG0' || text) pay FROM documents),
+      |b AS (SELECT doc_id, octet_length(pay) n, hex(pay) hx FROM p),
+      |e AS (SELECT doc_id, n, substr(hx, 2*CAST(i AS INTEGER) - 1, 2) byte
+      |      FROM b, LATERAL unnest(range(1, CAST(n AS BIGINT) + 1)) AS u(i)),
+      |c AS (SELECT doc_id, n, byte, COUNT(*) c FROM e GROUP BY 1, 2, 3),
+      |s AS (SELECT doc_id, n, SUM(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)) sur
+      |      FROM c GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(sur AS BIGINT) AS surprisal_micronats,
+      |       ROUND(CAST(sur AS DOUBLE) / n / 1000000, 4) AS mean_entropy_nats
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m09_payload_entropy",
+      "byte-entropy corruption audit via the native byte_surprisal codegen expression",
+      m09PayloadEntropy, Some(m09Sql)),
     QueryDef("m08_manifest_pairing", "modality manifest full-outer pairing audit",
       m08ManifestPairing, Some(m08Sql)),
     QueryDef("m01_binary_features", "binary payload + partition-batched decode (stub)", m01BinaryFeatures, Some(m01Sql)),
