@@ -165,7 +165,67 @@ object Components {
       |FROM prof GROUP BY cluster_size
       |ORDER BY cluster_size""".stripMargin
 
+  /** g04 — entity-resolution blast radius: every customer record within
+    * ≤ 2 single-character-edit hops of a blocklisted seed record (seed
+    * convention: c_custkey ≡ 0 mod 100), with its hop distance. When a
+    * fraudulent record is flagged, its aliases aren't just the direct
+    * lev≤1 matches but the CHAIN of near-identical names — this query
+    * sizes that removal set, stratified by distance (15 seeds → 270 at
+    * one hop → 1215 at two on the sf0.01 corpus).
+    *
+    * Runs through Spark's OWN recursive CTE (`WITH RECURSIVE`, new
+    * engine surface in Spark 4.x): seeds at depth 0, one edge-join per
+    * level, `UNION ALL` + an explicit depth bound (Spark's recursion
+    * does not yet dedup via UNION, so on cyclic graphs the bound is
+    * what terminates), then MIN(dist) collapses the walk multiplicity.
+    * The edge set comes from [[Dedup.d09FuzzyPairs]]'s FastSS
+    * deletion-key blocking — no O(n²) scan anywhere. Depth-BOUNDED
+    * neighbourhoods are exactly what rCTE is good for at scale (walk
+    * counts stay ≤ Σ degᵈᵉᵖᵗʰ); for the UNBOUNDED closure use
+    * [[connectedComponents]]'s converging dataflow loop instead.
+    */
+  def g04ContaminationSpread(spark: SparkSession, dir: String,
+                             maxHops: Int = 2): DataFrame = {
+    Dedup.d09FuzzyPairs(spark, dir).select(col("ida"), col("idb"))
+      .createOrReplaceTempView("g04_pairs")
+    graft.Tables.customer(spark, dir).select(col("c_custkey"))
+      .filter(col("c_custkey") % 100 === 0)
+      .createOrReplaceTempView("g04_seeds")
+    spark.sql(
+      s"""WITH RECURSIVE
+         |e AS (SELECT ida a, idb b FROM g04_pairs
+         |      UNION ALL SELECT idb, ida FROM g04_pairs),
+         |reach(c_custkey, dist) AS (
+         |  SELECT c_custkey, 0 FROM g04_seeds
+         |  UNION ALL
+         |  SELECT e.b, reach.dist + 1 FROM reach JOIN e ON reach.c_custkey = e.a
+         |  WHERE reach.dist < $maxHops)
+         |SELECT c_custkey, CAST(MIN(dist) AS BIGINT) AS hops
+         |FROM reach GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Oracle: d09's brute-force lev≤1 pairs + the IDENTICAL depth-bounded
+    * recursion (DuckDB also terminates UNION ALL recursion via the
+    * dist bound).
+    */
+  private val g04Sql =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.c_custkey ida, b.c_custkey idb
+      |  FROM customer a, customer b
+      |  WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1),
+      |e AS (SELECT ida a, idb b FROM p UNION ALL SELECT idb, ida FROM p),
+      |reach(c_custkey, dist) AS (
+      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey % 100 = 0
+      |  UNION ALL
+      |  SELECT e.b, reach.dist + 1 FROM reach JOIN e ON reach.c_custkey = e.a
+      |  WHERE reach.dist < 2)
+      |SELECT c_custkey, CAST(MIN(dist) AS BIGINT) AS hops
+      |FROM reach GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g04_contamination_spread",
+      "depth-bounded near-dup reachability from flagged seeds (Spark recursive CTE)",
+      g04ContaminationSpread(_, _), Some(g04Sql)),
     QueryDef("d06_cc_clusters",
       "connected components of near-dup pairs (min-label propagation)",
       d06CcClusters, Some(d06Sql)),

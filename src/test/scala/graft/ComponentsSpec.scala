@@ -60,4 +60,27 @@ class ComponentsSpec extends AnyFunSuite {
       assert(find(node) === cid, s"node $node: spark=$cid union-find=${find(node)}")
     }
   }
+
+  test("g04: recursive-CTE hop distances == driver-side BFS") {
+    import SparkTestSession._
+    val out = operators.Components.g04ContaminationSpread(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = operators.Dedup.d09FuzzyPairs(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(_ % 100 == 0)
+    // plain BFS to depth 2
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    for (d <- 1L to 2L) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    assert(out === dist.toMap)
+    // the recursion must actually stratify: at least seeds + one hop
+    assert(out.values.toSet.contains(0L))
+    assert(out.values.exists(_ > 0L), "no spread beyond seeds — graph/seed mismatch")
+  }
 }
