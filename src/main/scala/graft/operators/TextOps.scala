@@ -838,7 +838,15 @@ object TextOps {
     * blocks are RDD-level and GC-collectable, unlike CacheManager
     * entries).
     */
-  def t24BpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  def t24BpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeEvolve(spark, dir, rounds)._1.orderBy(col("merge_round"))
+
+  /** The shared trainer loop: returns (merge table, final vocab) so
+    * training (t24) and corpus encoding with the trained tokenizer (t26)
+    * run the identical evolution.
+    */
+  private def bpeEvolve(spark: SparkSession, dir: String,
+                        rounds: Int): (DataFrame, DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
