@@ -892,7 +892,7 @@ object TextOps {
         col("tp2").as("p2"), concat(col("tp1"), col("tp2")).as("merged"), col("cnt"))
       merges = if (merges == null) row else merges.unionByName(row)
     }
-    merges.orderBy(col("merge_round"))
+    (merges, vocab)
   }
 
   private val t24Sql = {
