@@ -148,23 +148,48 @@ final class LinesScan(path: String, chunkBytes: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LinesReaderFactory(required.fieldNames, lo, hi)
+    // capture the DRIVER's Hadoop conf (S3 credentials, custom FS
+    // options) at plan time and ship it to executors — a bare
+    // `new Configuration()` in the reader would silently drop every
+    // per-session fs.* setting and diverge from planInputPartitions
+    new LinesReaderFactory(required.fieldNames, lo, hi,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 }
 
-final class LinesReaderFactory(cols: Array[String], lo: Long, hi: Long)
+/** Java-serializable carrier for a Hadoop Configuration (which is
+  * Writable but not Serializable) — same shape as Spark's internal
+  * SerializableConfiguration, reimplemented here because that class is
+  * `private[spark]` at the source level.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+final class LinesReaderFactory(cols: Array[String], lo: Long, hi: Long,
+                               conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LinesPartition]
-    new LinesPartitionReader(p, cols, lo, hi)
+    new LinesPartitionReader(p, cols, lo, hi, conf.value)
   }
 }
 
 final class LinesPartitionReader(part: LinesPartition, cols: Array[String],
-                                 lo: Long, hi: Long)
+                                 lo: Long, hi: Long, hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
   private val hPath = new Path(part.file)
   private val in = {
-    val stream = hPath.getFileSystem(new Configuration()).open(hPath)
+    val stream = hPath.getFileSystem(hadoopConf).open(hPath)
     stream.seek(part.start)
     new java.io.BufferedInputStream(stream, 1 << 16)
   }

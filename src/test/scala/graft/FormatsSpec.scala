@@ -111,4 +111,20 @@ class FormatsSpec extends AnyFunSuite {
     assert(scan.readSchema().fieldNames.sameElements(Array("offset")),
       s"scan still reads ${scan.readSchema().fieldNames.mkString(",")}")
   }
+
+  test("graft-lines DSv2: session Hadoop conf survives the executor round-trip") {
+    // the reader must open files with the DRIVER's Hadoop conf (S3
+    // creds, fs.* options), shipped via Java serialization — a bare
+    // `new Configuration()` on the executor drops all of it
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("graft.test.sentinel", "through-the-wire")
+    val carrier = new graft.sources.SerializableHadoopConf(conf)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(carrier); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(back.value.get("graft.test.sentinel") == "through-the-wire")
+  }
 }
