@@ -669,6 +669,11 @@ object TextOps {
     val arr = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
     val bigrams = arr
+      // sub-2-token docs must emit NO positions: sequence(2, 1) is the
+      // DESCENDING [2, 1] (Spark steps -1 when start > stop), and its
+      // element_at(a, 0) throws — whereas DuckDB's range(2, len+1) is
+      // simply empty. Filter first so both engines agree.
+      .filter(size(col("a")) >= 2)
       .select(col("doc_id"), col("a"),
         explode(expr("sequence(2, size(a))")).as("i"))
       .select(col("doc_id"),
@@ -856,38 +861,13 @@ object TextOps {
       .localCheckpoint(true)
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
-      val exploded = vocab
-        .select(col("word"), col("freq"), explode(expr("sequence(1, size(syms))")).as("i"),
-                col("syms"))
-        .select(col("word"), col("freq"), col("i"),
-          expr("element_at(syms, i)").as("sym"),
-          // ANSI mode: element_at past the end THROWS; try_ returns null
-          expr("try_element_at(syms, CAST(i + 1 AS INT))").as("nxt"))
+      val exploded = explodeSyms(vocab)
       val top = exploded.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("tp1"), col("nxt").as("tp2"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("tp1").asc, col("tp2").asc)
         .limit(1)
-      val wPos = Window.partitionBy(col("word")).orderBy(col("i"))
-      val kept = exploded.crossJoin(broadcast(top))
-        .filter(col("sym") === col("tp1") && col("nxt") === col("tp2"))
-        .withColumn("island", col("i") - row_number().over(wPos))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("word"), col("island")).orderBy(col("i"))))
-        .filter(col("rn") % 2 === 1)
-        .select(col("word"), col("i"))
-      vocab = exploded
-        .join(kept.select(col("word"), col("i"), lit(true).as("start")),
-              Seq("word", "i"), "left")
-        .join(kept.select(col("word"), (col("i") + 1).as("i"), lit(true).as("drop")),
-              Seq("word", "i"), "left")
-        .filter(col("drop").isNull)
-        .select(col("word"), col("freq"), col("i"),
-          when(col("start").isNotNull, concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        .groupBy(col("word"), col("freq"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)").as("syms"))
-        .localCheckpoint(true)
+      vocab = greedyMergeApply(exploded, top).localCheckpoint(true)
       val row = top.select(lit(r).as("merge_round"), col("tp1").as("p1"),
         col("tp2").as("p2"), concat(col("tp1"), col("tp2")).as("merged"), col("cnt"))
       merges = if (merges == null) row else merges.unionByName(row)
@@ -895,7 +875,103 @@ object TextOps {
     (merges, vocab)
   }
 
-  private val t24Sql = {
+  /** Adjacent-pair view of a (word, freq, syms) vocabulary: one row per
+    * symbol position with its successor (null at the word's end).
+    */
+  private def explodeSyms(vocab: DataFrame): DataFrame = vocab
+    .select(col("word"), col("freq"), explode(expr("sequence(1, size(syms))")).as("i"),
+            col("syms"))
+    .select(col("word"), col("freq"), col("i"),
+      expr("element_at(syms, i)").as("sym"),
+      // ANSI mode: element_at past the end THROWS; try_ returns null
+      expr("try_element_at(syms, CAST(i + 1 AS INT))").as("nxt"))
+
+  /** Apply ONE merge rule (a 1-row (tp1, tp2) frame, broadcast) to an
+    * exploded vocabulary, greedy left-to-right: conflicts exist only
+    * between ADJACENT match positions, so within each island of
+    * consecutive matches (gaps-and-islands on position) greedy keeps
+    * exactly the odd-indexed members. Shared by the trainer (rule = the
+    * recounted top pair) and the encoder (rule = a stored merge row).
+    */
+  private def greedyMergeApply(exploded: DataFrame, rule: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy(col("word")).orderBy(col("i"))
+    val kept = exploded.crossJoin(broadcast(rule.select(col("tp1"), col("tp2"))))
+      .filter(col("sym") === col("tp1") && col("nxt") === col("tp2"))
+      .withColumn("island", col("i") - row_number().over(wPos))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("word"), col("island")).orderBy(col("i"))))
+      .filter(col("rn") % 2 === 1)
+      .select(col("word"), col("i"))
+    exploded
+      .join(kept.select(col("word"), col("i"), lit(true).as("start")),
+            Seq("word", "i"), "left")
+      .join(kept.select(col("word"), (col("i") + 1).as("i"), lit(true).as("drop")),
+            Seq("word", "i"), "left")
+      .filter(col("drop").isNull)
+      .select(col("word"), col("freq"), col("i"),
+        when(col("start").isNotNull, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+      .groupBy(col("word"), col("freq"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, sym))), x -> x.sym)").as("syms"))
+  }
+
+  /** Encode every distinct corpus word with an already-trained merge
+    * table: start from characters and replay each rule in merge order
+    * through the SAME greedy-islands machinery the trainer uses. The
+    * encoder reads ONLY (merge_round, p1, p2) — no trainer vocabulary —
+    * so the identical replay tokenizes text the trainer never saw.
+    */
+  private[graft] def bpeEncodeWords(spark: SparkSession, dir: String,
+                                    merges: DataFrame, rounds: Int): DataFrame = {
+    val m = merges.localCheckpoint(true) // rules only: cut the training lineage
+    var enc = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .distinct()
+      .select(col("word"), lit(1L).as("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val rule = m.filter(col("merge_round") === r)
+        .select(col("p1").as("tp1"), col("p2").as("tp2"))
+      enc = greedyMergeApply(explodeSyms(enc), rule).localCheckpoint(true)
+    }
+    enc.select(col("word"), col("syms"))
+  }
+
+  /** t26 — encode the corpus with the TRAINED tokenizer: run t24's
+    * three-round training, then replay the learned merge rules greedily
+    * over every distinct word and join the encoded lengths back to the
+    * document word stream — per-doc token accounting (words, tokens,
+    * chars, integer tokens-per-character rate in ppm), the throughput
+    * question every tokenizer change has to answer before a run.
+    *
+    * Scale shape: merge replay runs over the compact distinct-word
+    * table (Heaps'-law-sized, like training rounds); the corpus pays
+    * one word-explode + one join against that vocabulary and a per-doc
+    * aggregate — no corpus-sized state in the replay loop.
+    */
+  def t26BpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (merges, _) = bpeEvolve(spark, dir, rounds)
+    val enc = bpeEncodeWords(spark, dir, merges, rounds)
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_sym")).as("n_tokens"),
+           sum(length(col("word"))).cast(LongType).as("n_chars"))
+      .withColumn("tok_ppm", expr("n_tokens * 1000000 div n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The unrolled-CTE SQL mirror of [[bpeEvolve]]: word counting, the
+    * character-split v0, and `rounds` copies of the loop body (pair
+    * explode → top pair → greedy islands → re-vocab), each CTE suffixed
+    * by its round. Shared by the t24 (merge table) and t26 (encode)
+    * oracles so both replay the identical evolution.
+    */
+  private def bpeCtesSql(rounds: Int): String = {
     // one round of CTEs, parameterized by the previous vocab CTE name —
     // the SQL mirror of the loop body above, unrolled
     def round(r: Int, prev: String): String =
@@ -923,22 +999,40 @@ object TextOps {
          |    LEFT JOIN k$r d ON e.word = d.word AND e.i = d.i + 1
          |    WHERE d.word IS NULL)
          |  GROUP BY 1, 2)""".stripMargin
-    s"""WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) word FROM documents),
+    s"""w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) word FROM documents),
        |f AS (SELECT word, COUNT(*) freq FROM w GROUP BY 1),
        |v0 AS (
        |  SELECT word, freq,
        |    list_transform(range(1, length(word) + 1),
        |                   i -> substr(word, CAST(i AS INTEGER), 1)) syms
        |  FROM f),
-       |${round(1, "v0")},
-       |${round(2, "v1")},
-       |${round(3, "v2")}
+       |${(1 to rounds).map(r => round(r, s"v${r - 1}")).mkString(",\n")}""".stripMargin
+  }
+
+  private val t24Sql =
+    s"""WITH ${bpeCtesSql(3)}
        |SELECT merge_round, tp1 AS p1, tp2 AS p2, tp1 || tp2 AS merged, cnt FROM (
        |  SELECT 1 merge_round, * FROM tp1
        |  UNION ALL SELECT 2, * FROM tp2
        |  UNION ALL SELECT 3, * FROM tp3)
        |ORDER BY merge_round""".stripMargin
-  }
+
+  /** Oracle for t26: the training CTEs' final vocab v3 IS the greedy
+    * rule replay applied to every distinct corpus word, so the encode
+    * side only joins the document word stream against it.
+    */
+  private val t26Sql =
+    s"""WITH ${bpeCtesSql(3)},
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) n_sym FROM v3),
+       |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) word
+       |       FROM documents),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) n_words, CAST(SUM(e.n_sym) AS BIGINT) n_tokens,
+       |    CAST(SUM(length(dw.word)) AS BIGINT) n_chars
+       |  FROM dw JOIN enc e USING (word) GROUP BY 1)
+       |SELECT doc_id, n_words, n_tokens, n_chars,
+       |  n_tokens * 1000000 // n_chars AS tok_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** t25 — the end-to-end curation FUNNEL with per-stage accounting:
     * ingest → language gate → length gate → exact dedup → eval-set
@@ -1472,6 +1566,9 @@ object TextOps {
     QueryDef("t24_bpe_train",
       "iterated BPE training: three merge rounds with greedy-apply semantics",
       t24BpeTrain(_, _), Some(t24Sql)),
+    QueryDef("t26_bpe_encode",
+      "corpus encoding with the trained BPE tokenizer (merge-rule replay)",
+      t26BpeEncode(_, _), Some(t26Sql)),
     QueryDef("t25_curation_funnel",
       "end-to-end curation funnel: lang -> length -> dedup -> decontam -> pack",
       t25CurationFunnel, Some(t25Sql)),

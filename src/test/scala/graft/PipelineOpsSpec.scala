@@ -494,6 +494,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"engine merges ${out.toSeq} != reference ${expected}")
   }
 
+  test("t26: merge-rule replay encodes every word like a sequential greedy encoder") {
+    val sfTiny = "/root/testdata/sf0.001"
+    val mergesDf = operators.TextOps.t24BpeTrain(spark, sfTiny)
+    val rules = mergesDf.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = operators.TextOps.bpeEncodeWords(spark, sfTiny, mergesDf, 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // sequential reference: per word, apply each rule in merge order,
+    // greedy left-to-right (consume both symbols on a match)
+    def encode(word: String): Vector[String] =
+      rules.foldLeft(word.split("").toVector) { case (syms, (p1, p2)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+            out += (p1 + p2); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    val words = Tables.documents(spark, sfTiny)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).toSet
+    assert(got.keySet === words)
+    words.foreach { w =>
+      assert(got(w) === encode(w), s"word '$w': engine ${got(w)} != reference ${encode(w)}")
+    }
+  }
+
+  test("t26: per-doc token accounting is internally consistent") {
+    val out = operators.TextOps.t26BpeEncode(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (words, toks, chars, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // merging only ever shrinks: words <= tokens <= chars
+      assert(words <= toks && toks <= chars, s"doc ${r.getLong(0)}: $words/$toks/$chars")
+      assert(ppm === toks * 1000000L / chars)
+      assert(ppm <= 1000000L)
+    }
+  }
+
   test("w14: twap is value-bounded and equals the held value on single-event days") {
     val out = operators.Windows.w14Twap(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
@@ -590,6 +632,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) === expected(r.getLong(0)),
         s"doc ${r.getLong(0)}: micronats ${r.getLong(2)} != ${expected(r.getLong(0))}")
     }
+  }
+
+  test("t22: sub-2-token docs produce no bigram rows instead of throwing") {
+    // sequence(2, size(a)) on a 1-token doc is the DESCENDING [2, 1] in
+    // Spark (step -1 when start > stop) and element_at(a, 0) throws —
+    // the guard must drop those docs before position generation, the way
+    // DuckDB's empty range(2, len+1) does.
+    import spark.implicits._
+    val dir = util.Scratch.dir("t22short")
+    Seq(
+      (1L, "one", "en", "s", 3L),
+      (2L, "  padded  ", "en", "s", 10L),
+      (3L, "two tokens", "en", "s", 10L),
+      (4L, "three token doc", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.t22BigramLm(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(3L, 4L),
+      "exactly the >=2-token docs must survive")
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(3L -> 1L, 4L -> 2L))
   }
 
   test("w11: offset-0 diagonal is 100% retention and event counts conserve") {
