@@ -31,6 +31,11 @@ object Maintenance {
     *
     * The oracle recomputes from scratch; equality IS the maintenance
     * contract.
+    *
+    * Decimal headroom: SUM over DECIMAL(18,2) widens to DECIMAL(28,2),
+    * so the stored partial overflows only past 10²⁶ total quantity —
+    * 10¹² rows × 10⁵ max l_quantity leaves 9 orders of magnitude of
+    * slack, and ANSI mode would fail loudly, not wrap.
     */
   def a33IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = expr("timestamp'2000-01-01 00:00:00'")
@@ -120,6 +125,22 @@ object Maintenance {
     * pure integer epoch math (epoch-day mod 7 × hour), immune to the
     * Spark-vs-DuckDB dayofweek numbering mismatch.
     *
+    * Decimal headroom at scale: the naive products square ABSOLUTE
+    * magnitudes — (nQ − S²)·n·9 needs ~9n³C² < 10³⁸ (C = max |cents|),
+    * which dies around n = 10⁷ per cell at C = 10⁸. Instead the
+    * baseline is CENTERED on its integer mean first (m = S div n,
+    * remainder r, Q′ = Σ(x−m)² derived algebraically from (n, S, Q) —
+    * every derivation operand ≤ nC² ≈ 10²⁶). The test then runs on
+    * deviations, with two sufficient-condition short-circuits whose
+    * operands are spread-sized ((|a|±1)²(n−1) vs 9Q′, ≤ ~4nC²), so the
+    * full-width exact product (na−r)²(n−1) vs 9n(nQ′−r²) is evaluated
+    * only for values near the 3σ decision boundary — where operands
+    * scale as 9n³σ², σ the CELL SPREAD, not the magnitude: n can reach
+    * ~10⁹ even at σ = 10⁴ cents. Past that, ANSI mode fails LOUDLY
+    * (SparkArithmeticException), never a silent false — verified by
+    * MaintenanceSpec against a BigInteger recompute at planted
+    * near-overflow magnitudes.
+    *
     * Scale shape: the baseline is bounded by |event types| × 168 cells
     * — a dimension table, not data-scale — so Spark broadcasts the
     * join-back and the recent stream is flagged in one codegen'd
@@ -127,6 +148,7 @@ object Maintenance {
     */
   def w16SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val cutoffUs = 1705881600000000L // 2024-01-22 00:00 UTC
+    val D = DecimalType(38, 0)
     val e = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"),
@@ -138,19 +160,42 @@ object Maintenance {
     val baseline = e.filter(col("us") < cutoffUs)
       .groupBy(col("event_type"), col("d"), col("h"))
       .agg(count(lit(1)).as("n"),
-           sum(col("cents").cast(DecimalType(38, 0))).as("s"),
-           sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("q"))
+           sum(col("cents").cast(D)).as("s"),
+           // lift to decimal BEFORE squaring: long×long overflows at
+           // |cents| > ~3e9, far below the decimal operand bound
+           sum(col("cents").cast(D) * col("cents")).as("q"))
+      // center on the integer mean: m = S div n (truncated), r = S − nm
+      // (|r| < n), Q′ = Q − 2mS + nm² = Σ(x−m)²; operands ≤ nC² ≈ 10²⁶
+      .withColumn("m", expr("CAST(s div n AS BIGINT)"))
+      .withColumn("r", expr("CAST(s - CAST(n AS DECIMAL(38,0)) * m AS BIGINT)"))
+      .withColumn("qc", expr("q - 2 * CAST(m AS DECIMAL(38,0)) * s" +
+                             " + CAST(n AS DECIMAL(38,0)) * m * m"))
+      .select(col("event_type"), col("d"), col("h"),
+              col("n"), col("m"), col("r"), col("qc"))
+
+    val a = (col("cents") - col("m")).cast(D)        // deviation from mean
+    val abs1 = abs(col("cents") - col("m"))
+    val n1 = (col("n") - 1).cast(D)
+    // sufficient TRUE:  (|a|−1)²(n−1) > 9Q′  ⇒  (na−r)²(n−1) > 9n(nQ′−r²)
+    val suffTrue = abs1 >= 1 &&
+      (abs1 - 1).cast(D) * (abs1 - 1).cast(D) * n1 > col("qc") * 9
+    // sufficient FALSE: (|a|+1)²(n−1) ≤ 9(Q′−n) ⇒ ¬(…)   (since r² < n²)
+    val suffFalse =
+      (abs1 + 1).cast(D) * (abs1 + 1).cast(D) * n1 <=
+        (col("qc") - col("n")) * 9
+    // exact boundary test on centered operands: A = na − r
+    val bigA = col("n").cast(D) * a - col("r").cast(D)
+    val exact = bigA * bigA * n1 >
+      (col("n").cast(D) * col("qc") - col("r").cast(D) * col("r")) * col("n") * 9
 
     e.filter(col("us") >= cutoffUs)
       .join(broadcast(baseline), Seq("event_type", "d", "h"), "left")
       .select(col("event_id"), col("event_type"), col("cents"),
         coalesce(col("n"), lit(0L)).as("baseline_n"),
-        coalesce(
-          col("n") >= 2 &&
-            (col("cents") * col("n") - col("s")) *
-            (col("cents") * col("n") - col("s")) * (col("n") - 1) >
-            (col("n") * col("q") - col("s") * col("s")) * col("n") * 9,
-          lit(false)).as("is_anomaly"))
+        when(col("n").isNull || col("n") < 2, lit(false))
+          .when(suffTrue, lit(true))
+          .when(suffFalse, lit(false))
+          .otherwise(exact).as("is_anomaly"))
       .orderBy(col("event_id"))
   }
 

@@ -87,4 +87,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got.valuesIterator.contains(true) || sf.endsWith("sf0.001"),
       "gate should fire somewhere at oracle scale")
   }
+
+  test("w16: stays exact at magnitudes where the naive DECIMAL(38,0) products overflow") {
+    import java.math.BigInteger
+    import spark.implicits._
+    // cents = ±9e17 (value ±9e15 — exactly representable doubles), n = 3:
+    // the naive rhs (nQ − S²)·n·9 ≈ 1.75e38 exceeds DECIMAL(38,0), so the
+    // pre-centering formulation THROWS under ANSI. Centered operands stay
+    // ≤ ~2e37. Planted cases cover all three verdict paths: an obvious
+    // non-anomaly (suffFalse), an obvious anomaly (suffTrue), and a value
+    // near the 3σ boundary (exact branch).
+    val day0 = 1705276800000000L // 2024-01-15 00:00 UTC (a Monday) < cutoff
+    val week = 7L * 86400000000L
+    val min = 60000000L
+    // same (weekday, hour) cell: minutes apart inside Monday 00:xx
+    val hugeBase = (1 to 3).map { i =>
+      (i.toLong, "huge", day0 + (i - 1) * min, if (i == 2) -9.0e15 else 9.0e15)
+    }
+    // modest cell for the boundary case: cents {900, 1000, 1100} → μ=1000
+    val modestBase = Seq((11L, "modest", day0, 9.0), (12L, "modest", day0 + min, 10.0),
+      (13L, "modest", day0 + 2 * min, 11.0))
+    // recent probes: two Mondays later (past the 2024-01-22 cutoff), hour 0
+    val recent = Seq(
+      (101L, "huge", day0 + 2 * week, 9.0e15),      // within spread → false via suffFalse
+      (102L, "huge", day0 + 2 * week + min, -9.0e15), // also inside → false
+      (111L, "modest", day0 + 2 * week + 2 * min, 10.35), // near boundary → exact branch
+      (112L, "modest", day0 + 2 * week + 3 * min, 1000.0)) // wildly out → true via suffTrue
+    val dir = util.Scratch.dir("w16ovf")
+    (hugeBase ++ modestBase ++ recent)
+      .toDF("event_id", "event_type", "us", "value")
+      .select(col("event_id"), col("event_type"),
+        // Tables.events reads ts as a nanos long (TIMESTAMP(NANOS) via
+        // nanosAsLong) and rescales with `ts div 1000` — store nanos
+        (col("us") * 1000).as("ts"), col("value"),
+        lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Maintenance.w16SeasonalAnomaly(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // BigInteger ground truth for every probe
+    def verdict(cell: Seq[Long], x: Long): Boolean = {
+      val n = BigInteger.valueOf(cell.length.toLong)
+      val s = cell.map(BigInteger.valueOf).reduce(_ add _)
+      val q = cell.map(c => BigInteger.valueOf(c).pow(2)).reduce(_ add _)
+      val lhs = BigInteger.valueOf(x).multiply(n).subtract(s).pow(2)
+        .multiply(n.subtract(BigInteger.ONE))
+      val rhs = n.multiply(q).subtract(s.pow(2))
+        .multiply(n).multiply(BigInteger.valueOf(9))
+      lhs.compareTo(rhs) > 0
+    }
+    val huge = Seq(9e17.toLong, -9e17.toLong, 9e17.toLong)
+    val modest = Seq(900L, 1000L, 1100L)
+    val expect = Map(
+      101L -> verdict(huge, 9e17.toLong), 102L -> verdict(huge, -9e17.toLong),
+      111L -> verdict(modest, 1035L), 112L -> verdict(modest, 100000L))
+    assert(got === expect, s"got $got, ground truth $expect")
+    assert(expect(112L) && !expect(101L), "planted cases must span both verdicts")
+  }
 }
