@@ -186,7 +186,13 @@ object Components {
     */
   def g04ContaminationSpread(spark: SparkSession, dir: String,
                              maxHops: Int = 2): DataFrame = {
+    // materialize the FastSS pairs ONCE: the recursive CTE re-evaluates
+    // its source plan on every level, and without this the whole d09
+    // deletion-neighborhood pipeline re-runs per hop (measured 12.8 s
+    // vs d09's own 5.8 s at sf0.1); checkpointed blocks make each level
+    // a scan
     Dedup.d09FuzzyPairs(spark, dir).select(col("ida"), col("idb"))
+      .localCheckpoint(true)
       .createOrReplaceTempView("g04_pairs")
     graft.Tables.customer(spark, dir).select(col("c_custkey"))
       .filter(col("c_custkey") % 100 === 0)
