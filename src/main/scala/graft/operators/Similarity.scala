@@ -47,9 +47,27 @@ object Similarity {
 
   /** v01 — exact brute-force cosine top-5 per query (every 25th vector is
     * a query). Self-match excluded; ties broken by neighbor id.
+    *
+    * SCALE CONTRACT: exact top-k scores every (query, corpus) pair —
+    * O(n²/25) work by construction, the one operator in this family
+    * whose cost cannot be bucketed away. It therefore REFUSES corpora
+    * past `maxPairs` scored pairs (default 2²⁸ ≈ 270 M ≈ sf0.3) instead
+    * of silently launching an n² job on a 100 TB table: at that scale
+    * the supported paths are v05 (stored IVF index + partition pruning)
+    * and v09 (PQ shortlist + exact re-rank), which keep the exact-score
+    * step bounded to a shortlist. The parquet count() probes are
+    * metadata-only — no data scan before the decision.
     */
-  def v01CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+  def v01CosineTopK(spark: SparkSession, dir: String,
+                    maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val nCorpus = Tables.embeddings(spark, dir).count()
+    val nQueries = (nCorpus + 24) / 25
+    require(nQueries * nCorpus <= maxPairs,
+      s"v01 exact top-k is O(queries x corpus): $nQueries x $nCorpus = " +
+        s"${nQueries * nCorpus} scored pairs exceeds the $maxPairs bound - " +
+        "route through v05 (stored IVF index + pruning) or v09 (PQ shortlist " +
+        "+ exact re-rank) at this scale, or raise maxPairs deliberately")
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
@@ -707,7 +725,8 @@ object Similarity {
       |ORDER BY qid, rank""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query", v01CosineTopK, Some(v01Sql)),
+    QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query",
+      v01CosineTopK(_, _), Some(v01Sql)),
     QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
       v07RecallEval, Some(v07Sql)),
     QueryDef("v08_pq_topk", "product-quantization ADC top-3 (8x8 int64 codebooks)",

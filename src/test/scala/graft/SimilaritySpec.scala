@@ -8,6 +8,18 @@ import graft.operators.Similarity
 class SimilaritySpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("v01: refuses a corpus past the scored-pair bound, pointing at the index paths") {
+    // the exact baseline is O(queries x corpus) by construction — the
+    // scale contract is an explicit refusal, not a silent n^2 job
+    val e = intercept[IllegalArgumentException] {
+      Similarity.v01CosineTopK(spark, sf, maxPairs = 10L)
+    }
+    assert(e.getMessage.contains("v05") && e.getMessage.contains("v09"),
+      s"refusal must route to the scale paths: ${e.getMessage}")
+    // and the default bound admits the contract scales
+    assert(Similarity.v01CosineTopK(spark, sf).limit(1).collect().nonEmpty)
+  }
+
   test("v05: stored-index probe == in-plan v02, and the probe prunes on cell") {
     val fromIndex = Similarity.v05IvfIndexLifecycle(spark, sf)
     val got = fromIndex.collect().map(_.toString)
