@@ -21,6 +21,10 @@ import graft.ml.MortalityModel
   */
 trait ReportSink {
   def write(reportName: String, sections: Seq[(String, String)]): String
+  /** Sinks that can draw (the PDF one) override; the rest render the
+    * tabular sections and drop the charts. */
+  def write(reportName: String, sections: Seq[(String, String)],
+            charts: Seq[PdfChart]): String = write(reportName, sections)
 }
 
 /** Text renderer — same section inventory as the reference PDF
@@ -80,11 +84,23 @@ object WeeklyReport {
       "Canned mortality prediction" -> f"predicted rate = $prediction%.6f")
   }
 
+  /** The two figures the reference's PDF carries (mortality trend line,
+    * top-disease bars — Health_Jim.py:1095-1116), as vector chart specs
+    * from the same collected aggregates the sections use. */
+  def charts(cleaned: DataFrame): Seq[PdfChart] = Seq(
+    LineChart("Average Mortality Rate by Year",
+      HealthQueries.mortalityTrend(cleaned).collect()
+        .map(r => (r.get(0).asInstanceOf[Number].doubleValue, r.getDouble(1))).toSeq),
+    BarChart("Top 5 Deadliest Diseases (avg mortality)",
+      HealthQueries.topDeadliest(cleaned, 5).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq))
+
   /** Run the whole job: ETL → analytics → model → render. */
   def run(spark: SparkSession, csvPath: String = HealthEtl.defaultCsvPath,
           sink: ReportSink = new TextReportSink): String = {
     val cleaned = HealthEtl.clean(spark, csvPath).cache()
-    try sink.write("WEEKLY GLOBAL HEALTH REPORT", sections(spark, cleaned))
+    try sink.write("WEEKLY GLOBAL HEALTH REPORT", sections(spark, cleaned),
+                   charts(cleaned))
     finally cleaned.unpersist()
   }
 }

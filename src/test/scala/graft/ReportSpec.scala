@@ -67,13 +67,43 @@ class ReportSpec extends AnyFunSuite {
     validatePdf(PdfWriter.render(Nil), 1)
   }
 
+  test("PdfWriter: chart pages carry real vector drawing ops and keep xref valid") {
+    val pdf = PdfWriter.render(Seq("intro line"), Seq(
+      graft.report.BarChart("Top Diseases", Seq("Flu" -> 0.11, "TB" -> 0.08, "Cholera" -> 0.05)),
+      graft.report.LineChart("Trend", Seq(2000.0 -> 0.1, 2001.0 -> 0.12, 2002.0 -> 0.09))))
+    validatePdf(pdf, 3) // 1 text page + 2 chart pages
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    // bar page: filled rectangles with the fill color set
+    assert(Raw.countOccurrences(s, "re f") >= 3, "expected one filled rect per bar")
+    assert(s.contains("0.27 0.45 0.77 rg"), "bar fill color missing")
+    // line page: a stroked polyline (moveto + linetos + stroke) and axes
+    assert(s.contains(" m\n"), "polyline moveto missing")
+    assert(Raw.countOccurrences(s, " l\n") >= 2, "polyline segments missing")
+    assert(s.contains("0.27 0.45 0.77 RG"), "line stroke color missing")
+    // titles and tick labels rendered as text
+    Seq("Top Diseases", "Trend", "Flu", "2000", "2002").foreach(t =>
+      assert(s.contains(t), s"missing chart text '$t'"))
+  }
+
+  test("PdfWriter: degenerate charts (empty, flat) still render valid pages") {
+    val pdf = PdfWriter.render(Nil, Seq(
+      graft.report.BarChart("Empty", Nil),
+      graft.report.LineChart("Flat", Seq(1.0 -> 5.0, 2.0 -> 5.0)),
+      graft.report.LineChart("Point", Seq(3.0 -> 1.0))))
+    validatePdf(pdf, 4)
+    // parens are PDF-escaped inside the stream
+    assert(new String(pdf, StandardCharsets.ISO_8859_1).contains("no data"))
+  }
+
   test("S8+S9 end-to-end: the real weekly report renders as valid PDF and XLSX") {
     // one pipeline+model run feeds BOTH sinks (sections are sink-agnostic)
     val cleaned = graft.health.HealthEtl.clean(spark).cache()
-    val sections = try WeeklyReport.sections(spark, cleaned)
-                   finally cleaned.unpersist()
+    val (sections, charts) =
+      try (WeeklyReport.sections(spark, cleaned), WeeklyReport.charts(cleaned))
+      finally cleaned.unpersist()
     val out = "target/weekly_report_spec.pdf"
-    val path = new PdfReportSink(out).write("WEEKLY GLOBAL HEALTH REPORT", sections)
+    val path = new PdfReportSink(out)
+      .write("WEEKLY GLOBAL HEALTH REPORT", sections, charts)
     assert(path == out)
     // S9: the same sections render as a well-formed multi-sheet workbook
     val xlsxOut = "target/weekly_report_spec.xlsx"
@@ -97,6 +127,13 @@ class ReportSpec extends AnyFunSuite {
     Seq("WEEKLY GLOBAL HEALTH REPORT", "Overview", "Model quality",
         "Top 5 deadliest diseases").foreach(t =>
       assert(s.contains(PdfEscape(t)), s"missing section '$t'"))
+    // the reference's two figures render as vector chart pages
+    // (Health_Jim.py:1095-1116): bars filled, trend polyline stroked
+    Seq("Average Mortality Rate by Year",
+        "Top 5 Deadliest Diseases").foreach(t =>
+      assert(s.contains(PdfEscape(t)), s"missing chart '$t'"))
+    assert(Raw.countOccurrences(s, "re f") >= 5, "top-5 bars not drawn")
+    assert(s.contains("0.27 0.45 0.77 RG"), "trend polyline not stroked")
   }
 
   private def PdfEscape(t: String): String =
