@@ -398,7 +398,67 @@ object Joins {
       |FROM e LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (event_id)
       |ORDER BY e.event_id""".stripMargin
 
+  /** j17 — interval join with NO equi key, binned: per purchase, count
+    * corpus-wide view events inside ±30 min (and how many were the
+    * buyer's own). The naive form is a pure inequality theta-join —
+    * Spark would plan BroadcastNestedLoop/Cartesian, the j07 broadcast
+    * trick dies when BOTH sides are fact-scale. The scalable encoding:
+    * quantize time into 1 h bins, replicate each ±30 min interval to
+    * the ≤ 2 bins it overlaps, hash-join points to intervals ON THE
+    * BIN, then filter exact containment. A point lives in exactly one
+    * bin, so each (purchase, view) pair meets exactly once — no dedup
+    * pass. Replication factor = span/binWidth + 1 ≤ 2; both sides
+    * shuffle once on a key AQE can re-split on skew (a hot hour skews a
+    * bin, not a broadcast).
+    *
+    * Zero-match purchases are kept by the left join back to the
+    * un-replicated purchase base (counts coalesce to 0).
+    */
+  def j17IntervalBinJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600000000L  // 1 h bins
+    val halfUs = 1800000000L // ±30 min
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("us").as("vus"))
+      .withColumn("bin", expr(s"vus div $binUs"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val counts = purchases
+      .withColumn("bin", explode(expr(
+        s"sequence((us - $halfUs) div $binUs, (us + $halfUs) div $binUs)")))
+      .join(views, Seq("bin"))
+      .filter(col("vus") >= col("us") - halfUs && col("vus") <= col("us") + halfUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_concurrent"),
+           sum(when(col("view_user") === col("user_id"), 1L)).as("own"))
+    purchases.join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"),
+        coalesce(col("own"), lit(0L)).as("own_views"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle: the brute-force inequality join — the semantics j17's
+    * binning must reproduce exactly. */
+  private val j17Sql =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events),
+      |p AS (SELECT event_id pid, user_id, us FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id vid, user_id vuser, us vus FROM e WHERE event_type = 'view')
+      |SELECT p.pid AS purchase_id,
+      |  CAST(COUNT(v.vid) AS BIGINT) AS n_concurrent,
+      |  CAST(COALESCE(SUM(CASE WHEN v.vuser = p.user_id THEN 1 END), 0) AS BIGINT) AS own_views
+      |FROM p LEFT JOIN v
+      |  ON v.vus BETWEEN p.us - 1800000000 AND p.us + 1800000000
+      |GROUP BY 1
+      |ORDER BY purchase_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j17_interval_bin_join",
+      "no-equi-key interval join via time binning (both sides fact-scale)",
+      j17IntervalBinJoin, Some(j17Sql)),
     QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
     QueryDef("j15_asof_join", "NATIVE as-of join (custom plan + strategy + merge exec)",
       j15AsOfJoin, Some(j15Sql)),

@@ -287,6 +287,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("j17: binned interval join == brute-force inequality scan, no nested loop") {
+    val out = operators.Joins.j17IntervalBinJoin(spark, sf001)
+    // the binned encoding must plan as a hash join on the bin key —
+    // never the nested-loop/cartesian the raw theta-join would get
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"theta-join fallback in:\n$plan")
+    val e = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = e.filter(_._3 == "view")
+    val expect = e.filter(_._3 == "purchase").map { case (pid, u, _, us) =>
+      val in = views.filter(v => v._4 >= us - 1800000000L && v._4 <= us + 1800000000L)
+      (pid, in.length.toLong, in.count(_._2 == u).toLong)
+    }.sortBy(_._1)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(expect.exists(_._2 > 0), "fixture should have concurrent views")
+  }
+
   test("j13: null-keyed facts survive the null-safe join as 'unassigned'") {
     val rows = operators.Joins.j13NullSafeJoin(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
