@@ -70,4 +70,34 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${(brute -- got).take(5)} / extra: ${(got -- brute).take(5)}")
     assert(brute.nonEmpty)
   }
+
+  test("d10: buckets conserve the audited pair count; measured recall/FP bounds hold") {
+    val rows = operators.Dedup.d10LshAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val audited = (for {
+      a <- ids; b <- ids
+      if a < b && (a % 10 == 0 || b % 10 == 0)
+    } yield 1).size.toLong
+    assert(rows.map(_._2).sum == audited,
+      s"buckets lose/duplicate pairs: ${rows.map(_._2).sum} != $audited")
+    rows.foreach { case (bkt, n, c, ppm) =>
+      assert(c <= n, s"$bkt counts candidates outside the bucket")
+      assert(ppm == 1000000L * c / n, s"$bkt ppm not the integer-exact ratio")
+    }
+    // the 12x5 band layer must surface EVERY true >=0.8 pair it audits…
+    rows.find(_._1 == "j_ge_080").foreach { case (_, n, c, _) =>
+      assert(c == n, "band layer missed a true >=0.8 pair")
+    }
+    // …while not flooding the verifier with sub-0.5 candidates
+    val lo = rows.find(_._1 == "j_lt_050").get
+    assert(lo._4 < 100000, s"false-candidate rate too high: ${lo._4} ppm")
+    // ground truth agrees with d01's verified output on the audited slice
+    // (same Jaccard over the same char-5-gram sets, different hash family)
+    val d01 = operators.Dedup.d01MinHashLsh(spark, sf).collect()
+      .count(r => r.getLong(0) % 10 == 0 || r.getLong(1) % 10 == 0).toLong
+    assert(rows.find(_._1 == "j_ge_080").map(_._2).getOrElse(0L) == d01,
+      "audit ground truth disagrees with d01 on the audited slice")
+  }
 }
