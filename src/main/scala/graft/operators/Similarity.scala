@@ -724,9 +724,95 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v11 — Matryoshka-style (MRL) adaptive retrieval: a coarse pass
+    * scores only the first `prefixDim` dimensions of every vector
+    * (integer-exact prefix cosine), keeps a per-query shortlist, then
+    * re-ranks just the shortlist with the full-dimension exact cosine —
+    * the two-pass "funnel retrieval" shape from the Matryoshka
+    * representation learning line of work, where prefixes of the
+    * embedding are trained to be usable representations on their own.
+    *
+    * What the engine contributes at scale: the coarse pass reads a
+    * `prefixDim`/dim fraction of the vector bytes (here 16/64 = 4×
+    * less), and stored columnar the prefix lives in its own column so
+    * the scan PRUNES the tail entirely — the same bytes-read win as
+    * v04's int8, composable with it and with the IVF cell pruning of
+    * v02/v05 (which bound the pair count; this operator bounds the
+    * per-pair cost). Recall is measured, not assumed: like v09, the
+    * exact metric orders the final top-3, so prefix error only costs
+    * recall when a true neighbor misses the shortlist (SimilaritySpec
+    * measures recall@3 vs v01 and asserts the re-rank dominates the raw
+    * prefix ranking).
+    */
+  def v11PrefixRerank(spark: SparkSession, dir: String, prefixDim: Int = 16,
+                      shortlist: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("p", expr(s"slice(q, 1, $prefixDim)"))
+      .withColumn("nrm", expr(dot("q", "q")))
+      .withColumn("pnrm", expr(dot("p", "p")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("p").as("qp"), col("pnrm").as("qpn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("p").as("cp"), col("pnrm").as("cpn"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val short = queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("pcos", expr(cos("qp", "cp", "qpn", "cpn")))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val qside = vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val cside = vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    short.join(qside, "qid").join(cside, "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v11Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm,
+      |        q[1:16] p, list_sum(list_transform(q[1:16], x -> x * x)) pnrm
+      |      FROM v),
+      |sh AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |           i -> a.p[CAST(i AS INTEGER)] * b.p[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.pnrm AS DOUBLE) * CAST(b.pnrm AS DOUBLE)) pcos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |short AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, cid ASC) srank
+      |    FROM sh) WHERE srank <= 32),
+      |rer AS (
+      |  SELECT short.qid, short.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM short JOIN n a ON short.qid = a.vec_id
+      |             JOIN n b ON short.cid = b.vec_id),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM rer)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query",
       v01CosineTopK(_, _), Some(v01Sql)),
+    QueryDef("v11_prefix_rerank", "Matryoshka prefix-16 shortlist + exact full-dim re-rank top-3",
+      v11PrefixRerank(_, _), Some(v11Sql)),
     QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
       v07RecallEval, Some(v07Sql)),
     QueryDef("v08_pq_topk", "product-quantization ADC top-3 (8x8 int64 codebooks)",

@@ -48,7 +48,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w14_twap", "v10_filtered_topk", "a31_histogram",
     "t24_bpe_train", "t25_curation_funnel", "a32_market_basket", "w15_ohlc_bars",
     "a33_incremental_agg", "w16_seasonal_anomaly", "m09_payload_entropy",
-    "t26_bpe_encode", "j17_interval_bin_join", "d10_lsh_audit")
+    "t26_bpe_encode", "j17_interval_bin_join", "d10_lsh_audit",
+    "v11_prefix_rerank")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -145,4 +145,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rerank >= rawPq, s"re-rank recall $rerank below raw PQ $rawPq")
     assert(rerank >= 0.3, s"re-rank recall $rerank below band (observed ~0.5+ at sf0.001)")
   }
+
+  test("v11: prefix-coarse + exact re-rank dominates ranking by the prefix alone") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.v01CosineTopK(spark, sf)
+      .filter(col("rank") <= 3).select(col("qid"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row], idCol: Int): Double = {
+      val got = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(idCol)).toSet).toMap
+      assert(got.keySet == exact.keySet, "query sets differ")
+      exact.map { case (q, e) => (e & got(q)).size.toDouble / e.size }.sum / exact.size
+    }
+    val rr = Similarity.v11PrefixRerank(spark, sf).collect()
+    rr.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"ranks for $q")
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"cosine order for $q")
+    }
+    // prefix-only ranking = shortlist depth 3 (no re-rank can help):
+    // the funnel must do at least as well with the same coarse signal
+    val prefixOnly = recallOf(
+      Similarity.v11PrefixRerank(spark, sf, prefixDim = 16, shortlist = 3).collect(), 2)
+    val funnel = recallOf(rr, 2)
+    info(s"v11 funnel recall@3: $funnel (prefix-16-only: $prefixOnly)")
+    assert(funnel >= prefixOnly, s"funnel $funnel below prefix-only $prefixOnly")
+    assert(funnel >= 0.3, s"funnel recall $funnel below band")
+  }
 }
