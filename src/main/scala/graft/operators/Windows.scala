@@ -586,7 +586,71 @@ object Windows {
       |GROUP BY event_type, "hour"
       |ORDER BY event_type, "hour"""".stripMargin
 
+  /** w17 — recency-decayed engagement score per user: the most recent
+    * `horizon` events weighted by powers of two (latest = 2^15 down to
+    * 2^0), summed over int64 cents — an EWMA-shaped freshness signal
+    * with NO floating point anywhere. True EWMA (alpha^k over all
+    * history) needs unbounded-precision state to be exact; truncating
+    * to a power-of-two kernel over a fixed horizon keeps the score
+    * integer-exact, cross-engine bit-identical, and — the scale
+    * property — computable from a BOUNDED window frame (16 lags) per
+    * user instead of a full-history scan. A user is `is_stale` when
+    * their last event trails the corpus max by >24h (the global max
+    * arrives as a 1-row broadcast, never a driver constant).
+    *
+    * One exchange on user_id serves the lag frame, the count, the
+    * latest-row selection, and the final projection.
+    */
+  def w17DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = 16
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val score = (0 until horizon).map { j =>
+      val weight = lit(1L << (horizon - 1 - j))
+      if (j == 0) col("cents") * weight
+      else coalesce(lag(col("cents"), j).over(w), lit(0L)) * weight
+    }.reduce(_ + _)
+    val maxUs = Tables.events(spark, dir).agg(max(expr("unix_micros(ts)")).as("mx"))
+    base
+      .withColumn("decay_score", score)
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(maxUs))
+      .select(col("user_id"), col("n_events"), col("us").as("last_us"),
+        col("decay_score"), (col("us") < col("mx") - 86400000000L).as("is_stale"))
+      .orderBy(col("user_id"))
+  }
+
+  private val w17Sql = {
+    val terms = "cents * 32768" +: (1 until 16).map(j =>
+      s"COALESCE(LAG(cents, $j) OVER w, 0) * ${1L << (15 - j)}")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) us,
+       |    CAST(round("value" * 100) AS BIGINT) cents
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, us,
+       |    ${terms.mkString(" + ")} AS decay_score,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) n_events
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |m AS (SELECT MAX(epoch_us(ts)) mx FROM events)
+       |SELECT user_id, n_events, us AS last_us, decay_score,
+       |       (us < m.mx - 86400000000) AS is_stale
+       |FROM s, m WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w17_decay_score", "integer power-of-two recency-decay score per user",
+      w17DecayScore, Some(w17Sql)),
     QueryDef("w15_ohlc_bars", "OHLC bars per (event_type, hour) in one exchange",
       w15OhlcBars, Some(w15Sql)),
     QueryDef("w14_twap", "time-weighted average per user-day (step-function hold)",

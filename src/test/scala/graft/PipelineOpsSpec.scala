@@ -884,4 +884,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     val avg = out.map(_.getLong(2)).sum / out.length
     assert(avg > 0L && avg <= 1000000L, s"avg recall_ppm $avg out of range")
   }
+
+  test("w17: decay score matches a driver-side recompute; staleness vs global max") {
+    val got = operators.Windows.w17DecayScore(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxUs = ev.map(_._2).max
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val last16 = ordered.takeRight(16).map(_._4).reverse // latest first
+      val score = last16.zipWithIndex.map { case (c, j) => c * (1L << (15 - j)) }.sum
+      u -> ((rows.length.toLong, ordered.last._2, score,
+        ordered.last._2 < maxUs - 86400000000L))
+    }
+    assert(got == expect, {
+      val diff = expect.collect { case (u, e) if got.get(u) != Some(e) => (u, e, got.get(u)) }
+      s"first diffs: ${diff.take(3)}"
+    })
+    assert(expect.values.exists(v => v._1 > 16), "fixture should exceed the horizon")
+  }
 }
