@@ -220,7 +220,56 @@ object Maintenance {
       |WHERE r.us >= 1705881600000000
       |ORDER BY r.event_id""".stripMargin
 
+  /** a35 — mergeable-sketch rollup: daily per-(event_type, day) HLL
+    * sketches of the user population are PERSISTED to parquet (the
+    * stored-state lifecycle, a33's convention), then higher-level
+    * distinct-user estimates come from union-merging the stored
+    * sketches — the raw event stream is never rescanned. This is the
+    * property that makes sketches infrastructure rather than a trick:
+    * HLL union is lossless over register maxima, so
+    * union(sketch(day₁), …, sketch(dayₙ)) == sketch(day₁ ∪ … ∪ dayₙ)
+    * EXACTLY (MaintenanceSpec asserts estimate equality against a
+    * direct one-pass sketch), and at 100 TB the nightly rollup reads
+    * |event_types|×|days| kilobyte-sized rows instead of the stream.
+    *
+    * Cross-engine contract (the a23 convention): raw estimates can't
+    * cross engines, so the merged estimate collapses to an in-band
+    * boolean next to exact counts the oracle recomputes; a >5% sketch
+    * regression flips the boolean and fails the hash compare.
+    */
+  def a35SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val snapDir = graft.util.Scratch.dir("graft_a35_sketches_")
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      .write.mode("overwrite").parquet(snapDir)
+    val partials = spark.read.parquet(snapDir)
+    val merged = partials.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+           hll_sketch_estimate(hll_union_agg(col("sketch"))).cast("long").as("n_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(merged), "event_type")
+      .select(col("event_type"), col("n_cells"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")) <= col("n_exact") * 0.05).as("merged_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a35Sql =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_cells,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS merged_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a35_sketch_rollup",
+      "stored daily HLL partials union-merged to level-2 estimates (no rescan)",
+      a35SketchRollup, Some(a35Sql)),
     QueryDef("a33_incremental_agg",
       "materialized-view refresh: stored partial states merged with a delta == full recompute",
       a33IncrementalAgg, Some(a33Sql)),

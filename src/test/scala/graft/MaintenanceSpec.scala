@@ -143,4 +143,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got === expect, s"got $got, ground truth $expect")
     assert(expect(112L) && !expect(101L), "planted cases must span both verdicts")
   }
+
+  test("a35: union of stored daily sketches == direct one-pass sketch, and bands hold") {
+    val out = Maintenance.a35SketchRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty && out.forall(_._4), s"sketch rollup out of band: ${out.toSeq}")
+    // mergeability is EXACT, not approximate: HLL union keeps register
+    // maxima, so merging per-day sketches must reproduce the direct
+    // whole-stream sketch estimate bit-for-bit
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).cast("long").as("n_direct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mergedEst = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).cast("long").as("n_merged"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedEst === direct,
+      s"sketch union is not lossless: merged $mergedEst vs direct $direct")
+    // the rollup must aggregate more than one stored cell per type
+    assert(out.forall(_._2 > 1), "fixture should span multiple days per event type")
+  }
 }
