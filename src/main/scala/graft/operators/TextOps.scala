@@ -1514,7 +1514,64 @@ object TextOps {
       |WHERE n_shared * 10 >= n_grams * 9
       |ORDER BY contained_id, container_id""".stripMargin
 
+  /** t27 — Good-Turing frequency spectrum per language: for each corpus
+    * frequency r ≤ 10, the number of word-BIGRAM types seen exactly r
+    * times (N_r), plus the Good-Turing adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in exact integer ppm. The count-of-counts
+    * table is what unseen-mass estimation (N_1/N — how much of the
+    * language the corpus has NOT seen yet) and LM smoothing read; for a
+    * curation pipeline it is the per-language saturation gauge: a fat
+    * hapax band means more data still buys coverage, a thin one means
+    * the crawl is repeating itself. The unit is the bigram because this
+    * corpus's unigram vocabulary is tiny and fully saturated (31 types,
+    * min freq > 1 everywhere) — itself the signal the gauge exists to
+    * read; the bigram tail is where the mass estimation has work to do.
+    *
+    * Scale shape: one corpus-sized bigram-count shuffle, then
+    * everything runs over the vocabulary; the spectrum itself is ≤ 10
+    * rows per language. N_{r+1} arrives by a self-join on r+1 (NOT
+    * lead(): frequencies can skip values, and a missing N_{r+1} must
+    * read 0-mass → −1 sentinel, not the next populated row).
+    */
+  def t27FreqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(col("lang"), split(lower(trim(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("lang"), explode(expr("sequence(1, size(a) - 1)")).as("i"), col("a"))
+      .select(col("lang"), concat(expr("element_at(a, i)"), lit(" "),
+        expr("element_at(a, CAST(i + 1 AS INT))")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("r"))
+    val spectrum = freq.groupBy(col("lang"), col("r"))
+      .agg(count(lit(1)).as("n_types"))
+    val next = spectrum.select(col("lang"), (col("r") - 1).as("r"),
+      col("n_types").as("n_next"))
+    spectrum.join(next, Seq("lang", "r"), "left")
+      .filter(col("r") <= 10)
+      .select(col("lang"), col("r").as("freq"), col("n_types"),
+        coalesce(expr("(1000000 * (r + 1) * n_next) div n_types"), lit(-1L))
+          .as("r_star_ppm"))
+      .orderBy(col("lang"), col("freq"))
+  }
+
+  private val t27Sql =
+    """WITH t AS (
+      |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') a
+      |  FROM documents),
+      |w AS (
+      |  SELECT lang, a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] w
+      |  FROM t, LATERAL unnest(range(1, len(a))) AS u(i)),
+      |f AS (SELECT lang, w, COUNT(*) r FROM w GROUP BY 1, 2),
+      |s AS (SELECT lang, r, COUNT(*) n_types FROM f GROUP BY 1, 2)
+      |SELECT s.lang, s.r AS freq, s.n_types,
+      |  COALESCE((1000000 * (s.r + 1) * nx.n_types) // s.n_types,
+      |           CAST(-1 AS BIGINT)) AS r_star_ppm
+      |FROM s LEFT JOIN s nx ON s.lang = nx.lang AND nx.r = s.r + 1
+      |WHERE s.r <= 10
+      |ORDER BY s.lang, freq""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t27_freq_spectrum", "Good-Turing count-of-counts spectrum per language",
+      t27FreqSpectrum, Some(t27Sql)),
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),
     QueryDef("t21_containment", "asymmetric containment (quote detection) via rare-gram index",
       t21Containment, Some(t21Sql)),

@@ -907,4 +907,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     })
     assert(expect.values.exists(v => v._1 > 16), "fixture should exceed the horizon")
   }
+
+  test("t27: spectrum matches a driver-side count-of-counts; GT identities hold") {
+    val got = operators.TextOps.t27FreqSpectrum(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val freq = docs.flatMap { case (l, t) =>
+      val a = t.trim.toLowerCase.split("\\s+")
+      a.sliding(2).filter(_.length == 2).map(p => (l, p.mkString(" ")))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+    val spectrum = freq.groupBy { case ((l, _), r) => (l, r) }
+      .view.mapValues(_.size.toLong).toMap
+    val expect = spectrum.collect { case ((l, r), n) if r <= 10 =>
+      val next = spectrum.getOrElse((l, r + 1), 0L)
+      (l, r) -> ((n, if (next == 0) -1L else 1000000L * (r + 1) * next / n))
+    }.toMap
+    assert(got == expect, {
+      val diff = expect.collect { case (k, e) if got.get(k) != Some(e) => (k, e, got.get(k)) }
+      s"first diffs: ${diff.take(3)}"
+    })
+    // every language has a populated hapax band on this corpus
+    val langs = docs.map(_._1).distinct
+    assert(langs.forall(l => got.contains((l, 1L))), "missing hapax rows")
+  }
 }
