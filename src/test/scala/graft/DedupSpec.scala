@@ -76,9 +76,10 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
     val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
       .map(_.getLong(0))
+    def inSample(x: Long) = x % 10 == 0 && x < 500
     val audited = (for {
       a <- ids; b <- ids
-      if a < b && (a % 10 == 0 || b % 10 == 0)
+      if a < b && (inSample(a) || inSample(b))
     } yield 1).size.toLong
     assert(rows.map(_._2).sum == audited,
       s"buckets lose/duplicate pairs: ${rows.map(_._2).sum} != $audited")
@@ -96,7 +97,7 @@ class DedupSpec extends AnyFunSuite {
     // ground truth agrees with d01's verified output on the audited slice
     // (same Jaccard over the same char-5-gram sets, different hash family)
     val d01 = operators.Dedup.d01MinHashLsh(spark, sf).collect()
-      .count(r => r.getLong(0) % 10 == 0 || r.getLong(1) % 10 == 0).toLong
+      .count(r => inSample(r.getLong(0)) || inSample(r.getLong(1))).toLong
     assert(rows.find(_._1 == "j_ge_080").map(_._2).getOrElse(0L) == d01,
       "audit ground truth disagrees with d01 on the audited slice")
   }
