@@ -472,7 +472,81 @@ object Multimodal {
       |       ROUND(CAST(sur AS DOUBLE) / n / 1000000, 4) AS mean_entropy_nats
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** m10 — perceptual near-dup over image payloads via average-hash
+    * (aHash): sample 60 evenly-spaced payload bytes, threshold each
+    * against the sample mean (strict >, ties → 0), pack the bits into
+    * an int64 fingerprint, and pair documents at hamming ≤ 5. This is
+    * the near-dup layer CONTENT-ADDRESSED dedup (m05) structurally
+    * misses: a re-encoded / slightly-edited image changes every content
+    * hash but barely moves the average-hash, exactly like the planted
+    * perturbed copies here (first 20 payload chars case-flipped —
+    * their md5 differs, their aHash lands 0–17 bits away, and the
+    * ≤5 band catches ~⅔ of them; the escapes are the honest cost of a
+    * 60-bit perceptual signature under a real edit).
+    *
+    * EXACTNESS: candidates come from a 6×10-bit band self-join — by
+    * pigeonhole two hashes within hamming 5 agree on ≥1 of 6 bands, so
+    * the band layer is a LOSSLESS prefilter (the d02 argument) and the
+    * emitted pair set is exactly "all pairs at hamming ≤ 5",
+    * engine-independent and brute-force-oracle-checkable. The hash is
+    * one shuffle-free projection (60 substring probes + one packed
+    * sum); only (id, hash, band) longs ever shuffle, never payloads.
+    */
+  def m10AvgHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(lit("IMG0"), col("text")).as("s"))
+    val perturbed = Tables.documents(spark, dir)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(lit("IMG0"), upper(expr("substring(text, 1, 20)")),
+          expr("substring(text, 21)")).as("s"))
+    val media = base.unionByName(perturbed)
+    val vs = (1 to 60).map(i => expr(
+      s"ascii(substring(s, CAST(1 + (${i - 1} * length(s)) div 60 AS INT), 1))").as(s"v$i"))
+    val sm = (1 to 60).map(i => col(s"v$i")).reduce(_ + _)
+    val hash = (1 to 60).map(i =>
+      when(col(s"v$i") * 60 > col("sm"), lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashed = media.select(col("doc_id") +: vs: _*)
+      .withColumn("sm", sm)
+      .select(col("doc_id"), hash.as("h"))
+    val e = hashed.select(col("doc_id").as("id"), col("h"),
+      explode(array((0 until 6).map(b =>
+        lit(b) * 1024 + expr(s"(h div ${1L << (10 * b)}) % 1024")): _*)).as("bk"))
+    e.as("x")
+      .join(e.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"),
+        expr("bit_count(x.h ^ y.h)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 5)
+      .select(col("ida"), col("idb"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  private val m10Sql =
+    """WITH p AS (
+      |  SELECT doc_id, 'IMG0' || text s FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 600000,
+      |         'IMG0' || upper(substr(text, 1, 20)) || substr(text, 21)
+      |  FROM documents),
+      |v AS (SELECT doc_id, i,
+      |        ascii(substr(s, CAST(1 + ((i - 1) * length(s)) // 60 AS INTEGER), 1)) v
+      |      FROM p, LATERAL unnest(range(1, 61)) AS u(i)),
+      |m AS (SELECT doc_id, SUM(v) sm FROM v GROUP BY 1),
+      |h AS (SELECT v.doc_id,
+      |        SUM(CASE WHEN 60 * v > sm
+      |                 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
+      |                 ELSE 0 END) hash
+      |      FROM v JOIN m ON v.doc_id = m.doc_id GROUP BY 1)
+      |SELECT a.doc_id ida, b.doc_id idb,
+      |       CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+      |FROM h a, h b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.hash, b.hash)) <= 5
+      |ORDER BY ida, idb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m10_avghash_pairs", "perceptual average-hash near-dup pairs (exact ham<=5 banding)",
+      m10AvgHashPairs, Some(m10Sql)),
     QueryDef("m09_payload_entropy",
       "byte-entropy corruption audit via the native byte_surprisal codegen expression",
       m09PayloadEntropy, Some(m09Sql)),

@@ -932,4 +932,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     val langs = docs.map(_._1).distinct
     assert(langs.forall(l => got.contains((l, 1L))), "missing hapax rows")
   }
+
+  test("m10: banded pairs == brute-force hamming<=5 over driver-computed hashes") {
+    val got = operators.Multimodal.m10AvgHashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ahash(s: String): Long = {
+      val n = s.length
+      val v = (1 to 60).map(i => s.charAt((1 + ((i - 1).toLong * n) / 60).toInt - 1).toInt)
+      val sm = v.sum
+      v.zipWithIndex.map { case (x, j) => if (x * 60 > sm) 1L << j else 0L }.sum
+    }
+    val all = docs.map { case (d, t) => (d, ahash("IMG0" + t)) } ++
+      docs.map { case (d, t) =>
+        (d + 600000L, ahash("IMG0" + t.take(20).toUpperCase + t.drop(20)))
+      }
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 5
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(5)} / extra: ${(got -- brute).take(5)}")
+    // the catch m05's content hash cannot make: perturbed copies with a
+    // DIFFERENT payload md5 still pair with their original
+    val planted = got.count { case (a, b, _) => b == a + 600000L }
+    assert(planted > 0, "no perturbed copy was caught")
+  }
 }
