@@ -266,7 +266,62 @@ object Maintenance {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** a36 — Count-Min heavy-hitter audit with a FULLY cross-engine
+    * sketch: the d×w counter matrix uses pure integer multiplicative
+    * hashes h_i(x) = ((aᵢ·(x mod p) + bᵢ) mod p) mod w with
+    * p = 2³¹−1, so every counter — and therefore every estimate — is
+    * bit-identical between Spark and the DuckDB oracle. No "within 5%"
+    * boolean (the a23/a35 convention); the sketch itself crosses the
+    * engine boundary as exact values.
+    *
+    * Scale shape: CMS is LINEAR, so the sketch of a 100 TB stream is
+    * the sum of per-partition sketches — here built from map-side
+    * partially-aggregated per-key counts, collapsing to a d·w ≤ 256-row
+    * table that BROADCASTS back to score candidates. The deterministic
+    * CMS guarantee (est ≥ true count, always) is asserted row-by-row in
+    * MaintenanceSpec; the emitted `overcount` column is the honest
+    * price of 256 counters summarizing the whole stream.
+    */
+  def a36CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L // 2^31 − 1: a·(x mod p)+b ≤ 43·2³¹ ≪ 2⁶³, no overflow
+    val W = 64
+    val hashes = Seq((0, 31L, 17L), (1, 37L, 19L), (2, 41L, 23L), (3, 43L, 29L))
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val probes = counts.select(col("user_id"), col("cnt"),
+      explode(array(hashes.map { case (i, a, b) =>
+        struct(lit(i).as("i"),
+          (((lit(a) * (col("user_id") % P) + b) % P) % W).as("bucket"))
+      }: _*)).as("h"))
+      .select(col("user_id"), col("cnt"), col("h.i").as("i"), col("h.bucket").as("bucket"))
+    val cms = probes.groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("v"))
+    probes
+      .join(broadcast(cms), Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(col("v")).as("n_cms"))
+      .select(col("user_id"), col("cnt").as("n_exact"), col("n_cms"),
+        (col("n_cms") - col("cnt")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val a36Sql =
+    """WITH c AS (SELECT user_id, COUNT(*) cnt FROM events GROUP BY 1),
+      |h AS (SELECT user_id, cnt, i,
+      |        ((a * (user_id % 2147483647) + b) % 2147483647) % 64 AS bucket
+      |      FROM c, (VALUES (0,31,17),(1,37,19),(2,41,23),(3,43,29)) AS t(i,a,b)),
+      |cms AS (SELECT i, bucket, SUM(cnt) v FROM h GROUP BY 1, 2),
+      |est AS (SELECT h.user_id, h.cnt, MIN(cms.v) n_cms
+      |        FROM h JOIN cms USING (i, bucket) GROUP BY 1, 2)
+      |SELECT user_id, CAST(cnt AS BIGINT) AS n_exact,
+      |       CAST(n_cms AS BIGINT) AS n_cms,
+      |       CAST(n_cms - cnt AS BIGINT) AS overcount
+      |FROM est ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a36_cms_heavy_hitters",
+      "count-min heavy hitters: integer-hash sketch bit-identical across engines",
+      a36CmsHeavyHitters, Some(a36Sql)),
     QueryDef("a35_sketch_rollup",
       "stored daily HLL partials union-merged to level-2 estimates (no rescan)",
       a35SketchRollup, Some(a35Sql)),

@@ -167,4 +167,32 @@ class MaintenanceSpec extends AnyFunSuite {
     // the rollup must aggregate more than one stored cell per type
     assert(out.forall(_._2 > 1), "fixture should span multiple days per event type")
   }
+
+  test("a36: CMS == driver-built sketch exactly, and est >= true always") {
+    // sf0.01: 150 users in 64 buckets — all-4-row collisions are certain,
+    // so the overcount column is exercised (sf0.001's ~15 users never
+    // collide across all four rows and would vacuously pass)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Maintenance.a36CmsHeavyHitters(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = Tables.events(spark, sf01).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val P = 2147483647L; val W = 64L
+    val hs = Seq((31L, 17L), (37L, 19L), (41L, 23L), (43L, 29L))
+    def bucket(u: Long, a: Long, b: Long): Long = ((a * (u % P) + b) % P) % W
+    val cms = Array.fill(4, W.toInt)(0L)
+    for ((u, c) <- counts; ((a, b), i) <- hs.zipWithIndex)
+      cms(i)(bucket(u, a, b).toInt) += c
+    def est(u: Long): Long =
+      hs.zipWithIndex.map { case ((a, b), i) => cms(i)(bucket(u, a, b).toInt) }.min
+    val expect = counts.map { case (u, c) => (u, c, est(u), est(u) - c) }
+      .sortBy { case (u, c, _, _) => (-c, u) }.take(20).toSeq
+    assert(got.toSeq === expect)
+    // the deterministic CMS guarantee, for EVERY key, not just the top 20
+    assert(counts.forall { case (u, c) => est(u) >= c }, "CMS undercounted")
+    // with 150 keys in 64 buckets collisions are certain: the audit must
+    // actually show a nonzero overcount somewhere, or it proves nothing
+    assert(counts.exists { case (u, c) => est(u) > c }, "no collision observed")
+  }
 }
