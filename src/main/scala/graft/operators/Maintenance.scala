@@ -318,7 +318,102 @@ object Maintenance {
       |       CAST(n_cms - cnt AS BIGINT) AS overcount
       |FROM est ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin
 
+  /** a37 — KMV (bottom-k / theta-sketch) distinct-count SET ALGEBRA
+    * over per-event-type user populations: union estimates and Jaccard
+    * between every type pair, computed entirely from k=16-value
+    * sketches — with the exact answers alongside as the audit column.
+    *
+    * The sketch state is the existing mergeable [[graft.functions.TopKAgg]]
+    * aggregate over NEGATED hashes (bottom-k = top-k of −h): partial
+    * k-value states combine map-side, so the 100 TB stream reduces to
+    * |event_types| rows of k longs without ever sorting per type — the
+    * window-row_number formulation the oracle uses is exactly the shape
+    * this aggregate replaces. Set algebra then runs on the sketches
+    * alone (the KMV union theorem: bottomk(bottomk(A) ∪ bottomk(B)) =
+    * bottomk(A ∪ B), asserted pairwise in MaintenanceSpec), a
+    * cross-sketch intersect for the theta-style Jaccard, and the
+    * (k−1)·p / θ estimator. The hash is the a36 multiplicative family
+    * (injective affine map mod 2³¹−1), so every sketch value — and
+    * therefore every estimate — is bit-identical in the DuckDB oracle:
+    * no tolerance bands anywhere.
+    */
+  def a37KmvSetOps(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.TopKAgg.register(spark)
+    val P = 2147483647L
+    val full = (k - 1).toLong * P
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), ((lit(48271L) * (col("user_id") % P)) % P).as("h"))
+    // topk over −h (DESC) is h ascending after negation: the k smallest
+    val sk = du.groupBy(col("event_type"))
+      .agg(expr(s"transform(topk(CAST(-h AS DOUBLE), $k), x -> CAST(-x AS BIGINT))").as("mins"))
+      .withColumn("est", expr(
+        s"CASE WHEN size(mins) < $k THEN CAST(size(mins) AS BIGINT) " +
+        s"ELSE ${full}L div element_at(mins, $k) END"))
+    val pairs = sk.select(col("event_type").as("ta"), col("mins").as("ma"), col("est").as("est_a"))
+      .crossJoin(sk.select(col("event_type").as("tb"), col("mins").as("mb"), col("est").as("est_b")))
+      .filter(col("ta") < col("tb"))
+      .withColumn("mg", expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+      .withColumn("msize", size(col("mg")))
+      .withColumn("est_union", expr(
+        s"CASE WHEN msize < $k THEN CAST(msize AS BIGINT) " +
+        s"ELSE ${full}L div element_at(mg, msize) END"))
+      .withColumn("n_common",
+        expr("CAST(size(array_intersect(array_intersect(mg, ma), mb)) AS BIGINT)"))
+      .withColumn("jacc_ppm", expr("n_common * 1000000 div CAST(msize AS BIGINT)"))
+    val exInter = du.as("x").join(du.as("y"), col("x.h") === col("y.h"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(exInter), Seq("ta", "tb"), "left")
+      .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("na"))), Seq("ta"))
+      .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("nb"))), Seq("tb"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"), col("est_union"),
+        col("n_common"), col("jacc_ppm"),
+        expr("n_inter * 1000000 div (na + nb - n_inter)").as("exact_jacc_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val a37Sql =
+    """WITH du AS (SELECT DISTINCT event_type t,
+      |             (48271 * (user_id % 2147483647)) % 2147483647 h FROM events),
+      |r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) rn FROM du),
+      |sk AS (SELECT t, h, rn FROM r WHERE rn <= 16),
+      |sz AS (SELECT t, COUNT(*) n, MAX(h) hk FROM sk GROUP BY 1),
+      |te AS (SELECT t, CASE WHEN n < 16 THEN n
+      |                      ELSE (CAST(15 AS BIGINT) * 2147483647) // hk END est
+      |       FROM sz),
+      |pr AS (SELECT a.t ta, b.t tb FROM sz a JOIN sz b ON a.t < b.t),
+      |mu AS (SELECT p.ta, p.tb, s.h FROM pr p JOIN sk s ON s.t = p.ta OR s.t = p.tb),
+      |md AS (SELECT ta, tb, h, COUNT(*) nt FROM mu GROUP BY 1, 2, 3),
+      |mr AS (SELECT ta, tb, h, nt,
+      |              row_number() OVER (PARTITION BY ta, tb ORDER BY h) rn FROM md),
+      |mk AS (SELECT ta, tb, h, nt FROM mr WHERE rn <= 16),
+      |ag AS (SELECT ta, tb, COUNT(*) msize, MAX(h) theta,
+      |              SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) n_common
+      |       FROM mk GROUP BY 1, 2),
+      |ei AS (SELECT x.t ta, y.t tb, COUNT(*) n_inter
+      |       FROM du x JOIN du y ON x.h = y.h AND x.t < y.t GROUP BY 1, 2),
+      |en AS (SELECT t, COUNT(*) n FROM du GROUP BY 1)
+      |SELECT g.ta, g.tb, ea.est AS est_a, eb.est AS est_b,
+      |  CASE WHEN g.msize < 16 THEN g.msize
+      |       ELSE (CAST(15 AS BIGINT) * 2147483647) // g.theta END AS est_union,
+      |  CAST(g.n_common AS BIGINT) AS n_common,
+      |  CAST(g.n_common AS BIGINT) * 1000000 // g.msize AS jacc_ppm,
+      |  COALESCE(i.n_inter, 0) * 1000000
+      |    // (na.n + nb.n - COALESCE(i.n_inter, 0)) AS exact_jacc_ppm
+      |FROM ag g JOIN te ea ON ea.t = g.ta JOIN te eb ON eb.t = g.tb
+      |LEFT JOIN ei i ON i.ta = g.ta AND i.tb = g.tb
+      |JOIN en na ON na.t = g.ta JOIN en nb ON nb.t = g.tb
+      |ORDER BY g.ta, g.tb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a37_kmv_set_ops",
+      "KMV bottom-k sketch union/Jaccard set algebra, bit-identical across engines",
+      a37KmvSetOps(_, _), Some(a37Sql)),
     QueryDef("a36_cms_heavy_hitters",
       "count-min heavy hitters: integer-hash sketch bit-identical across engines",
       a36CmsHeavyHitters, Some(a36Sql)),

@@ -195,4 +195,40 @@ class MaintenanceSpec extends AnyFunSuite {
     // actually show a nonzero overcount somewhere, or it proves nothing
     assert(counts.exists { case (u, c) => est(u) > c }, "no collision observed")
   }
+
+  test("a37: sketch algebra == brute force, and the KMV union theorem holds") {
+    val P = 2147483647L; val K = 16
+    def hash(u: Long): Long = (48271L * (u % P)) % P
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) { // exact path + estimate path
+      val got = Maintenance.a37KmvSetOps(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      val sets = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct().collect()
+        .map(r => (r.getString(0), hash(r.getLong(1))))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+      def bottomK(s: Set[Long]) = s.toSeq.sorted.take(K)
+      def est(mins: Seq[Long]) =
+        if (mins.size < K) mins.size.toLong else (K - 1).toLong * P / mins(K - 1)
+      val expect = (for {
+        (ta, a) <- sets; (tb, b) <- sets if ta < tb
+        mg = bottomK(a ++ b)
+        inter = (a & b).size.toLong
+        common = mg.count(h => bottomK(a).contains(h) && bottomK(b).contains(h)).toLong
+      } yield (ta, tb, est(bottomK(a)), est(bottomK(b)), est(mg), common,
+        common * 1000000L / mg.size, inter * 1000000L / (a ++ b).size))
+        .toSeq.sortBy(r => (r._1, r._2))
+      assert(got.toSeq === expect, s"mismatch at $dir")
+      // the union theorem that makes the sketch mergeable: bottom-k of the
+      // two SKETCHES equals bottom-k of the full union, for every pair
+      for ((ta, a) <- sets; (tb, b) <- sets if ta < tb)
+        assert(bottomK(bottomK(a).toSet ++ bottomK(b).toSet) === bottomK(a ++ b),
+          s"KMV union theorem violated for ($ta, $tb) at $dir")
+    }
+    // the estimate path must actually be exercised somewhere
+    val big = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).count().collect()
+    assert(big.exists(_.getLong(1) > K), "no type exceeded k: estimator untested")
+  }
 }

@@ -50,7 +50,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a33_incremental_agg", "w16_seasonal_anomaly", "m09_payload_entropy",
     "t26_bpe_encode", "j17_interval_bin_join", "d10_lsh_audit",
     "v11_prefix_rerank", "w17_decay_score", "a35_sketch_rollup",
-    "t27_freq_spectrum", "m10_avghash_pairs", "a36_cms_heavy_hitters")
+    "t27_freq_spectrum", "m10_avghash_pairs", "a36_cms_heavy_hitters",
+    "a37_kmv_set_ops")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
