@@ -170,12 +170,100 @@ object LinkRank {
       |    THEN (1000000 * 3 * (SELECT t FROM tri)) // (SELECT nw FROM w)
       |    ELSE 0 END AS BIGINT) AS transitivity_ppm""".stripMargin
 
+  /** g05 — HITS hubs & authorities, two mutual-reinforcement rounds
+    * over g01's deterministic link graph, all scaled-integer: each
+    * round computes a_raw(v) = Σ_{u→v} h(u) then h_raw(u) = Σ_{u→v} a(v),
+    * each renormalized to micro-units by floor division with the global
+    * sum (aᵢ = a_raw·10⁶ div Σa_raw) so both engines produce identical
+    * longs — HITS's usual L2 normalization is a square root, which
+    * cannot cross engines exactly, but the sum-normalized fixpoint
+    * direction is the same and the ranking it induces is identical.
+    *
+    * PageRank (g01) scores a page by WHO links to it; HITS splits the
+    * signal: hubs (link out to good authorities) vs authorities (linked
+    * from good hubs) — the curation-relevant split when link farms are
+    * hub-shaped. Scale shape: per round, one shuffle of the edge table
+    * on dst (authority pass) and one on src (hub pass), each a plain
+    * partial+final sum; normalization totals ride along as 1-row
+    * broadcasts. Fixed rounds keep it ONE lazy plan, no driver loop.
+    * Headroom: a_raw ≤ indeg·10⁶ and the ·10⁶ renormalization bounds
+    * intermediates by 3n·10¹² — longs overflow only past n ≈ 3·10⁶
+    * docs; beyond that drop to per-1000 units (same argument as w16's
+    * decimal bound, documented not silent: ANSI mode throws).
+    */
+  def g05Hits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+
+    // one normalized update: scores(node, s) × edges summed on `agg` side,
+    // re-attached to every doc (0 for sinks), renormalized to micro-units
+    def push(scores: DataFrame, joinOn: String, aggTo: String): DataFrame = {
+      val contrib = edges.join(scores, edges(joinOn) === scores("node"))
+        .groupBy(col(aggTo).as("node")).agg(sum(col("s")).as("raw"))
+      val raw = docs.join(contrib, docs("doc_id") === contrib("node"), "left")
+        .select(col("doc_id").as("node"),
+          coalesce(col("raw"), lit(0L)).as("raw"))
+      raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+        .select(col("node"), expr("raw * 1000000 div tot").as("s"))
+    }
+
+    val h0 = docs.select(col("doc_id").as("node"), lit(1000000L).as("s"))
+    val a1 = push(h0, "src", "dst")
+    val h1 = push(a1, "dst", "src")
+    val a2 = push(h1, "src", "dst")
+    val h2 = push(a2, "dst", "src")
+    docs
+      .join(h2.select(col("node"), col("s").as("hub_micro")),
+        docs("doc_id") === col("node")).drop("node")
+      .join(a2.select(col("node"), col("s").as("auth_micro")),
+        docs("doc_id") === col("node")).drop("node")
+      .orderBy(col("doc_id"))
+  }
+
+  private val g05Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |e AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |h0 AS (SELECT doc_id node, CAST(1000000 AS BIGINT) s FROM documents),
+      |a1r AS (SELECT d.doc_id node, COALESCE(c.s, 0) raw FROM documents d
+      |        LEFT JOIN (SELECT dst, SUM(s) s FROM e JOIN h0 ON e.src = h0.node
+      |                   GROUP BY 1) c ON d.doc_id = c.dst),
+      |a1 AS (SELECT node, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a1r) AS BIGINT) s
+      |       FROM a1r),
+      |h1r AS (SELECT d.doc_id node, COALESCE(c.s, 0) raw FROM documents d
+      |        LEFT JOIN (SELECT src, SUM(s) s FROM e JOIN a1 ON e.dst = a1.node
+      |                   GROUP BY 1) c ON d.doc_id = c.src),
+      |h1 AS (SELECT node, CAST(raw * 1000000 // (SELECT SUM(raw) FROM h1r) AS BIGINT) s
+      |       FROM h1r),
+      |a2r AS (SELECT d.doc_id node, COALESCE(c.s, 0) raw FROM documents d
+      |        LEFT JOIN (SELECT dst, SUM(s) s FROM e JOIN h1 ON e.src = h1.node
+      |                   GROUP BY 1) c ON d.doc_id = c.dst),
+      |a2 AS (SELECT node, CAST(raw * 1000000 // (SELECT SUM(raw) FROM a2r) AS BIGINT) s
+      |       FROM a2r),
+      |h2r AS (SELECT d.doc_id node, COALESCE(c.s, 0) raw FROM documents d
+      |        LEFT JOIN (SELECT src, SUM(s) s FROM e JOIN a2 ON e.dst = a2.node
+      |                   GROUP BY 1) c ON d.doc_id = c.src),
+      |h2 AS (SELECT node, CAST(raw * 1000000 // (SELECT SUM(raw) FROM h2r) AS BIGINT) s
+      |       FROM h2r)
+      |SELECT d.doc_id, h2.s AS hub_micro, a2.s AS auth_micro
+      |FROM documents d JOIN h2 ON d.doc_id = h2.node JOIN a2 ON d.doc_id = a2.node
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_link_rank",
       "3-step integer PageRank over a deterministic link graph",
       g01LinkRank, Some(g01Sql)),
     QueryDef("g02_triangle_count",
       "degree-oriented triangle census + exact transitivity ppm",
-      g02TriangleCount, Some(g02Sql))
+      g02TriangleCount, Some(g02Sql)),
+    QueryDef("g05_hits",
+      "2-round integer HITS hubs/authorities, sum-normalized micro-units",
+      g05Hits, Some(g05Sql))
   )
 }

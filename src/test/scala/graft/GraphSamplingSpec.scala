@@ -38,6 +38,40 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(row.getLong(4) == (if (wedges > 0) 1000000L * 3 * triangles / wedges else 0L))
   }
 
+  test("g05: two HITS rounds match an in-memory brute force, hubs != authorities") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val edges = ids.toSeq.flatMap { src =>
+      (1 to 3).map(k => (src, (src * src * 31 + k * 17) % n))
+    } // multiset, self-loops kept — same convention as g01
+    def push(scores: Map[Long, Long], hubPass: Boolean): Map[Long, Long] = {
+      val raw = ids.map { v =>
+        v -> edges.collect {
+          case (s, d) if hubPass && s == v => scores(d)
+          case (s, d) if !hubPass && d == v => scores(s)
+        }.sum
+      }.toMap
+      val tot = raw.values.sum
+      raw.map { case (k, v) => k -> v * 1000000L / tot }
+    }
+    val h0 = ids.map(_ -> 1000000L).toMap
+    val a1 = push(h0, hubPass = false)
+    val h1 = push(a1, hubPass = true)
+    val a2 = push(h1, hubPass = false)
+    val h2 = push(a2, hubPass = true)
+    val got = operators.LinkRank.g05Hits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === ids.toSeq)
+    got.foreach { case (id, hub, auth) =>
+      assert(hub === h2(id), s"hub mismatch at $id")
+      assert(auth === a2(id), s"auth mismatch at $id")
+    }
+    // the split must carry signal: the two rankings cannot coincide
+    assert(got.exists { case (_, hub, auth) => hub != auth },
+      "hub and authority scores identical everywhere — degenerate graph")
+  }
+
   test("s09: picks are exactly the k smallest integer priorities per stratum") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("source"), col("n_chars")).collect()
