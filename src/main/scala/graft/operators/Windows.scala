@@ -648,7 +648,91 @@ object Windows {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** w18 — calendar densification + EXACT linear interpolation: each
+    * (event_type, user) daily spend series is completed to a gap-free
+    * day spine over its own [min_day, max_day] span, and every missing
+    * day is filled by integer linear interpolation between its
+    * bracketing observed days, in the weighted-average form
+    * (prev·(next_day−d) + next·(d−prev_day)) div (next_day−prev_day) —
+    * numerator non-negative by construction, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree (the negative-dividend
+    * divergence w16's docstring warns about never arises). w10 answered
+    * gaps with LOCF (step-hold); this is the ramp variant ML feature
+    * pipelines want for slowly-varying signals.
+    *
+    * Scale shape: the spine explodes one row per day of each series'
+    * OWN span (never a global calendar times every key), the
+    * bracketing values arrive via two IGNORE-NULLS running-frame
+    * windows (forward + backward) partitioned by the series key — the
+    * same one-shuffle-per-direction shape as w10 — and series are
+    * independent, so a 100 TB run partitions by (type, user) and never
+    * sees cross-key traffic.
+    */
+  def w18InterpolateFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val spine = daily.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    val joined = spine.join(daily, Seq("event_type", "user_id", "day"), "left")
+    val wFwd = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val wBwd = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("day")).rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    joined
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wFwd))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wFwd))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wBwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wBwd))
+      .select(col("event_type"), col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents")).otherwise(
+          expr("(pv * (nd - day) + nv * (day - pd)) div (nd - pd)")).as("filled_cents"),
+        col("cents").isNull.as("interpolated"))
+      .orderBy(col("event_type"), col("user_id"), col("day"))
+  }
+
+  private val w18Sql =
+    """WITH daily AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+      |         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+      |bounds AS (
+      |  SELECT event_type, user_id, MIN(day) d0, MAX(day) d1
+      |  FROM daily GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      |j AS (
+      |  SELECT s.event_type, s.user_id, s.day, d.cents,
+      |    LAST_VALUE(d.cents IGNORE NULLS) OVER w AS pv,
+      |    LAST_VALUE(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+      |      OVER w AS pd,
+      |    FIRST_VALUE(d.cents IGNORE NULLS) OVER v AS nv,
+      |    FIRST_VALUE(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+      |      OVER v AS nd
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.user_id = d.user_id AND s.day = d.day
+      |  WINDOW w AS (PARTITION BY s.event_type, s.user_id ORDER BY s.day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         v AS (PARTITION BY s.event_type, s.user_id ORDER BY s.day
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, user_id, day,
+      |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |       ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd) END
+      |    AS BIGINT) AS filled_cents,
+      |  cents IS NULL AS interpolated
+      |FROM j ORDER BY event_type, user_id, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w18_interpolate_fill",
+      "day-spine densification + exact integer linear interpolation per series",
+      w18InterpolateFill, Some(w18Sql)),
     QueryDef("w17_decay_score", "integer power-of-two recency-decay score per user",
       w17DecayScore, Some(w17Sql)),
     QueryDef("w15_ohlc_bars", "OHLC bars per (event_type, hour) in one exchange",

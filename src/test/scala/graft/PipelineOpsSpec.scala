@@ -960,4 +960,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     val planted = got.count { case (a, b, _) => b == a + 600000L }
     assert(planted > 0, "no perturbed copy was caught")
   }
+
+  test("w18: densified series match a sequential interpolator, endpoints actual") {
+    val got = operators.Windows.w18InterpolateFill(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    val daily = Tables.events(spark, sf001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    var expected = 0
+    for (((t, u), obs) <- daily) {
+      val byDay = obs.toMap
+      val (d0, d1) = (obs.map(_._1).min, obs.map(_._1).max)
+      for (d <- d0 to d1) {
+        expected += 1
+        val want = byDay.get(d) match {
+          case Some(c) => (c, false)
+          case None =>
+            val (pd, pv) = obs.filter(_._1 < d).maxBy(_._1)
+            val (nd, nv) = obs.filter(_._1 > d).minBy(_._1)
+            ((pv * (nd - d) + nv * (d - pd)) / (nd - pd), true)
+        }
+        assert(got((t, u, d)) === want, s"series ($t,$u) day $d")
+      }
+      assert(!got((t, u, d0))._2 && !got((t, u, d1))._2, "span endpoints must be actual")
+    }
+    assert(got.size === expected, "spurious rows outside any series span")
+    assert(got.values.exists(_._2), "fixture produced no gaps — interpolation untested")
+  }
 }
