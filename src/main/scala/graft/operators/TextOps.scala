@@ -1569,7 +1569,76 @@ object TextOps {
       |WHERE s.r <= 10
       |ORDER BY s.lang, freq""".stripMargin
 
+  /** t28 — RAKE keyword extraction over the whole corpus: token runs
+    * between stopwords ('a', 'the' — the corpus's function words)
+    * become candidate phrases via gaps-and-islands segmentation, each
+    * word w is scored by deg(w)/freq(w) (deg = summed length of every
+    * phrase containing an occurrence of w — the co-occurrence degree;
+    * freq = plain occurrence count), and a phrase scores the sum of its
+    * words' ratios in integer ppm (floor div — both engines truncate
+    * identically on the non-negative operands). Top-20 by score with
+    * the phrase string as tiebreak.
+    *
+    * Scale shape: segmentation is one window over (doc, pos) — document
+    * partitioned, no cross-doc traffic; word stats are a vocabulary-
+    * sized aggregate (Heaps-law bounded, like t24's trainer state);
+    * phrase scoring joins the DISTINCT phrase table (not the corpus)
+    * against word stats on the word key. Headroom: deg·10⁶ needs
+    * deg < 9·10¹² — past ~10¹² occurrences of one word, flip the score
+    * to deg div greatest(freq div 10⁶, 1) (documented, not silent:
+    * ANSI throws on the long overflow).
+    */
+  def t28RakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+    val ns = tok.filter(!col("w").isin("a", "the"))
+      .withColumn("island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val withLen = ns.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("island"))))
+    val wordStats = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val phrases = ns.groupBy(col("doc_id"), col("island"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+        .as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+    phrases
+      .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, Seq("w"))
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(expr("(deg * 1000000) div freq")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(20)
+  }
+
+  private val t28Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, i AS pos, a[i] AS w
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') a
+      |        FROM documents),
+      |       LATERAL unnest(range(1, len(a) + 1)) AS u(i)),
+      |ns AS (SELECT doc_id, pos, w FROM tok WHERE w NOT IN ('a', 'the')),
+      |isl AS (SELECT doc_id, pos, w,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) island
+      |        FROM ns),
+      |wl AS (SELECT w, COUNT(*) OVER (PARTITION BY doc_id, island) plen FROM isl),
+      |ws AS (SELECT w, COUNT(*) freq, SUM(plen) deg FROM wl GROUP BY 1),
+      |occ AS (SELECT doc_id, island, string_agg(w, ' ' ORDER BY pos) phrase
+      |        FROM isl GROUP BY 1, 2),
+      |ph AS (SELECT phrase, COUNT(*) n_occ FROM occ GROUP BY 1),
+      |pw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) w FROM ph)
+      |SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+      |       CAST(SUM((deg * 1000000) // freq) AS BIGINT) AS score_ppm
+      |FROM pw JOIN ws USING (w)
+      |GROUP BY phrase, n_occ
+      |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t28_rake_keywords",
+      "RAKE stopword-islands phrase extraction, deg/freq ppm scoring, top-20",
+      t28RakeKeywords, Some(t28Sql)),
     QueryDef("t27_freq_spectrum", "Good-Turing count-of-counts spectrum per language",
       t27FreqSpectrum, Some(t27Sql)),
     QueryDef("t01_token_stats", "whitespace + BPE-ish token counting", t01TokenStats, Some(t01Sql)),

@@ -994,4 +994,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size === expected, "spurious rows outside any series span")
     assert(got.values.exists(_._2), "fixture produced no gaps — interpolation untested")
   }
+
+  test("t28: RAKE top-20 matches a sequential extractor") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stop = Set("a", "the")
+    // phrases: maximal stopword-free runs, per doc
+    val allPhrases = docs.flatMap { case (_, text) =>
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      val runs = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      for (w <- words) {
+        if (stop(w)) { if (cur.nonEmpty) { runs += cur.toSeq; cur = cur.take(0) } }
+        else cur += w
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = allPhrases.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val deg = allPhrases.flatMap(p => p.map(w => w -> p.size.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    val expect = allPhrases.map(_.mkString(" ")).groupBy(identity)
+      .map { case (p, o) =>
+        val score = p.split(" ").map(w => deg(w) * 1000000L / freq(w)).sum
+        (p, o.size.toLong, score)
+      }.toSeq.sortBy { case (p, _, s) => (-s, p) }.take(20)
+    val got = operators.TextOps.t28RakeKeywords(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.exists(_._1.contains(" ")), "no multi-word phrase in top-20")
+  }
 }
