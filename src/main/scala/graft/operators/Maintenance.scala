@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -410,7 +411,86 @@ object Maintenance {
       |JOIN en na ON na.t = g.ta JOIN en nb ON nb.t = g.tb
       |ORDER BY g.ta, g.tb""".stripMargin
 
+  /** a38 — exact two-sample Kolmogorov–Smirnov drift statistic per
+    * event type: the value distribution of the stream's FIRST half
+    * (by the midpoint timestamp) against its SECOND half — the
+    * train/serve drift check a feature pipeline runs before promoting
+    * a snapshot. The KS statistic sup|F₁−F₂| is computed EXACTLY in
+    * the cross-multiplied form max|cum₁·n₂ − cum₂·n₁| (no division
+    * until the final ppm), evaluated at every distinct observed value
+    * via one running-sum window per type over the merged per-value
+    * counts — no float CDFs, no sorting of raw rows (the window runs
+    * over DISTINCT (type, cents) cells).
+    *
+    * Headroom: cum·n ≤ n₁·n₂ needs n per side < 3·10⁹ before the long
+    * product overflows (ANSI throws, not wraps); past that, drift-check
+    * a stratified sample (s05) — the statistic is distribution-level
+    * and sampling-stable by construction.
+    */
+  def a38KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.groupBy(col("event_type"))
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    val sided = ev.join(broadcast(mid), Seq("event_type"))
+      .withColumn("side", when(expr("unix_micros(ts)") < col("mid_us"), 1).otherwise(2))
+    val cells = sided.groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+           sum(when(col("side") === 2, 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = sided.groupBy(col("event_type"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1"),
+           sum(when(col("side") === 2, 1L).otherwise(0L)).as("n2"))
+    cells
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dmax"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("(dmax * 1000000) div (n1 * n2)").as("ks_ppm"),
+        (expr("(dmax * 1000000) div (n1 * n2)") > 100000).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a38Sql =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) us,
+      |              CAST(round(value * 100) AS BIGINT) cents
+      |            FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT event_type, (MIN(us) + MAX(us)) // 2 mid_us
+      |        FROM ev GROUP BY 1),
+      |sided AS (SELECT ev.event_type, cents,
+      |            CASE WHEN us < mid_us THEN 1 ELSE 2 END side
+      |          FROM ev JOIN mid USING (event_type)),
+      |cells AS (SELECT event_type, cents,
+      |            SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) c1,
+      |            SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) c2
+      |          FROM sided GROUP BY 1, 2),
+      |tot AS (SELECT event_type,
+      |          SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) n1,
+      |          SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) n2
+      |        FROM sided GROUP BY 1),
+      |cum AS (SELECT event_type, cents,
+      |          SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum1,
+      |          SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum2
+      |        FROM cells),
+      |d AS (SELECT c.event_type, t.n1, t.n2,
+      |        MAX(abs(cum1 * t.n2 - cum2 * t.n1)) dmax
+      |      FROM cum c JOIN tot t USING (event_type)
+      |      GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST((dmax * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm,
+      |  (dmax * 1000000) // (n1 * n2) > 100000 AS drifted
+      |FROM d ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a38_ks_drift",
+      "exact integer two-sample KS drift statistic per event type",
+      a38KsDrift, Some(a38Sql)),
     QueryDef("a37_kmv_set_ops",
       "KMV bottom-k sketch union/Jaccard set algebra, bit-identical across engines",
       a37KmvSetOps(_, _), Some(a37Sql)),

@@ -231,4 +231,33 @@ class MaintenanceSpec extends AnyFunSuite {
       .groupBy(col("event_type")).count().collect()
     assert(big.exists(_.getLong(1) > K), "no type exceeded k: estimator untested")
   }
+
+  test("a38: KS statistic matches a sequential CDF walk") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Tables.events(spark, sf01).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (t, xs) =>
+      val mid = (xs.map(_._2).min + xs.map(_._2).max) / 2
+      val (s1, s2) = xs.partition(_._2 < mid)
+      val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+      val values = xs.map(_._3).distinct.sorted
+      val dmax = values.map { v =>
+        val c1 = s1.count(_._3 <= v).toLong
+        val c2 = s2.count(_._3 <= v).toLong
+        math.abs(c1 * n2 - c2 * n1)
+      }.max
+      t -> (n1, n2, dmax * 1000000L / (n1 * n2))
+    }
+    val got = Maintenance.a38KsDrift(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    // same-distribution halves of a synthetic uniform stream must sit well
+    // under the 10% drift gate — a degenerate all-zero statistic would too,
+    // so also require it nonzero (sampling noise is never exactly zero here)
+    val ks = got.values.map(_._3)
+    assert(ks.forall(_ < 100000), s"false drift alarm: $got")
+    assert(ks.exists(_ > 0), "KS identically zero — statistic not computed")
+  }
 }
