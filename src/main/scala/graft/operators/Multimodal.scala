@@ -544,7 +544,69 @@ object Multimodal {
       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.hash, b.hash)) <= 5
       |ORDER BY ida, idb""".stripMargin
 
+  /** m11 — audio loudness profile: the payload as fake PCM (byte b →
+    * sample b−96, so letters are small amplitudes and spaces are loud
+    * negative spikes), framed into non-overlapping 25-sample windows;
+    * per frame the EXACT integer energy Σs², the peak |s|, and a
+    * silence verdict (mean-square under 240 — below the uniform-letter
+    * expectation, so frames flip on their actual letter/space mix).
+    * A real build swaps the ascii probe for a PCM decode; the Spark
+    * contract under audit — 1→N frame explode with per-frame reduce,
+    * no shuffle until the final sort — is unchanged (m03's docstring
+    * argument, audio-shaped).
+    *
+    * Unlike m03 (typed Dataset flatMap), this path stays entirely in
+    * codegen'd SQL expressions: sequence→explode for the frame index,
+    * transform/aggregate lambdas for the per-frame reduce — nothing
+    * leaves Tungsten rows, no Scala closure serialization.
+    */
+  def m11AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val frame = 25
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(lit("AUD0"), col("text")).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(expr(s"sequence(0, CAST(ceil(length(s) / $frame.0) AS BIGINT) - 1)"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(s, CAST(frame_idx * $frame + 1 AS INT), $frame)").as("fr"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("fr")).cast(LongType).as("n_samples"),
+        expr("aggregate(transform(sequence(1, length(fr)), " +
+          "i -> CAST((ascii(substring(fr, i, 1)) - 96) * " +
+          "(ascii(substring(fr, i, 1)) - 96) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("energy"),
+        expr("CAST(array_max(transform(sequence(1, length(fr)), " +
+          "i -> abs(ascii(substring(fr, i, 1)) - 96))) AS BIGINT)").as("peak"))
+      .withColumn("silent", expr("energy div n_samples < 240"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val m11Sql =
+    """WITH p AS (SELECT doc_id, 'AUD0' || text AS s FROM documents),
+      |k AS (SELECT doc_id, s,
+      |        unnest(range(0, CAST(ceil(length(s) / 25.0) AS BIGINT))) AS frame_idx
+      |      FROM p),
+      |g AS (SELECT doc_id, frame_idx,
+      |        substr(s, CAST(frame_idx * 25 + 1 AS INTEGER), 25) AS fr
+      |      FROM k),
+      |e AS (SELECT doc_id, frame_idx,
+      |        CAST(length(fr) AS BIGINT) AS n_samples,
+      |        CAST(list_sum(list_transform(range(1, length(fr) + 1),
+      |          i -> (ascii(substr(fr, CAST(i AS INTEGER), 1)) - 96)
+      |             * (ascii(substr(fr, CAST(i AS INTEGER), 1)) - 96))) AS BIGINT)
+      |          AS energy,
+      |        CAST(list_max(list_transform(range(1, length(fr) + 1),
+      |          i -> abs(ascii(substr(fr, CAST(i AS INTEGER), 1)) - 96))) AS BIGINT)
+      |          AS peak
+      |      FROM g)
+      |SELECT doc_id, frame_idx, n_samples, energy, peak,
+      |       energy // n_samples < 240 AS silent
+      |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m11_audio_energy",
+      "framed PCM energy/peak/silence scan, pure codegen expressions",
+      m11AudioEnergy, Some(m11Sql)),
     QueryDef("m10_avghash_pairs", "perceptual average-hash near-dup pairs (exact ham<=5 banding)",
       m10AvgHashPairs, Some(m10Sql)),
     QueryDef("m09_payload_entropy",

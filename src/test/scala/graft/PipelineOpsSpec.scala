@@ -1025,4 +1025,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.exists(_._1.contains(" ")), "no multi-word phrase in top-20")
   }
+
+  test("m11: framed energies match a byte-level scan, both verdicts occur") {
+    val got = operators.Multimodal.m11AudioEnergy(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), "AUD0" + r.getString(1)))
+    var n = 0
+    for ((id, s) <- docs; (fr, idx) <- s.grouped(25).zipWithIndex) {
+      n += 1
+      val samples = fr.map(c => c.toInt - 96)
+      val energy = samples.map(x => x.toLong * x).sum
+      val want = (fr.length.toLong, energy, samples.map(math.abs).max.toLong,
+        energy / fr.length < 240)
+      assert(got((id, idx.toLong)) === want, s"frame ($id, $idx)")
+    }
+    assert(got.size === n, "row count vs sequential framing")
+    val verdicts = got.values.map(_._4).toSet
+    assert(verdicts === Set(true, false), "silence threshold never discriminated")
+  }
 }
