@@ -20,15 +20,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read the ns value as long and rebuild a
-    * microsecond-precision TimestampType column (integer division — the raw
-    * int64 exceeds double precision, so no float math).
+  /** events.parquet's `ts` physical encoding has varied across driver
+    * rounds: TIMESTAMP(NANOS) — which Spark's reader only surfaces as the
+    * raw int64 under the legacy nanosAsLong flag (rebuilt here with
+    * integer division; the ns value exceeds double precision, so no float
+    * math) — vs TIMESTAMP(MICROS) with isAdjustedToUTC=false, which
+    * arrives as TIMESTAMP_NTZ. Normalize either to a session-TZ
+    * TimestampType column at microsecond precision; under the pinned UTC
+    * session zone the NTZ→TZ cast is value-identity.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -29,6 +29,30 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming source over events parquet files whose `ts` encoding
+    * varies by driver round (TIMESTAMP(NANOS) → raw int64 under the
+    * legacy nanosAsLong flag, vs TIMESTAMP(MICROS) → TIMESTAMP_NTZ; see
+    * [[graft.Tables.events]]). The file stream source needs an explicit
+    * schema, so probe the files ONCE with the batch reader (footer
+    * metadata only) and build the matching schema; the returned stream
+    * always carries `ts` as a session-TZ TimestampType column, so
+    * downstream watermarks/windows are encoding-independent.
+    */
+  def eventsStream(spark: SparkSession, srcDir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong =
+      spark.read.parquet(srcDir).schema("ts").dataType == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema).options(options).parquet(srcDir)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
   /** st01 — tumbling 1-hour windows: count + exact sum per type. */
   def st01Tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -106,10 +130,7 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = eventsStream(spark, stageDir.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
@@ -143,9 +164,7 @@ object EventStream {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
+    val src = eventsStream(spark, stageDir.toString)
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
@@ -179,11 +198,8 @@ object EventStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("us").desc, col("event_id").desc)
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+    val q = eventsStream(spark, srcDir, Map("maxFilesPerTrigger" -> "1"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -241,10 +257,8 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    val src = eventsStream(spark, stageDir.toString)
+      .withColumn("tsc", col("ts"))
       .withWatermark("tsc", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
@@ -308,9 +322,7 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val updates = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
+    val updates = eventsStream(spark, stageDir.toString)
       .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -369,10 +381,8 @@ object EventStream {
     // the watermarked column (`tsc`) must SURVIVE the projection feeding
     // the stateful operator — EventTimeTimeout resolves its event-time
     // attribute from the child plan, and dropping it fails analysis
-    val sessions = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    val sessions = eventsStream(spark, stageDir.toString)
+      .withColumn("tsc", col("ts"))
       .withWatermark("tsc", "0 seconds")
       .selectExpr("user_id", "tsc", "unix_micros(tsc) AS us",
         "CAST(round(value * 100) AS BIGINT) AS cents")
@@ -470,10 +480,8 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val firsts = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    val firsts = eventsStream(spark, stageDir.toString)
+      .withColumn("tsc", col("ts"))
       .withWatermark("tsc", "0 seconds")
       .selectExpr("user_id", "tsc", "unix_micros(tsc) AS us")
       .as[(Long, java.sql.Timestamp, Long)]
@@ -566,8 +574,8 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def src() = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    def src() = eventsStream(spark, stageDir.toString)
+      .withColumn("tsc", col("ts"))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id"), col("tsc").as("click_ts"),
         col("event_id").as("click_id"))
@@ -735,8 +743,8 @@ object EventStream {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def src() = spark.readStream.schema(eventsSchema).parquet(stageDir.toString)
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)"))
+    def src() = eventsStream(spark, stageDir.toString)
+      .withColumn("tsc", col("ts"))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id"), col("tsc").as("click_ts"),
         col("event_id").as("click_id"))

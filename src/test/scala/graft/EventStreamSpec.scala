@@ -32,10 +32,7 @@ class EventStreamSpec extends AnyFunSuite {
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sf/events.parquet"))
-    val q = spark2.readStream
-      .schema(EventStream.eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.eventsStream(spark2, stageDir.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
@@ -278,8 +275,8 @@ class EventStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stage the events as 3 files so maxFilesPerTrigger=1 drives three
-    // REAL micro-batches through the merge; raw read keeps ts as long
-    // nanos, matching EventStream.eventsSchema
+    // REAL micro-batches through the merge; the raw read preserves the
+    // source ts encoding, which eventsStream re-probes on the chunk dir
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("graft_upsert_src_")
     (0 until 3).foreach { i =>
@@ -299,8 +296,8 @@ class EventStreamSpec extends AnyFunSuite {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("us").desc, col("event_id").desc)
-    val want = raw
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
