@@ -289,7 +289,53 @@ object Functions2 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** f11 — the hashing trick: tokens land in a fixed 64-bucket feature
+    * space via the t04 polynomial rolling hash (seed 7 so the family is
+    * independent of t04's fingerprints), with a SIGN hash (bit 6 of the
+    * same value) giving the signed-sum variant that makes hashed
+    * features unbiased (Weinberger et al.'s feature hashing). Output is
+    * the sparse COO form (doc, bucket, count, signed_sum) — exactly
+    * what a trainer consumes — and every value is an int64, so the
+    * contract is hash-green with no float anywhere.
+    *
+    * Scale shape: the hash is pure map-side per token (no vocabulary,
+    * no dictionary broadcast, no second pass — THE point of the
+    * hashing trick at 100 TB: feature extraction with zero global
+    * state), followed by one partial-aggregated groupBy on
+    * (doc_id, bucket) whose fan-out is capped at 64 rows per doc.
+    */
+  def f11FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", expr(
+        "aggregate(split(tok, ''), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      .groupBy(col("doc_id"), (col("h") % 64).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("IF((h div 64) % 2 = 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))"))
+             .as("signed_n"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private val f11Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) hh
+      |  FROM toks)
+      |SELECT doc_id, hh % 64 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN (hh // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS signed_n
+      |FROM h GROUP BY doc_id, hh % 64
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("f11_feature_hash",
+      "hashing-trick sparse features: 64 buckets + sign hash, zero global state",
+      f11FeatureHash, Some(f11Sql)),
     QueryDef("a18_rollup", "ROLLUP subtotals + GROUPING()", a18Rollup, Some(a18Sql)),
     QueryDef("a22_cube", "CUBE margins + GROUPING()", a22Cube, Some(a22Sql)),
     QueryDef("a25_grouping_sets", "explicit GROUPING SETS (two 1-dim margins + total)",

@@ -345,7 +345,81 @@ object LinkRank {
       |LEFT JOIN a3 x3 ON g.node = x3.node
       |ORDER BY doc_id""".stripMargin
 
+  /** g07 — link prediction over the g01 graph: for every non-adjacent
+    * pair at distance 2, the three classic topology scores — common
+    * neighbors, Jaccard of neighbor sets (exact integer ppm — the count
+    * ratio (1e6·|∩|) div (da+db−|∩|) needs no floats), and preferential
+    * attachment (deg·deg) — the candidate-edge ranking used for crawl
+    * frontier expansion and related-document suggestion.
+    *
+    * Scale shape: candidate generation is the wedge join (adjacency
+    * self-joined on the shared middle node) — the same Σdeg² frame g02
+    * bounds with degree orientation; here both orientations are needed
+    * (the pair (x,y) is the output, not the wedge), so the cost is
+    * Σdeg² over the symmetric adjacency, the published cost of
+    * neighborhood-overlap scoring. The `common >= 2` floor prunes the
+    * long tail before the degree joins, existing edges leave via a
+    * left_anti join on the symmetric edge list (no NOT IN / driver
+    * set), and every score is an int64 — one shuffle on the pair key,
+    * partial-aggregated map-side.
+    */
+  def g07LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val directed = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = directed.select(col("src").as("a"), col("dst").as("b"))
+      .union(directed.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("a").as("x"), col("b").as("m"))
+      .join(und.select(col("a").as("y"), col("b").as("m")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val cand = wedges
+      .join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_anti")
+      .filter(col("cn") >= 2)
+    cand
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("x").as("a"), col("y").as("b"), col("cn").as("common_neighbors"),
+        expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_ppm"),
+        (col("dx") * col("dy")).as("pref_attach"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val g07Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |d0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src a, dst b FROM d0 WHERE src <> dst
+      |    UNION ALL SELECT dst a, src b FROM d0 WHERE src <> dst)),
+      |deg AS (SELECT a node, COUNT(*) deg FROM und GROUP BY a),
+      |w AS (
+      |  SELECT e1.a x, e2.a y, COUNT(*) cn
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+      |  GROUP BY e1.a, e2.a),
+      |cand AS (
+      |  SELECT x, y, cn FROM w
+      |  WHERE cn >= 2 AND NOT EXISTS (
+      |    SELECT 1 FROM und WHERE und.a = w.x AND und.b = w.y))
+      |SELECT c.x AS a, c.y AS b, c.cn AS common_neighbors,
+      |  (1000000 * c.cn) // (dx.deg + dy.deg - c.cn) AS jaccard_ppm,
+      |  dx.deg * dy.deg AS pref_attach
+      |FROM cand c JOIN deg dx ON c.x = dx.node JOIN deg dy ON c.y = dy.node
+      |ORDER BY a, b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g07_link_predict",
+      "common-neighbor / Jaccard-ppm / pref-attach link prediction",
+      g07LinkPredict, Some(g07Sql)),
     QueryDef("g06_kcore",
       "3-round k-core peeling (k=4) with per-node survival depth",
       g06KCore(_, _), Some(g06Sql)),

@@ -487,7 +487,65 @@ object Maintenance {
       |  (dmax * 1000000) // (n1 * n2) > 100000 AS drifted
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** a39 — Benford first-significant-digit audit per event type: the
+    * classic fraud/synthetic-data screen (naturally-occurring positive
+    * amounts follow P(d) = log10(1 + 1/d); fabricated or clipped data
+    * doesn't). The first digit comes from the INTEGER cents value's
+    * decimal string — never from float log10, whose drift near powers
+    * of ten would flip digits differently per engine — so observed
+    * shares are exact integer ppm, the expected shares are pinned
+    * literal constants (⌊1e6·log10(1+1/d)⌋), and the per-digit
+    * deviation is plain int subtraction: hash-green across engines.
+    *
+    * Scale shape: one map-side projection (cents → leading char) into
+    * one partial-aggregated groupBy on (event_type, digit) — a ≤9-row
+    * fan-out per type; the per-type totals rejoin via a window over the
+    * tiny aggregate, so the fact table is scanned once with no second
+    * shuffle.
+    */
+  def a39Benford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = "array(301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)"
+    val counts = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("event_type"),
+        expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("obs_ppm", expr("(1000000 * n) div n_total"))
+      .withColumn("exp_ppm", expr(s"CAST(element_at($expected, digit) AS BIGINT)"))
+      .select(col("event_type"), col("digit"), col("n"), col("n_total"),
+        col("obs_ppm"), col("exp_ppm"),
+        expr("abs(obs_ppm - exp_ppm)").as("dev_ppm"))
+      .orderBy(col("event_type"), col("digit"))
+  }
+
+  private val a39Sql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) digit
+      |  FROM events
+      |  WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) > 0),
+      |g AS (SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) n
+      |      FROM c GROUP BY 1, 2),
+      |t AS (SELECT event_type, digit, n,
+      |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) n_total
+      |      FROM g)
+      |SELECT event_type, digit, n, n_total,
+      |  (1000000 * n) // n_total AS obs_ppm,
+      |  CAST([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757][digit] AS BIGINT) AS exp_ppm,
+      |  abs((1000000 * n) // n_total
+      |      - [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757][digit]) AS dev_ppm
+      |FROM t ORDER BY event_type, digit""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a39_benford",
+      "Benford first-digit audit: exact ppm shares vs pinned log10 constants",
+      a39Benford, Some(a39Sql)),
     QueryDef("a38_ks_drift",
       "exact integer two-sample KS drift statistic per event type",
       a38KsDrift, Some(a38Sql)),

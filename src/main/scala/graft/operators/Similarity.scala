@@ -808,11 +808,109 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v12 — binary (1-bit) quantization retrieval: each dimension's SIGN
+    * becomes one bit (strictly positive → 1, so zeros land
+    * deterministically on 0 in both engines), packed 32 dims per int64
+    * word — two words cover the 64-dim corpus, 16 bytes per vector, a
+    * 32× compression of the ×1000-int64 form. The scan stage ranks
+    * candidates by Hamming distance (popcount over XOR — two `bit_count`
+    * calls per pair, no multiplies), keeps a `shortlist`-deep candidate
+    * set per query, and the exact int64 cosine re-ranks only the
+    * shortlist — the binary-quantization + refine shape modern vector
+    * stores use as their cheapest coarse stage.
+    *
+    * Scale shape: the binary code table is the only thing the scan
+    * stage touches (16 B/vector — a 100 TB float corpus's codes fit in
+    * ~25 GB, broadcastable or at worst a narrow shuffle); the raw
+    * vectors are read only |queries|·shortlist times in the re-rank
+    * join, same contract as v09. Hamming ties at the shortlist boundary
+    * break on cid so the candidate SET is engine-independent, and the
+    * final order is the exact-cosine double (bit-identical from int64
+    * inputs) — hash-green end to end.
+    */
+  def v12BinaryTopK(spark: SparkSession, dir: String, shortlist: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def packWord(w: Int): String =
+      s"aggregate(sequence(0, 31), 0L, (acc, j) -> " +
+        s"acc + IF(element_at(embedding, ${32 * w} + j + 1) > 0, shiftleft(1L, j), 0L))"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("w0", expr(packWord(0)))
+      .withColumn("w1", expr(packWord(1)))
+      .withColumn("q", expr(quantize))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val codes = vecs.select(col("vec_id"), col("w0"), col("w1"))
+    val qcodes = codes.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("cid").asc)
+    val short = qcodes
+      .join(codes.select(col("vec_id").as("cid"), col("w0"), col("w1")),
+            col("qid") =!= col("cid"))
+      .withColumn("ham",
+        expr("CAST(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) AS BIGINT)"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"), col("ham"))
+    val qside = vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val cside = vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    short.join(qside, "qid").join(cside, "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), col("ham").as("hamming"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v12Sql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      j -> CASE WHEN embedding[CAST(j + 1 AS INTEGER)] > 0
+      |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) w0,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      j -> CASE WHEN embedding[CAST(j + 33 AS INTEGER)] > 0
+      |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) w1
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, w0, w1, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |h AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) ham
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |short AS (
+      |  SELECT qid, cid, ham FROM (
+      |    SELECT qid, cid, ham,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, cid ASC) srank
+      |    FROM h) WHERE srank <= 32),
+      |rer AS (
+      |  SELECT short.qid, short.cid, short.ham,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM short JOIN n a ON short.qid = a.vec_id
+      |             JOIN n b ON short.cid = b.vec_id),
+      |r AS (SELECT qid, cid, ham, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM rer)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ham AS hamming,
+      |       ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query",
       v01CosineTopK(_, _), Some(v01Sql)),
     QueryDef("v11_prefix_rerank", "Matryoshka prefix-16 shortlist + exact full-dim re-rank top-3",
       v11PrefixRerank(_, _), Some(v11Sql)),
+    QueryDef("v12_binary_topk", "sign-bit binary codes: Hamming shortlist + exact re-rank top-3",
+      v12BinaryTopK(_, _), Some(v12Sql)),
     QueryDef("v07_recall_eval", "ANN recall@3 audit: IVF vs exact in one query",
       v07RecallEval, Some(v07Sql)),
     QueryDef("v08_pq_topk", "product-quantization ADC top-3 (8x8 int64 codebooks)",

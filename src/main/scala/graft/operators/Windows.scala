@@ -729,7 +729,166 @@ object Windows {
       |  cents IS NULL AS interpolated
       |FROM j ORDER BY event_type, user_id, day""".stripMargin
 
+  /** w19 — rolling-median smoothing per user: the robust alternative to
+    * w03's rolling mean (a single spike moves a mean by spike/k but a
+    * median not at all — the standard telemetry de-noiser). The frame is
+    * the last 5 events (ROWS 4 PRECEDING..CURRENT, ordered by ts with
+    * event_id as the tiebreak so frames are engine-independent), values
+    * are exact cents, and the median is the LOWER median — always a
+    * data value, picked by sorted-array index, so no float averaging
+    * anywhere: hash-green across engines.
+    *
+    * Scale shape: one window exchange on user_id; each frame holds ≤5
+    * int64s, so the collect-sort-index per row is O(k log k) map-side
+    * work with constant memory — the pattern stays cheap at any corpus
+    * size because k is fixed, unlike an exact global median (a17/a19's
+    * radix machinery exists for that).
+    */
+  def w19RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("us"), col("cents"),
+        expr("element_at(array_sort(frame), CAST((size(frame) + 1) div 2 AS INT))")
+          .as("median_cents"),
+        size(col("frame")).cast(LongType).as("frame_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w19Sql =
+    """WITH f AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    list(CAST(round(value * 100) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id, user_id, us, cents,
+      |  list_sort(frame)[CAST((len(frame) + 1) // 2 AS INTEGER)] AS median_cents,
+      |  CAST(len(frame) AS BIGINT) AS frame_n
+      |FROM f ORDER BY event_id""".stripMargin
+
+  /** w20 — max-concurrency sweep line: each event opens an interval
+    * ([ts, ts + (cents div 10) seconds] — a deterministic integer
+    * duration derived from the value, the w16 cents convention), and
+    * the question is the classic capacity one: how many intervals are
+    * open at once, per event type, and when does the peak first occur.
+    * The sweep is +1/−1 boundary points, a running sum ordered by
+    * (us, delta) — delta −1 sorts first, so closes at an instant
+    * precede opens (end-exclusive intervals), and the default RANGE
+    * frame sums tied peers together identically in both engines.
+    *
+    * Scale shape: no interval self-join (the naive overlap query is
+    * O(n²)); the sweep is 2n points through ONE window exchange on
+    * event_type, and the peak extraction reuses the same partitioning
+    * (no second shuffle). At cluster scale the running sum becomes the
+    * textbook two-pass prefix sum: range-partition by time, local sums,
+    * then add broadcast per-partition offsets.
+    */
+  def w20Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("s"),
+        expr("unix_micros(ts) + (CAST(round(value * 100) AS BIGINT) div 10) * 1000000")
+          .as("e"))
+    val pts = iv.select(col("event_type"), col("s").as("us"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("event_type"), col("e").as("us"), lit(-1L).as("delta")))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("us"), col("delta"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val run = pts.withColumn("conc", sum(col("delta")).over(wRun))
+      .withColumn("mx", max(col("conc")).over(wAll))
+    val peak = run.filter(col("conc") === col("mx"))
+      .groupBy(col("event_type"))
+      .agg(max(col("mx")).as("max_concurrent"), min(col("us")).as("peak_us"))
+    val cnt = iv.groupBy(col("event_type")).agg(count(lit(1)).as("n_intervals"))
+    peak.join(cnt, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  private val w20Sql =
+    """WITH iv AS (
+      |  SELECT event_type, epoch_us(ts) s,
+      |    epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) // 10) * 1000000 e
+      |  FROM events WHERE value IS NOT NULL),
+      |pts AS (
+      |  SELECT event_type, s us, CAST(1 AS BIGINT) delta FROM iv
+      |  UNION ALL SELECT event_type, e us, CAST(-1 AS BIGINT) delta FROM iv),
+      |run AS (
+      |  SELECT event_type, us, delta,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY us, delta) conc
+      |  FROM pts),
+      |pk AS (
+      |  SELECT event_type, conc, us,
+      |    MAX(conc) OVER (PARTITION BY event_type) mx
+      |  FROM run),
+      |agg AS (
+      |  SELECT event_type, CAST(MAX(mx) AS BIGINT) max_concurrent, MIN(us) peak_us
+      |  FROM pk WHERE conc = mx GROUP BY event_type),
+      |cnt AS (SELECT event_type, COUNT(*) n_intervals FROM iv GROUP BY event_type)
+      |SELECT agg.event_type, max_concurrent, peak_us, n_intervals
+      |FROM agg JOIN cnt USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** w21 — exact nearest-rank latency percentiles (P50/P90/P99) per
+    * event type: idx(p) = ⌈n·p/100⌉ picked by row_number over
+    * (cents, event_id) — always a DATA value (no interpolation, no
+    * floats), with the event_id tiebreak making the picked row
+    * engine-independent even among equal cents. The SRE dashboard
+    * query, done exactly.
+    *
+    * Scale shape: ONE window exchange on event_type serves both the
+    * ranking and the per-type count (same partitioning, no second
+    * shuffle); the percentile fan-out explodes 3 pct rows per ranked
+    * row MAP-SIDE and filters to the 3 hits per type immediately. Note
+    * the contract: per-GROUP exact percentiles via windows hold while
+    * each group fits a partition's sort spill budget — for a single
+    * global percentile over 100 TB use the a29/a30 radix-select
+    * machinery instead (no global sort at all).
+    */
+  def w21LatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("event_type"), col("cents"), col("rn"), col("n"),
+        explode(expr("array(50, 90, 99)")).as("pct"))
+      .filter(col("rn") === expr("(pct * n + 99) div 100"))
+      .select(col("event_type"), col("pct"), col("cents").as("pct_cents"), col("n"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  private val w21Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) n
+      |  FROM e),
+      |p AS (SELECT r.*, unnest([50, 90, 99]) pct FROM r)
+      |SELECT event_type, pct, cents AS pct_cents, CAST(n AS BIGINT) AS n
+      |FROM p WHERE rn = (pct * n + 99) // 100
+      |ORDER BY event_type, pct""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w21_latency_percentiles",
+      "exact nearest-rank P50/P90/P99 per event type (one exchange)",
+      w21LatencyPercentiles, Some(w21Sql)),
+    QueryDef("w20_concurrency",
+      "sweep-line max-overlap per event type (no O(n^2) interval self-join)",
+      w20Concurrency, Some(w20Sql)),
+    QueryDef("w19_rolling_median",
+      "rolling lower-median smoothing over a 5-row frame (exact cents)",
+      w19RollingMedian, Some(w19Sql)),
     QueryDef("w18_interpolate_fill",
       "day-spine densification + exact integer linear interpolation per series",
       w18InterpolateFill, Some(w18Sql)),

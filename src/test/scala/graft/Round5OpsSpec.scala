@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Functions2, LinkRank, Maintenance, Similarity, Windows}
+
+/** Invariant specs for the round-5 additions (v12, g07, a39, w19, w20,
+  * w21, f11). Cross-engine value equality is the DuckDB oracle's job;
+  * these pin the semantic claims the oracles can't see — recall floors,
+  * brute-force re-derivations, and structural invariants.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("v12: binary codes round-trip the sign pattern and recall the exact top-3") {
+    val got = Similarity.v12BinaryTopK(spark, sf).collect()
+    assert(got.nonEmpty)
+    // hamming must be consistent with a from-scratch sign comparison for
+    // one spot-checked pair (qid 0, its rank-1 neighbor)
+    val top = got.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
+    val cid = top.getLong(2)
+    val embs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, cid))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val ham = embs(0L).zip(embs(cid)).count { case (a, b) => (a > 0) != (b > 0) }
+    assert(top.getLong(3) == ham.toLong,
+      s"packed hamming ${top.getLong(3)} != recomputed $ham")
+    // measured recall@3 of the hamming-shortlist path vs the exact
+    // brute-force ranking — an honest floor for this corpus, asserted
+    // so a packing/shortlist regression shows up as a recall drop
+    val exact = Similarity.v01CosineTopK(spark, sf).collect()
+      .filter(_.getInt(1) <= 3).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ours = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ours.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"binary-shortlist recall@3 $recall < 0.5")
+  }
+
+  test("g07: predictions are non-edges at distance 2 with consistent scores") {
+    val rows = LinkRank.g07LinkPredict(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered a < b")
+      assert(r.getLong(2) >= 2, "common-neighbor floor")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L, "jaccard ppm range")
+    }
+    // no predicted pair may be an existing edge of the g01 graph
+    val n = Tables.documents(spark, sf).count()
+    val edges = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).flatMap { s =>
+        (1 to 3).map(k => (s, (s * s * 31 + k * 17) % n)) }
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    rows.foreach { r =>
+      assert(!edges.contains((r.getLong(0), r.getLong(1))),
+        s"predicted pair (${r.getLong(0)},${r.getLong(1)}) is already an edge")
+    }
+  }
+
+  test("a39: digit shares sum to ~1e6 per type and digits stay in 1..9") {
+    val rows = Maintenance.a39Benford(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 9))
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val share = rs.map(_.getLong(4)).sum
+      // floor division loses at most (digits-1) ppm units
+      assert(share > 1000000L - 9 && share <= 1000000L,
+        s"$et obs_ppm sums to $share")
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3), s"$et n vs n_total")
+    }
+  }
+
+  test("w19: rolling median is a frame member and shrugs off a planted spike") {
+    val rows = Windows.w19RollingMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // re-derive per-user frames from the raw table and check the pick
+    val raw = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = raw.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._3)) }
+    val medians = byUser.flatMap { case (_, rs) =>
+      rs.indices.map { i =>
+        val frame = rs.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        rs(i)._3 -> frame((frame.length + 1) / 2 - 1)
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) == medians(r.getLong(0)),
+        s"event ${r.getLong(0)}: median ${r.getLong(4)} != ${medians(r.getLong(0))}")
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= 5)
+    }
+  }
+
+  test("w20: sweep peak equals a brute-force interval overlap count") {
+    val rows = Windows.w20Concurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iv = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("s"),
+        expr("unix_micros(ts) + (CAST(round(value * 100) AS BIGINT) div 10) * 1000000").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val mine = iv.filter(_._1 == r.getString(0))
+      // end-exclusive: an interval is open at t iff s <= t < e
+      val brute = mine.map(x => mine.count(y => y._2 <= x._2 && x._2 < y._3)).max
+      assert(r.getLong(1) == brute.toLong,
+        s"${r.getString(0)}: sweep says ${r.getLong(1)}, brute force $brute")
+    }
+  }
+
+  test("w21: nearest-rank percentiles match a sorted-array re-derivation") {
+    val rows = Windows.w21LatencyPercentiles(spark, sf).collect()
+    assert(rows.length >= 9, "at least 3 pcts x 3 types")
+    val cents = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { r =>
+      val xs = cents(r.getString(0))
+      val idx = (r.getInt(1) * xs.length + 99) / 100
+      assert(r.getLong(2) == xs(idx - 1),
+        s"${r.getString(0)} p${r.getInt(1)}: ${r.getLong(2)} != ${xs(idx - 1)}")
+      assert(r.getLong(3) == xs.length.toLong)
+    }
+  }
+
+  test("f11: bucket counts conserve tokens and signs bound the counts") {
+    val rows = Functions2.f11FeatureHash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64, "bucket range")
+      val n = r.getLong(2); val s = r.getLong(3)
+      assert(math.abs(s) <= n && (((n - s) % 2) == 0),
+        s"signed sum $s incompatible with count $n")
+    }
+    val perDoc = rows.groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(2)).sum }
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (d, n) =>
+      assert(n == toks(d), s"doc $d: hashed $n tokens, raw has ${toks(d)}")
+    }
+  }
+}
