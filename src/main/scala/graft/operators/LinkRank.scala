@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -416,7 +417,96 @@ object LinkRank {
       |FROM cand c JOIN deg dx ON c.x = dx.node JOIN deg dy ON c.y = dy.node
       |ORDER BY a, b""".stripMargin
 
+  /** g08 — two synchronous label-propagation rounds over the g01 graph:
+    * every node adopts its neighbors' MAJORITY label (count desc, then
+    * MIN label — the deterministic tie-break that makes sync LPA
+    * reproducible; vanilla LPA breaks ties randomly and is famously
+    * unstable). Where d06 finds connected components (pure
+    * reachability), LPA finds denser community structure inside them —
+    * the dedup/curation use is grouping near-duplicate clusters into
+    * source families. Fixed 2 rounds keeps it ONE lazy plan, the g01
+    * convention (d06 demonstrates loop-to-fixpoint).
+    *
+    * Scale shape: each round is one join of the edge list against the
+    * label table (both keyed on node — at cluster scale pre-partition
+    * both by node and the join is exchange-free) + a majority vote
+    * that partial-aggregates map-side; the vote's window runs over the
+    * per-(node, label) aggregate, already shrunk to ≤deg rows per node.
+    */
+  def g08LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val directed = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = directed.select(col("src").as("a"), col("dst").as("b"))
+      .union(directed.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    def lpaRound(labels: DataFrame): DataFrame = {
+      val msgs = und.join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .select(col("a").as("node"), col("lbl"))
+      val wVote = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      val winners = msgs.groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+      docs.select(col("doc_id").as("node"))
+        .join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    }
+    val l0 = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    val l1 = lpaRound(l0)
+    val l2 = lpaRound(l1)
+    val sizes = l2.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    l1.select(col("node"), col("lbl").as("label_r1"))
+      .join(l2.select(col("node"), col("lbl").as("label_r2")), Seq("node"))
+      .join(sizes.select(col("lbl").as("label_r2"), col("community_size")),
+            Seq("label_r2"))
+      .select(col("node").as("doc_id"), col("label_r1"), col("label_r2"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g08Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |d0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src a, dst b FROM d0 WHERE src <> dst
+      |    UNION ALL SELECT dst a, src b FROM d0 WHERE src <> dst)),
+      |l0 AS (SELECT doc_id node, doc_id lbl FROM documents),
+      |c1 AS (SELECT und.a node, l0.lbl, COUNT(*) c
+      |       FROM und JOIN l0 ON und.b = l0.node GROUP BY und.a, l0.lbl),
+      |w1 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl,
+      |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) rn
+      |         FROM c1) WHERE rn = 1),
+      |l1 AS (SELECT d.doc_id node, COALESCE(w1.lbl, d.doc_id) lbl
+      |       FROM documents d LEFT JOIN w1 ON d.doc_id = w1.node),
+      |c2 AS (SELECT und.a node, l1.lbl, COUNT(*) c
+      |       FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.lbl),
+      |w2 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl,
+      |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) rn
+      |         FROM c2) WHERE rn = 1),
+      |l2 AS (SELECT d.doc_id node, COALESCE(w2.lbl, d.doc_id) lbl
+      |       FROM documents d LEFT JOIN w2 ON d.doc_id = w2.node),
+      |sz AS (SELECT lbl, COUNT(*) community_size FROM l2 GROUP BY lbl)
+      |SELECT l1.node AS doc_id, l1.lbl AS label_r1, l2.lbl AS label_r2,
+      |       sz.community_size
+      |FROM l1 JOIN l2 ON l1.node = l2.node JOIN sz ON l2.lbl = sz.lbl
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g08_lpa_communities",
+      "2-round deterministic label propagation (majority vote, min tie-break)",
+      g08LpaCommunities, Some(g08Sql)),
     QueryDef("g07_link_predict",
       "common-neighbor / Jaccard-ppm / pref-attach link prediction",
       g07LinkPredict, Some(g07Sql)),

@@ -542,7 +542,64 @@ object Maintenance {
       |      - [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757][digit]) AS dev_ppm
       |FROM t ORDER BY event_type, digit""".stripMargin
 
+  /** a40 — Gini concentration of value per event type: the inequality
+    * summary every quota/abuse dashboard wants ("do 1% of events carry
+    * 90% of the spend?"). Uses the exact rank formula over ascending
+    * cents, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), evaluated ENTIRELY in
+    * DECIMAL(38,0) (the w16 convention — lift before multiplying) and
+    * floored to ppm, so both engines produce the identical integer.
+    * Headroom: the widest product is 1e6·2·Σ(i·x) — safe while
+    * n·Σcents < ~5·10³¹, i.e. far past any real per-type cohort; ANSI
+    * mode fails LOUDLY on overflow, never silently.
+    *
+    * Scale shape: one window exchange on event_type gives the ranks,
+    * the same partitioning feeds the aggregate (no second shuffle).
+    * Ranks tie-break on event_id; equal cents values permute Σ i·xᵢ
+    * only among equal x, leaving the sum — and the Gini — unchanged,
+    * so the statistic itself is order-robust.
+    */
+  def a40Gini(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") >= 0)
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(D).as("n"),
+           sum(col("cents").cast(D)).as("s"),
+           sum(col("i").cast(D) * col("cents").cast(D)).as("ixs"))
+      .select(col("event_type"), col("n").cast(LongType).as("n"),
+        col("s").cast(LongType).as("sum_cents"),
+        expr("CAST((1000000 * (2 * ixs - (n + 1) * s)) div (n * s) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a40Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL
+      |    AND CAST(round(value * 100) AS BIGINT) >= 0),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS HUGEINT) i
+      |  FROM e),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) n,
+      |    CAST(SUM(cents) AS HUGEINT) s, SUM(i * CAST(cents AS HUGEINT)) ixs
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents,
+      |  CAST((1000000 * (2 * ixs - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_ppm
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a40_gini",
+      "exact integer Gini ppm of value concentration per event type",
+      a40Gini, Some(a40Sql)),
     QueryDef("a39_benford",
       "Benford first-digit audit: exact ppm shares vs pinned log10 constants",
       a39Benford, Some(a39Sql)),

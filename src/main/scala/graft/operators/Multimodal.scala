@@ -603,7 +603,66 @@ object Multimodal {
       |       energy // n_samples < 240 AS silent
       |FROM e ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m12 — magic-byte type sniffing: every ingest pipeline learns that
+    * the DECLARED media type (from a manifest or file extension) and
+    * the payload's actual leading bytes disagree somewhere in 100 TB.
+    * Payloads here carry the m01/m03 fake 4-byte headers; the declared
+    * modality rotates by doc_id, and every 50th doc is PLANTED with the
+    * next modality's header. The audit sniffs `substring(payload, 1, 4)`
+    * — four bytes, never the body — maps it back to a modality, and
+    * reports the (declared, sniffed) confusion cells with an example
+    * doc per cell.
+    *
+    * Scale shape: the sniff is one codegen'd projection over the binary
+    * column (a real lake would read only the payload's first page via
+    * the format's offset index — the plumbing this demonstrates is
+    * "touch 4 bytes, not the blob"); the confusion matrix is a ≤9-cell
+    * aggregate, broadcastable anywhere.
+    */
+  def m12MagicSniff(spark: SparkSession, dir: String): DataFrame = {
+    val mods = "array('image', 'video', 'audio')"
+    val hdrs = "array('IMG0', 'VID0', 'AUD0')"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"element_at($mods, CAST(doc_id % 3 + 1 AS INT))").as("declared"),
+        // planted corruption: every 50th doc gets the NEXT modality's header
+        expr(s"element_at($hdrs, CAST((doc_id + IF(doc_id % 50 = 0, 1, 0)) % 3 + 1 AS INT))")
+          .as("hdr"))
+      .select(col("doc_id"), col("declared"),
+        expr("cast(concat(hdr, text) AS BINARY)").as("payload"))
+      .select(col("doc_id"), col("declared"),
+        expr("CAST(substring(payload, 1, 4) AS STRING)").as("magic"))
+      .select(col("doc_id"), col("declared"),
+        expr("CASE magic WHEN 'IMG0' THEN 'image' WHEN 'VID0' THEN 'video' " +
+             "WHEN 'AUD0' THEN 'audio' ELSE 'unknown' END").as("sniffed"))
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("example_doc"))
+      .withColumn("mismatch", col("declared") =!= col("sniffed"))
+      .orderBy(col("declared"), col("sniffed"))
+  }
+
+  private val m12Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    ['image', 'video', 'audio'][CAST(doc_id % 3 + 1 AS INTEGER)] declared,
+      |    ['IMG0', 'VID0', 'AUD0'][CAST((doc_id + CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) % 3 + 1 AS INTEGER)]
+      |      || text payload
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, declared,
+      |    CASE substring(payload, 1, 4) WHEN 'IMG0' THEN 'image'
+      |      WHEN 'VID0' THEN 'video' WHEN 'AUD0' THEN 'audio'
+      |      ELSE 'unknown' END sniffed
+      |  FROM p)
+      |SELECT declared, sniffed, COUNT(*) AS n, MIN(doc_id) AS example_doc,
+      |  declared <> sniffed AS mismatch
+      |FROM s GROUP BY declared, sniffed
+      |ORDER BY declared, sniffed""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m12_magic_sniff",
+      "declared-vs-sniffed modality confusion audit (4-byte magic, planted drift)",
+      m12MagicSniff, Some(m12Sql)),
     QueryDef("m11_audio_energy",
       "framed PCM energy/peak/silence scan, pure codegen expressions",
       m11AudioEnergy, Some(m11Sql)),

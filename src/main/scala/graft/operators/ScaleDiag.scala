@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.{QueryDef, Tables}
 
@@ -191,7 +192,80 @@ object ScaleDiag {
       |FROM spine s LEFT JOIN counted c ON s.bucket = c.bucket
       |ORDER BY s.bucket""".stripMargin
 
+  /** l03 — data-skipping effectiveness audit: simulate the same fact
+    * table laid out two ways — RANGE-CLUSTERED on ship-day (64
+    * equal-width day bins from the global extent, the a31 1-row
+    * broadcast pattern — NO global sort anywhere) vs ARRIVAL (a
+    * deterministic hash of the row key, the "we never clustered"
+    * layout) — compute each simulated file's min/max ship-day envelope,
+    * and replay 12 point probes across the date range counting how many
+    * files each probe must open. This is the number a lakehouse table
+    * service reports to justify clustering: tight envelopes → ~1 file
+    * per probe; arrival layout → every file, every probe.
+    *
+    * Scale shape: one groupBy per layout (fused into one via a 2-way
+    * map-side explode), envelope table is `2 × files` rows — broadcast
+    * against the 12-row probe list; the fact table is scanned ONCE.
+    */
+  def l03SkippingAudit(spark: SparkSession, dir: String, files: Int = 64): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast(LongType).as("d"))
+    val ext = li.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val stats = li.crossJoin(broadcast(ext))
+      .select(col("d"), explode(expr(
+        s"""array(
+           |  named_struct('layout', 'clustered', 'f',
+           |    least(CAST(${files - 1} AS BIGINT), ($files * (d - dmin)) div (dmax - dmin + 1))),
+           |  named_struct('layout', 'arrival', 'f',
+           |    (l_orderkey * 31 + l_linenumber) % $files))""".stripMargin)).as("x"))
+      .select(col("x.layout").as("layout"), col("x.f").as("f"), col("d"))
+      .groupBy(col("layout"), col("f"))
+      .agg(min(col("d")).as("fmin"), max(col("d")).as("fmax"))
+    val probes = ext.select(explode(expr(
+      "transform(sequence(0, 11), k -> dmin + ((dmax - dmin) * k) div 11)")).as("probe"))
+    stats.crossJoin(broadcast(probes))
+      .groupBy(col("layout"), col("probe"))
+      .agg(sum(when(col("fmin") <= col("probe") && col("probe") <= col("fmax"), 1L)
+             .otherwise(0L)).as("files_hit"),
+           count(lit(1)).as("n_files"))
+      .orderBy(col("layout"), col("probe"))
+  }
+
+  private val l03Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) d
+      |  FROM lineitem),
+      |ext AS (SELECT MIN(d) dmin, MAX(d) dmax FROM li),
+      |assigned AS (
+      |  SELECT layout, f, d FROM (
+      |    SELECT d,
+      |      unnest([
+      |        {'layout': 'clustered',
+      |         'f': least(CAST(63 AS BIGINT), (64 * (d - dmin)) // (dmax - dmin + 1))},
+      |        {'layout': 'arrival',
+      |         'f': (l_orderkey * 31 + l_linenumber) % 64}]) x
+      |    FROM li CROSS JOIN ext) t,
+      |    LATERAL (SELECT t.x.layout AS layout, t.x.f AS f)),
+      |stats AS (
+      |  SELECT layout, f, MIN(d) fmin, MAX(d) fmax
+      |  FROM assigned GROUP BY layout, f),
+      |probes AS (
+      |  SELECT dmin + ((dmax - dmin) * k) // 11 probe
+      |  FROM ext, (SELECT unnest(range(0, 12)) k))
+      |SELECT layout, probe,
+      |  CAST(SUM(CASE WHEN fmin <= probe AND probe <= fmax THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+      |  COUNT(*) AS n_files
+      |FROM stats CROSS JOIN probes
+      |GROUP BY layout, probe
+      |ORDER BY layout, probe""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l03_skipping_audit",
+      "file-skipping audit: clustered vs arrival envelopes x 12 probes",
+      l03SkippingAudit(_, _), Some(l03Sql)),
     QueryDef("a31_histogram",
       "exact 20-bucket equi-width histogram (1-row extent broadcast)",
       a31Histogram(_, _), Some(a31Sql)),

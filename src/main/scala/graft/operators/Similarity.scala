@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.{QueryDef, Tables}
 
@@ -904,7 +905,81 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v13 — retrieval-quality evaluation: for every query (the % 25
+    * convention), rank the corpus by the exact int64 cosine, truncate
+    * at 10, and score against the label-match ground truth with the
+    * two metrics every retrieval change is judged by — reciprocal rank
+    * (emitted as the exact integer 1e6 div rank, so MRR aggregates
+    * exactly downstream) and hits@3. Per-query rows, not a single
+    * aggregate, because eval dashboards slice by label/segment and the
+    * oracle can hash-check every row.
+    *
+    * Scale shape: same O(queries·corpus) scoring frame as v01 — which
+    * is the CONTRACT for an eval op (it runs on a sampled eval set by
+    * construction, not the full corpus; the serving path is v05/v09).
+    * The ranking reuses the one window top-k exchange on qid; the
+    * metric extraction is a filter + min over ≤10 rows per query.
+    */
+  def v13MrrEval(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("q").as("cq"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(
+        min(when(col("clabel") === col("qlabel"), col("rank"))).as("first_rel"),
+        sum(when(col("clabel") === col("qlabel") && col("rank") <= 3, 1L)
+          .otherwise(0L)).as("rel_in_3"))
+      .select(col("qid"), col("qlabel").as("label"),
+        coalesce(col("first_rel"), lit(0)).cast(LongType).as("first_rel_rank"),
+        expr("CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT) " +
+             "ELSE 1000000 div first_rel END").as("rr_ppm"),
+        (col("rel_in_3") > 0).as("hit_at_3"))
+      .orderBy(col("qid"))
+  }
+
+  private val v13Sql =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |p AS (
+      |  SELECT a.vec_id qid, a.label qlabel, b.vec_id cid, b.label clabel,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, qlabel, cid, clabel,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p),
+      |t AS (SELECT qid, qlabel,
+      |        MIN(CASE WHEN clabel = qlabel THEN rank END) first_rel,
+      |        SUM(CASE WHEN clabel = qlabel AND rank <= 3 THEN 1 ELSE 0 END) rel3
+      |      FROM r WHERE rank <= 10 GROUP BY qid, qlabel)
+      |SELECT qid, qlabel AS label,
+      |  CAST(COALESCE(first_rel, 0) AS BIGINT) AS first_rel_rank,
+      |  CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+      |       ELSE 1000000 // first_rel END AS rr_ppm,
+      |  rel3 > 0 AS hit_at_3
+      |FROM t ORDER BY qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v13_mrr_eval",
+      "retrieval eval: exact reciprocal-rank ppm + hits@3 per query",
+      v13MrrEval(_, _), Some(v13Sql)),
     QueryDef("v01_cosine_topk", "exact brute-force cosine top-5 per query",
       v01CosineTopK(_, _), Some(v01Sql)),
     QueryDef("v11_prefix_rerank", "Matryoshka prefix-16 shortlist + exact full-dim re-rank top-3",

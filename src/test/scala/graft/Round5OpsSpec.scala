@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Functions2, LinkRank, Maintenance, Similarity, Windows}
+import graft.operators.{Functions2, LinkRank, Maintenance, Multimodal, ScaleDiag, Similarity, Windows}
 
 /** Invariant specs for the round-5 additions (v12, g07, a39, w19, w20,
   * w21, f11). Cross-engine value equality is the DuckDB oracle's job;
@@ -123,6 +123,52 @@ class Round5OpsSpec extends AnyFunSuite {
         s"${r.getString(0)} p${r.getInt(1)}: ${r.getLong(2)} != ${xs(idx - 1)}")
       assert(r.getLong(3) == xs.length.toLong)
     }
+  }
+
+  test("m12: planted mismatches land in off-diagonal cells, 2% of each modality") {
+    val rows = Multimodal.m12MagicSniff(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n, "confusion cells must cover every doc")
+    val mismatched = rows.filter(_.getBoolean(4))
+    assert(mismatched.nonEmpty, "the planted corruption must surface")
+    mismatched.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      assert(r.getLong(3) % 50 == 0, "every planted doc_id is a multiple of 50")
+    }
+    // diagonal + off-diagonal per declared modality must reconstruct n/3-ish
+    val byDecl = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    byDecl.foreach { case (_, c) => assert(math.abs(c - n / 3) <= 2) }
+  }
+
+  test("a40: gini matches a direct rational computation and orders dispersion") {
+    val rows = Maintenance.a40Gini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).filter(_._2 >= 0)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val xs = cents(r.getString(0))
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      val ixs = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val want = (BigInt(1000000) * (2 * ixs - (n + 1) * s)) / (n * s)
+      assert(BigInt(r.getLong(3)) == want,
+        s"${r.getString(0)}: gini ${r.getLong(3)} != $want")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 1000000)
+    }
+  }
+
+  test("l03: clustered layout prunes to 1 file per probe, arrival cannot") {
+    val rows = ScaleDiag.l03SkippingAudit(spark, sf).collect()
+    assert(rows.length == 24, "2 layouts x 12 probes")
+    val clustered = rows.filter(_.getString(0) == "clustered")
+    assert(clustered.forall(_.getLong(2) == 1L),
+      "equal-width day bins must pin every point probe to exactly one file")
+    val arrival = rows.filter(_.getString(0) == "arrival")
+    // interior probes see every file under the hash layout
+    assert(arrival.map(_.getLong(2)).max == arrival.head.getLong(3),
+      "arrival layout must force a full-file fan-out somewhere")
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3)))
   }
 
   test("f11: bucket counts conserve tokens and signs bound the counts") {
