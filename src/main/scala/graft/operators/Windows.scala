@@ -800,13 +800,18 @@ object Windows {
       .unionByName(iv.select(col("event_type"), col("e").as("us"), lit(-1L).as("delta")))
     val wRun = Window.partitionBy(col("event_type")).orderBy(col("us"), col("delta"))
     val wAll = Window.partitionBy(col("event_type"))
+    // n_intervals rides the SAME window partition (count of +1 points)
+    // instead of a second scan + aggregate + join — one scan, one
+    // exchange for the entire operator
     val run = pts.withColumn("conc", sum(col("delta")).over(wRun))
       .withColumn("mx", max(col("conc")).over(wAll))
-    val peak = run.filter(col("conc") === col("mx"))
+      .withColumn("n_iv",
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).over(wAll))
+    run.filter(col("conc") === col("mx"))
       .groupBy(col("event_type"))
-      .agg(max(col("mx")).as("max_concurrent"), min(col("us")).as("peak_us"))
-    val cnt = iv.groupBy(col("event_type")).agg(count(lit(1)).as("n_intervals"))
-    peak.join(cnt, Seq("event_type")).orderBy(col("event_type"))
+      .agg(max(col("mx")).as("max_concurrent"), min(col("us")).as("peak_us"),
+           max(col("n_iv")).as("n_intervals"))
+      .orderBy(col("event_type"))
   }
 
   private val w20Sql =
@@ -823,14 +828,14 @@ object Windows {
       |  FROM pts),
       |pk AS (
       |  SELECT event_type, conc, us,
-      |    MAX(conc) OVER (PARTITION BY event_type) mx
-      |  FROM run),
-      |agg AS (
-      |  SELECT event_type, CAST(MAX(mx) AS BIGINT) max_concurrent, MIN(us) peak_us
-      |  FROM pk WHERE conc = mx GROUP BY event_type),
-      |cnt AS (SELECT event_type, COUNT(*) n_intervals FROM iv GROUP BY event_type)
-      |SELECT agg.event_type, max_concurrent, peak_us, n_intervals
-      |FROM agg JOIN cnt USING (event_type) ORDER BY event_type""".stripMargin
+      |    MAX(conc) OVER (PARTITION BY event_type) mx,
+      |    SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY event_type) n_iv
+      |  FROM run)
+      |SELECT event_type, CAST(MAX(mx) AS BIGINT) max_concurrent,
+      |  MIN(us) peak_us, CAST(MAX(n_iv) AS BIGINT) n_intervals
+      |FROM pk WHERE conc = mx GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** w21 — exact nearest-rank latency percentiles (P50/P90/P99) per
     * event type: idx(p) = ⌈n·p/100⌉ picked by row_number over

@@ -109,6 +109,20 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w20/w21: the sweep and the percentile rank run on ONE hash exchange") {
+    // the docstring claims: every window + the final aggregate share a
+    // single hashpartitioning(event_type) exchange — pin it in the plan
+    for ((name, df) <- Seq("w20" -> Windows.w20Concurrency(spark, sf),
+                           "w21" -> Windows.w21LatencyPercentiles(spark, sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val hashEx = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1, s"$name expected exactly 1 hash exchange, got $hashEx:\n$plan")
+    }
+  }
+
   test("w21: nearest-rank percentiles match a sorted-array re-derivation") {
     val rows = Windows.w21LatencyPercentiles(spark, sf).collect()
     assert(rows.length >= 9, "at least 3 pcts x 3 types")
