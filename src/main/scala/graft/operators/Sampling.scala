@@ -149,7 +149,79 @@ object Sampling {
       |FROM r WHERE rn <= 10
       |ORDER BY source, pick_rank""".stripMargin
 
+  /** s10 — grouped train/test split with a leakage audit: the correct
+    * ML split keys on the GROUP (all of a user's events land on one
+    * side — the GroupKFold rationale: row-level splits leak a user's
+    * test behavior into training), and the audit proves it by running
+    * both policies side by side and counting users present in BOTH
+    * splits. Hashing uses the a36 multiplicative family over
+    * `x mod (2³¹−1)` so the product stays well inside int64 at any id
+    * magnitude — `user_id * bigConstant` alone would overflow at
+    * cluster-scale ids.
+    *
+    * Scale shape: the split decision is a pure map-side hash (no
+    * global state — every executor agrees on membership without
+    * coordination, which is what makes the split reproducible across
+    * reruns and engines); the audit is a two-level aggregate
+    * ((method, user) presence → method), the second level over
+    * user-cardinality rows.
+    */
+  def s10GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        explode(expr(
+          s"""array(
+             |  named_struct('method', 'by_user',
+             |    'is_train', ((user_id % $P) * 31 + 17) % $P % 100 < 80),
+             |  named_struct('method', 'by_event',
+             |    'is_train', ((event_id % $P) * 31 + 17) % $P % 100 < 80))""".stripMargin))
+          .as("x"))
+      .select(col("x.method").as("method"), col("x.is_train").as("is_train"),
+        col("user_id"))
+      .groupBy(col("method"), col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("is_train"), 1L).otherwise(0L)).as("train_rows"),
+           max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+           max(when(!col("is_train"), 1L).otherwise(0L)).as("in_test"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("n_rows")).as("n_rows"),
+           sum(col("train_rows")).as("n_train_rows"),
+           sum(col("in_train") * col("in_test")).as("n_users_leaked"))
+      .withColumn("leak_ppm", expr("(1000000 * n_users_leaked) div n_users"))
+      .orderBy(col("method"))
+  }
+
+  private val s10Sql =
+    """WITH tagged AS (
+      |  SELECT method, is_train, user_id FROM (
+      |    SELECT user_id,
+      |      unnest([
+      |        {'method': 'by_user',
+      |         'is_train': ((user_id % 2147483647) * 31 + 17) % 2147483647 % 100 < 80},
+      |        {'method': 'by_event',
+      |         'is_train': ((event_id % 2147483647) * 31 + 17) % 2147483647 % 100 < 80}]) x
+      |    FROM events) t,
+      |    LATERAL (SELECT t.x.method AS method, t.x.is_train AS is_train)),
+      |per_user AS (
+      |  SELECT method, user_id, COUNT(*) n_rows,
+      |    SUM(CASE WHEN is_train THEN 1 ELSE 0 END) train_rows,
+      |    MAX(CASE WHEN is_train THEN 1 ELSE 0 END) in_train,
+      |    MAX(CASE WHEN is_train THEN 0 ELSE 1 END) in_test
+      |  FROM tagged GROUP BY method, user_id)
+      |SELECT method, COUNT(*) AS n_users,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      |  CAST(SUM(train_rows) AS BIGINT) AS n_train_rows,
+      |  CAST(SUM(in_train * in_test) AS BIGINT) AS n_users_leaked,
+      |  (1000000 * CAST(SUM(in_train * in_test) AS BIGINT)) // COUNT(*) AS leak_ppm
+      |FROM per_user GROUP BY method
+      |ORDER BY method""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s10_group_split",
+      "grouped vs row-level train/test split + user-leakage audit",
+      s10GroupSplit, Some(s10Sql)),
     QueryDef("s09_weighted_sample",
       "deterministic weighted priority sample (integer A-ES), 10 per stratum",
       s09WeightedSample, Some(s09Sql)),

@@ -884,7 +884,61 @@ object Windows {
       |FROM p WHERE rn = (pct * n + 99) // 100
       |ORDER BY event_type, pct""".stripMargin
 
+  /** w22 — exponentially-weighted moving average with DYADIC weights:
+    * the newest of the last 16 observations weighs 2¹⁵, each older one
+    * half that — α = 1/2 EWMA truncated at 16 lags, which makes every
+    * weight a power of two and the whole smoother EXACT integer
+    * arithmetic (the float-recursive EWMA can never be oracle-checked
+    * bit-for-bit; the dyadic truncation can, and 16 lags ≈ weight
+    * 1/65536 is far below any signal). Emitted as the weighted sum,
+    * the realized weight total (short prefixes have fewer lags), and
+    * the milli-cents ratio under floor division.
+    *
+    * Scale shape: same contract as w19 — one window exchange on
+    * user_id, constant-size frames (≤16 int64s), O(k) map-side work
+    * per row, independent of corpus size.
+    */
+  def w22Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-15, 0)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("us"), col("cents"),
+        expr("aggregate(sequence(1, size(frame)), CAST(0 AS BIGINT), " +
+             "(acc, i) -> acc + element_at(frame, i) * shiftleft(1L, i - 1))")
+          .as("wsum"),
+        expr("shiftleft(1L, size(frame)) - 1").as("wtotal"))
+      .withColumn("ewma_milli", expr("(1000 * wsum) div wtotal"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w22Sql =
+    """WITH f AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    list(CAST(round(value * 100) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id, user_id, us, cents,
+      |  CAST(list_sum(list_transform(range(1, len(frame) + 1),
+      |    i -> frame[CAST(i AS INTEGER)]
+      |       * (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)))) AS BIGINT) AS wsum,
+      |  (CAST(1 AS BIGINT) << CAST(len(frame) AS INTEGER)) - 1 AS wtotal,
+      |  (1000 * CAST(list_sum(list_transform(range(1, len(frame) + 1),
+      |    i -> frame[CAST(i AS INTEGER)]
+      |       * (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)))) AS BIGINT))
+      |    // ((CAST(1 AS BIGINT) << CAST(len(frame) AS INTEGER)) - 1) AS ewma_milli
+      |FROM f ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w22_ewma",
+      "dyadic-weight EWMA over 16 lags — exact integer smoothing",
+      w22Ewma, Some(w22Sql)),
     QueryDef("w21_latency_percentiles",
       "exact nearest-rank P50/P90/P99 per event type (one exchange)",
       w21LatencyPercentiles, Some(w21Sql)),

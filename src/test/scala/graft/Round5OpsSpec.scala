@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Functions2, LinkRank, Maintenance, Multimodal, ScaleDiag, Similarity, Windows}
+import graft.operators.{Functions2, LinkRank, Maintenance, Multimodal, Sampling, ScaleDiag, Similarity, Windows}
 
 /** Invariant specs for the round-5 additions (v12, g07, a39, w19, w20,
   * w21, f11). Cross-engine value equality is the DuckDB oracle's job;
@@ -183,6 +183,42 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(arrival.map(_.getLong(2)).max == arrival.head.getLong(3),
       "arrival layout must force a full-file fan-out somewhere")
     rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("s10: grouped split leaks zero users, row split leaks, rows conserve") {
+    val rows = Sampling.s10GroupSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byUser = rows("by_user"); val byEvent = rows("by_event")
+    assert(byUser.getLong(4) == 0L, "grouped split must never leak a user")
+    assert(byEvent.getLong(4) > 0L, "row-level split must demonstrate leakage")
+    val n = Tables.events(spark, sf).count()
+    Seq(byUser, byEvent).foreach { r =>
+      assert(r.getLong(2) == n, "every event lands in exactly one side")
+      assert(r.getLong(3) > 0 && r.getLong(3) < r.getLong(2), "both sides non-empty")
+    }
+  }
+
+  test("w22: dyadic EWMA equals a direct per-user replay") {
+    val rows = Windows.w22Ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = raw.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 15), i + 1).map(_._4)
+        val wsum = frame.zipWithIndex.map { case (x, j) => x << j }.sum
+        sorted(i)._3 -> ((wsum, (1L << frame.length) - 1))
+      }
+    }
+    rows.foreach { r =>
+      val (wsum, wtotal) = expect(r.getLong(0))
+      assert(r.getLong(4) == wsum && r.getLong(5) == wtotal,
+        s"event ${r.getLong(0)}: (${r.getLong(4)},${r.getLong(5)}) != ($wsum,$wtotal)")
+      assert(r.getLong(6) == 1000 * wsum / wtotal)
+    }
   }
 
   test("f11: bucket counts conserve tokens and signs bound the counts") {
