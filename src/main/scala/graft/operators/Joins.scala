@@ -455,7 +455,76 @@ object Joins {
       |GROUP BY 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** j18 — point-in-time join against an SCD2 dimension: every feature
+    * store's correctness contract. The dimension carries three
+    * validity-interval versions per user (deterministic in-query build:
+    * version v becomes valid at day0 + v·(6 + user%18) hours, segment
+    * rotates per version), and each fact row joins the version whose
+    * [valid_from, valid_to) contains the EVENT time — never the latest
+    * version, which would leak future attribute values into training
+    * features (the s10 leakage story at the attribute level).
+    *
+    * Scale shape: the join keeps user_id as a proper EQUI key with the
+    * interval check as a residual filter, so Spark plans a hash join
+    * (shuffled or broadcast as sizes dictate) — the fatal version of
+    * this query drops the equi key and degenerates to a
+    * BroadcastNestedLoopJoin. Versions-per-user is bounded (3), so the
+    * residual scans ≤3 candidates per probe; at 100 TB the dimension
+    * pre-partitions by user alongside the facts and the exchange
+    * disappears.
+    */
+  def j18Scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val day0 = 1704067200000000L // 2024-01-01 00:00 UTC in micros
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val dim = users.select(col("user_id"), explode(expr("array(0, 1, 2)")).as("v"))
+      .withColumn("step_us",
+        expr("(6 + user_id % 18) * CAST(3600000000 AS BIGINT)"))
+      .withColumn("from_us", expr(s"CAST($day0 AS BIGINT) + v * step_us"))
+      .withColumn("to_us",
+        expr(s"IF(v < 2, CAST($day0 AS BIGINT) + (v + 1) * step_us, " +
+             "CAST(4102444800000000 AS BIGINT))"))
+      .withColumn("segment",
+        expr("element_at(array('A', 'B', 'C'), CAST((user_id + v) % 3 + 1 AS INT))"))
+      .select(col("user_id").as("d_user"), col("v"), col("from_us"),
+        col("to_us"), col("segment"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("us") >= col("from_us") && col("us") < col("to_us"))
+      .groupBy(col("segment"), col("v"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum(col("cents")).as("sum_cents"))
+      .orderBy(col("segment"), col("v"))
+  }
+
+  private val j18Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |dim AS (
+      |  SELECT user_id d_user, v,
+      |    1704067200000000 + v * ((6 + user_id % 18) * CAST(3600000000 AS BIGINT)) from_us,
+      |    CASE WHEN v < 2
+      |      THEN 1704067200000000 + (v + 1) * ((6 + user_id % 18) * CAST(3600000000 AS BIGINT))
+      |      ELSE CAST(4102444800000000 AS BIGINT) END to_us,
+      |    ['A', 'B', 'C'][CAST((user_id + v) % 3 + 1 AS INTEGER)] segment
+      |  FROM u, (SELECT unnest([0, 1, 2]) v)),
+      |e AS (
+      |  SELECT user_id, epoch_us(ts) us, CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT segment, v, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM e JOIN dim ON e.user_id = dim.d_user
+      |  AND e.us >= dim.from_us AND e.us < dim.to_us
+      |GROUP BY segment, v
+      |ORDER BY segment, v""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j18_scd2_join",
+      "point-in-time SCD2 join: equi key + validity-interval residual",
+      j18Scd2Join, Some(j18Sql)),
     QueryDef("j17_interval_bin_join",
       "no-equi-key interval join via time binning (both sides fact-scale)",
       j17IntervalBinJoin, Some(j17Sql)),

@@ -221,6 +221,22 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("j18: point-in-time join matches every event to exactly one version") {
+    val rows = operators.Joins.j18Scd2Join(spark, sf).collect()
+    val matched = rows.map(_.getLong(2)).sum
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(matched == total,
+      s"PIT join must cover each event once: $matched != $total")
+    // validity intervals tile the timeline per user, so the plan keeps
+    // an equi-key hash join — never a nested-loop over intervals
+    val df = operators.Joins.j18Scd2Join(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a nested loop:\n$plan")
+  }
+
   test("f11: bucket counts conserve tokens and signs bound the counts") {
     val rows = Functions2.f11FeatureHash(spark, sf).collect()
     assert(rows.nonEmpty)
