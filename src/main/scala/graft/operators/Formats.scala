@@ -274,7 +274,49 @@ object Formats {
       |WHERE "offset" >= 100000
       |ORDER BY "offset"""".stripMargin
 
+  /** io07 — the graft-lines WRITE path: the corpus flows out through the
+    * custom DSv2 sink's two-phase commit (per-task `_tmp-` spools →
+    * driver-side rename on job commit; see LinesWriteBuilder) and back
+    * in through the matching reader, closing the source's lifecycle.
+    * The result aggregates CONTENT only (counts, char mass, an
+    * order-independent rolling-hash sum) so it is invariant to how many
+    * part files the cluster's parallelism produced — which is exactly
+    * what a correct sink must guarantee: topology never changes data.
+    *
+    * Scale shape: the write streams each partition straight to its own
+    * file (no driver collect, no shuffle); the read re-splits those
+    * files by byte ranges. Commit cost is one rename per task — the
+    * same O(tasks) driver metadata bound as Spark's file commit
+    * protocol v2.
+    */
+  def io07LinesSink(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("graft_lines_sink_")
+    Tables.documents(spark, dir)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("line"))
+      .write.format("graft-lines").mode("overwrite").save(scratch)
+    spark.read.format("graft-lines").load(scratch)
+      .select(split(col("line"), "\t").getItem(0).cast(LongType).as("doc_id"),
+        expr("substring(line, instr(line, chr(9)) + 1)").as("payload"))
+      .agg(count(lit(1)).as("n_lines"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           sum(length(col("payload"))).cast(LongType).as("sum_chars"),
+           sum(expr("aggregate(split(payload, ''), CAST(0 AS BIGINT), " +
+             "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")).as("hash_sum"))
+  }
+
+  private val io07Sql =
+    """SELECT COUNT(*) AS n_lines, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS hash_sum
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io07_lines_sink",
+      "custom DSv2 sink: two-phase commit write + readback, topology-invariant",
+      io07LinesSink, Some(io07Sql)),
     QueryDef("io06_lines_source",
       "custom DSv2 text-shard source: offset pushdown + chunk pruning",
       io06LinesSource, Some(io06Sql)),

@@ -49,9 +49,13 @@ class LinesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lines"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     LinesSource.fullSchema
+  // writes arrive with the DataFrame's own schema (usually just `line`)
+  // — accept it instead of demanding the 3-column read schema, whose
+  // path/offset columns are derived on read and never stored
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new LinesTable(properties.get("path"))
+    new LinesTable(properties.get("path"), schema)
 }
 
 object LinesSource {
@@ -61,17 +65,26 @@ object LinesSource {
     .add("line", StringType, nullable = false)
 }
 
-final class LinesTable(path: String) extends Table with SupportsRead {
+final class LinesTable(path: String, declared: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-lines requires a path: spark.read.format(\"graft-lines\").load(dir)")
-  override def name(): String = s"graft-lines(`$path`)"
-  override def schema(): StructType = LinesSource.fullSchema
+  // no backticks: the V2 WRITE path parses this as a multipart
+  // identifier and rejects stray backtick characters
+  override def name(): String = s"graft_lines_$path"
+  override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // read options HERE: this map is case-insensitive, while getTable's
     // raw properties map is not (the chunkBytes lookup silently missed
     // there and fell back to one 4 MiB chunk)
     new LinesScanBuilder(path, options.getLong("chunkBytes", 4L * 1024 * 1024))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LinesWriteBuilder(path, info.schema())
 }
 
 final class LinesScanBuilder(path: String, chunkBytes: Long)
@@ -247,4 +260,100 @@ final class LinesPartitionReader(part: LinesPartition, cols: Array[String],
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Write half of `graft-lines` — the standard DSv2 two-phase commit:
+  * every task streams its rows to an `_tmp-`-prefixed file in the
+  * target directory (the reader ignores `_`/`.` names, so an in-flight
+  * or crashed write is invisible), task commit hands the temp path to
+  * the driver, and JOB commit renames the winners to their final
+  * `part-NNNNN.txt` names — speculative duplicates and dead tasks
+  * never surface because only driver-acknowledged messages rename.
+  * `mode("overwrite")` arrives as SupportsTruncate; the old part files
+  * are deleted inside job commit, immediately before the renames, so a
+  * failed job never leaves the directory half-truncated.
+  *
+  * Input schema must carry a `line` STRING column (extra columns are
+  * ignored); rows are written as raw UTF-8 bytes + '\n', the exact
+  * inverse of the reader's framing.
+  */
+final class LinesWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new LinesWrite(path, schema, doTruncate)
+}
+
+final class LinesWrite(path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new LinesBatchWrite(path, schema.fieldIndex("line"), truncate,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
+}
+
+final case class LinesCommitMessage(tempPath: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class LinesBatchWrite(path: String, lineIdx: Int, truncate: Boolean,
+                            conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new LinesWriterFactory(path, lineIdx, conf)
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+    if (truncate) {
+      val olds = fs.globStatus(new Path(dirPath, "part-*.txt"))
+      if (olds != null) olds.foreach(s => fs.delete(s.getPath, false))
+    }
+    messages.foreach { case LinesCommitMessage(tmp, fin) =>
+      val dest = new Path(dirPath, fin)
+      if (!fs.rename(new Path(tmp), dest))
+        throw new java.io.IOException(
+          s"graft-lines job commit: rename $tmp -> $dest failed")
+    }
+  }
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case LinesCommitMessage(tmp, _) => fs.delete(new Path(tmp), false); ()
+      case _ => ()
+    }
+  }
+}
+
+final class LinesWriterFactory(dir: String, lineIdx: Int,
+                               conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new LinesDataWriter(dir, lineIdx, partitionId, taskId, conf)
+}
+
+final class LinesDataWriter(dir: String, lineIdx: Int, partitionId: Int,
+                            taskId: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmpPath = new Path(dir, s"_tmp-part-$partitionId-$taskId.txt")
+  private val fs = tmpPath.getFileSystem(conf.value)
+  private val out = fs.create(tmpPath, true)
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(lineIdx).getBytes)
+    out.write('\n')
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    LinesCommitMessage(tmpPath.toString, f"part-$partitionId%05d.txt")
+  }
+  override def abort(): Unit = { out.close(); fs.delete(tmpPath, false); () }
+  override def close(): Unit = ()
 }

@@ -237,6 +237,28 @@ class Round5OpsSpec extends AnyFunSuite {
       s"interval join degenerated to a nested loop:\n$plan")
   }
 
+  test("io07: sink commit leaves only final part files; overwrite replaces them") {
+    val dir = util.Scratch.dir("lines_sink_spec_")
+    val df = Tables.documents(spark, sf).limit(50)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("line"))
+    df.repartition(3).write.format("graft-lines").mode("overwrite").save(dir)
+    // ignore dot-files: the local ChecksumFileSystem adds .crc siblings,
+    // and the reader skips ./_ prefixes by contract
+    def files() = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    val first = files()
+    assert(first.nonEmpty && first.forall(_.matches("part-\\d{5}\\.txt")),
+      s"only committed part files may remain: $first")
+    // a second overwrite with different parallelism must fully replace
+    df.repartition(2).write.format("graft-lines").mode("overwrite").save(dir)
+    val second = files()
+    assert(second.length == 2 && second.forall(_.matches("part-\\d{5}\\.txt")),
+      s"overwrite must truncate the old layout: $second")
+    // content survives the round trip regardless of topology
+    val back = spark.read.format("graft-lines").load(dir).count()
+    assert(back == 50L)
+  }
+
   test("f11: bucket counts conserve tokens and signs bound the counts") {
     val rows = Functions2.f11FeatureHash(spark, sf).collect()
     assert(rows.nonEmpty)
