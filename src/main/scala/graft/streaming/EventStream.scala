@@ -768,7 +768,68 @@ object EventStream {
       .orderBy(col("user_id"), col("click_id"), col("p_us"))
   }
 
+  /** st09 — watermark-lateness audit: BEFORE picking a streaming
+    * watermark, replay history in (simulated) arrival order and count
+    * what each candidate delay would drop. Arrival = event time + a
+    * deterministic bounded jitter (≤24 h, the a36 multiplicative hash —
+    * the driver's synthetic events arrive exactly in event-time order,
+    * so realistic disorder has to be planted); lateness of a row is
+    * how far the per-type running event-time maximum has already moved
+    * past it at its arrival position — precisely the quantity Spark's
+    * watermark compares against. The output is the drop-rate curve
+    * over candidate watermarks {0, 1h, 6h, 24h}: the number an SRE
+    * reads to trade state size against data loss.
+    *
+    * Scale shape: one window exchange on event_type (running max over
+    * arrival order), then the 4-way candidate fan-out explodes
+    * MAP-SIDE and the final groupBy reuses the same partitioning — the
+    * w20/w21 single-exchange contract.
+    */
+  def st09LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    // default running frame; (arr, event_id) has no ties, so RANGE vs
+    // ROWS is immaterial and both engines agree
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("arr"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arr", expr(
+        s"us + ((event_id % $P) * 2654435761 % $P * 401) % 86400000000"))
+      .withColumn("runmax", max(col("us")).over(wRun))
+      .select(col("event_type"), (col("runmax") - col("us")).as("late_us"),
+        explode(expr("array(CAST(0 AS BIGINT), 3600000000, 21600000000, " +
+          "86400000000)")).as("w_us"))
+      .groupBy(col("event_type"), col("w_us"))
+      .agg(sum(when(col("late_us") > col("w_us"), 1L).otherwise(0L)).as("n_late"),
+           count(lit(1)).as("n_total"))
+      .withColumn("late_ppm", expr("(1000000 * n_late) div n_total"))
+      .orderBy(col("event_type"), col("w_us"))
+  }
+
+  private val st09Sql =
+    """WITH a AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    epoch_us(ts) + ((event_id % 2147483647) * 2654435761 % 2147483647 * 401) % 86400000000 arr
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, us,
+      |    MAX(us) OVER (PARTITION BY event_type ORDER BY arr, event_id
+      |                  ROWS UNBOUNDED PRECEDING) runmax
+      |  FROM a),
+      |x AS (SELECT event_type, runmax - us AS late_us,
+      |        unnest([CAST(0 AS BIGINT), 3600000000, 21600000000, 86400000000]) w_us
+      |      FROM r)
+      |SELECT event_type, w_us,
+      |  CAST(SUM(CASE WHEN late_us > w_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  COUNT(*) AS n_total,
+      |  (1000000 * CAST(SUM(CASE WHEN late_us > w_us THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS late_ppm
+      |FROM x GROUP BY event_type, w_us
+      |ORDER BY event_type, w_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st09_lateness_audit",
+      "watermark drop-rate curve from replayed arrival disorder",
+      st09LatenessAudit, Some(st09Sql)),
     QueryDef("st01_tumbling_counts", "tumbling 1h window count+sum", st01Tumbling, Some(st01Sql)),
     QueryDef("st07_unattributed_clicks",
       "funnel drop-off: LEFT OUTER interval join + distinct accounting",
