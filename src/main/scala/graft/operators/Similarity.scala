@@ -976,7 +976,73 @@ object Similarity {
       |  rel3 > 0 AS hit_at_3
       |FROM t ORDER BY qid""".stripMargin
 
+  /** v14 — embedding-space outlier audit: assign every vector to its
+    * v02 coarse cell (max cosine against the 16 fixed centroids), then
+    * rank by EXACT int64 squared L2 distance to the assigned centroid —
+    * dist = nrm_v + nrm_c − 2·dot, all integers, no sqrt — and surface
+    * the 20 farthest vectors plus each cell's population. Vectors far
+    * from every centroid are the embedding-QA signal: encoder
+    * regressions, corrupted inputs, or genuine novelty — the rows a
+    * curation pipeline quarantines before they poison a training mix.
+    *
+    * Scale shape: the centroid table is 16 rows (broadcast); the
+    * assignment is one map-side pass over the corpus; top-20 goes
+    * through sort+limit (distributed TakeOrdered — never a global
+    * row_number window), the a24 convention.
+    */
+  def v14CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val cen = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"),
+        col("nrm").as("cenn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = vecs.crossJoin(broadcast(cen))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        (col("nrm") + col("cenn") - lit(2) * expr(dot("q", "cenq"))).as("dist_sq"))
+    val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    assigned.join(broadcast(cellSizes), Seq("cell"))
+      .orderBy(col("dist_sq").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("cell"), col("dist_sq"), col("cell_n"))
+  }
+
+  private val v14Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT n.vec_id, n.nrm, cen.centroid_id, cen.cenn,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS BIGINT) dotp,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id cell,
+      |    CAST(nrm + cenn - 2 * dotp AS BIGINT) dist_sq
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |          ORDER BY ccos DESC, centroid_id ASC) crank FROM scored)
+      |  WHERE crank = 1),
+      |sz AS (SELECT cell, COUNT(*) cell_n FROM assigned GROUP BY cell)
+      |SELECT vec_id, cell, dist_sq, cell_n
+      |FROM assigned JOIN sz USING (cell)
+      |ORDER BY dist_sq DESC, vec_id ASC
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v14_centroid_outliers",
+      "embedding QA: exact int64 distance-to-centroid top-20 outliers",
+      v14CentroidOutliers, Some(v14Sql)),
     QueryDef("v13_mrr_eval",
       "retrieval eval: exact reciprocal-rank ppm + hits@3 per query",
       v13MrrEval(_, _), Some(v13Sql)),

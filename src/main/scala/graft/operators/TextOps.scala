@@ -1635,7 +1635,69 @@ object TextOps {
       |GROUP BY phrase, n_occ
       |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin
 
+  /** t29 — perplexity-filter calibration sweep: before a curation run
+    * commits to a surprisal cutoff, replay the corpus against a GRID of
+    * candidate thresholds and report what each would retain, per
+    * language — the volume-vs-quality trade every filter threshold is
+    * chosen by (the st09 pattern applied to quality filtering). Doc
+    * score is t14's unigram surprisal reduced to an exact integer mean
+    * (micro-nats, floor division); thresholds bracket the corpus's
+    * observed quartiles so the curve actually bends.
+    *
+    * Scale shape: token counting + the doc aggregate are t14's plan
+    * (vocab broadcast, 1-row total broadcast); the sweep explodes 5
+    * threshold rows per DOC (not per token) map-side, and the final
+    * groupBy on (lang, threshold) is a ≤5·|langs|-cell aggregate.
+    */
+  def t29PplThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val docs = toks.join(broadcast(counts), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(round(ln(CAST(t AS DOUBLE) / c) * 1000000) AS BIGINT)").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("sum_micro"))
+      .withColumn("mean_micro", expr("sum_micro div n_tokens"))
+    docs.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("mean_micro"), col("n_tokens"),
+        explode(expr("array(CAST(3395000 AS BIGINT), 3400000, 3405000, " +
+          "3420000, 3720000)")).as("thr_micro"))
+      .groupBy(col("lang"), col("thr_micro"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("mean_micro") <= col("thr_micro"), 1L).otherwise(0L))
+             .as("n_kept"),
+           sum(when(col("mean_micro") <= col("thr_micro"), col("n_tokens"))
+             .otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_ppm", expr("(1000000 * n_kept) div n_docs"))
+      .orderBy(col("lang"), col("thr_micro"))
+  }
+
+  private val t29Sql =
+    """WITH x AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) term FROM documents),
+      |c AS (SELECT term, COUNT(*) c FROM x GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) t FROM c),
+      |s AS (SELECT doc_id, CAST(round(ln(CAST(t.t AS DOUBLE) / c.c) * 1000000) AS BIGINT) nll_micro
+      |      FROM x JOIN c USING (term) CROSS JOIN t),
+      |d AS (SELECT doc_id, COUNT(*) n_tokens,
+      |        CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) mean_micro
+      |      FROM s GROUP BY doc_id),
+      |g AS (SELECT lang, mean_micro, n_tokens,
+      |        unnest([CAST(3395000 AS BIGINT), 3400000, 3405000, 3420000, 3720000]) thr_micro
+      |      FROM d JOIN documents USING (doc_id))
+      |SELECT lang, thr_micro, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN mean_micro <= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN mean_micro <= thr_micro THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  (1000000 * CAST(SUM(CASE WHEN mean_micro <= thr_micro THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS kept_ppm
+      |FROM g GROUP BY lang, thr_micro
+      |ORDER BY lang, thr_micro""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t29_ppl_threshold_sweep",
+      "surprisal-filter calibration: retention curve over 5 thresholds x lang",
+      t29PplThresholdSweep, Some(t29Sql)),
     QueryDef("t28_rake_keywords",
       "RAKE stopword-islands phrase extraction, deg/freq ppm scoring, top-20",
       t28RakeKeywords, Some(t28Sql)),
