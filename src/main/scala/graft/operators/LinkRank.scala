@@ -503,7 +503,84 @@ object LinkRank {
       |FROM l1 JOIN l2 ON l1.node = l2.node JOIN sz ON l2.lbl = sz.lbl
       |ORDER BY doc_id""".stripMargin
 
+  /** g09 — degree assortativity of the g01 graph, computed EXACTLY:
+    * over the symmetric directed edge list the endpoint-degree
+    * marginals are identical, so Pearson's r collapses to the rational
+    * (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — four integer sums lifted to
+    * DECIMAL(38,0) (the w16 convention), no mean, no sqrt, no float
+    * anywhere. Assortative crawl graphs (r > 0: hubs link hubs) are
+    * the link-farm smell; disassortative (r < 0) is the organic-web
+    * shape — the one-number summary read next to g02's transitivity.
+    * The ppm emission floors MAGNITUDE and reapplies sign, because
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * they disagree on negative operands.
+    *
+    * Scale shape: two node-keyed joins to attach degrees (the same
+    * partitioning the degree aggregate just produced), then ONE
+    * partial-aggregated scalar pass. No quadratic anything.
+    */
+  def g09Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val directed = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = directed.select(col("src").as("a"), col("dst").as("b"))
+      .union(directed.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+      .agg(count(lit(1)).cast(D).as("n"),
+           sum(col("x").cast(D)).as("sx"),
+           sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+           sum(col("x").cast(D) * col("x").cast(D)).as("sx2"))
+      .select(col("n").cast(org.apache.spark.sql.types.LongType)
+          .as("n_directed_edges"),
+        expr("CAST(n * sxy - sx * sx AS DECIMAL(38,0))").as("num"),
+        expr("CAST(n * sx2 - sx * sx AS DECIMAL(38,0))").as("den"))
+      .select(col("n_directed_edges"),
+        col("num").cast(org.apache.spark.sql.types.LongType).as("num"),
+        col("den").cast(org.apache.spark.sql.types.LongType).as("den"),
+        expr("CASE WHEN num >= 0 THEN CAST((1000000 * num) div den AS BIGINT) " +
+             "ELSE -CAST((1000000 * (-num)) div den AS BIGINT) END")
+          .as("assort_ppm"))
+  }
+
+  private val g09Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |d0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src a, dst b FROM d0 WHERE src <> dst
+      |    UNION ALL SELECT dst a, src b FROM d0 WHERE src <> dst)),
+      |deg AS (SELECT a node, COUNT(*) deg FROM und GROUP BY a),
+      |xy AS (
+      |  SELECT dx.deg x, dy.deg y FROM und
+      |  JOIN deg dx ON und.a = dx.node JOIN deg dy ON und.b = dy.node),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) n, CAST(SUM(x) AS HUGEINT) sx,
+      |        CAST(SUM(x * y) AS HUGEINT) sxy, CAST(SUM(x * x) AS HUGEINT) sx2
+      |      FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+      |  CAST(n * sxy - sx * sx AS BIGINT) AS num,
+      |  CAST(n * sx2 - sx * sx AS BIGINT) AS den,
+      |  CASE WHEN n * sxy - sx * sx >= 0
+      |    THEN CAST((1000000 * (n * sxy - sx * sx)) // (n * sx2 - sx * sx) AS BIGINT)
+      |    ELSE -CAST((1000000 * (sx * sx - n * sxy)) // (n * sx2 - sx * sx) AS BIGINT)
+      |  END AS assort_ppm
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g09_assortativity",
+      "exact rational degree assortativity (sign-aware ppm floor)",
+      g09Assortativity, Some(g09Sql)),
     QueryDef("g08_lpa_communities",
       "2-round deterministic label propagation (majority vote, min tie-break)",
       g08LpaCommunities, Some(g08Sql)),

@@ -1039,7 +1039,112 @@ object Similarity {
       |ORDER BY dist_sq DESC, vec_id ASC
       |LIMIT 20""".stripMargin
 
+  /** v15 — pseudo-relevance feedback (Rocchio with the query dropped):
+    * take each query's exact top-3 neighbors as the feedback set, form
+    * the expanded query q' = Σ feedback vectors, and re-rank the corpus
+    * against q'. The trick that keeps it oracle-exact: q' is never
+    * materialized — cosine against q' decomposes into pairwise int64
+    * dots (numerator Σₙ dot(qₙ,c); ‖q'‖² = Σₙₘ dot(qₙ,qₘ), a 3×3
+    * table per query), so the only float is the final
+    * integer-ratio-derived cosine, bit-identical across engines.
+    * `was_feedback` marks returned rows that were feedback docs (PRF
+    * naturally re-retrieves them; the interesting rows are the others).
+    *
+    * Scale shape: feedback selection is the v01 eval-scale frame; the
+    * re-rank joins a 3-row-per-query feedback table against the corpus
+    * (3·|queries|·|corpus| dots) and aggregates back to one score per
+    * (query, candidate) — map-side partial sums, one exchange on
+    * (qid, cid). Production at 100 TB would shortlist first (v09);
+    * this is the eval-scale reference semantics.
+    */
+  def v15PrfRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wFb = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val fb = queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wFb))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid").as("fid"))
+    val fbv = fb.join(vecs.select(col("vec_id").as("fid"), col("q").as("fq")), Seq("fid"))
+    // ||q'||^2 per query: all 9 pairwise feedback dots
+    val qnorm = fbv.select(col("qid"), col("fq").as("f1"))
+      .join(fbv.select(col("qid"), col("fq").as("f2")), Seq("qid"))
+      .groupBy(col("qid")).agg(sum(expr(dot("f1", "f2"))).as("qn2"))
+    // numerator per (query, candidate): sum of feedback-to-candidate dots
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    fbv.crossJoin(corpus) // feedback docs stay candidates: PRF re-retrieves them
+      .groupBy(col("qid"), col("cid"), col("cn"))
+      .agg(sum(expr(dot("fq", "cq"))).as("num"), count(lit(1)).as("nfb"))
+      .filter(col("nfb") === 3 && col("qid") =!= col("cid"))
+      .join(broadcast(qnorm), Seq("qid"))
+      .withColumn("score",
+        expr("CAST(num AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn AS DOUBLE))"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .join(fb.select(col("qid"), col("fid").as("cid"), lit(true).as("fbflag")),
+            Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), round(col("score"), 6).as("prf_cosine"),
+        coalesce(col("fbflag"), lit(false)).as("was_feedback"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v15Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |p AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |fb AS (
+      |  SELECT qid, cid fid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |    FROM p) WHERE rank <= 3),
+      |fbv AS (SELECT fb.qid, fb.fid, n.q fq FROM fb JOIN n ON fb.fid = n.vec_id),
+      |qn2 AS (
+      |  SELECT a.qid, CAST(SUM(list_sum(list_transform(range(1, len(a.fq) + 1),
+      |           i -> a.fq[CAST(i AS INTEGER)] * b.fq[CAST(i AS INTEGER)]))) AS BIGINT) qn2
+      |  FROM fbv a JOIN fbv b ON a.qid = b.qid GROUP BY a.qid),
+      |num AS (
+      |  SELECT fbv.qid, c.vec_id cid, c.nrm cn,
+      |    CAST(SUM(list_sum(list_transform(range(1, len(fbv.fq) + 1),
+      |           i -> fbv.fq[CAST(i AS INTEGER)] * c.q[CAST(i AS INTEGER)]))) AS BIGINT) num,
+      |    COUNT(*) nfb
+      |  FROM fbv CROSS JOIN n c
+      |  GROUP BY fbv.qid, c.vec_id, c.nrm),
+      |scored AS (
+      |  SELECT num.qid, num.cid,
+      |    CAST(num.num AS DOUBLE) / sqrt(CAST(qn2.qn2 AS DOUBLE) * CAST(num.cn AS DOUBLE)) score
+      |  FROM num JOIN qn2 USING (qid)
+      |  WHERE num.nfb = 3 AND num.qid <> num.cid),
+      |r AS (SELECT qid, cid, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) rank
+      |      FROM scored)
+      |SELECT r.qid, CAST(r.rank AS INTEGER) AS rank, r.cid AS neighbor_id,
+      |  ROUND(r.score, 6) AS prf_cosine,
+      |  COALESCE(fb2.flag, FALSE) AS was_feedback
+      |FROM r LEFT JOIN (SELECT qid, fid, TRUE flag FROM fb) fb2
+      |  ON r.qid = fb2.qid AND r.cid = fb2.fid
+      |WHERE r.rank <= 5
+      |ORDER BY r.qid, r.rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v15_prf_rerank",
+      "pseudo-relevance feedback: expanded-query re-rank via pairwise dots",
+      v15PrfRerank, Some(v15Sql)),
     QueryDef("v14_centroid_outliers",
       "embedding QA: exact int64 distance-to-centroid top-20 outliers",
       v14CentroidOutliers, Some(v14Sql)),
