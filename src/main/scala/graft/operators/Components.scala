@@ -228,7 +228,81 @@ object Components {
       |SELECT c_custkey, CAST(MIN(dist) AS BIGINT) AS hops
       |FROM reach GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** d11 — per-SOURCE dedup mix impact: the question a data-mixing run
+    * actually asks after near-dedup — "how much of each source
+    * survives, and how much of its token mass was duplicate?" Clusters
+    * come from d06's connected components over the d03 near-dup pairs;
+    * the survivor is the min-doc_id representative (the d05/d06
+    * convention), attributed to ITS source — so a source whose docs
+    * lose to earlier near-identical docs in another source shows the
+    * loss here, which is exactly the cross-source contamination signal
+    * mix planning needs. All counts exact int64; dup_token_ppm is the
+    * floored duplicate-mass share.
+    *
+    * Scale shape: one join of the doc table against the (already
+    * bounded) component labels, survivor election is a min over each
+    * component (partial-aggregated), and the final per-source rollup
+    * is |sources| rows.
+    */
+  def d11SourceDedupMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val comp = d06CcClusters(spark, dir).select(col("doc_id"), col("component_id"))
+    val labeled = docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("component_id"), col("doc_id")).as("cid"))
+    val survivors = labeled.groupBy(col("cid"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+    labeled
+      .join(survivors, Seq("cid"))
+      .withColumn("kept", col("doc_id") === col("survivor_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("dup_token_ppm",
+        expr("(1000000 * (n_tokens - tokens_kept)) div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val d11Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
+      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+      |p AS (
+      |  SELECT a.doc_id ida, b.doc_id idb
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+      |e AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a),
+      |docs AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) n_tokens,
+      |    COALESCE(lab.component_id, d.doc_id) cid
+      |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      |surv AS (SELECT cid, MIN(doc_id) survivor_id FROM docs GROUP BY cid)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN doc_id = survivor_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id = survivor_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  (1000000 * (CAST(SUM(n_tokens) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN doc_id = survivor_id THEN n_tokens ELSE 0 END) AS BIGINT)))
+      |    // CAST(SUM(n_tokens) AS BIGINT) AS dup_token_ppm
+      |FROM docs JOIN surv USING (cid)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d11_source_dedup_mix",
+      "per-source dedup survival: docs/token mass kept after near-dedup",
+      d11SourceDedupMix, Some(d11Sql)),
     QueryDef("g04_contamination_spread",
       "depth-bounded near-dup reachability from flagged seeds (Spark recursive CTE)",
       g04ContaminationSpread(_, _), Some(g04Sql)),
