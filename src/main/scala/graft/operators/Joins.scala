@@ -521,7 +521,44 @@ object Joins {
       |GROUP BY segment, v
       |ORDER BY segment, v""".stripMargin
 
+  /** j19 — join fan-out pre-audit: before launching a self-join on a
+    * candidate key, compute EXACTLY how many rows it would produce —
+    * Σₖ nₖ² from the per-key count table alone — bucketed by the
+    * floor-log₂ of each key's pair contribution (the integer
+    * `length(bin(x)) − 1`, no float log anywhere). The accidental
+    * many-to-many explosion is the most expensive mistake a pipeline
+    * author makes at 100 TB; this query prices it from metadata-scale
+    * input (the count table) without running the join. d03/d09's
+    * banded designs exist precisely because this number said "don't".
+    *
+    * Scale shape: one partial-aggregated count per key (the only pass
+    * over data), then bucketing over the key-cardinality-sized count
+    * table — the a24 skew-diagnostic contract.
+    */
+  def j19FanoutAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .select(col("n"), (col("n") * col("n")).as("pairs"))
+      .withColumn("log2_bucket", expr("CAST(length(bin(pairs)) - 1 AS INT)"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(col("pairs")).as("est_join_rows"),
+           max(col("n")).as("max_key_rows"))
+      .orderBy(col("log2_bucket"))
+
+  private val j19Sql =
+    """WITH c AS (SELECT l_partkey k, CAST(COUNT(*) AS BIGINT) n FROM lineitem GROUP BY 1),
+      |p AS (SELECT k, n, n * n AS pairs,
+      |        CAST(length(bin(n * n)) - 1 AS INTEGER) b FROM c)
+      |SELECT b AS log2_bucket, COUNT(*) AS n_keys,
+      |  CAST(SUM(pairs) AS BIGINT) AS est_join_rows,
+      |  CAST(MAX(n) AS BIGINT) AS max_key_rows
+      |FROM p GROUP BY b ORDER BY b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j19_fanout_audit",
+      "exact self-join row-count pre-audit from per-key counts (log2 buckets)",
+      j19FanoutAudit, Some(j19Sql)),
     QueryDef("j18_scd2_join",
       "point-in-time SCD2 join: equi key + validity-interval residual",
       j18Scd2Join, Some(j18Sql)),

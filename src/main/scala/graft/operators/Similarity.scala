@@ -1141,7 +1141,56 @@ object Similarity {
       |WHERE r.rank <= 5
       |ORDER BY r.qid, r.rank""".stripMargin
 
+  /** v16 — per-dimension variance audit of the embedding space: dead
+    * dimensions (near-zero variance — an encoder bug, a truncated
+    * export, or a collapsed projection head) silently waste index
+    * memory and flatten similarity scores. Over the ×1000-quantized
+    * int64 values, n·Σx² − (Σx)² per dimension is EXACT integer
+    * arithmetic; the emitted var_milli = that numerator div n², floor,
+    * so the contract is hash-green with no float.
+    *
+    * Scale shape: the dim explode is map-side (64 rows per vector, no
+    * joins), and the aggregate on `dim` partial-aggregates into 64
+    * cells — the canonical narrow profile pass; per-dim sums at any
+    * corpus size remain 64 rows.
+    */
+  def v16DimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.embeddings(spark, dir)
+      .select(expr(quantize).as("q"))
+      .select(explode(expr(
+        "transform(sequence(1, size(q)), i -> struct(i AS dim, element_at(q, i) AS x))"))
+        .as("d"))
+      .select(col("d.dim").as("dim"), col("d.x").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast(D).as("n"),
+           sum(col("x").cast(D)).as("sx"),
+           sum(col("x").cast(D) * col("x").cast(D)).as("sx2"))
+      .select(col("dim"),
+        col("n").cast(org.apache.spark.sql.types.LongType).as("n"),
+        expr("CAST((n * sx2 - sx * sx) div (n * n) AS BIGINT)").as("var_milli"),
+        expr("CAST(n * sx2 - sx * sx < n * n AS BOOLEAN)").as("is_dead"))
+      .orderBy(col("dim"))
+  }
+
+  private val v16Sql =
+    """WITH v AS (
+      |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT CAST(i AS INTEGER) dim, CAST(q[CAST(i AS INTEGER)] AS HUGEINT) x
+      |  FROM v, (SELECT unnest(range(1, 65)) i)),
+      |s AS (SELECT dim, CAST(COUNT(*) AS HUGEINT) n, SUM(x) sx, SUM(x * x) sx2
+      |      FROM d GROUP BY dim)
+      |SELECT dim, CAST(n AS BIGINT) AS n,
+      |  CAST((n * sx2 - sx * sx) // (n * n) AS BIGINT) AS var_milli,
+      |  n * sx2 - sx * sx < n * n AS is_dead
+      |FROM s ORDER BY dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v16_dim_variance",
+      "dead-dimension audit: exact integer per-dim variance of embeddings",
+      v16DimVariance, Some(v16Sql)),
     QueryDef("v15_prf_rerank",
       "pseudo-relevance feedback: expanded-query re-rank via pairwise dots",
       v15PrfRerank, Some(v15Sql)),
