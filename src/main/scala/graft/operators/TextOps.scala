@@ -1694,7 +1694,62 @@ object TextOps {
       |FROM g GROUP BY lang, thr_micro
       |ORDER BY lang, thr_micro""".stripMargin
 
+  /** t30 — classifier evaluation of t03's language-ID against the true
+    * labels: the confusion matrix plus per-true-language precision
+    * denominators — the table every heuristic classifier ships with,
+    * here as exact integers (cell counts, per-label totals, floored
+    * recall ppm per diagonal cell). zh has no stopword list in t03 by
+    * design, so its row is ALL error — the audit makes that coverage
+    * hole a number instead of a surprise.
+    *
+    * Scale shape: prediction is t03's one map-side pass (four
+    * integer hit counters, argmax); the matrix is a ≤ |langs|²-cell
+    * aggregate with the per-label total riding a window over the tiny
+    * aggregate — no second scan.
+    */
+  def t30LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t03LangId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_label",
+        sum(col("n")).over(Window.partitionBy(col("labeled_lang"))))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        col("n_label"),
+        expr("(1000000 * n) div n_label").as("cell_ppm"),
+        (col("labeled_lang") === col("predicted_lang")).as("is_correct"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  private val t30Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('the','and','of','to','in','is'))) AS en,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('el','la','de','que','y','los'))) AS es,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('le','la','de','et','les','des'))) AS fr,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('der','die','und','das','ist','ein'))) AS de
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang AS labeled_lang,
+      |    CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      |         WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      |         WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      |         WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      |         ELSE 'de' END AS predicted_lang
+      |  FROM f),
+      |c AS (SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) n
+      |      FROM p GROUP BY 1, 2)
+      |SELECT labeled_lang, predicted_lang, n,
+      |  CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_label,
+      |  (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS cell_ppm,
+      |  labeled_lang = predicted_lang AS is_correct
+      |FROM c
+      |ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t30_langid_confusion",
+      "language-ID confusion matrix vs true labels, exact recall ppm",
+      t30LangidConfusion, Some(t30Sql)),
     QueryDef("t29_ppl_threshold_sweep",
       "surprisal-filter calibration: retention curve over 5 thresholds x lang",
       t29PplThresholdSweep, Some(t29Sql)),
