@@ -259,6 +259,60 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(back == 50L)
   }
 
+  test("j19: bucketed fan-out estimate equals the actual self-join row count") {
+    val rows = operators.Joins.j19FanoutAudit(spark, sf).collect()
+    val estimated = rows.map(_.getLong(2)).sum
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"))
+    val actual = li.as("a").join(li.as("b"),
+      col("a.l_partkey") === col("b.l_partkey")).count()
+    assert(estimated == actual,
+      s"fan-out audit priced $estimated rows, the join produced $actual")
+  }
+
+  test("st09/t29: sweep curves are monotone in their thresholds") {
+    // more watermark → fewer drops; higher surprisal cutoff → more kept
+    val late = streaming.EventStream.st09LatenessAudit(spark, sf).collect()
+      .groupBy(_.getString(0))
+    late.foreach { case (et, rs) =>
+      val curve = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+        s"$et: drop counts must not increase with watermark: ${curve.toSeq}")
+    }
+    val kept = operators.TextOps.t29PplThresholdSweep(spark, sf).collect()
+      .groupBy(_.getString(0))
+    kept.foreach { case (lang, rs) =>
+      val curve = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"$lang: retention must not decrease with threshold: ${curve.toSeq}")
+    }
+  }
+
+  test("g09: assortativity is a valid correlation and its pieces agree") {
+    val r = LinkRank.g09Assortativity(spark, sf).collect().head
+    val (num, den, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(den > 0, "variance denominator must be positive")
+    assert(math.abs(ppm) <= 1000000L, s"correlation out of range: $ppm")
+    // sign-aware floor: |ppm| == (1e6*|num|) / den exactly
+    assert(math.abs(ppm) == (BigInt(1000000) * BigInt(num).abs / BigInt(den)).toLong)
+    assert((ppm >= 0) == (num >= 0))
+  }
+
+  test("d11: survivor accounting conserves docs and components") {
+    val rows = operators.Components.d11SourceDedupMix(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "kept docs cannot exceed docs")
+      assert(r.getLong(4) <= r.getLong(2), "kept tokens cannot exceed tokens")
+    }
+    val totalKept = rows.map(_.getLong(3)).sum
+    val nComponents = operators.Components.d06CcClusters(spark, sf)
+      .select(col("component_id")).distinct().count()
+    val nDocs = Tables.documents(spark, sf).count()
+    val nClustered = operators.Components.d06CcClusters(spark, sf).count()
+    // every component elects exactly one survivor; singletons keep themselves
+    assert(totalKept == nComponents + (nDocs - nClustered),
+      s"$totalKept survivors vs $nComponents components + ${nDocs - nClustered} singletons")
+  }
+
   test("f11: bucket counts conserve tokens and signs bound the counts") {
     val rows = Functions2.f11FeatureHash(spark, sf).collect()
     assert(rows.nonEmpty)
