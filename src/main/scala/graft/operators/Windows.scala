@@ -935,7 +935,65 @@ object Windows {
       |    // ((CAST(1 AS BIGINT) << CAST(len(frame) AS INTEGER)) - 1) AS ewma_milli
       |FROM f ORDER BY event_id""".stripMargin
 
+  /** w23 — bounce rate by session entry type: gap-sessionize (30 min,
+    * the w08 convention), attribute each session to its FIRST event's
+    * type (picked by a struct-min over (us, event_id, type) — unique
+    * key, so the pick is engine-independent), and report the share of
+    * single-event sessions per entry type — the landing-page quality
+    * number, computed exactly.
+    *
+    * Scale shape: the sessionization windows (lag + running sum) and
+    * the per-session aggregate all key on user_id — Spark folds them
+    * into ONE exchange; the entry-type rollup is a ≤|types|-row
+    * aggregate on top.
+    */
+  def w23BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wU).isNull ||
+             col("us") - lag(col("us"), 1).over(wU) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wU))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           min(struct(col("us"), col("event_id"), col("event_type"))).as("first"))
+      .select(col("first.event_type").as("entry_type"), col("n_events"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+           sum(col("n_events")).as("n_events"))
+      .withColumn("bounce_ppm", expr("(1000000 * n_bounce) div n_sessions"))
+      .orderBy(col("entry_type"))
+  }
+
+  private val w23Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |                   OR us - LAG(us) OVER w > 1800000000
+      |                 THEN 1 ELSE 0 END new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) sid
+      |  FROM s),
+      |ps AS (
+      |  SELECT user_id, sid, COUNT(*) n_events,
+      |    FIRST(event_type ORDER BY us, event_id) entry_type
+      |  FROM sid GROUP BY user_id, sid)
+      |SELECT entry_type, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  (1000000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS bounce_ppm
+      |FROM ps GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w23_bounce_rate",
+      "gap-sessionized bounce share per entry event type (one exchange)",
+      w23BounceRate, Some(w23Sql)),
     QueryDef("w22_ewma",
       "dyadic-weight EWMA over 16 lags — exact integer smoothing",
       w22Ewma, Some(w22Sql)),
