@@ -596,7 +596,72 @@ object Maintenance {
       |  CAST((1000000 * (2 * ixs - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_ppm
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** a41 — Mann-Whitney U between two event types' value
+    * distributions, computed EXACTLY: with ranks held at 2× (so tied
+    * mid-ranks stay integers — a tie block occupying ranks
+    * [r₀, r₀+k−1] has doubled mid-rank 2r₀+k−1), U and the
+    * rank-biserial effect size are pure integer arithmetic end to end.
+    * The nonparametric two-sample location test is the drift check to
+    * reach for when a38's KS says "something moved" and you want
+    * direction + magnitude without assuming a distribution. Sign-aware
+    * ppm floor (the g09 rule: Spark div truncates, DuckDB // floors).
+    *
+    * Scale shape: ranking runs over the DISTINCT-VALUE count table,
+    * not the rows — per-value (k, k1) from one partial-aggregated
+    * groupBy, then [[ScaleOps.prefixSum]] (range repartition +
+    * per-partition offsets) supplies below-counts with NO
+    * single-partition window; the finale is a 1-row aggregate.
+    */
+  def a41MannWhitney(spark: SparkSession, dir: String,
+                     typeA: String = "click", typeB: String = "error"): DataFrame = {
+    val vc = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("k"),
+           sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("k1"))
+    ScaleOps.prefixSum(vc, Seq("cents"), "k", "cum")
+      .withColumn("below", col("cum") - col("k"))
+      .agg(sum(col("k1")).as("n1"),
+           sum(col("k") - col("k1")).as("n2"),
+           sum(col("k1") * (lit(2) * (col("below") + 1) + col("k") - 1)).as("r1_2"))
+      .select(col("n1"), col("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u2"))
+      .select(col("n1"), col("n2"), col("u2"),
+        expr("CASE WHEN u2 - n1 * n2 >= 0 " +
+             "THEN (1000000 * (u2 - n1 * n2)) div (n1 * n2) " +
+             "ELSE -((1000000 * (n1 * n2 - u2)) div (n1 * n2)) END")
+          .as("rank_biserial_ppm"))
+  }
+
+  private val a41Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+      |vc AS (
+      |  SELECT cents, CAST(COUNT(*) AS BIGINT) k,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) k1
+      |  FROM e GROUP BY cents),
+      |pre AS (
+      |  SELECT cents, k, k1,
+      |    CAST(COALESCE(SUM(k) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) below
+      |  FROM vc),
+      |tot AS (
+      |  SELECT CAST(SUM(k1) AS BIGINT) n1, CAST(SUM(k - k1) AS BIGINT) n2,
+      |    CAST(SUM(k1 * (2 * (below + 1) + (k - 1))) AS BIGINT) r1_2
+      |  FROM pre)
+      |SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u2,
+      |  CASE WHEN r1_2 - n1 * (n1 + 1) - n1 * n2 >= 0
+      |    THEN (1000000 * (r1_2 - n1 * (n1 + 1) - n1 * n2)) // (n1 * n2)
+      |    ELSE -((1000000 * (n1 * n2 - (r1_2 - n1 * (n1 + 1)))) // (n1 * n2))
+      |  END AS rank_biserial_ppm
+      |FROM tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a41_mann_whitney",
+      "exact Mann-Whitney U + rank-biserial ppm (2x mid-ranks, no floats)",
+      a41MannWhitney(_, _), Some(a41Sql)),
     QueryDef("a40_gini",
       "exact integer Gini ppm of value concentration per event type",
       a40Gini, Some(a40Sql)),
