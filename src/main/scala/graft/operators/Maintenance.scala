@@ -658,7 +658,67 @@ object Maintenance {
       |  END AS rank_biserial_ppm
       |FROM tot""".stripMargin
 
+  /** a42 — mutual information between event type and hour-of-day: the
+    * dependence audit ("is traffic shape type-specific?") in the t14
+    * micro-nat convention — each cell's pointwise MI is quantized to an
+    * int64 ONCE (round(ln((n_xy·N)/(n_x·n_y))·1e6); the ratio is one
+    * exact-int64-over-exact-int64 double division, so the ln input is
+    * bit-identical across engines) and then weighted and summed in
+    * exact integer arithmetic. Checked margins: every cell's ln value
+    * sits ≥ 7e-4 micro-units from a rounding boundary at both test
+    * sfs, ~2000× the worst observed cross-libm drift (the t12
+    * precedent). Per-type contribution rows let the reader see WHICH
+    * type carries the dependence; Σ contrib / N is the corpus MI.
+    *
+    * Scale shape: one groupBy to the |types|×24 cell table, margins
+    * rejoin as broadcasts, and the weighted sum partial-aggregates —
+    * nothing row-scale after the first pass. (The int64 n_xy·N
+    * product bounds this form at n ≲ 3e9 rows per margin; past that,
+    * lift to DECIMAL(38,0) — the w16 rule.)
+    */
+  def a42MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(hour(ts) AS INT)").as("h"))
+    val xy = e.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nxy"))
+    val nx = xy.groupBy(col("event_type")).agg(sum(col("nxy")).as("nx"))
+    val ny = xy.groupBy(col("h")).agg(sum(col("nxy")).as("ny"))
+    val tot = xy.agg(sum(col("nxy")).as("nn"))
+    xy.join(broadcast(nx), Seq("event_type")).join(broadcast(ny), Seq("h"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro", expr(
+        "CAST(round(ln(CAST(nxy * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+           max(col("nx")).as("n_rows"),
+           sum(col("nxy") * col("pmi_micro")).as("mi_contrib_weighted"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a42Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(hour(ts) AS INTEGER) h
+      |  FROM events WHERE value IS NOT NULL),
+      |xy AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) nxy
+      |       FROM e GROUP BY 1, 2),
+      |nx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) nx FROM xy GROUP BY 1),
+      |ny AS (SELECT h, CAST(SUM(nxy) AS BIGINT) ny FROM xy GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) nn FROM xy),
+      |p AS (
+      |  SELECT xy.event_type, xy.nxy, nx.nx,
+      |    CAST(round(ln(CAST(xy.nxy * tot.nn AS DOUBLE)
+      |      / CAST(nx.nx * ny.ny AS DOUBLE)) * 1000000) AS BIGINT) pmi_micro
+      |  FROM xy JOIN nx USING (event_type) JOIN ny USING (h) CROSS JOIN tot)
+      |SELECT event_type, COUNT(*) AS n_cells,
+      |  CAST(MAX(nx) AS BIGINT) AS n_rows,
+      |  CAST(SUM(nxy * pmi_micro) AS BIGINT) AS mi_contrib_weighted
+      |FROM p GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a42_mutual_info",
+      "type x hour mutual information, micro-nat quantized (t14 convention)",
+      a42MutualInfo, Some(a42Sql)),
     QueryDef("a41_mann_whitney",
       "exact Mann-Whitney U + rank-biserial ppm (2x mid-ranks, no floats)",
       a41MannWhitney(_, _), Some(a41Sql)),
