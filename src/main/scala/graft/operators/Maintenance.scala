@@ -715,7 +715,75 @@ object Maintenance {
       |FROM p GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** a43 — Spearman rank correlation between a document's token count
+    * and its embedding's squared norm: the length-leakage check for an
+    * encoder (embeddings that grow with input length flatten cosine
+    * ranking toward length ranking). With unique (value, doc_id) sort
+    * keys the ranks are a total order, so ρ = 1 − 6Σd²/(n(n²−1)) is an
+    * EXACT rational — evaluated in DECIMAL(38,0) with the sign-aware
+    * ppm floor (the g09 rule). This is the deterministic no-tie-rank
+    * variant (ties break by doc_id), documented as the contract.
+    *
+    * Scale shape: both rank assignments go through
+    * [[ScaleOps.denseIds]] — range repartition + per-partition offsets,
+    * identical to row_number over the total order but with NO
+    * single-partition window — then one join on doc_id and a 1-row
+    * aggregate.
+    */
+  def a43Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast(LongType).as("x"))
+    val nrm = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        expr("aggregate(transform(embedding, " +
+          "v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, q) -> acc + q * q)").as("y"))
+    val rx = ScaleOps.denseIds(toks, Seq("x", "doc_id"), "rx")
+      .select(col("doc_id"), col("rx"))
+    val ry = ScaleOps.denseIds(nrm, Seq("y", "doc_id"), "ry")
+      .select(col("doc_id"), col("ry"))
+    rx.join(ry, Seq("doc_id"))
+      .agg(count(lit(1)).cast(D).as("n"),
+           sum((col("rx") - col("ry")).cast(D) * (col("rx") - col("ry")).cast(D))
+             .as("sd2"))
+      .select(col("n").cast(LongType).as("n"),
+        col("sd2").cast(LongType).as("sum_d2"),
+        expr("CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0 " +
+             "THEN CAST((1000000 * (n * (n * n - 1) - 6 * sd2)) div (n * (n * n - 1)) AS BIGINT) " +
+             "ELSE -CAST((1000000 * (6 * sd2 - n * (n * n - 1))) div (n * (n * n - 1)) AS BIGINT) END")
+          .as("spearman_ppm"))
+  }
+
+  private val a43Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) x
+      |  FROM documents),
+      |e AS (
+      |  SELECT vec_id doc_id,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)),
+      |      q -> q * q)) AS BIGINT) y
+      |  FROM embeddings),
+      |rx AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id) AS HUGEINT) rx FROM t),
+      |ry AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY y, doc_id) AS HUGEINT) ry FROM e),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) n,
+      |    SUM((rx - ry) * (rx - ry)) sd2
+      |  FROM rx JOIN ry USING (doc_id))
+      |SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sum_d2,
+      |  CASE WHEN n * (n * n - 1) - 6 * sd2 >= 0
+      |    THEN CAST((1000000 * (n * (n * n - 1) - 6 * sd2)) // (n * (n * n - 1)) AS BIGINT)
+      |    ELSE -CAST((1000000 * (6 * sd2 - n * (n * n - 1))) // (n * (n * n - 1)) AS BIGINT)
+      |  END AS spearman_ppm
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a43_spearman",
+      "exact Spearman ppm: token count vs embedding norm (length leakage)",
+      a43Spearman, Some(a43Sql)),
     QueryDef("a42_mutual_info",
       "type x hour mutual information, micro-nat quantized (t14 convention)",
       a42MutualInfo, Some(a42Sql)),
