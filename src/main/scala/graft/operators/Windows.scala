@@ -990,7 +990,75 @@ object Windows {
       |  (1000000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS bounce_ppm
       |FROM ps GROUP BY entry_type ORDER BY entry_type""".stripMargin
 
+  /** w24 — single best changepoint per event type (binary segmentation,
+    * one split): the position maximizing the between-segment contrast
+    * score ((n₂·S₁ − n₁·S₂)² div (n₁·n₂)) over running cumulative
+    * sums — the CUSUM-family objective with floor-quantization as the
+    * documented contract, so the argmax (ties → earliest position) is
+    * engine-independent integer arithmetic throughout, DECIMAL(38,0)
+    * lifted (safe while (n·Σcents)² < 1e38 per type — w16's ANSI rule:
+    * overflow fails LOUDLY, never silently).
+    *
+    * Scale shape: the running sums, the per-type totals, and the
+    * argmax window all partition on event_type — one hash exchange for
+    * the whole operator (the w20/w21 contract); candidate scoring is a
+    * codegen'd per-row projection.
+    */
+  def w24Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("i", row_number().over(w).cast(D))
+      .withColumn("c1", sum(col("cents")).over(w).cast(D))
+      .withColumn("nn", count(lit(1)).over(wAll).cast(D))
+      .withColumn("ss", sum(col("cents")).over(wAll).cast(D))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("us").asc)
+    base.filter(col("i") < col("nn"))
+      .withColumn("d", expr("(nn - i) * c1 - i * (ss - c1)"))
+      .withColumn("score", expr("CAST((d * d) div (i * (nn - i)) AS BIGINT)"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("us").as("split_us"),
+        col("i").cast(LongType).as("n_left"),
+        (col("nn") - col("i")).cast(LongType).as("n_right"),
+        col("score"),
+        expr("CAST((100 * c1) div i AS BIGINT)").as("mean_left_centi"),
+        expr("CAST((100 * (ss - c1)) div (nn - i) AS BIGINT)").as("mean_right_centi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w24Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (
+      |  SELECT event_type, event_id, us,
+      |    CAST(ROW_NUMBER() OVER w AS HUGEINT) i,
+      |    CAST(SUM(cents) OVER w AS HUGEINT) c1,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) nn,
+      |    CAST(SUM(cents) OVER (PARTITION BY event_type) AS HUGEINT) ss
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+      |s AS (SELECT *, ((nn - i) * c1 - i * (ss - c1)) d FROM b WHERE i < nn),
+      |sc AS (SELECT event_type, us, i, nn, c1, ss,
+      |         CAST((d * d) // (i * (nn - i)) AS BIGINT) score FROM s),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY score DESC, us ASC) rn FROM sc)
+      |SELECT event_type, us AS split_us, CAST(i AS BIGINT) AS n_left,
+      |  CAST(nn - i AS BIGINT) AS n_right, score,
+      |  CAST((100 * c1) // i AS BIGINT) AS mean_left_centi,
+      |  CAST((100 * (ss - c1)) // (nn - i) AS BIGINT) AS mean_right_centi
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w24_changepoint",
+      "exact single changepoint per type: argmax between-segment contrast",
+      w24Changepoint, Some(w24Sql)),
     QueryDef("w23_bounce_rate",
       "gap-sessionized bounce share per entry event type (one exchange)",
       w23BounceRate, Some(w23Sql)),
