@@ -218,7 +218,60 @@ object Sampling {
       |FROM per_user GROUP BY method
       |ORDER BY method""".stripMargin
 
+  /** s11 — class rebalancing by deterministic downsampling: every label
+    * is cut to the minority class's size, keeping each label's m rows
+    * with the smallest scrambled key (the s05 lesson: engine `sample()`
+    * is partitioning-dependent; a hash order is reproducible anywhere —
+    * and the multiplicative mix keeps small ids from degenerating, the
+    * st09 lesson). The audit emits before/after counts and a kept-id
+    * checksum so the driver hash-checks the SELECTION, not just its
+    * size.
+    *
+    * Scale shape: the minority size is a 1-row broadcast off the label
+    * count table; ranking windows partition per label (balanced groups
+    * by construction); selection is a per-row comparison — no global
+    * sort, no collect.
+    */
+  def s11ClassRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("k", expr(s"(vec_id % $P) * 2654435761 % $P"))
+    val m = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m"))
+    val w = Window.partitionBy(col("label")).orderBy(col("k"), col("vec_id"))
+    e.crossJoin(broadcast(m))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") <= col("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_before"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_after"),
+           sum(when(col("kept"), col("vec_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("label"))
+  }
+
+  private val s11Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    (vec_id % 2147483647) * 2654435761 % 2147483647 k
+      |  FROM embeddings),
+      |m AS (SELECT CAST(MIN(n) AS BIGINT) m FROM (
+      |        SELECT label, COUNT(*) n FROM e GROUP BY label)),
+      |r AS (
+      |  SELECT label, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY k, vec_id) rn
+      |  FROM e)
+      |SELECT label, COUNT(*) AS n_before,
+      |  CAST(SUM(CASE WHEN rn <= m.m THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN rn <= m.m THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM r CROSS JOIN m
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s11_class_rebalance",
+      "deterministic minority-size downsampling with kept-id checksum",
+      s11ClassRebalance, Some(s11Sql)),
     QueryDef("s10_group_split",
       "grouped vs row-level train/test split + user-leakage audit",
       s10GroupSplit, Some(s10Sql)),
