@@ -555,7 +555,64 @@ object Joins {
       |  CAST(MAX(n) AS BIGINT) AS max_key_rows
       |FROM p GROUP BY b ORDER BY b""".stripMargin
 
+  /** j20 — accumulating-snapshot latency: order-to-first-ship gap in
+    * whole days per order (min over the order's line items), then
+    * exact nearest-rank P50/P90 of that gap per order priority — the
+    * fulfillment-SLA table, built from a fact-to-fact join + the w21
+    * percentile machinery, integers end to end.
+    *
+    * Scale shape: the orders↔lineitem join keys on orderkey (the
+    * natural co-partitioned pair — bucketed j14-style at 100 TB, the
+    * exchange disappears); the per-order min partial-aggregates
+    * map-side; percentiles rank per-priority on ONE window exchange
+    * with the 3-value pct fan-out exploding map-side (the w21
+    * contract).
+    */
+  def j20OrderToShip(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(min(datediff(col("sd"), col("od"))).cast(LongType).as("gap_days"))
+    val wRank = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("gap_days"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("o_orderpriority"), col("gap_days"), col("rn"), col("n"),
+        explode(expr("array(50, 90)")).as("pct"))
+      .filter(col("rn") === expr("(pct * n + 99) div 100"))
+      .select(col("o_orderpriority").as("priority"), col("pct"),
+        col("gap_days").as("pct_gap_days"), col("n").as("n_orders"))
+      .orderBy(col("priority"), col("pct"))
+  }
+
+  private val j20Sql =
+    """WITH g AS (
+      |  SELECT o.o_orderkey, o.o_orderpriority,
+      |    CAST(MIN(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)) AS BIGINT) gap_days
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY o.o_orderkey, o.o_orderpriority),
+      |r AS (
+      |  SELECT o_orderpriority, gap_days, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY gap_days, o_orderkey) rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) n
+      |  FROM g),
+      |x AS (SELECT r.*, unnest([50, 90]) pct FROM r)
+      |SELECT o_orderpriority AS priority, pct, gap_days AS pct_gap_days,
+      |  CAST(n AS BIGINT) AS n_orders
+      |FROM x WHERE rn = (pct * n + 99) // 100
+      |ORDER BY priority, pct""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j20_order_to_ship",
+      "accumulating snapshot: exact P50/P90 order-to-ship days per priority",
+      j20OrderToShip, Some(j20Sql)),
     QueryDef("j19_fanout_audit",
       "exact self-join row-count pre-audit from per-key counts (log2 buckets)",
       j19FanoutAudit, Some(j19Sql)),
