@@ -1746,7 +1746,63 @@ object TextOps {
       |FROM c
       |ORDER BY labeled_lang, predicted_lang""".stripMargin
 
+  /** t31 — word co-occurrence lift (PMI's ratio, kept RATIONAL): for
+    * word pairs sharing a document, lift = P(xy)/(P(x)P(y)) emitted as
+    * the exact integer ppm (1e6·n_xy·N) div (n_x·n_y) — no logarithm,
+    * so no libm-boundary risk at all (the a42 quantization exists for
+    * SUMS of logs; a ranking only needs the monotone ratio). Support
+    * floor 25 docs, top-20 by (lift_ppm desc, w1, w2) — the
+    * phrase-mining/keyword-association signal next to t28's RAKE.
+    *
+    * Scale shape: pairs explode per doc over DISTINCT tokens (word-soup
+    * docs have Heaps'-bounded distinct terms; a pathological doc would
+    * need the g07-style per-doc term cap, documented here as the scale
+    * contract), aggregate on the pair key, doc-frequency margins join
+    * as broadcasts, and the top-20 goes through sort+limit (distributed
+    * TakeOrdered — the a24 rule).
+    */
+  def t31PmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .distinct()
+    val df = toks.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    toks.select(col("doc_id"), col("w").as("w1"))
+      .join(toks.select(col("doc_id"), col("w").as("w2")), Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 25)
+      .join(broadcast(df.select(col("w").as("w1"), col("dfreq").as("nx"))), Seq("w1"))
+      .join(broadcast(df.select(col("w").as("w2"), col("dfreq").as("ny"))), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_ppm", expr("(1000000 * nxy * nd) div (nx * ny)"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("nxy"), col("nx"), col("ny"),
+        col("lift_ppm"))
+  }
+
+  private val t31Sql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) w
+      |  FROM documents),
+      |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) dfreq FROM toks GROUP BY w),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) nd FROM documents),
+      |p AS (
+      |  SELECT a.w w1, b.w w2, CAST(COUNT(*) AS BIGINT) nxy
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY a.w, b.w HAVING COUNT(*) >= 25)
+      |SELECT w1, w2, nxy, dx.dfreq AS nx, dy.dfreq AS ny,
+      |  (1000000 * nxy * nd.nd) // (dx.dfreq * dy.dfreq) AS lift_ppm
+      |FROM p JOIN df dx ON p.w1 = dx.w JOIN df dy ON p.w2 = dy.w
+      |  CROSS JOIN nd
+      |ORDER BY lift_ppm DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t31_pmi_pairs",
+      "word co-occurrence lift top-20, exact rational ppm (no logs)",
+      t31PmiPairs, Some(t31Sql)),
     QueryDef("t30_langid_confusion",
       "language-ID confusion matrix vs true labels, exact recall ppm",
       t30LangidConfusion, Some(t30Sql)),
