@@ -780,7 +780,85 @@ object Maintenance {
       |  END AS spearman_ppm
       |FROM s""".stripMargin
 
+  /** a44 — decile drift (the binned-L1 companion to a38's KS): take the
+    * baseline period's exact nearest-rank decile boundaries per event
+    * type (rank ⌈i·n/10⌉, the w21 machinery), bin the recent period
+    * against them (bin = 1 + #boundaries strictly below the value —
+    * the deterministic tie rule), and report each bin's occupancy
+    * against the uniform expectation as the integer deviation
+    * |10·n_b − n_total| (×10 keeps the rational expectation exact).
+    * Where KS sees the worst single gap, the decile profile shows
+    * WHERE mass moved — the PSI shape without PSI's logarithm (and so
+    * none of its libm-boundary risk). Bins no recent row hits are
+    * absent, identically in both engines.
+    *
+    * Scale shape: boundary extraction is one window exchange per the
+    * w21 contract; the 9-boundary table broadcasts; binning is a
+    * map-side count of boundaries below each row; the occupancy
+    * aggregate + expectation window share one exchange.
+    */
+  def a44DecileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffUs = 1705881600000000L // 2024-01-22, the w16 split
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val wA = Window.partitionBy(col("event_type"))
+    val bounds = e.filter(col("us") < cutoffUs)
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wA))
+      .select(col("event_type"), col("cents"), col("rn"), col("n"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("rn") === expr("(i * n + 9) div 10"))
+      .select(col("event_type"), col("cents").as("boundary"))
+    e.filter(col("us") >= cutoffUs)
+      .join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"), col("event_id"), col("cents"))
+      .agg(sum(when(col("boundary") < col("cents"), 1L).otherwise(0L)).as("bin0"))
+      .groupBy(col("event_type"), (col("bin0") + 1).as("bin"))
+      .agg(count(lit(1)).as("n_b"))
+      .withColumn("n_total", sum(col("n_b")).over(wA))
+      .withColumn("dev_x10", expr("abs(10 * n_b - n_total)"))
+      .select(col("event_type"), col("bin"), col("n_b"), col("n_total"),
+        col("dev_x10"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  private val a44Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (SELECT * FROM e WHERE us < 1705881600000000),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) n
+      |  FROM a),
+      |bounds AS (
+      |  SELECT event_type, cents boundary
+      |  FROM (SELECT r.*, unnest(range(1, 10)) i FROM r)
+      |  WHERE rn = (i * n + 9) // 10),
+      |b AS (SELECT * FROM e WHERE us >= 1705881600000000),
+      |binned AS (
+      |  SELECT b.event_type, b.event_id,
+      |    1 + CAST(SUM(CASE WHEN bounds.boundary < b.cents THEN 1 ELSE 0 END) AS BIGINT) bin
+      |  FROM b JOIN bounds ON b.event_type = bounds.event_type
+      |  GROUP BY b.event_type, b.event_id),
+      |occ AS (
+      |  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) n_b
+      |  FROM binned GROUP BY event_type, bin)
+      |SELECT event_type, bin, n_b,
+      |  CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+      |  abs(10 * n_b - CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT)) AS dev_x10
+      |FROM occ
+      |ORDER BY event_type, bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a44_decile_drift",
+      "binned L1 drift vs baseline deciles (PSI shape, no logarithm)",
+      a44DecileDrift, Some(a44Sql)),
     QueryDef("a43_spearman",
       "exact Spearman ppm: token count vs embedding norm (length leakage)",
       a43Spearman, Some(a43Sql)),
