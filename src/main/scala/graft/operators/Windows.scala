@@ -1055,7 +1055,70 @@ object Windows {
       |  CAST((100 * (ss - c1)) // (nn - i) AS BIGINT) AS mean_right_centi
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** w25 — lag-1 autocorrelation per event type, emitted as the EXACT
+    * integer components of Pearson's r: num = n·Σxy − Σx·Σy and the
+    * two variance terms (r = num/√(varx·vary) — the square root is
+    * irrational, and the r² quotient num²/(varx·vary) needs >64-bit
+    * division, where Spark's decimal `div` and DuckDB's HUGEINT `//`
+    * were MEASURED to disagree by ~10⁴× — so the quotient is exactly
+    * the thing a cross-engine contract must NOT emit). The sign of
+    * `num` answers the diagnostic question (sticky vs mean-reverting
+    * vs i.i.d.); consumers derive r from the three exact integers.
+    *
+    * Scale shape: the lead pairing is one window exchange on
+    * event_type; the five sums partial-aggregate on the same key — the
+    * w20/w21 single-exchange contract. Components stay within int64
+    * to ~10⁵ rows × 10⁹ cents per type (internally DECIMAL(38,0), the
+    * w16 loud-overflow rule past that).
+    */
+  def w25LagAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(D).as("n"),
+           sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+           sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+           sum(col("x").cast(D) * col("x").cast(D)).as("sx2"),
+           sum(col("y").cast(D) * col("y").cast(D)).as("sy2"))
+      .select(col("event_type"),
+        col("n").cast(LongType).as("n_pairs"),
+        expr("CAST(n * sxy - sx * sy AS BIGINT)").as("num"),
+        expr("CAST(n * sx2 - sx * sx AS BIGINT)").as("varx"),
+        expr("CAST(n * sy2 - sy * sy AS BIGINT)").as("vary"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w25Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    CAST(round(value * 100) AS BIGINT) x
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT event_type, x,
+      |    LEAD(x) OVER (PARTITION BY event_type ORDER BY us, event_id) y
+      |  FROM e),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) n,
+      |    CAST(SUM(x) AS HUGEINT) sx, CAST(SUM(y) AS HUGEINT) sy,
+      |    CAST(SUM(x * y) AS HUGEINT) sxy,
+      |    CAST(SUM(x * x) AS HUGEINT) sx2, CAST(SUM(y * y) AS HUGEINT) sy2
+      |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sx2 - sx * sx AS BIGINT) AS varx,
+      |  CAST(n * sy2 - sy * sy AS BIGINT) AS vary
+      |FROM s ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w25_lag_autocorr",
+      "lag-1 autocorrelation as signed quantized r^2 (exact integer formula)",
+      w25LagAutocorr, Some(w25Sql)),
     QueryDef("w24_changepoint",
       "exact single changepoint per type: argmax between-segment contrast",
       w24Changepoint, Some(w24Sql)),
