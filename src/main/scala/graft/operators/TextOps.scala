@@ -1799,7 +1799,76 @@ object TextOps {
       |ORDER BY lift_ppm DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** t32 — the batch document gate: every curation pipeline ends in a
+    * per-document verdict table (kept/rejected + WHY), and the rules
+    * here are the exact-integer forms of the classic heuristics —
+    * too_short (token count < 10), repetitive (top token holds > 20 %
+    * of tokens: 5·max_tf > n, no ratio computed), lang_mismatch (t03's
+    * prediction ≠ the label — zh always mismatches by t03's coverage
+    * hole, making the gate's interaction with classifier blind spots
+    * visible). The verdict row per doc is what downstream mix/dedup
+    * stages consume; st06 is this gate's streaming dual on events.
+    *
+    * Scale shape: token stats and the argmax token share one groupBy
+    * per doc (partial-aggregated); the language features are t03's
+    * single map-side pass; one join on doc_id puts the verdict
+    * together — no corpus-scale shuffle beyond the per-doc aggregate.
+    */
+  def t32DocGate(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("max_tf"))
+    t03LangId(spark, dir)
+      .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"))
+      .join(stats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+        (col("n_tokens") < 10).as("too_short"),
+        (col("max_tf") * 5 > col("n_tokens")).as("repetitive"),
+        (col("labeled_lang") =!= col("predicted_lang")).as("lang_mismatch"))
+      .withColumn("pass",
+        !col("too_short") && !col("repetitive") && !col("lang_mismatch"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t32Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) w
+      |    FROM documents) GROUP BY doc_id, w),
+      |stats AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) n_tokens,
+      |    CAST(MAX(tf) AS BIGINT) max_tf
+      |  FROM tf GROUP BY doc_id),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('the','and','of','to','in','is'))) AS en,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('el','la','de','que','y','los'))) AS es,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('le','la','de','et','les','des'))) AS fr,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ('der','die','und','das','ist','ein'))) AS de
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang labeled_lang,
+      |    CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      |         WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      |         WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      |         WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      |         ELSE 'de' END predicted_lang
+      |  FROM f)
+      |SELECT p.doc_id, n_tokens, max_tf,
+      |  n_tokens < 10 AS too_short,
+      |  max_tf * 5 > n_tokens AS repetitive,
+      |  labeled_lang <> predicted_lang AS lang_mismatch,
+      |  NOT (n_tokens < 10) AND NOT (max_tf * 5 > n_tokens)
+      |    AND NOT (labeled_lang <> predicted_lang) AS pass
+      |FROM p JOIN stats ON p.doc_id = stats.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t32_doc_gate",
+      "per-doc curation verdicts: exact-integer quality rules + reasons",
+      t32DocGate, Some(t32Sql)),
     QueryDef("t31_pmi_pairs",
       "word co-occurrence lift top-20, exact rational ppm (no logs)",
       t31PmiPairs, Some(t31Sql)),
