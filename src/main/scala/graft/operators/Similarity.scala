@@ -1187,7 +1187,106 @@ object Similarity {
       |  n * sx2 - sx * sx < n * n AS is_dead
       |FROM s ORDER BY dim""".stripMargin
 
+  /** v17 — shortlist-depth tuning curve for the v12 binary stage:
+    * recall@3 of the Hamming shortlist against the exact top-3, swept
+    * over depths {8, 16, 32, 64} — the number that decides how deep
+    * the cheap stage must go before the exact re-rank (the st09/t29
+    * sweep pattern applied to ANN configuration). Every quantity is a
+    * count: per query the hits are |exact top-3 ∩ shortlist(d)|, so
+    * the curve is integer ppm with no measurement noise.
+    *
+    * Scale shape: one exact eval-scale pass (the v01 frame) and one
+    * Hamming ranking pass (16-byte codes), joined on (qid, cid); the
+    * 4-depth fan-out explodes on the 3-row-per-query HIT table, not
+    * the corpus.
+    */
+  def v17ShortlistSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def packWord(w: Int): String =
+      s"aggregate(sequence(0, 31), 0L, (acc, j) -> " +
+        s"acc + IF(element_at(embedding, ${32 * w} + j + 1) > 0, shiftleft(1L, j), 0L))"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("w0", expr(packWord(0)))
+      .withColumn("w1", expr(packWord(1)))
+      .withColumn("q", expr(quantize))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val wCos = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val exact3 = queries
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")),
+            col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val wHam = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("cid").asc)
+    val hamRank = queries
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+      .join(vecs.select(col("vec_id").as("cid"), col("w0"), col("w1")),
+            col("qid") =!= col("cid"))
+      .withColumn("ham",
+        expr("CAST(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) AS BIGINT)"))
+      .withColumn("hrank", row_number().over(wHam))
+      .select(col("qid"), col("cid"), col("hrank"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    exact3.join(hamRank, Seq("qid", "cid"))
+      .select(col("hrank"), explode(expr("array(8, 16, 32, 64)")).as("depth"))
+      .groupBy(col("depth"))
+      .agg(sum(when(col("hrank") <= col("depth"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div (3 * n_queries)"))
+      .orderBy(col("depth"))
+  }
+
+  private val v17Sql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      j -> CASE WHEN embedding[CAST(j + 1 AS INTEGER)] > 0
+      |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) w0,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      j -> CASE WHEN embedding[CAST(j + 33 AS INTEGER)] > 0
+      |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) w1
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, w0, w1, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |ex AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |             i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC, b.vec_id ASC) rank
+      |    FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id)
+      |  WHERE rank <= 3),
+      |hr AS (
+      |  SELECT qid, cid, hrank FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) ASC,
+      |        b.vec_id ASC) hrank
+      |    FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id)),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) n_queries FROM n WHERE vec_id % 25 = 0),
+      |j AS (
+      |  SELECT hr.hrank, unnest([8, 16, 32, 64]) depth
+      |  FROM ex JOIN hr ON ex.qid = hr.qid AND ex.cid = hr.cid)
+      |SELECT depth,
+      |  CAST(SUM(CASE WHEN hrank <= depth THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  n_queries,
+      |  (1000000 * CAST(SUM(CASE WHEN hrank <= depth THEN 1 ELSE 0 END) AS BIGINT))
+      |    // (3 * n_queries) AS recall_ppm
+      |FROM j CROSS JOIN nq
+      |GROUP BY depth, n_queries
+      |ORDER BY depth""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v17_shortlist_sweep",
+      "binary-shortlist recall@3 curve over depths {8,16,32,64}",
+      v17ShortlistSweep, Some(v17Sql)),
     QueryDef("v16_dim_variance",
       "dead-dimension audit: exact integer per-dim variance of embeddings",
       v16DimVariance, Some(v16Sql)),
