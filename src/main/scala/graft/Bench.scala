@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TIMESTAMP_NTZ-normalized events are session-TZ-dependent; pin UTC so
+      // unix_micros/hour/window math matches the oracle on any host (every
+      // other entrypoint — Verify/ReportMain/HealthMain/tests — already pins).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-node.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema cache, keyed by file path. Spark 4 runs a (small)
+    * Spark JOB per schema inference — one per `spark.read.parquet` call —
+    * so uncached reads make even plan-BUILDING non-action-free. A real
+    * lakehouse resolves schemas from a catalog; this cache is that
+    * contract for the driver's immutable testdata tables: first read
+    * infers, every later read (and every guard that only needs to
+    * construct a plan) is job-free.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
@@ -44,4 +58,28 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Table row count from parquet FOOTER metadata only — a driver-side
+    * listing plus footer reads, no Spark job. Used by scale guards that
+    * must price a plan BEFORE building it (Similarity.requirePairsBounded):
+    * a `count()` there would launch a job at DataFrame-construction time,
+    * an eager action hidden inside a builder. Handles both a single
+    * `.parquet` file (the driver's testdata shape) and a directory of
+    * part files (the shape a real lake writes).
+    */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(root))
+    files.map { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
 }

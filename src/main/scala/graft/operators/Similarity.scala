@@ -40,6 +40,35 @@ object Similarity {
   def defaultNlist(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Shared scale guard for the exact all-pairs eval family (v01 / v13 /
+    * v15 / v17): each scores every (query, corpus) pair — O(n²/25) work
+    * by construction, the cost the index paths exist to avoid — so each
+    * REFUSES corpora past `maxPairs` scored pairs (default 2²⁸ ≈ 270 M ≈
+    * sf0.3) instead of silently launching an n² job on a 100 TB table.
+    * At that scale the supported paths are v05 (stored IVF index +
+    * partition pruning) and v09 / v12 (PQ or binary-Hamming shortlist +
+    * exact re-rank), which bound the exact-score step to a shortlist.
+    * The corpus size comes from parquet FOOTER metadata
+    * ([[Tables.footerRowCount]]) — constructing the guarded DataFrame
+    * stays action-free; no Spark job runs until the query itself does.
+    * `multiplier` prices ops that score each pair more than once (v15
+    * joins 3 feedback rows per query against the corpus; v17 makes an
+    * exact pass and a Hamming pass).
+    */
+  private[graft] def requirePairsBounded(
+      spark: SparkSession, dir: String, op: String,
+      maxPairs: Long, multiplier: Long = 1L): Unit = {
+    val nCorpus = Tables.footerRowCount(spark, dir, "embeddings")
+    val nQueries = (nCorpus + 24) / 25
+    val pairs = multiplier * nQueries * nCorpus
+    require(pairs <= maxPairs,
+      s"$op exact scoring is O(queries x corpus): $multiplier x $nQueries x " +
+        s"$nCorpus = $pairs scored pairs exceeds the $maxPairs bound - " +
+        "route through v05 (stored IVF index + pruning), v09 (PQ shortlist " +
+        "+ exact re-rank) or v12 (binary Hamming shortlist) at this scale, " +
+        "or raise maxPairs deliberately")
+  }
+
   private val quantize =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
   private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
@@ -56,19 +85,14 @@ object Similarity {
     * of silently launching an n² job on a 100 TB table: at that scale
     * the supported paths are v05 (stored IVF index + partition pruning)
     * and v09 (PQ shortlist + exact re-rank), which keep the exact-score
-    * step bounded to a shortlist. The parquet count() probes are
-    * metadata-only — no data scan before the decision.
+    * step bounded to a shortlist. The bound check reads parquet footer
+    * metadata only ([[requirePairsBounded]]) — no Spark job before the
+    * query itself runs.
     */
   def v01CosineTopK(spark: SparkSession, dir: String,
                     maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val nCorpus = Tables.embeddings(spark, dir).count()
-    val nQueries = (nCorpus + 24) / 25
-    require(nQueries * nCorpus <= maxPairs,
-      s"v01 exact top-k is O(queries x corpus): $nQueries x $nCorpus = " +
-        s"${nQueries * nCorpus} scored pairs exceeds the $maxPairs bound - " +
-        "route through v05 (stored IVF index + pruning) or v09 (PQ shortlist " +
-        "+ exact re-rank) at this scale, or raise maxPairs deliberately")
+    requirePairsBounded(spark, dir, "v01", maxPairs)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
@@ -920,8 +944,10 @@ object Similarity {
     * The ranking reuses the one window top-k exchange on qid; the
     * metric extraction is a filter + min over ≤10 rows per query.
     */
-  def v13MrrEval(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+  def v13MrrEval(spark: SparkSession, dir: String, topK: Int = 10,
+                 maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v13", maxPairs)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
@@ -1055,10 +1081,15 @@ object Similarity {
     * (3·|queries|·|corpus| dots) and aggregates back to one score per
     * (query, candidate) — map-side partial sums, one exchange on
     * (qid, cid). Production at 100 TB would shortlist first (v09);
-    * this is the eval-scale reference semantics.
+    * this is the eval-scale reference semantics — and like the rest of
+    * the exact-eval family it REFUSES past the pair bound
+    * ([[requirePairsBounded]], multiplier 3 for the feedback×corpus
+    * re-rank join) rather than silently running O(n²).
     */
-  def v15PrfRerank(spark: SparkSession, dir: String): DataFrame = {
+  def v15PrfRerank(spark: SparkSession, dir: String,
+                   maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v15", maxPairs, multiplier = 3L)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
@@ -1200,8 +1231,11 @@ object Similarity {
     * 4-depth fan-out explodes on the 3-row-per-query HIT table, not
     * the corpus.
     */
-  def v17ShortlistSweep(spark: SparkSession, dir: String): DataFrame = {
+  def v17ShortlistSweep(spark: SparkSession, dir: String,
+                        maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // one exact all-pairs pass + one Hamming all-pairs pass
+    requirePairsBounded(spark, dir, "v17", maxPairs, multiplier = 2L)
     def packWord(w: Int): String =
       s"aggregate(sequence(0, 31), 0L, (acc, j) -> " +
         s"acc + IF(element_at(embedding, ${32 * w} + j + 1) > 0, shiftleft(1L, j), 0L))"
@@ -1286,13 +1320,13 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("v17_shortlist_sweep",
       "binary-shortlist recall@3 curve over depths {8,16,32,64}",
-      v17ShortlistSweep, Some(v17Sql)),
+      v17ShortlistSweep(_, _), Some(v17Sql)),
     QueryDef("v16_dim_variance",
       "dead-dimension audit: exact integer per-dim variance of embeddings",
       v16DimVariance, Some(v16Sql)),
     QueryDef("v15_prf_rerank",
       "pseudo-relevance feedback: expanded-query re-rank via pairwise dots",
-      v15PrfRerank, Some(v15Sql)),
+      v15PrfRerank(_, _), Some(v15Sql)),
     QueryDef("v14_centroid_outliers",
       "embedding QA: exact int64 distance-to-centroid top-20 outliers",
       v14CentroidOutliers, Some(v14Sql)),

@@ -20,6 +20,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.v01CosineTopK(spark, sf).limit(1).collect().nonEmpty)
   }
 
+  test("v13/v15/v17: the exact-eval family shares the scored-pair refusal") {
+    // every unguarded all-pairs plan in the family got v01's guard —
+    // each refusal must route to the index/shortlist scale paths
+    val builders: Seq[(String, Long => org.apache.spark.sql.DataFrame)] = Seq(
+      "v13" -> (mp => Similarity.v13MrrEval(spark, sf, maxPairs = mp)),
+      "v15" -> (mp => Similarity.v15PrfRerank(spark, sf, maxPairs = mp)),
+      "v17" -> (mp => Similarity.v17ShortlistSweep(spark, sf, maxPairs = mp)))
+    builders.foreach { case (op, build) =>
+      val e = intercept[IllegalArgumentException] { build(10L) }
+      assert(e.getMessage.contains(op) && e.getMessage.contains("v05") &&
+        e.getMessage.contains("v09") && e.getMessage.contains("v12"),
+        s"$op refusal must name itself and the scale paths: ${e.getMessage}")
+      // the default bound admits the contract scales
+      assert(build(1L << 28).limit(1).collect().nonEmpty, s"$op empty at contract scale")
+    }
+  }
+
+  test("guard sizing is parquet-footer metadata, action-free at plan-build time") {
+    // the bound check must price the plan without a Spark job: footer
+    // row count == the real count, and constructing the guarded
+    // DataFrame schedules zero jobs
+    val n = Tables.footerRowCount(spark, sf, "embeddings")
+    assert(n === Tables.embeddings(spark, sf).count(), "footer count diverges")
+    // warm the one legitimate job: first-touch schema inference,
+    // cached by Tables.load (the catalog contract)
+    Similarity.v01CosineTopK(spark, sf)
+    Thread.sleep(300)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Similarity.v01CosineTopK(spark, sf) // build only — no action
+    Thread.sleep(300) // job submission is async; give a stray one time to land
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, s"building v01 launched ${after - before} Spark job(s)")
+  }
+
   test("v05: stored-index probe == in-plan v02, and the probe prunes on cell") {
     val fromIndex = Similarity.v05IvfIndexLifecycle(spark, sf)
     val got = fromIndex.collect().map(_.toString)
