@@ -793,8 +793,12 @@ object Windows {
   def w20Concurrency(spark: SparkSession, dir: String): DataFrame = {
     val iv = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
+      // clamp cents at 0 BEFORE the div (the a40 convention): Spark's
+      // div truncates toward zero, DuckDB's // floors — a negative
+      // value would disagree by one second AND yield end < start,
+      // corrupting the sweep
       .select(col("event_type"), unix_micros(col("ts")).as("s"),
-        expr("unix_micros(ts) + (CAST(round(value * 100) AS BIGINT) div 10) * 1000000")
+        expr("unix_micros(ts) + (greatest(CAST(round(value * 100) AS BIGINT), 0L) div 10) * 1000000")
           .as("e"))
     val pts = iv.select(col("event_type"), col("s").as("us"), lit(1L).as("delta"))
       .unionByName(iv.select(col("event_type"), col("e").as("us"), lit(-1L).as("delta")))
@@ -817,7 +821,7 @@ object Windows {
   private val w20Sql =
     """WITH iv AS (
       |  SELECT event_type, epoch_us(ts) s,
-      |    epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) // 10) * 1000000 e
+      |    epoch_us(ts) + (greatest(CAST(round(value * 100) AS BIGINT), 0) // 10) * 1000000 e
       |  FROM events WHERE value IS NOT NULL),
       |pts AS (
       |  SELECT event_type, s us, CAST(1 AS BIGINT) delta FROM iv

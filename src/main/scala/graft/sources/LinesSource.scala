@@ -267,11 +267,15 @@ final class LinesPartitionReader(part: LinesPartition, cols: Array[String],
   * target directory (the reader ignores `_`/`.` names, so an in-flight
   * or crashed write is invisible), task commit hands the temp path to
   * the driver, and JOB commit renames the winners to their final
-  * `part-NNNNN.txt` names — speculative duplicates and dead tasks
-  * never surface because only driver-acknowledged messages rename.
-  * `mode("overwrite")` arrives as SupportsTruncate; the old part files
-  * are deleted inside job commit, immediately before the renames, so a
-  * failed job never leaves the directory half-truncated.
+  * `part-NNNNN-<jobToken>.txt` names — speculative duplicates and dead
+  * tasks never surface because only driver-acknowledged messages
+  * rename. The job token (one random 8-hex suffix per job) makes final
+  * names JOB-UNIQUE: `mode("append")` into a non-empty directory can
+  * never collide on rename, so commit stays all-or-nothing instead of
+  * failing halfway with new+old files mixed. `mode("overwrite")`
+  * arrives as SupportsTruncate; the old part files are deleted inside
+  * job commit, immediately before the renames, so a failed job never
+  * leaves the directory half-truncated.
   *
   * Input schema must carry a `line` STRING column (extra columns are
   * ignored); rows are written as raw UTF-8 bytes + '\n', the exact
@@ -302,10 +306,13 @@ final case class LinesCommitMessage(tempPath: String, finalName: String)
 final class LinesBatchWrite(path: String, lineIdx: Int, truncate: Boolean,
                             conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.BatchWrite {
+  // one token per job → job-unique final names → append never collides
+  private val jobToken =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(8)
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new LinesWriterFactory(path, lineIdx, conf)
+    new LinesWriterFactory(path, lineIdx, jobToken, conf)
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val dirPath = new Path(path)
@@ -332,16 +339,17 @@ final class LinesBatchWrite(path: String, lineIdx: Int, truncate: Boolean,
   }
 }
 
-final class LinesWriterFactory(dir: String, lineIdx: Int,
+final class LinesWriterFactory(dir: String, lineIdx: Int, jobToken: String,
                                conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new LinesDataWriter(dir, lineIdx, partitionId, taskId, conf)
+    new LinesDataWriter(dir, lineIdx, partitionId, taskId, jobToken, conf)
 }
 
 final class LinesDataWriter(dir: String, lineIdx: Int, partitionId: Int,
-                            taskId: Long, conf: SerializableHadoopConf)
+                            taskId: Long, jobToken: String,
+                            conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val tmpPath = new Path(dir, s"_tmp-part-$partitionId-$taskId.txt")
   private val fs = tmpPath.getFileSystem(conf.value)
@@ -352,7 +360,7 @@ final class LinesDataWriter(dir: String, lineIdx: Int, partitionId: Int,
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    LinesCommitMessage(tmpPath.toString, f"part-$partitionId%05d.txt")
+    LinesCommitMessage(tmpPath.toString, f"part-$partitionId%05d-$jobToken.txt")
   }
   override def abort(): Unit = { out.close(); fs.delete(tmpPath, false); () }
   override def close(): Unit = ()

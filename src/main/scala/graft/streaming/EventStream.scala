@@ -41,8 +41,17 @@ object EventStream {
   def eventsStream(spark: SparkSession, srcDir: String,
                    options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong =
-      spark.read.parquet(srcDir).schema("ts").dataType == LongType
+    // `graft.tsEncoding` = nanos|micros pins the encoding explicitly;
+    // otherwise probe the existing files — and if the directory is
+    // still EMPTY (files arrive after the stream starts, a shape the
+    // file source supports), fall back to micros/NTZ rather than
+    // failing stream construction with 'Unable to infer schema'.
+    val tsIsLong = options.get("graft.tsEncoding") match {
+      case Some(enc) => enc == "nanos"
+      case None =>
+        try spark.read.parquet(srcDir).schema("ts").dataType == LongType
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", if (tsIsLong) LongType else TimestampNTZType),

@@ -340,6 +340,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(scalable.nonEmpty && scalable.toSeq == window.toSeq)
   }
 
+  test("eventsStream starts on an EMPTY source directory (files arrive later)") {
+    // the encoding probe must not fail stream construction with
+    // 'Unable to infer schema' before any file exists
+    val dir = util.Scratch.dir("empty_stream_src_")
+    val s = streaming.EventStream.eventsStream(spark, dir)
+    assert(s.isStreaming && s.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and an explicit encoding option pins the schema without probing
+    val pinned = streaming.EventStream.eventsStream(spark, dir,
+      Map("graft.tsEncoding" -> "nanos"))
+    assert(pinned.isStreaming && pinned.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("m02 metadata aggregation never reads the text payload column... beyond length") {
     val df = operators.Multimodal.m02MetadataOnly(spark, sf)
     df.collect()

@@ -247,16 +247,24 @@ class Round5OpsSpec extends AnyFunSuite {
     def files() = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
     val first = files()
-    assert(first.nonEmpty && first.forall(_.matches("part-\\d{5}\\.txt")),
+    val partName = "part-\\d{5}-[0-9a-f]{8}\\.txt"
+    assert(first.nonEmpty && first.forall(_.matches(partName)),
       s"only committed part files may remain: $first")
     // a second overwrite with different parallelism must fully replace
     df.repartition(2).write.format("graft-lines").mode("overwrite").save(dir)
     val second = files()
-    assert(second.length == 2 && second.forall(_.matches("part-\\d{5}\\.txt")),
+    assert(second.length == 2 && second.forall(_.matches(partName)),
       s"overwrite must truncate the old layout: $second")
     // content survives the round trip regardless of topology
     val back = spark.read.format("graft-lines").load(dir).count()
     assert(back == 50L)
+    // append into the non-empty directory: job-unique names mean no
+    // rename collision — commit is all-or-nothing, content accumulates
+    df.repartition(2).write.format("graft-lines").mode("append").save(dir)
+    val third = files()
+    assert(third.length == 4 && third.forall(_.matches(partName)),
+      s"append must add files without clobbering: $third")
+    assert(spark.read.format("graft-lines").load(dir).count() == 100L)
   }
 
   test("j19: bucketed fan-out estimate equals the actual self-join row count") {
