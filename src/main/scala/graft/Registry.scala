@@ -23,7 +23,8 @@ object Registry {
       operators.ScaleOps.defs ++
       operators.Maintenance.defs ++
       operators.ScaleDiag.defs ++
-      streaming.EventStream.defs
+      streaming.EventStream.defs ++
+      health.HealthQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

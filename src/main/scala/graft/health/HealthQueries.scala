@@ -238,4 +238,170 @@ object HealthQueries {
 
   def runSql(spark: SparkSession, name: String): DataFrame =
     spark.sql(sqlTexts(name))
+
+  // ------------------------------------------------------------------
+  // EP2 SQL-path CONTRACT queries: the six notebook SQL texts executed
+  // by spark.sql over a view of the COMMITTED cleaned fixture
+  // (HealthFixture.path — the DuckDB oracle reads the same artifact, so
+  // the dual-engine check isolates the SQL semantics; the fixture↔ETL
+  // sync is spec-enforced and the ETL has its own reference goldens).
+  //
+  // Two deliberate deltas from the verbatim `sqlTexts` (which HealthSpec
+  // still dual-runs against the DataFrame API unmodified):
+  //  1. metric columns are quantized in the VIEW (cents for rates/costs,
+  //     whole units for populations) so every AVG/SUM is an exact
+  //     integer sum — double addition over the raw 2-dp values is
+  //     order-dependent and can never hash-match across engines;
+  //  2. each ORDER BY gains the group keys as tiebreaks, making row
+  //     order (and LIMIT membership) a total order on both engines.
+  // ------------------------------------------------------------------
+
+  private val centsCols = Seq("Mortality_Rate_per_100", "Recovery_Rate",
+    "Healthcare_Access_Pct", "Doctors_per_1000", "Avg_Treatment_Cost_USD",
+    "Urban_Population_Pct", "Rural_Population_Pct")
+  private val wholeCols = Seq("Population_Affected", "Affected_Male", "Affected_Female")
+
+  private def sqlPathView(spark: SparkSession): Unit = {
+    val base = spark.read.parquet(HealthFixture.path)
+    val quantized = wholeCols.foldLeft(
+      centsCols.foldLeft(base)((d, c) =>
+        d.withColumn(c, expr(s"CAST(round(`$c` * 100) AS BIGINT)"))))(
+      (d, c) => d.withColumn(c, expr(s"CAST(round(`$c`) AS BIGINT)")))
+    quantized.createOrReplaceTempView("global_health_contract")
+  }
+
+  private def sqlPath(text: String): (SparkSession, String) => DataFrame =
+    (spark, _) => { sqlPathView(spark); spark.sql(text) }
+
+  /** Shared DuckDB CTE mirroring [[sqlPathView]]'s quantization. */
+  private val duckView =
+    s"""WITH global_health_contract AS (
+       |  SELECT "Disease Name", Country, Year, Treatment_Type,
+       |    CAST(round(Mortality_Rate_per_100 * 100) AS BIGINT) AS Mortality_Rate_per_100,
+       |    CAST(round(Recovery_Rate * 100) AS BIGINT) AS Recovery_Rate,
+       |    CAST(round(Healthcare_Access_Pct * 100) AS BIGINT) AS Healthcare_Access_Pct,
+       |    CAST(round(Doctors_per_1000 * 100) AS BIGINT) AS Doctors_per_1000,
+       |    CAST(round(Avg_Treatment_Cost_USD * 100) AS BIGINT) AS Avg_Treatment_Cost_USD,
+       |    CAST(round(Urban_Population_Pct * 100) AS BIGINT) AS Urban_Population_Pct,
+       |    CAST(round(Rural_Population_Pct * 100) AS BIGINT) AS Rural_Population_Pct,
+       |    CAST(round(Population_Affected) AS BIGINT) AS Population_Affected,
+       |    CAST(round(Affected_Male) AS BIGINT) AS Affected_Male,
+       |    CAST(round(Affected_Female) AS BIGINT) AS Affected_Female
+       |  FROM '${HealthFixture.path}')
+       |""".stripMargin
+
+  import graft.QueryDef
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sql01_top_mortality",
+      "EP2 nb SQL q1: top-5 deadliest by avg mortality (SQL path)",
+      sqlPath("""SELECT `Disease Name` AS disease,
+                |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+                |       COUNT(*) AS total_records
+                |FROM global_health_contract
+                |WHERE Mortality_Rate_per_100 IS NOT NULL
+                |GROUP BY `Disease Name`
+                |ORDER BY avg_mortality DESC, disease
+                |LIMIT 5""".stripMargin),
+      Some(duckView +
+        """SELECT "Disease Name" AS disease,
+          |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+          |       COUNT(*) AS total_records
+          |FROM global_health_contract
+          |WHERE Mortality_Rate_per_100 IS NOT NULL
+          |GROUP BY "Disease Name"
+          |ORDER BY avg_mortality DESC, disease NULLS FIRST
+          |LIMIT 5""".stripMargin)),
+    QueryDef("sql02_recovery_trend",
+      "EP2 nb SQL q2: recovery trends by year x disease (SQL path)",
+      sqlPath("""SELECT Year, `Disease Name` AS disease, COUNT(*) AS cases,
+                |       AVG(Recovery_Rate) AS avg_recovery
+                |FROM global_health_contract
+                |GROUP BY Year, `Disease Name`
+                |ORDER BY avg_recovery ASC, cases DESC, Year, disease
+                |LIMIT 50""".stripMargin),
+      Some(duckView +
+        """SELECT Year, "Disease Name" AS disease, COUNT(*) AS cases,
+          |       AVG(Recovery_Rate) AS avg_recovery
+          |FROM global_health_contract
+          |GROUP BY Year, "Disease Name"
+          |ORDER BY avg_recovery ASC NULLS FIRST, cases DESC,
+          |         Year NULLS FIRST, disease NULLS FIRST
+          |LIMIT 50""".stripMargin)),
+    QueryDef("sql03_access_by_country",
+      "EP2 nb SQL q3: healthcare access vs mortality per country, HAVING on alias (SQL path)",
+      sqlPath("""SELECT Country, AVG(Healthcare_Access_Pct) AS avg_healthcare_access,
+                |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+                |       AVG(Doctors_per_1000) AS avg_doctors
+                |FROM global_health_contract
+                |GROUP BY Country
+                |HAVING avg_mortality IS NOT NULL
+                |ORDER BY avg_healthcare_access DESC, Country""".stripMargin),
+      Some(duckView +
+        """SELECT Country, AVG(Healthcare_Access_Pct) AS avg_healthcare_access,
+          |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+          |       AVG(Doctors_per_1000) AS avg_doctors
+          |FROM global_health_contract
+          |GROUP BY Country
+          |HAVING avg_mortality IS NOT NULL
+          |ORDER BY avg_healthcare_access DESC, Country NULLS FIRST""".stripMargin)),
+    QueryDef("sql04_cost_by_treatment",
+      "EP2 nb SQL q4: avg cost by disease x treatment (SQL path)",
+      sqlPath("""SELECT `Disease Name` AS disease, Treatment_Type,
+                |       AVG(Avg_Treatment_Cost_USD) AS avg_cost,
+                |       AVG(Recovery_Rate) AS avg_recovery, COUNT(*) AS cases
+                |FROM global_health_contract
+                |WHERE Avg_Treatment_Cost_USD IS NOT NULL
+                |GROUP BY `Disease Name`, Treatment_Type
+                |ORDER BY avg_cost DESC, disease, Treatment_Type""".stripMargin),
+      Some(duckView +
+        """SELECT "Disease Name" AS disease, Treatment_Type,
+          |       AVG(Avg_Treatment_Cost_USD) AS avg_cost,
+          |       AVG(Recovery_Rate) AS avg_recovery, COUNT(*) AS cases
+          |FROM global_health_contract
+          |WHERE Avg_Treatment_Cost_USD IS NOT NULL
+          |GROUP BY "Disease Name", Treatment_Type
+          |ORDER BY avg_cost DESC, disease NULLS FIRST,
+          |         Treatment_Type NULLS FIRST""".stripMargin)),
+    QueryDef("sql05_gender_burden",
+      "EP2 nb SQL q5: gender burden per disease, top 10 (SQL path)",
+      sqlPath("""SELECT `Disease Name` AS disease,
+                |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+                |       SUM(Affected_Male) AS total_male_affected,
+                |       SUM(Affected_Female) AS total_female_affected
+                |FROM global_health_contract
+                |GROUP BY `Disease Name`
+                |ORDER BY avg_mortality DESC, disease
+                |LIMIT 10""".stripMargin),
+      Some(duckView +
+        """SELECT "Disease Name" AS disease,
+          |       AVG(Mortality_Rate_per_100) AS avg_mortality,
+          |       CAST(SUM(Affected_Male) AS BIGINT) AS total_male_affected,
+          |       CAST(SUM(Affected_Female) AS BIGINT) AS total_female_affected
+          |FROM global_health_contract
+          |GROUP BY "Disease Name"
+          |ORDER BY avg_mortality DESC, disease NULLS FIRST
+          |LIMIT 10""".stripMargin)),
+    QueryDef("sql06_urban_rural",
+      "EP2 nb SQL q6: urban/rural burden per country x disease (SQL path)",
+      sqlPath("""SELECT Country, `Disease Name` AS disease,
+                |       AVG(Healthcare_Access_Pct) AS avg_access,
+                |       AVG(Population_Affected) AS avg_affected,
+                |       AVG(Urban_Population_Pct) AS avg_urban,
+                |       AVG(Rural_Population_Pct) AS avg_rural
+                |FROM global_health_contract
+                |WHERE Healthcare_Access_Pct IS NOT NULL
+                |GROUP BY Country, `Disease Name`
+                |ORDER BY avg_affected DESC, Country, disease""".stripMargin),
+      Some(duckView +
+        """SELECT Country, "Disease Name" AS disease,
+          |       AVG(Healthcare_Access_Pct) AS avg_access,
+          |       AVG(Population_Affected) AS avg_affected,
+          |       AVG(Urban_Population_Pct) AS avg_urban,
+          |       AVG(Rural_Population_Pct) AS avg_rural
+          |FROM global_health_contract
+          |WHERE Healthcare_Access_Pct IS NOT NULL
+          |GROUP BY Country, "Disease Name"
+          |ORDER BY avg_affected DESC, Country NULLS FIRST,
+          |         disease NULLS FIRST""".stripMargin)))
 }

@@ -28,6 +28,11 @@ final case class BarChart(title: String,
 final case class LineChart(title: String,
                            points: Seq[(Double, Double)]) extends PdfChart
 
+/** X-Y point cloud (the "access vs mortality" shape —
+  * Health_Jim.py:474-483 scatters the two columns raw). */
+final case class ScatterChart(title: String,
+                              points: Seq[(Double, Double)]) extends PdfChart
+
 object PdfWriter {
 
   private val PageW = 612 // US Letter, points
@@ -88,6 +93,23 @@ object PdfWriter {
         // corner tick labels: x extremes below the axis, y extremes left
         sb.append(text(x0, y0 - 14, 8, f"$xMin%.0f"))
         sb.append(text(x0 + w - 24, y0 - 14, 8, f"$xMax%.0f"))
+        sb.append(text(x0 - 10 - 8.0 * f"$yMax%.3f".length, y0 + h - 3, 8, f"$yMax%.3f"))
+        sb.append(text(x0 - 10 - 8.0 * f"$yMin%.3f".length, y0 - 3, 8, f"$yMin%.3f"))
+      case ScatterChart(_, pts) if pts.nonEmpty =>
+        val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+        val (xMin, xMax) = (xs.min, xs.max)
+        val (yMin, yMax) = (ys.min, ys.max)
+        val xSpan = math.max(xMax - xMin, 1e-12)
+        val ySpan = math.max(yMax - yMin, 1e-12)
+        def px(x: Double) = x0 + (x - xMin) / xSpan * w
+        def py(y: Double) = y0 + (y - yMin) / ySpan * h
+        // one small filled square per point, centered on (px, py)
+        sb.append("0.27 0.45 0.77 rg\n")
+        pts.foreach { case (x, y) =>
+          sb.append(f"${px(x) - 1.4}%.1f ${py(y) - 1.4}%.1f 2.8 2.8 re f\n")
+        }
+        sb.append(text(x0, y0 - 14, 8, f"$xMin%.2f"))
+        sb.append(text(x0 + w - 30, y0 - 14, 8, f"$xMax%.2f"))
         sb.append(text(x0 - 10 - 8.0 * f"$yMax%.3f".length, y0 + h - 3, 8, f"$yMax%.3f"))
         sb.append(text(x0 - 10 - 8.0 * f"$yMin%.3f".length, y0 - 3, 8, f"$yMin%.3f"))
       case _ =>

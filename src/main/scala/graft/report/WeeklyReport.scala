@@ -84,16 +84,26 @@ object WeeklyReport {
       "Canned mortality prediction" -> f"predicted rate = $prediction%.6f")
   }
 
-  /** The two figures the reference's PDF carries (mortality trend line,
-    * top-disease bars — Health_Jim.py:1095-1116), as vector chart specs
-    * from the same collected aggregates the sections use. */
+  /** The reference's figure inventory (mortality trend line, top-disease
+    * bars — Health_Jim.py:1095-1116 — and the access-vs-mortality
+    * scatter, Health_Jim.py:474-483), as vector chart specs from
+    * collected aggregates. The scatter aggregates per country first so
+    * the collect stays bounded (≤ countries, not ≤ rows) at any input
+    * scale. */
   def charts(cleaned: DataFrame): Seq[PdfChart] = Seq(
     LineChart("Average Mortality Rate by Year",
       HealthQueries.mortalityTrend(cleaned).collect()
         .map(r => (r.get(0).asInstanceOf[Number].doubleValue, r.getDouble(1))).toSeq),
     BarChart("Top 5 Deadliest Diseases (avg mortality)",
       HealthQueries.topDeadliest(cleaned, 5).collect()
-        .map(r => (r.getString(0), r.getDouble(1))).toSeq))
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq),
+    ScatterChart("Healthcare Access vs Mortality (per country)",
+      cleaned.filter(col("Healthcare_Access_Pct").isNotNull &&
+          col("Mortality_Rate_per_100").isNotNull)
+        .groupBy(col("Country"))
+        .agg(avg(col("Healthcare_Access_Pct")).as("x"),
+             avg(col("Mortality_Rate_per_100")).as("y"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq))
 
   /** Run the whole job: ETL → analytics → model → render. */
   def run(spark: SparkSession, csvPath: String = HealthEtl.defaultCsvPath,

@@ -166,6 +166,25 @@ class HealthSpec extends AnyFunSuite {
     // Severity Score = 0.7·mortality + 0.3·log1p(DALYs) must rank first after self
     assert(rows.take(2).map(_.getString(0)).contains("Severity Score"))
   }
+
+  test("committed health fixture stays bit-exact with the live ETL output") {
+    // the EP2 SQL-path contract queries and their DuckDB oracles both
+    // read tools/fixtures/health_cleaned.parquet — this test is what
+    // keeps that artifact honest after any ETL change (regenerate with
+    // `sbt "runMain graft.health.HealthFixture"` and review the diff)
+    import org.apache.spark.sql.functions.col
+    val live = graft.health.HealthEtl.clean(spark)
+      .orderBy(col("Record_ID")).collect().map(_.toString)
+    val stored = spark.read.parquet(graft.health.HealthFixture.path)
+      .orderBy(col("Record_ID")).collect().map(_.toString)
+    assert(live.length == stored.length,
+      s"row count drifted: live=${live.length} fixture=${stored.length}")
+    // Row.toString prints shortest-roundtrip doubles — injective per bit
+    // pattern, so string equality here IS bit equality
+    val firstDiff = live.zip(stored).indexWhere { case (a, b) => a != b }
+    assert(firstDiff < 0,
+      s"fixture drifted at row $firstDiff:\n live   ${live(firstDiff max 0)}\n stored ${stored(firstDiff max 0)}")
+  }
 }
 
 /** CPython-semantics goldens for the casing expressions (values verified

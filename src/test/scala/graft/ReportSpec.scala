@@ -70,18 +70,25 @@ class ReportSpec extends AnyFunSuite {
   test("PdfWriter: chart pages carry real vector drawing ops and keep xref valid") {
     val pdf = PdfWriter.render(Seq("intro line"), Seq(
       graft.report.BarChart("Top Diseases", Seq("Flu" -> 0.11, "TB" -> 0.08, "Cholera" -> 0.05)),
-      graft.report.LineChart("Trend", Seq(2000.0 -> 0.1, 2001.0 -> 0.12, 2002.0 -> 0.09))))
-    validatePdf(pdf, 3) // 1 text page + 2 chart pages
+      graft.report.LineChart("Trend", Seq(2000.0 -> 0.1, 2001.0 -> 0.12, 2002.0 -> 0.09)),
+      graft.report.ScatterChart("Access vs Mortality",
+        Seq(10.0 -> 0.9, 40.0 -> 0.5, 80.0 -> 0.2, 95.0 -> 0.1))))
+    validatePdf(pdf, 4) // 1 text page + 3 chart pages
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
     // bar page: filled rectangles with the fill color set
-    assert(Raw.countOccurrences(s, "re f") >= 3, "expected one filled rect per bar")
-    assert(s.contains("0.27 0.45 0.77 rg"), "bar fill color missing")
+    // (3 bars + 4 scatter point squares across the document)
+    assert(Raw.countOccurrences(s, "re f") >= 7,
+      "expected one filled rect per bar and per scatter point")
+    assert(s.contains("0.27 0.45 0.77 rg"), "fill color missing")
     // line page: a stroked polyline (moveto + linetos + stroke) and axes
     assert(s.contains(" m\n"), "polyline moveto missing")
     assert(Raw.countOccurrences(s, " l\n") >= 2, "polyline segments missing")
     assert(s.contains("0.27 0.45 0.77 RG"), "line stroke color missing")
+    // scatter page: the 2.8pt point squares
+    assert(Raw.countOccurrences(s, "2.8 2.8 re f") >= 4, "scatter points missing")
     // titles and tick labels rendered as text
-    Seq("Top Diseases", "Trend", "Flu", "2000", "2002").foreach(t =>
+    Seq("Top Diseases", "Trend", "Flu", "2000", "2002",
+        "Access vs Mortality").foreach(t =>
       assert(s.contains(t), s"missing chart text '$t'"))
   }
 
@@ -130,10 +137,13 @@ class ReportSpec extends AnyFunSuite {
     // the reference's two figures render as vector chart pages
     // (Health_Jim.py:1095-1116): bars filled, trend polyline stroked
     Seq("Average Mortality Rate by Year",
-        "Top 5 Deadliest Diseases").foreach(t =>
+        "Top 5 Deadliest Diseases",
+        "Healthcare Access vs Mortality").foreach(t =>
       assert(s.contains(PdfEscape(t)), s"missing chart '$t'"))
     assert(Raw.countOccurrences(s, "re f") >= 5, "top-5 bars not drawn")
     assert(s.contains("0.27 0.45 0.77 RG"), "trend polyline not stroked")
+    assert(Raw.countOccurrences(s, "2.8 2.8 re f") >= 10,
+      "per-country scatter points not drawn")
   }
 
   private def PdfEscape(t: String): String =
