@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: replicate the sf0.1 tables K× (default 10) under
+  * /tmp with id-space remapping, then time the HEAVY query families at
+  * 1× and K× in the SAME JVM and print per-query ratios. The contract
+  * scales verify correctness; this main produces the measured evidence
+  * that the heavy plans grow ~linearly (modulo shuffle growth) instead
+  * of super-linearly — the one datapoint a plan-shape review cannot
+  * give. Run:
+  *
+  *   sbt "runMain graft.ScaleProbe"            # 10x, /tmp/graft_scale_x10
+  *   sbt "runMain graft.ScaleProbe <base> <k>"
+  *
+  * Replication remaps every key space (doc_id/vec_id/orderkey/custkey
+  * shift per copy) so joins stay consistent; document text is passed
+  * through a per-copy letter substitution so cross-copy shingle sets
+  * are disjoint and near-dup DENSITY stays constant (10 verbatim copies
+  * would quadratically inflate each duplicate family instead of scaling
+  * the corpus); embeddings get a per-copy epsilon so exact ties do not
+  * explode. Dimension tables (region/nation/supplier/part) stay fixed —
+  * the realistic shape of a fact-side scale-up.
+  */
+object ScaleProbe {
+
+  /** The bench heavies called out by the r5 review. */
+  val probes: Seq[String] = Seq(
+    "d12_lsh_index", "d10_lsh_audit", "d01_minhash_lsh",
+    "g03_component_profile", "g04_contamination_spread", "g05_hits",
+    "g06_kcore", "g08_lpa_communities",
+    "v09_pq_rerank", "v12_binary_topk", "v18_ivf_pq_rerank",
+    "t25_curation_funnel", "j14_bucketed_join")
+
+  private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer")
+  private val copiedTables = Seq("region", "nation", "supplier", "part", "events")
+
+  private def rotAlphabet(i: Int): String = {
+    val a = "etaoinshrd"
+    val k = i % a.length
+    a.substring(k) + a.substring(0, k)
+  }
+
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val ready = java.nio.file.Paths.get(outDir, "_READY")
+    if (java.nio.file.Files.exists(ready)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    val docs = Tables.documents(spark, baseDir)
+    val nDoc = maxOf(docs, "doc_id")
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * nDoc)).as("doc_id"),
+        expr(s"translate(text, 'etaoinshrd', '${rotAlphabet(i)}')").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    val nVec = maxOf(emb, "vec_id")
+    (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * nVec)).as("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x + ${i}e-4 AS FLOAT))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val ord = Tables.orders(spark, baseDir)
+    val li = Tables.lineitem(spark, baseDir)
+    val cust = Tables.customer(spark, baseDir)
+    val nOrd = maxOf(ord, "o_orderkey")
+    val nCust = maxOf(cust, "c_custkey")
+    (0 until k).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * nCust))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    (0 until k).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    (0 until k).map { i =>
+      // bracket names with a per-copy char (lev >= 2 between copies):
+      // keeps WITHIN-copy edit-distance structure identical while
+      // cross-copy name clusters stay apart — verbatim copies would
+      // multiply every lev<=1 cluster by k and inflate g04/d09
+      // quadratically, which is replication artifact, not scale
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * nCust))
+        .withColumn("c_name",
+          concat(lit(('a' + i).toChar.toString), col("c_name"),
+                 lit(('a' + i).toChar.toString)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    copiedTables.foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    java.nio.file.Files.createFile(ready)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    buildScaled(spark, baseDir, outDir, factor)
+    System.err.println(f"[probe] build/verify ${factor}x data ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    def timeAt(name: String, dir: String): Double = {
+      val t = System.nanoTime()
+      try { Registry.byName(name).fn(spark, dir).queryExecution.toRdd.count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] $name at $dir FAILED: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t) / 1e9
+    }
+    // JIT/codegen warmup, untimed
+    Seq("j01_broadcast_star", "w01_topn_per_group", "t01_token_stats")
+      .foreach(n => Registry.byName.get(n).foreach(d =>
+        try d.fn(spark, baseDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }))
+
+    val rows = probes.map { name =>
+      val base = timeAt(name, baseDir)
+      val scaled = timeAt(name, outDir)
+      val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
+      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f")
+      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f}"""
+    }
+    println(s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

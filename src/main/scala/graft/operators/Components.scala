@@ -186,6 +186,14 @@ object Components {
     */
   def g04ContaminationSpread(spark: SparkSession, dir: String,
                              maxHops: Int = 2): DataFrame = {
+    // Spark guards recursive CTEs with a 1M-row default
+    // (spark.sql.cteRecursionRowLimit) — a runaway-recursion backstop,
+    // not a capacity bound. This recursion is depth-bounded by
+    // construction (dist < maxHops terminates it), so the walk count is
+    // the only thing the limit sees; the 10x scale probe (ScaleProbe)
+    // tripped the default. Raise it to a still-finite guardrail sized
+    // for cluster-scale walk counts.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", (1L << 30).toString)
     // materialize the FastSS pairs ONCE: the recursive CTE re-evaluates
     // its source plan on every level, and without this the whole d09
     // deletion-neighborhood pipeline re-runs per hop (measured 12.8 s

@@ -268,7 +268,98 @@ object Sampling {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** s12 — temperature-scaled mixture sampling (α = 0.5): source weights
+    * ∝ √n_docs instead of n_docs — the multilingual/LLM rebalancing
+    * standard (Conneau & Lample's temperature sampling) that upweights
+    * small sources so a dominant domain cannot monopolize the budget.
+    * √n is the one temperature whose weights stay ENGINE-EXACT: IEEE-754
+    * sqrt is correctly rounded (bit-identical in any libm), and
+    * floor(√n·10⁶) freezes it into int64 before any further arithmetic.
+    * The integer weights feed s06's largest-remainder apportionment, and
+    * s05's LCG scramble executes the per-source picks, so the output —
+    * per-source quota, kept count, kept-id checksum — is a pure function
+    * of the data on both engines.
+    *
+    * Scale shape: one count aggregate, a tens-of-rows quota frame
+    * (broadcast), one window rank per source partition for the
+    * execution — identical cost profile to s05.
+    */
+  def s12TemperatureMix(spark: SparkSession, dir: String, budget: Long = 500L): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val tot = per.agg(sum(col("wgt")).as("tw"))
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val wAll = Window.partitionBy()
+    val quotas = per.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"$budget * wgt div tw"))
+      .withColumn("rem", expr(s"($budget * wgt) % tw"))
+      .withColumn("leftover", lit(budget) - sum(col("base_quota")).over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("source"), col("n_docs"),
+        (col("base_quota") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    val scramble = pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483648L))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val picked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), scramble.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas.select(col("source"), col("quota"))), "source")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    quotas.join(picked, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val s12Sql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) n_docs FROM documents GROUP BY 1),
+      |wg AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) wgt
+      |  FROM per),
+      |t AS (SELECT CAST(SUM(wgt) AS BIGINT) tw FROM wg),
+      |q AS (
+      |  SELECT source, n_docs, wgt,
+      |    500 * wgt // tw AS base_quota,
+      |    (500 * wgt) % tw AS rem
+      |  FROM wg CROSS JOIN t),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) rr,
+      |    500 - SUM(base_quota) OVER () leftover
+      |  FROM q),
+      |quotas AS (
+      |  SELECT source, n_docs,
+      |    CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) quota
+      |  FROM r),
+      |h AS (
+      |  SELECT doc_id, source,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS h
+      |  FROM documents),
+      |rn AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) rn
+      |  FROM h),
+      |picked AS (
+      |  SELECT rn.source, rn.doc_id
+      |  FROM rn JOIN quotas USING (source) WHERE rn.rn <= quotas.quota)
+      |SELECT quotas.source, quotas.n_docs, quotas.quota,
+      |  CAST(COUNT(picked.doc_id) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(picked.doc_id), 0) AS BIGINT) AS kept_id_sum
+      |FROM quotas LEFT JOIN picked ON quotas.source = picked.source
+      |GROUP BY 1, 2, 3
+      |ORDER BY quotas.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s12_temperature_mix",
+      "temperature-0.5 mixture quotas + deterministic execution + checksums",
+      s12TemperatureMix(_, _), Some(s12Sql)),
     QueryDef("s11_class_rebalance",
       "deterministic minority-size downsampling with kept-id checksum",
       s11ClassRebalance, Some(s11Sql)),

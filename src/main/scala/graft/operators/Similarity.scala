@@ -57,16 +57,17 @@ object Similarity {
     */
   private[graft] def requirePairsBounded(
       spark: SparkSession, dir: String, op: String,
-      maxPairs: Long, multiplier: Long = 1L): Unit = {
+      maxPairs: Long, multiplier: Long = 1L,
+      routes: String = "route through v05 (stored IVF index + pruning), " +
+        "v09 (PQ shortlist + exact re-rank) or v12 (binary Hamming shortlist)")
+      : Unit = {
     val nCorpus = Tables.footerRowCount(spark, dir, "embeddings")
     val nQueries = (nCorpus + 24) / 25
     val pairs = multiplier * nQueries * nCorpus
     require(pairs <= maxPairs,
       s"$op exact scoring is O(queries x corpus): $multiplier x $nQueries x " +
         s"$nCorpus = $pairs scored pairs exceeds the $maxPairs bound - " +
-        "route through v05 (stored IVF index + pruning), v09 (PQ shortlist " +
-        "+ exact re-rank) or v12 (binary Hamming shortlist) at this scale, " +
-        "or raise maxPairs deliberately")
+        s"$routes at this scale, or raise maxPairs deliberately")
   }
 
   private val quantize =
@@ -524,9 +525,18 @@ object Similarity {
     * int64 (L2 expanded as x·x − 2x·c + c·c over vec_dot), so ranking
     * is bit-identical in any engine. Recall vs the exact ranking is
     * measured, not assumed — SimilaritySpec prints-and-bounds it.
+    *
+    * Like every FLAT index, ADC still scans all (query, corpus) pairs —
+    * ~10× cheaper per pair than the exact dot but O(n²/25) pairs all
+    * the same (the 10× ScaleProbe measured the super-linearity), so the
+    * flat scan carries its own (wider) pair bound; past it the answer
+    * is v18's IVF-PQ cell restriction.
     */
   def v08PqTopK(spark: SparkSession, dir: String, nSub: Int = 8, subDim: Int = 8,
-                nCodes: Int = 16): DataFrame = {
+                nCodes: Int = 16, maxPairs: Long = 1L << 31): DataFrame = {
+    requirePairsBounded(spark, dir, "v08", maxPairs,
+      routes = "route through v18 (IVF-PQ: cell-restricted ADC + exact refine) " +
+        "or v05 (stored IVF index)")
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     pqScores(spark, dir, nSub, subDim, nCodes)
@@ -639,7 +649,14 @@ object Similarity {
     * now tiny — to the corpus vectors, so the raw 64-dim vectors are
     * touched only |queries|·shortlist times.
     */
-  def v09PqRerank(spark: SparkSession, dir: String, shortlist: Int = 32): DataFrame = {
+  def v09PqRerank(spark: SparkSession, dir: String, shortlist: Int = 32,
+                  maxPairs: Long = 1L << 31): DataFrame = {
+    // the refine stage is bounded (|queries|·shortlist), but the FLAT
+    // ADC stage underneath still scans all pairs — same wide bound and
+    // escape route as v08 (ScaleProbe measured 14x at 10x data)
+    requirePairsBounded(spark, dir, "v09", maxPairs,
+      routes = "route through v18 (IVF-PQ: cell-restricted ADC + exact refine) " +
+        "or v05 (stored IVF index)")
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     val short = pqScores(spark, dir, 8, 8, 16)
@@ -852,9 +869,18 @@ object Similarity {
     * break on cid so the candidate SET is engine-independent, and the
     * final order is the exact-cosine double (bit-identical from int64
     * inputs) — hash-green end to end.
+    *
+    * The Hamming scan is still all-pairs (the cheapest possible flat
+    * scan — 2 XOR+popcounts per pair), so it carries the widest of the
+    * family's pair bounds; past it, bucket the codes (d02's band trick)
+    * or coarse-quantize first (v18).
     */
-  def v12BinaryTopK(spark: SparkSession, dir: String, shortlist: Int = 32): DataFrame = {
+  def v12BinaryTopK(spark: SparkSession, dir: String, shortlist: Int = 32,
+                    maxPairs: Long = 1L << 33): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v12", maxPairs,
+      routes = "band the binary codes (the d02 pigeonhole trick) or coarse-" +
+        "quantize first (v18 IVF-PQ / v05 stored IVF)")
     def packWord(w: Int): String =
       s"aggregate(sequence(0, 31), 0L, (acc, j) -> " +
         s"acc + IF(element_at(embedding, ${32 * w} + j + 1) > 0, shiftleft(1L, j), 0L))"
@@ -926,6 +952,149 @@ object Similarity {
       |      FROM rer)
       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ham AS hamming,
       |       ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  /** v18 — the fully composed production ANN serving shape (FAISS-style
+    * IVF-PQ with refinement): the coarse quantizer (v02's fixed 16-cell
+    * IVF, probe-2) restricts the corpus to the probed cells, PQ ADC
+    * (v08's 8×8 int64 codebooks) scores ONLY those members, and the
+    * top-`shortlist` survivors get the exact int64 re-rank (v09's
+    * refine). Every stage is deterministic integer arithmetic, so the
+    * oracle replays the identical funnel; recall vs v09 differs only by
+    * coarse-cell misses, and vs exact by cell+codebook misses — both
+    * measurable with the v07 machinery.
+    *
+    * Scale shape: this is the 100 TB serving pipeline in ONE plan —
+    * a broadcast 16-row centroid assignment (map-side), ADC work cut
+    * from |queries|·n LUT lookups to Σ probed-cell members
+    * (≈ nprobe/nlist of the corpus), raw 64-dim vectors touched only
+    * |queries|·shortlist times in the refine. With a stored index
+    * (v05/d12 pattern) the member scan would additionally prune cell
+    * partitions; here the emphasis is the composed funnel.
+    */
+  def v18IvfPqRerank(spark: SparkSession, dir: String, nlist: Int = 16,
+                     nprobe: Int = 2, shortlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val cen = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val ranked = vecs.crossJoin(broadcast(cen))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+      .withColumn("crank", row_number().over(wAssign))
+    val homes = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
+      .select(col("vec_id").as("qid"), col("centroid_id").as("cell"))
+    // PQ encode + query LUTs — the v08 frame (8 subspaces x 8 dims, 16 codes)
+    val sub = vecs
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
+      .select(col("vec_id"), col("s"), expr("slice(q, s * 8 + 1, 8)").as("qs"))
+    val codebook = sub.filter(col("vec_id") < 16)
+      .select(col("s").as("cb_s"), col("vec_id").as("code"), col("qs").as("cw"))
+    val wCode = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("code").asc)
+    val encoded = sub.join(broadcast(codebook), col("s") === col("cb_s"))
+      .withColumn("dist",
+        expr("vec_dot(qs, qs) - 2 * vec_dot(qs, cw) + vec_dot(cw, cw)"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("s"), col("code"))
+    val lut = sub.filter(col("vec_id") % 25 === 0)
+      .join(broadcast(codebook), col("s") === col("cb_s"))
+      .select(col("vec_id").as("qid"), col("s"), col("code"),
+        expr("vec_dot(qs, cw)").as("partial"))
+    // IVF restriction BEFORE the ADC aggregate: only probed-cell members
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val short = encoded.join(homes, "cid").join(probes, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("partial")).as("score"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("cid"))
+    // exact refine (the v09 tail)
+    val qside = vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val cside = vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    short.join(qside, "qid").join(cside, "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v18Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |cscored AS (
+      |  SELECT n.vec_id, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |cranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |  FROM cscored),
+      |homes AS (SELECT vec_id cid, centroid_id cell FROM cranked WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, centroid_id cell
+      |           FROM cranked WHERE vec_id % 25 = 0 AND crank <= 2),
+      |sub AS (
+      |  SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS qs
+      |  FROM v, (SELECT unnest(generate_series(0, 7)) AS s)),
+      |cb AS (SELECT s AS cb_s, vec_id AS code, qs AS cw FROM sub WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT sub.vec_id, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)])
+      |         * (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)]))) AS dist
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s),
+      |encoded AS (
+      |  SELECT vec_id AS cid, s, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                                 ORDER BY dist ASC, code ASC) rn
+      |    FROM dists) WHERE rn = 1),
+      |lut AS (
+      |  SELECT sub.vec_id AS qid, sub.s, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> sub.qs[CAST(i AS INTEGER)] * cb.cw[CAST(i AS INTEGER)])) AS partial
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s
+      |  WHERE sub.vec_id % 25 = 0),
+      |adc AS (
+      |  SELECT lut.qid, encoded.cid, CAST(SUM(lut.partial) AS BIGINT) AS score
+      |  FROM encoded
+      |  JOIN homes ON encoded.cid = homes.cid
+      |  JOIN probes ON homes.cell = probes.cell
+      |  JOIN lut ON encoded.s = lut.s AND encoded.code = lut.code
+      |          AND lut.qid = probes.qid
+      |  WHERE lut.qid <> encoded.cid
+      |  GROUP BY lut.qid, encoded.cid),
+      |short AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) srank
+      |    FROM adc) WHERE srank <= 16),
+      |rer AS (
+      |  SELECT short.qid, short.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM short JOIN n a ON short.qid = a.vec_id JOIN n b ON short.cid = b.vec_id),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM rer)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
@@ -1357,6 +1526,9 @@ object Similarity {
       v04Int8TopK, Some(v04Sql)),
     // same SQL as v02: the lifecycle split must not change results
     QueryDef("v05_ivf_index", "IVF index build-to-storage + pruned probe",
-      v05IvfIndexLifecycle(_, _), Some(v02Sql))
+      v05IvfIndexLifecycle(_, _), Some(v02Sql)),
+    QueryDef("v18_ivf_pq_rerank",
+      "composed IVF probe -> PQ ADC -> exact refine (the production funnel)",
+      v18IvfPqRerank(_, _), Some(v18Sql))
   )
 }
