@@ -855,7 +855,67 @@ object Maintenance {
       |FROM occ
       |ORDER BY event_type, bin""".stripMargin
 
+  /** a45 — categorical-entropy profile across the lake's label-like
+    * columns: Shannon entropy is THE one-number summary a data-quality
+    * dashboard tracks per column (a collapsed distribution — encoder
+    * bug, upstream filter gone wrong — shows as an entropy cliff long
+    * before row counts move). Six columns across four tables in one
+    * output frame, each row (column, n_rows, n_distinct,
+    * ent_weighted_micro) with ent_weighted_micro = −Σ nᵢ·round(ln(nᵢ/N)
+    * ·1e6) — the a42 micro-nat convention: the ln input is an exact-
+    * int-over-exact-int double division, quantized ONCE, then pure
+    * integer arithmetic, so the profile hash-matches across engines.
+    * (N·H in micro-nats; divide by N·1e6 for bits·ln2.)
+    *
+    * Scale shape: one partial+final count aggregate per column — the
+    * value tables are tens of rows, the unpartitioned window over them
+    * is trivial — and the six frames union into one result. NULL is
+    * deliberately a category (a null-share collapse is exactly the
+    * kind of regression this audit exists to catch).
+    */
+  def a45EntropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    def ent(df: org.apache.spark.sql.DataFrame, table: String, c: String) = {
+      val wAll = Window.partitionBy()
+      df.groupBy(col(c)).agg(count(lit(1)).as("ni"))
+        .withColumn("nn", sum(col("ni")).over(wAll))
+        .withColumn("term", expr(
+          "ni * CAST(round(ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .agg(max(col("nn")).as("n_rows"),
+          count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_distinct"),
+          (-sum(col("term"))).as("ent_weighted_micro"))
+        .select(lit(s"$table.$c").as("column_name"),
+          col("n_rows"), col("n_distinct"), col("ent_weighted_micro"))
+    }
+    Seq(
+      ent(Tables.events(spark, dir), "events", "event_type"),
+      ent(Tables.orders(spark, dir), "orders", "o_orderstatus"),
+      ent(Tables.orders(spark, dir), "orders", "o_orderpriority"),
+      ent(Tables.customer(spark, dir), "customer", "c_mktsegment"),
+      ent(Tables.documents(spark, dir), "documents", "lang"),
+      ent(Tables.documents(spark, dir), "documents", "source"))
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
+  private val a45Sql = {
+    def block(table: String, c: String): String =
+      s"""SELECT '$table.$c' AS column_name,
+         |  CAST(MAX(nn) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(-SUM(ni * CAST(round(ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS ent_weighted_micro
+         |FROM (SELECT ni, SUM(ni) OVER () nn
+         |      FROM (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) ni FROM $table GROUP BY 1))""".stripMargin
+    Seq(
+      block("events", "event_type"), block("orders", "o_orderstatus"),
+      block("orders", "o_orderpriority"), block("customer", "c_mktsegment"),
+      block("documents", "lang"), block("documents", "source"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a45_entropy_profile",
+      "per-column categorical Shannon entropy, micro-nat quantized",
+      a45EntropyProfile, Some(a45Sql)),
     QueryDef("a44_decile_drift",
       "binned L1 drift vs baseline deciles (PSI shape, no logarithm)",
       a44DecileDrift, Some(a44Sql)),

@@ -1865,7 +1865,74 @@ object TextOps {
       |FROM p JOIN stats ON p.doc_id = stats.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** t33 — winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the
+    * MOSS algorithm): per document, hash every char-5-gram (the
+    * engine-neutral 60-bit md5 image), slide a window of w=8 hashes and
+    * keep each window's MINIMUM — the local-min selection guarantees
+    * any shared substring of length ≥ k+w−1 contributes at least one
+    * SHARED fingerprint between two documents, which is what makes
+    * winnowed fingerprints the standard local signature for
+    * plagiarism / containment detection at corpus scale (a guarantee
+    * MinHash, a GLOBAL sketch, does not give). Emitted per doc:
+    * fingerprint count, k-gram count, an order-independent XOR
+    * checksum (60-bit values would overflow an int64 SUM), and the
+    * selection density — winnowing's expected density is 2/(w+1) ≈
+    * 222k ppm, so the column doubles as a self-audit.
+    *
+    * Scale shape: entirely per-row lambda work over each doc's own
+    * hash array (no explode, no join, no shuffle except the final
+    * sort) — the narrowest possible corpus pass; fingerprint storage
+    * is ~2/(w+1) of the k-gram count by construction.
+    */
+  /** The winnowing frame itself — (doc_id, hs, fps) over any
+    * (doc_id, text) input; public so the guarantee is property-testable
+    * on crafted documents. */
+  def winnow(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(1, length(text) - 4)), " +
+          "i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, greatest(1, size(hs) - ${w - 1})), " +
+          s"i -> array_min(slice(hs, i, $w))))"))
+
+  def t33Winnowing(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    winnow(Tables.documents(spark, dir).select(col("doc_id"), col("text")), w)
+      .select(col("doc_id"),
+        expr("CAST(size(fps) AS BIGINT)").as("n_fingerprints"),
+        expr("CAST(size(hs) AS BIGINT)").as("n_kgrams"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"),
+        expr("(1000000 * size(fps)) div size(hs)").as("density_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t33Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(2, length(text) - 3)),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, 16),
+      |               j -> CAST(strpos('0123456789abcdef',
+      |                      substr(md5(substr(text, CAST(i AS INTEGER), 5)),
+      |                             CAST(j AS INTEGER), 1)) - 1 AS BIGINT))),
+      |             (a, b) -> a * 16 + b)) hs
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, hs,
+      |    list_distinct(list_transform(range(1, greatest(2, len(hs) - 6)),
+      |      i -> list_min(hs[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)]))) fps
+      |  FROM sh)
+      |SELECT doc_id,
+      |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  CAST(len(hs) AS BIGINT) AS n_kgrams,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor,
+      |  (1000000 * len(fps)) // len(hs) AS density_ppm
+      |FROM fp ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t33_winnowing",
+      "winnowed k-gram fingerprints (MOSS), per-doc counts + XOR checksum",
+      t33Winnowing(_, _), Some(t33Sql)),
     QueryDef("t32_doc_gate",
       "per-doc curation verdicts: exact-integer quality rules + reasons",
       t32DocGate, Some(t32Sql)),
