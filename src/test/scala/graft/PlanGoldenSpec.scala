@@ -52,7 +52,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "v11_prefix_rerank", "w17_decay_score", "a35_sketch_rollup",
     "t27_freq_spectrum", "m10_avghash_pairs", "a36_cms_heavy_hitters",
     "a37_kmv_set_ops", "g05_hits", "w18_interpolate_fill", "t28_rake_keywords",
-    "a38_ks_drift", "g06_kcore", "m11_audio_energy")
+    "a38_ks_drift", "g06_kcore", "m11_audio_energy",
+    "v18_ivf_pq_rerank", "t33_winnowing", "s12_temperature_mix",
+    "a45_entropy_profile", "sql03_access_by_country")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
