@@ -262,7 +262,51 @@ object ScaleDiag {
       |GROUP BY layout, probe
       |ORDER BY layout, probe""".stripMargin
 
+  /** l04 — compaction EXECUTED (the lifecycle counterpart of l02's
+    * plan, the j14/d12/v05 write-then-serve pattern): write a
+    * deliberately fragmented copy of `orders` (64-way round-robin
+    * repartition → 64 part files — the small-file debris a streaming
+    * ingest leaves), rewrite it compacted (`coalesce(4)` — a NARROW
+    * dependency, no shuffle: compaction must not pay a redistribution),
+    * and read the compacted copy back for the output aggregate. The
+    * emitted row is the invariant OPTIMIZE must preserve — per-status
+    * counts and key checksums unchanged by layout — plus the file
+    * inventories, which are deterministic by construction (64 → 4:
+    * round-robin over >64 rows leaves no empty partition, coalesce
+    * writes one file per remaining partition), so the oracle checks
+    * data conservation AND the layout arithmetic. Production targets
+    * `maxRecordsPerFile`/target-bytes instead of a fixed 4; the
+    * lifecycle shape is identical.
+    */
+  def l04CompactionExec(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l04_compact_")
+    val frag = s"$scratch/frag"
+    val comp = s"$scratch/compact"
+    Tables.orders(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4)
+      .write.mode("overwrite").parquet(comp)
+    def files(p: String): Long = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet")).toLong
+    val (before, after) = (files(frag), files(comp))
+    spark.read.parquet(comp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("files_before", lit(before))
+      .withColumn("files_after", lit(after))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val l04Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l04_compaction_exec",
+      "small-file compaction lifecycle: 64-file debris -> 4 files, rows conserved",
+      l04CompactionExec, Some(l04Sql)),
     QueryDef("l03_skipping_audit",
       "file-skipping audit: clustered vs arrival envelopes x 12 probes",
       l03SkippingAudit(_, _), Some(l03Sql)),

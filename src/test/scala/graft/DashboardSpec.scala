@@ -1,0 +1,63 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EP1 shell end-to-end: real HTTP server, real filtered Spark
+  * aggregates, real SVG charts in the response body. */
+class DashboardSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val server = new graft.dashboard.DashboardServer(spark)
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): String =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  test("dashboard serves the filtered EP1 page with charts over HTTP") {
+    val s = server.start(0)
+    try {
+      val port = s.getAddress.getPort
+      val home = get(port, "/")
+      // section inventory (the reference's tab-1 figures) is present
+      assert(home.contains("Global Filters"))
+      assert(home.contains("Top Deadliest Diseases"))
+      assert(home.contains("Average Treatment Cost by Disease"))
+      assert(home.contains("Mortality Trend"))
+      assert(home.contains("Healthcare Access vs Mortality"))
+      // real vector charts, not placeholders
+      assert(home.contains("<svg") && home.contains("<rect") &&
+        home.contains("<polyline") && home.contains("<circle"))
+      // sidebar is populated from the live distinct values
+      assert(home.contains("<option value=\"Brazil\""),
+        "country filter options must come from the cleaned data")
+
+      // applying a country filter narrows every section but keeps the trend
+      val filtered = get(port, "/?country=Brazil&year=")
+      assert(filtered.contains("selected>Brazil"))
+      assert(filtered.contains("Mortality Trend - Brazil"))
+      assert(filtered.contains("<svg"))
+
+      // an unknown filter value is ignored, not an error
+      val bogus = get(port, "/?country=Atlantis")
+      assert(bogus.contains("Global Health Analytics") && !bogus.contains("error:"))
+    } finally s.stop(0)
+  }
+
+  test("dashboard what-if prediction returns the model's number") {
+    val s = server.start(0)
+    try {
+      val port = s.getAddress.getPort
+      val body = get(port, "/predict?access=0.5&doctors=1.0&beds=2.0&cost=500&income=1000")
+      val m = "Predicted mortality rate: <b>([0-9.]+)</b>".r.findFirstMatchIn(body)
+      assert(m.isDefined, s"no prediction in: ${body.take(300)}")
+      val pred = m.get.group(1).toDouble
+      assert(pred > 0.0 && pred < 100.0, s"implausible mortality prediction $pred")
+      assert(body.contains("r2="), "model metrics panel missing")
+    } finally s.stop(0)
+  }
+}
