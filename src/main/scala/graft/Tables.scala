@@ -16,14 +16,33 @@ object Tables {
     * lakehouse resolves schemas from a catalog; this cache is that
     * contract for the driver's immutable testdata tables: first read
     * infers, every later read (and every guard that only needs to
-    * construct a plan) is job-free.
+    * construct a plan) is job-free. The key carries the file's
+    * (length, mtime) fingerprint so an in-place regeneration — the
+    * driver has rewritten /root/testdata mid-round before — invalidates
+    * the entry instead of silently applying a stale schema (which would
+    * surface renamed/missing columns as nulls). For a path that is a
+    * directory of part files the fingerprint folds in each child's
+    * name/length/mtime.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def fingerprint(path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      val h = kids.sortBy(_.getName).foldLeft(17L) { (acc, k) =>
+        ((acc * 31 + k.getName.hashCode) * 31 + k.length()) * 31 + k.lastModified()
+      }
+      (h, f.lastModified())
+    } else (f.length(), f.lastModified())
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+    val (len, mtime) = fingerprint(path)
+    val schema = schemaCache.computeIfAbsent((path, len, mtime),
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

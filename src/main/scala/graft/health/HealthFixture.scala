@@ -17,7 +17,29 @@ import org.apache.spark.sql.SparkSession
   */
 object HealthFixture {
 
-  val path = "/root/repo/tools/fixtures/health_cleaned.parquet"
+  /** Repo-relative location of the committed fixture. */
+  private val rel = "tools/fixtures/health_cleaned.parquet"
+
+  /** Absolute fixture path, resolved at class-load so the SAME string is
+    * baked into the DuckDB oracle SQL (duckView) and read by the Spark
+    * side. Resolution order: `-Dgraft.repo.root`, then a walk UP from the
+    * process cwd until the fixture is found (so sbt/driver runs work from
+    * any subdirectory of any checkout), then cwd-relative as a last
+    * resort. No absolute literal — a checkout at any location works.
+    */
+  val path: String = {
+    def candidate(root: java.io.File) = new java.io.File(root, rel)
+    @annotation.tailrec
+    def walkUp(d: java.io.File): Option[java.io.File] =
+      if (d == null) None
+      else if (candidate(d).isFile) Some(candidate(d))
+      else walkUp(d.getParentFile)
+    val cwd = new java.io.File(sys.props("user.dir")).getCanonicalFile
+    sys.props.get("graft.repo.root").map(r => candidate(new java.io.File(r)))
+      .orElse(walkUp(cwd))
+      .getOrElse(candidate(cwd))
+      .getAbsolutePath
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -192,30 +192,47 @@ object Components {
     // construction (dist < maxHops terminates it), so the walk count is
     // the only thing the limit sees; the 10x scale probe (ScaleProbe)
     // tripped the default. Raise it to a still-finite guardrail sized
-    // for cluster-scale walk counts.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", (1L << 30).toString)
-    // materialize the FastSS pairs ONCE: the recursive CTE re-evaluates
-    // its source plan on every level, and without this the whole d09
-    // deletion-neighborhood pipeline re-runs per hop (measured 12.8 s
-    // vs d09's own 5.8 s at sf0.1); checkpointed blocks make each level
-    // a scan
-    Dedup.d09FuzzyPairs(spark, dir).select(col("ida"), col("idb"))
-      .localCheckpoint(true)
-      .createOrReplaceTempView("g04_pairs")
-    graft.Tables.customer(spark, dir).select(col("c_custkey"))
-      .filter(col("c_custkey") % 100 === 0)
-      .createOrReplaceTempView("g04_seeds")
-    spark.sql(
-      s"""WITH RECURSIVE
-         |e AS (SELECT ida a, idb b FROM g04_pairs
-         |      UNION ALL SELECT idb, ida FROM g04_pairs),
-         |reach(c_custkey, dist) AS (
-         |  SELECT c_custkey, 0 FROM g04_seeds
-         |  UNION ALL
-         |  SELECT e.b, reach.dist + 1 FROM reach JOIN e ON reach.c_custkey = e.a
-         |  WHERE reach.dist < $maxHops)
-         |SELECT c_custkey, CAST(MIN(dist) AS BIGINT) AS hops
-         |FROM reach GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    // for cluster-scale walk counts — SCOPED: the walk runs eagerly
+    // under the raised limit (the closing localCheckpoint materializes
+    // the small reach set) and the previous limit is restored in a
+    // finally, so every OTHER recursive CTE in the same session keeps
+    // the 1M runaway backstop.
+    val limitKey = "spark.sql.cteRecursionRowLimit"
+    val prevLimit = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, (1L << 30).toString)
+    try {
+      // materialize the FastSS pairs ONCE: the recursive CTE re-evaluates
+      // its source plan on every level, and without this the whole d09
+      // deletion-neighborhood pipeline re-runs per hop (measured 12.8 s
+      // vs d09's own 5.8 s at sf0.1); checkpointed blocks make each level
+      // a scan
+      Dedup.d09FuzzyPairs(spark, dir).select(col("ida"), col("idb"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("g04_pairs")
+      graft.Tables.customer(spark, dir).select(col("c_custkey"))
+        .filter(col("c_custkey") % 100 === 0)
+        .createOrReplaceTempView("g04_seeds")
+      spark.sql(
+        s"""WITH RECURSIVE
+           |e AS (SELECT ida a, idb b FROM g04_pairs
+           |      UNION ALL SELECT idb, ida FROM g04_pairs),
+           |reach(c_custkey, dist) AS (
+           |  SELECT c_custkey, 0 FROM g04_seeds
+           |  UNION ALL
+           |  SELECT e.b, reach.dist + 1 FROM reach JOIN e ON reach.c_custkey = e.a
+           |  WHERE reach.dist < $maxHops)
+           |SELECT c_custkey, CAST(MIN(dist) AS BIGINT) AS hops
+           |FROM reach GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+        // eager: the recursion executes HERE, inside the raised-limit
+        // scope (checkpoint keeps partitioning + ordering metadata, so
+        // the final ORDER BY survives); the result is |reachable| rows
+        .localCheckpoint(true)
+    } finally {
+      prevLimit match {
+        case Some(v) => spark.conf.set(limitKey, v)
+        case None    => spark.conf.unset(limitKey)
+      }
+    }
   }
 
   /** Oracle: d09's brute-force lev≤1 pairs + the IDENTICAL depth-bounded

@@ -266,17 +266,22 @@ object ScaleDiag {
     * plan, the j14/d12/v05 write-then-serve pattern): write a
     * deliberately fragmented copy of `orders` (64-way round-robin
     * repartition → 64 part files — the small-file debris a streaming
-    * ingest leaves), rewrite it compacted (`coalesce(4)` — a NARROW
-    * dependency, no shuffle: compaction must not pay a redistribution),
-    * and read the compacted copy back for the output aggregate. The
-    * emitted row is the invariant OPTIMIZE must preserve — per-status
-    * counts and key checksums unchanged by layout — plus the file
-    * inventories, which are deterministic by construction (64 → 4:
-    * round-robin over >64 rows leaves no empty partition, coalesce
-    * writes one file per remaining partition), so the oracle checks
-    * data conservation AND the layout arithmetic. Production targets
-    * `maxRecordsPerFile`/target-bytes instead of a fixed 4; the
-    * lifecycle shape is identical.
+    * ingest leaves), rewrite it compacted to exactly 4 files, and read
+    * the compacted copy back for the output aggregate. The emitted row
+    * is the invariant OPTIMIZE must preserve — per-status counts and
+    * key checksums unchanged by layout — plus the file inventories, so
+    * the oracle checks data conservation AND the layout arithmetic.
+    * The compacted write uses `repartition(4)` (round-robin shuffle),
+    * not `coalesce(4)`: coalesce is narrow and cheaper, but its output
+    * count is hostage to READ-side split packing (if
+    * maxPartitionBytes packs the 64 fragments into <4 input splits,
+    * coalesce cannot raise the count and the contract's files_after=4
+    * goes red with no code change). repartition makes the target count
+    * deterministic regardless of how the scan splits — at 100 TB a
+    * compactor pays the same conscious trade: narrow coalesce when
+    * splits permit, shuffle when the target layout must be exact.
+    * Production targets `maxRecordsPerFile`/target-bytes instead of a
+    * fixed 4; the lifecycle shape is identical.
     */
   def l04CompactionExec(spark: SparkSession, dir: String): DataFrame = {
     val scratch = graft.util.Scratch.dir("l04_compact_")
@@ -284,7 +289,7 @@ object ScaleDiag {
     val comp = s"$scratch/compact"
     Tables.orders(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(frag)
-    spark.read.parquet(frag).coalesce(4)
+    spark.read.parquet(frag).repartition(4)
       .write.mode("overwrite").parquet(comp)
     def files(p: String): Long = new java.io.File(p).listFiles()
       .count(f => f.getName.endsWith(".parquet")).toLong

@@ -50,7 +50,19 @@ object EventStream {
       case Some(enc) => enc == "nanos"
       case None =>
         try spark.read.parquet(srcDir).schema("ts").dataType == LongType
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            // nothing to probe yet — the fallback is an ASSUMPTION, not
+            // an observation. Say so loudly: if the first files to land
+            // are nanos-encoded, the micros/NTZ schema is wrong and the
+            // caller must pin graft.tsEncoding=nanos.
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"eventsStream: $srcDir has no parquet files yet; assuming " +
+                "ts=TIMESTAMP(MICROS)/NTZ. If arriving files encode ts as " +
+                "INT64 nanos, set option graft.tsEncoding=nanos (or =micros " +
+                "to silence this warning).")
+            false
+        }
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType),
