@@ -589,7 +589,77 @@ object LinkRank {
       |  END AS assort_ppm
       |FROM s""".stripMargin
 
+  /** g10 — personalized PageRank: the restart distribution concentrates
+    * on a SEED set (doc_id % 50 == 0 — trusted/curated documents)
+    * instead of spreading uniformly, so rank mass measures proximity to
+    * the seeds. The crawl-frontier / seed-expansion primitive: "which
+    * documents does the trusted core endorse" — used to prioritize
+    * ingest and to propagate quality labels. Same deterministic link
+    * graph, integer micro-unit arithmetic, and 3 unrolled synchronous
+    * steps as [[g01LinkRank]]; the only change is the teleport term
+    * (150000 per seed, 0 elsewhere), which keeps every step a
+    * broadcast-free join + one aggregate on dst — the iteration shape
+    * that survives a 1000-executor graph.
+    */
+  def g10PersonalizedRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val seedTerm = when(col("doc_id") % 50 === 0, 150000L).otherwise(0L)
+    def step(ranks: DataFrame): DataFrame = {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .groupBy(col("dst")).agg(sum(expr("r div 3")).as("s"))
+      docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id").as("node"),
+          (seedTerm + expr("coalesce((850 * s) div 1000, CAST(0 AS BIGINT))")).as("r"))
+    }
+    val r0 = docs.select(col("doc_id").as("node"),
+      when(col("doc_id") % 50 === 0, 1000000L).otherwise(0L).as("r"))
+    step(step(step(r0)))
+      .select(col("node").as("doc_id"), col("r").as("ppr_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g10Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |e AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |r0 AS (SELECT doc_id node,
+      |         CAST(CASE WHEN doc_id % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) r
+      |       FROM documents),
+      |r1 AS (
+      |  SELECT d.doc_id node,
+      |    CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END
+      |      + COALESCE((850 * s) // 1000, 0) r
+      |  FROM documents d LEFT JOIN (
+      |    SELECT dst, SUM(r // 3) s FROM e JOIN r0 ON e.src = r0.node GROUP BY dst) c
+      |  ON d.doc_id = c.dst),
+      |r2 AS (
+      |  SELECT d.doc_id node,
+      |    CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END
+      |      + COALESCE((850 * s) // 1000, 0) r
+      |  FROM documents d LEFT JOIN (
+      |    SELECT dst, SUM(r // 3) s FROM e JOIN r1 ON e.src = r1.node GROUP BY dst) c
+      |  ON d.doc_id = c.dst),
+      |r3 AS (
+      |  SELECT d.doc_id node,
+      |    CASE WHEN d.doc_id % 50 = 0 THEN 150000 ELSE 0 END
+      |      + COALESCE((850 * s) // 1000, 0) r
+      |  FROM documents d LEFT JOIN (
+      |    SELECT dst, SUM(r // 3) s FROM e JOIN r2 ON e.src = r2.node GROUP BY dst) c
+      |  ON d.doc_id = c.dst)
+      |SELECT node AS doc_id, CAST(r AS BIGINT) AS ppr_micro
+      |FROM r3 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g10_personalized_rank",
+      "3-step integer personalized PageRank: teleport mass pinned to seeds",
+      g10PersonalizedRank, Some(g10Sql)),
     QueryDef("g09_assortativity",
       "exact rational degree assortativity (sign-aware ppm floor)",
       g09Assortativity, Some(g09Sql)),

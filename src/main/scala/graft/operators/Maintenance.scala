@@ -912,7 +912,70 @@ object Maintenance {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** a46 — exact chi-square independence test for event_type × hour-of-day.
+    * The categorical drift / dependence gate next to a42's mutual
+    * information: MI measures the strength in nats, chi-square is the
+    * classical test statistic reviewers expect. EVERY grid cell
+    * contributes — including empty ones, whose (0−e)²/e = e term the
+    * observed-cells-only shortcut silently drops — so the full R×C grid
+    * is built from the two marginal aggregates (R,C are category counts:
+    * tiny, broadcast) and left-joined to the observed cells. Per-cell
+    * contribution in micro-units is the exact rational
+    * ((N·n_ij − r_i·c_j)² · 10⁶) div (r_i·c_j·N) evaluated in
+    * DECIMAL(38,0) — headroom to N ≈ 5·10⁸ events; beyond that shard the
+    * test per time-slice and sum. One shuffle on (type, hour); everything
+    * after is broadcast arithmetic.
+    */
+  def a46ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(hour(ts) AS INT)").as("h"))
+    val xy = e.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nxy"))
+    val nx = xy.groupBy(col("event_type")).agg(sum(col("nxy")).as("nx"))
+    val ny = xy.groupBy(col("h")).agg(sum(col("nxy")).as("ny"))
+    val tot = xy.agg(sum(col("nxy")).as("nn"))
+    nx.crossJoin(broadcast(ny))
+      .join(xy, Seq("event_type", "h"), "left")
+      .withColumn("nxy", coalesce(col("nxy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("h"),
+        col("nx").cast(D).as("nx"), col("ny").cast(D).as("ny"),
+        col("nxy").cast(D).as("nxy"), col("nn").cast(D).as("nn"))
+      .agg(max(col("nn")).cast(LongType).as("n_events"),
+           countDistinct(col("event_type")).as("r_cats"),
+           countDistinct(col("h")).as("c_cats"),
+           sum(expr(
+             "((nn * nxy - nx * ny) * (nn * nxy - nx * ny) * 1000000) div (nx * ny * nn)"))
+             .cast(LongType).as("chi2_micro"))
+      .select(col("n_events"), col("r_cats"), col("c_cats"),
+        expr("(r_cats - 1) * (c_cats - 1)").as("dof"), col("chi2_micro"))
+  }
+
+  private val a46Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(hour(ts) AS INTEGER) h FROM events),
+      |xy AS (SELECT event_type, h, CAST(COUNT(*) AS HUGEINT) nxy
+      |       FROM e GROUP BY 1, 2),
+      |nx AS (SELECT event_type, CAST(SUM(nxy) AS HUGEINT) nx FROM xy GROUP BY 1),
+      |ny AS (SELECT h, CAST(SUM(nxy) AS HUGEINT) ny FROM xy GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nxy) AS HUGEINT) nn FROM xy),
+      |cells AS (
+      |  SELECT nx.event_type, ny.h, nx.nx, ny.ny,
+      |    COALESCE(xy.nxy, 0) nxy, tot.nn
+      |  FROM nx CROSS JOIN ny CROSS JOIN tot
+      |  LEFT JOIN xy ON nx.event_type = xy.event_type AND ny.h = xy.h)
+      |SELECT CAST(MAX(nn) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r_cats,
+      |  CAST(COUNT(DISTINCT h) AS BIGINT) AS c_cats,
+      |  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT h) - 1) AS BIGINT) AS dof,
+      |  CAST(SUM(((nn * nxy - nx * ny) * (nn * nxy - nx * ny) * 1000000)
+      |           // (nx * ny * nn)) AS BIGINT) AS chi2_micro
+      |FROM cells""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a46_chi_square",
+      "exact chi-square independence test (type x hour), micro-quantized",
+      a46ChiSquare, Some(a46Sql)),
     QueryDef("a45_entropy_profile",
       "per-column categorical Shannon entropy, micro-nat quantized",
       a45EntropyProfile, Some(a45Sql)),

@@ -309,7 +309,10 @@ object Sampling {
       .filter(col("rn") <= col("quota"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
-    quotas.join(picked, Seq("source"), "left")
+    // `picked` is a per-source aggregate (tens of rows) but sits behind a
+    // window+join pipeline, so the size estimate balloons past the
+    // autoBroadcast threshold — hint it explicitly or AQE plans an SMJ.
+    quotas.join(broadcast(picked), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("quota"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))

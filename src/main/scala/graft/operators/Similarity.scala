@@ -1486,7 +1486,78 @@ object Similarity {
       |GROUP BY depth, n_queries
       |ORDER BY depth""".stripMargin
 
+  /** v19 — multi-vector MaxSim (late-interaction, ColBERT-style): each
+    * embedding is treated as 8 token-level sub-vectors of 8 dims;
+    * score(q,c) = Σ_s max_t ⟨q_s, c_t⟩ — every query sub-vector matches
+    * its best counterpart independently, which is what makes late
+    * interaction beat single-vector cosine on multi-topic documents.
+    * Integer-exact: quantized int64 sub-dots via the codegen `vec_dot`,
+    * max/sum in higher-order functions, NO floats anywhere. The
+    * sub-vector arrays are materialized ONCE per vector before the
+    * join (8 slices), not re-sliced per pair.
+    *
+    * SCALE CONTRACT: this is the exact all-pairs baseline of the family
+    * — each pair costs 64 sub-dots (= one full-dim dot × 8), so the
+    * shared guard prices it at multiplier 8. Production path at 100 TB:
+    * generate candidates with v12's binary-Hamming shortlist (or v05's
+    * IVF cells), then MaxSim-score only the shortlist — identical
+    * expressions over a bounded pair set.
+    */
+  def v19MaxsimTopK(spark: SparkSession, dir: String,
+                    maxPairs: Long = 1L << 28): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v19", maxPairs, multiplier = 8,
+      routes = "generate candidates with v12 (binary Hamming shortlist) or " +
+        "v05 (stored IVF index) and MaxSim-score only the shortlist")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .select(col("vec_id"),
+        expr("transform(sequence(0, 7), s -> slice(q, s * 8 + 1, 8))").as("subs"))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("subs").as("qsubs"))
+    val corpus = vecs.select(col("vec_id").as("cid"), col("subs").as("csubs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("score", expr(
+        "aggregate(qsubs, CAST(0 AS BIGINT), (acc, qs) -> " +
+          "acc + array_max(transform(csubs, cs -> vec_dot(qs, cs))))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), col("score").as("maxsim_score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v19Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS qs
+      |  FROM v, (SELECT unnest(range(0, 8)) AS s)),
+      |qsub AS (SELECT vec_id AS qid, s, qs FROM sub WHERE vec_id % 25 = 0),
+      |best AS (
+      |  SELECT q.qid, c.vec_id AS cid, q.s,
+      |    MAX(list_sum(list_transform(range(1, 9),
+      |      i -> q.qs[CAST(i AS INTEGER)] * c.qs[CAST(i AS INTEGER)]))) AS best_dot
+      |  FROM qsub q JOIN sub c ON q.qid <> c.vec_id
+      |  GROUP BY q.qid, c.vec_id, q.s),
+      |scores AS (
+      |  SELECT qid, cid, CAST(SUM(best_dot) AS BIGINT) AS score
+      |  FROM best GROUP BY qid, cid),
+      |r AS (SELECT qid, cid, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) rank
+      |      FROM scores)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id,
+      |  score AS maxsim_score
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v19_maxsim_topk",
+      "late-interaction MaxSim top-3: 8x8 sub-vector best-match, integer exact",
+      v19MaxsimTopK(_, _), Some(v19Sql)),
     QueryDef("v17_shortlist_sweep",
       "binary-shortlist recall@3 curve over depths {8,16,32,64}",
       v17ShortlistSweep(_, _), Some(v17Sql)),

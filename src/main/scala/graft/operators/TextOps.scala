@@ -1929,7 +1929,120 @@ object TextOps {
       |  (1000000 * len(fps)) // len(hs) AS density_ppm
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** t34 — vocabulary growth curve (Heaps' law observation): at 10 equal
+    * doc-id checkpoints, how many tokens have been seen in total and how
+    * many DISTINCT tokens exist so far. The curve's flattening is the
+    * classic signal that a corpus slice stops contributing new vocabulary
+    * — the "more data vs more of the same" call a 100 TB ingest makes per
+    * source. Scale shape: one explode + one (token → min doc_id)
+    * aggregate — the cumulative-distinct answer at EVERY checkpoint falls
+    * out of first-occurrence positions, with NO per-checkpoint rescan and
+    * no global window; the 10 thresholds are pure arithmetic on the
+    * (min,max) extent, broadcast as a 10-row dimension.
+    */
+  def t34VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val deciles = docs.agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .select(explode(expr("sequence(1, 10)")).as("k"), col("dmin"), col("dmax"))
+      .select(col("k").cast("int").as("decile"),
+        expr("dmin - 1 + ((dmax - dmin + 1) * k) div 10").as("thr"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstSeen.crossJoin(broadcast(deciles))
+      .filter(col("fd") <= col("thr"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab_size"))
+    val seen = docs
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .crossJoin(broadcast(deciles))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("decile"), col("thr"))
+      .agg(count(lit(1)).as("docs_seen"), sum(col("n")).as("tokens_seen"))
+    seen.join(vocab, Seq("decile"))
+      .select(col("decile"), col("thr"), col("docs_seen"),
+              col("tokens_seen"), col("vocab_size"))
+      .orderBy(col("decile"))
+  }
+
+  private val t34Sql =
+    """WITH ext AS (SELECT MIN(doc_id) dmin, MAX(doc_id) dmax FROM documents),
+      |thr AS (
+      |  SELECT CAST(k AS INTEGER) decile,
+      |    dmin - 1 + ((dmax - dmin + 1) * k) // 10 AS thr
+      |  FROM ext, (SELECT unnest(range(1, 11)) k)),
+      |fs AS (
+      |  SELECT tok, MIN(doc_id) fd FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok
+      |    FROM documents) GROUP BY tok),
+      |va AS (
+      |  SELECT decile, COUNT(*) vocab_size
+      |  FROM fs, thr WHERE fd <= thr GROUP BY decile),
+      |da AS (
+      |  SELECT decile, thr, COUNT(*) docs_seen,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) tokens_seen
+      |  FROM documents, thr WHERE doc_id <= thr GROUP BY decile, thr)
+      |SELECT da.decile, da.thr, da.docs_seen, da.tokens_seen, va.vocab_size
+      |FROM da JOIN va ON da.decile = va.decile
+      |ORDER BY da.decile""".stripMargin
+
+  /** t35 — Flesch reading-ease scoring, exact integer milli-units. The
+    * standard readability gate in text curation (keep FRE in a band,
+    * drop gibberish/legalese tails). Syllables are the conventional
+    * vowel-group heuristic ([aeiouy]+ runs), sentences split on [.!?]
+    * runs, both floor-guarded at 1 so the integer divisions are total.
+    * fre_milli = 206835 - (1015*words) div sents - (84600*syll) div
+    * words — both divisions on positive operands, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree. Pure per-row projection:
+    * no shuffle until the output sort.
+    */
+  def t35Readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long")
+    val sents = size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")
+    val sylls = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        words.as("n_words"),
+        greatest(sents, lit(1L)).as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("w", greatest(col("n_words"), lit(1L)))
+      .withColumn("fre_milli",
+        expr("206835 - (1015 * w) div n_sentences - (84600 * n_syllables) div w"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        col("fre_milli"),
+        when(col("fre_milli") >= 90000, "very_easy")
+          .when(col("fre_milli") >= 60000, "standard")
+          .when(col("fre_milli") >= 30000, "difficult")
+          .otherwise("very_confusing").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t35Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) n_words,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) n_syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, greatest(n_words, 1) w FROM m),
+      |s AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    206835 - (1015 * w) // n_sentences - (84600 * n_syllables) // w AS fre_milli
+      |  FROM f)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, fre_milli,
+      |  CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+      |       WHEN fre_milli >= 60000 THEN 'standard'
+      |       WHEN fre_milli >= 30000 THEN 'difficult'
+      |       ELSE 'very_confusing' END AS band
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t35_readability",
+      "Flesch reading-ease gate, exact integer milli-units + band label",
+      t35Readability, Some(t35Sql)),
+    QueryDef("t34_vocab_growth",
+      "Heaps-law vocabulary growth at 10 checkpoints via first-occurrence agg",
+      t34VocabGrowth, Some(t34Sql)),
     QueryDef("t33_winnowing",
       "winnowed k-gram fingerprints (MOSS), per-doc counts + XOR checksum",
       t33Winnowing(_, _), Some(t33Sql)),

@@ -1119,7 +1119,60 @@ object Windows {
       |  CAST(n * sy2 - sy * sy AS BIGINT) AS vary
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** w26 — maximum drawdown per event type: treat each type's value
+    * stream (ordered by event time) as a cumulative series and report
+    * the deepest peak-to-trough fall. The classic risk/stability metric
+    * for any monitored cumulative signal (reward curves, token-count
+    * budgets, revenue): drawdown_i = max_{j<=i}(cum_j) - cum_i, answer =
+    * max_i drawdown_i. Exact integer cents; two stacked running frames
+    * (SUM then MAX) share ONE Exchange+Sort on the same
+    * (partition, order) — Catalyst plans a single Window operator pair,
+    * no re-shuffle, so at 100 TB this is one pass per key group.
+    */
+  def w26MaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("cum", sum(col("cents")).over(run))
+      .withColumn("peak", max(col("cum")).over(run))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("peak") - col("cum")).as("max_drawdown_cents"),
+           max(col("peak")).as("peak_cents"),
+           // the cumulative series ends at the plain total — no
+           // order-sensitive last() needed
+           sum(col("cents")).as("final_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w26Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events WHERE "value" IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, us, event_id, cents,
+      |    SUM(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |  FROM e),
+      |p AS (
+      |  SELECT event_type, cents, cum,
+      |    MAX(cum) OVER (PARTITION BY event_type ORDER BY us, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) peak
+      |  FROM c)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+      |  CAST(MAX(peak) AS BIGINT) AS peak_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS final_cents
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w26_max_drawdown",
+      "max peak-to-trough drawdown of the cumulative value series per type",
+      w26MaxDrawdown, Some(w26Sql)),
     QueryDef("w25_lag_autocorr",
       "lag-1 autocorrelation as signed quantized r^2 (exact integer formula)",
       w25LagAutocorr, Some(w25Sql)),

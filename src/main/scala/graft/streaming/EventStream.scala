@@ -847,7 +847,92 @@ object EventStream {
       |FROM x GROUP BY event_type, w_us
       |ORDER BY event_type, w_us""".stripMargin
 
+  /** st10 — exactly-once accounting under at-least-once delivery: every
+    * 7th event is redelivered (the deterministic stand-in for a source
+    * that retries on ack timeout), and the pipeline must converge to the
+    * original totals. Batch semantics here: union + dropDuplicates on
+    * the event id (one shuffle on a high-cardinality key — no skew), with
+    * both the delivered and deduplicated ledgers emitted so the contract
+    * row PROVES duplicates existed and were removed. The streaming dual
+    * is [[streamingRedeliveryDedup]]: the same dedup as
+    * `dropDuplicatesWithinWatermark` with watermark-bounded state (state
+    * = ids inside the lateness horizon, not the full history — the only
+    * dedup shape that survives an unbounded stream), asserted equal to
+    * this batch result by EventStreamSpec across multiple micro-batches.
+    */
+  def st10RedeliveryDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val atLeastOnce = base.unionAll(base.filter(col("event_id") % 7 === 0))
+    val delivered = atLeastOnce.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_delivered"))
+    val unique = atLeastOnce.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("cents")).as("sum_cents"))
+    delivered.join(unique, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  private val st10Sql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events),
+      |ao AS (SELECT * FROM base
+      |       UNION ALL SELECT * FROM base WHERE event_id % 7 = 0),
+      |d AS (SELECT event_type, COUNT(*) n_delivered FROM ao GROUP BY 1),
+      |u AS (SELECT event_type, COUNT(*) n_unique,
+      |        CAST(SUM(cents) AS BIGINT) sum_cents
+      |      FROM (SELECT DISTINCT * FROM ao) GROUP BY 1)
+      |SELECT d.event_type, d.n_delivered, u.n_unique, u.sum_cents
+      |FROM d JOIN u USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** Streaming dual of [[st10RedeliveryDedup]]: stages the corpus PLUS
+    * the redelivered subset as separate files, replays them through the
+    * file source one file per trigger (so duplicates genuinely arrive in
+    * a LATER micro-batch than their originals and the dedup must come
+    * from the state store, not intra-batch distinct), and deduplicates
+    * with `dropDuplicatesWithinWatermark` — state bounded by the
+    * watermark horizon. Returns the per-type aggregate of the appended
+    * (first-occurrence) rows for comparison against the batch contract.
+    */
+  def streamingRedeliveryDedup(spark: SparkSession, dir: String,
+                               queryName: String = "st_redeliver"): DataFrame = {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_redeliver_").toString
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    base.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/b1")
+    base.filter(col("event_id") % 7 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stageDir/b2")
+    // one flat dir of data files for the file source, original first
+    val flat = java.nio.file.Files.createTempDirectory("graft_redeliver_src_")
+    Seq("b1" -> "0_original.parquet", "b2" -> "1_redelivered.parquet").foreach {
+      case (sub, name) =>
+        val part = new java.io.File(s"$stageDir/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.createSymbolicLink(flat.resolve(name), part.toPath)
+    }
+    val src = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+      .withWatermark("ts", "48 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = src.writeStream
+      .format("memory").queryName(queryName).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st10_redelivery_dedup",
+      "exactly-once totals under at-least-once redelivery (id dedup ledger)",
+      st10RedeliveryDedup, Some(st10Sql)),
     QueryDef("st09_lateness_audit",
       "watermark drop-rate curve from replayed arrival disorder",
       st09LatenessAudit, Some(st09Sql)),

@@ -16,6 +16,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming redelivery dedup == batch exactly-once totals across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // batch contract's deduplicated ledger (n_unique, sum_cents per type)
+    val batch = EventStream.st10RedeliveryDedup(spark, sf)
+      .select(col("event_type"), col("n_unique"), col("sum_cents"))
+      .collect().map(_.toString)
+    // duplicates arrive one file-per-trigger => a LATER micro-batch; the
+    // dedup must come from the watermark state store
+    val streamed = EventStream.streamingRedeliveryDedup(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming quality gate split sinks == batch gate accounting") {
     val batch = EventStream.st06QualityGate(spark, sf).collect().map(_.toString)
     val streamed = EventStream.streamingQualityGate(spark, sf).collect().map(_.toString)

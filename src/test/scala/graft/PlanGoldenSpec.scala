@@ -54,7 +54,10 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a37_kmv_set_ops", "g05_hits", "w18_interpolate_fill", "t28_rake_keywords",
     "a38_ks_drift", "g06_kcore", "m11_audio_energy",
     "v18_ivf_pq_rerank", "t33_winnowing", "s12_temperature_mix",
-    "a45_entropy_profile", "sql03_access_by_country")
+    "a45_entropy_profile", "sql03_access_by_country",
+    "w26_max_drawdown", "t34_vocab_growth", "t35_readability",
+    "g10_personalized_rank", "a46_chi_square", "v19_maxsim_topk",
+    "st10_redelivery_dedup")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
