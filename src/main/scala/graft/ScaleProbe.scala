@@ -25,13 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The bench heavies called out by the r5 review. */
+  /** The bench heavies called out by the r5 review, plus the round-7
+    * additions whose cost is corpus-shaped (iterative joins, LSH
+    * sweeps, per-row HOF scans, full-width window passes). Guarded
+    * exact-eval ops (v19 etc.) are deliberately absent: their guards
+    * trip at 10× BY DESIGN and route to the index paths.
+    */
   val probes: Seq[String] = Seq(
     "d12_lsh_index", "d10_lsh_audit", "d01_minhash_lsh",
     "g03_component_profile", "g04_contamination_spread", "g05_hits",
     "g06_kcore", "g08_lpa_communities",
     "v09_pq_rerank", "v12_binary_topk", "v18_ivf_pq_rerank",
-    "t25_curation_funnel", "j14_bucketed_join")
+    "t25_curation_funnel", "j14_bucketed_join",
+    "g10_personalized_rank", "d13_threshold_sweep", "t34_vocab_growth",
+    "t07_repetition_filters", "t33_winnowing", "w27_bollinger_breach")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer")
   private val copiedTables = Seq("region", "nation", "supplier", "part", "events")

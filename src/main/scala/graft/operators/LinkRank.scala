@@ -656,7 +656,66 @@ object LinkRank {
       |SELECT node AS doc_id, CAST(r AS BIGINT) AS ppr_micro
       |FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** g11 — directed-graph reciprocity + loop audit over the deterministic
+    * link graph: what fraction of distinct edges are mutual (u→v AND
+    * v→u)? Reciprocity separates link-graph SHAPES — citation-like DAGs
+    * (≈0) from social/forum graphs (high) — which drives whether
+    * crawl-frontier expansion or PageRank damping assumptions hold on a
+    * new corpus; the self-loop count is the degenerate-edge audit that
+    * runs alongside. Shape: build the edge list, split off loops,
+    * `distinct`, then ONE self-join keyed on the reversed pair — a
+    * shuffle on (src,dst) both sides, no broadcast needed because both
+    * sides are the same frame. The three scalar aggregates compose via
+    * broadcast crossJoin (1-row frames).
+    */
+  def g11Reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val raw = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val loops = raw.filter(col("src") === col("dst"))
+      .agg(count(lit(1)).as("n_loop_refs"),
+           countDistinct(col("src")).as("n_loop_nodes"))
+    val edges = raw.filter(col("src") =!= col("dst")).distinct()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val recip = edges.as("a")
+      .join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    nEdges.crossJoin(broadcast(recip)).crossJoin(broadcast(loops))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("(1000000 * n_reciprocal) div n_edges").as("reciprocity_ppm"),
+        col("n_loop_refs"), col("n_loop_nodes"))
+  }
+
+  private val g11Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |raw AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |loops AS (
+      |  SELECT COUNT(*) n_loop_refs, COUNT(DISTINCT src) n_loop_nodes
+      |  FROM raw WHERE src = dst),
+      |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |ne AS (SELECT COUNT(*) n_edges FROM e),
+      |r AS (
+      |  SELECT COUNT(*) n_reciprocal
+      |  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+      |SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+      |  CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+      |  CAST((1000000 * r.n_reciprocal) // ne.n_edges AS BIGINT)
+      |    AS reciprocity_ppm,
+      |  CAST(loops.n_loop_refs AS BIGINT) AS n_loop_refs,
+      |  CAST(loops.n_loop_nodes AS BIGINT) AS n_loop_nodes
+      |FROM ne CROSS JOIN r CROSS JOIN loops""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g11_reciprocity",
+      "edge reciprocity + self-loop audit of the deterministic link graph",
+      g11Reciprocity, Some(g11Sql)),
     QueryDef("g10_personalized_rank",
       "3-step integer personalized PageRank: teleport mass pinned to seeds",
       g10PersonalizedRank, Some(g10Sql)),

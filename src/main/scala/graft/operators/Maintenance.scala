@@ -972,7 +972,96 @@ object Maintenance {
       |           // (nx * ny * nn)) AS BIGINT) AS chi2_micro
       |FROM cells""".stripMargin
 
+  /** a47 — Welch's unequal-variance t-test between two event types'
+    * value distributions: the parametric companion to [[a41MannWhitney]]
+    * (direction + magnitude under a location-shift model) and the
+    * mean-drift gate next to a46's categorical chi-square. Everything
+    * is integer arithmetic on DEFINED quantization points, so both
+    * engines produce bit-identical rows: cents in, then
+    * mean-difference/variance/standard-error/t²/Welch–Satterthwaite dof
+    * each floor-quantized (micro or milli) at the moment they are
+    * derived. The variance numerators n·Σx²−(Σx)² are computed in
+    * DECIMAL(38,0) — BIGINT overflows them past ~10⁸ rows per group —
+    * and every division has a non-negative numerator except the mean
+    * difference, which uses the g09 sign-aware floor (Spark `div`
+    * truncates, DuckDB `//` floors; they only agree on non-negatives).
+    *
+    * Scale shape: ONE partial-aggregated pass over the filtered events
+    * produces the six sufficient statistics (n, Σx, Σx² per side); the
+    * test itself is arithmetic on a single row. The same shape at
+    * 100 TB — sufficient statistics are what you ship, not rows.
+    */
+  def a47WelchTtest(spark: SparkSession, dir: String,
+                    typeA: String = "click", typeB: String = "error"): DataFrame = {
+    val D = DecimalType(38, 0)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isin(typeA, typeB))
+      .select(when(col("event_type") === typeA, 1L).otherwise(0L).as("isa"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .agg(
+        sum(col("isa")).as("n1"),
+        sum(lit(1L) - col("isa")).as("n2"),
+        sum(when(col("isa") === 1L, col("x")).otherwise(0L).cast(D)).as("s1"),
+        sum(when(col("isa") === 0L, col("x")).otherwise(0L).cast(D)).as("s2"),
+        sum(when(col("isa") === 1L, col("x") * col("x")).otherwise(0L).cast(D)).as("q1"),
+        sum(when(col("isa") === 0L, col("x") * col("x")).otherwise(0L).cast(D)).as("q2"))
+      // micro-quantized moments; every later step works on these longs
+      .select(col("n1"), col("n2"),
+        expr("CASE WHEN s1 * n2 - s2 * n1 >= 0 " +
+             "THEN (1000000 * (s1 * n2 - s2 * n1)) div (n1 * n2) " +
+             "ELSE -((1000000 * (s2 * n1 - s1 * n2)) div (n1 * n2)) END")
+          .as("mean_diff_micro"),
+        expr("(1000000 * (n1 * q1 - s1 * s1)) div (n1 * n1 * (n1 - 1))").as("v1"),
+        expr("(1000000 * (n2 * q2 - s2 * s2)) div (n2 * n2 * (n2 - 1))").as("v2"))
+      .select(col("n1"), col("n2"), col("mean_diff_micro"),
+        expr("v1 div n1").as("a"), expr("v2 div n2").as("b"))
+      .select(col("n1"), col("n2"), col("mean_diff_micro"),
+        (col("a") + col("b")).as("se2_micro"),
+        expr("(CAST(mean_diff_micro AS DECIMAL(38,0)) * mean_diff_micro) " +
+             "div greatest(a + b, 1)").as("t2_micro"),
+        expr("(1000 * (CAST(a AS DECIMAL(38,0)) + b) * (a + b)) div " +
+             "greatest(CAST(a AS DECIMAL(38,0)) * a div (n1 - 1) + " +
+                      "CAST(b AS DECIMAL(38,0)) * b div (n2 - 1), 1)")
+          .as("dof_milli"))
+  }
+
+  private val a47Sql =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END isa,
+      |    CAST(round("value" * 100) AS BIGINT) x
+      |  FROM events
+      |  WHERE "value" IS NOT NULL AND event_type IN ('click', 'error')),
+      |m AS (
+      |  SELECT CAST(SUM(isa) AS HUGEINT) n1, CAST(SUM(1 - isa) AS HUGEINT) n2,
+      |    CAST(SUM(CASE WHEN isa = 1 THEN x ELSE 0 END) AS HUGEINT) s1,
+      |    CAST(SUM(CASE WHEN isa = 0 THEN x ELSE 0 END) AS HUGEINT) s2,
+      |    CAST(SUM(CASE WHEN isa = 1 THEN x * x ELSE 0 END) AS HUGEINT) q1,
+      |    CAST(SUM(CASE WHEN isa = 0 THEN x * x ELSE 0 END) AS HUGEINT) q2
+      |  FROM e),
+      |mm AS (
+      |  SELECT n1, n2,
+      |    CASE WHEN s1 * n2 - s2 * n1 >= 0
+      |      THEN (1000000 * (s1 * n2 - s2 * n1)) // (n1 * n2)
+      |      ELSE -((1000000 * (s2 * n1 - s1 * n2)) // (n1 * n2))
+      |    END mean_diff_micro,
+      |    (1000000 * (n1 * q1 - s1 * s1)) // (n1 * n1 * (n1 - 1)) v1,
+      |    (1000000 * (n2 * q2 - s2 * s2)) // (n2 * n2 * (n2 - 1)) v2
+      |  FROM m),
+      |ab AS (SELECT n1, n2, mean_diff_micro, v1 // n1 a, v2 // n2 b FROM mm)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(mean_diff_micro AS BIGINT) AS mean_diff_micro,
+      |  CAST(a + b AS BIGINT) AS se2_micro,
+      |  CAST((mean_diff_micro * mean_diff_micro) // greatest(a + b, 1) AS BIGINT)
+      |    AS t2_micro,
+      |  CAST((1000 * (a + b) * (a + b)) //
+      |       greatest(a * a // (n1 - 1) + b * b // (n2 - 1), 1) AS BIGINT)
+      |    AS dof_milli
+      |FROM ab""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a47_welch_ttest",
+      "exact quantized Welch t-test: mean drift with direction + dof",
+      a47WelchTtest(_, _), Some(a47Sql)),
     QueryDef("a46_chi_square",
       "exact chi-square independence test (type x hour), micro-quantized",
       a46ChiSquare, Some(a46Sql)),

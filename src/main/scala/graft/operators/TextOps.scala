@@ -2036,7 +2036,61 @@ object TextOps {
       |       ELSE 'very_confusing' END AS band
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** t36 — tokenizer vocabulary-coverage (OOV) sweep: for candidate
+    * vocabulary budgets {4,8,16,32,64}, keep the budget's most frequent
+    * word types (count desc, token asc tiebreak) and report how much of
+    * the corpus token mass falls OUTSIDE the vocabulary. This is the
+    * sizing curve a tokenizer design actually reads — where OOV ppm
+    * flattens is where extra vocab stops paying — and the complement to
+    * t14's per-token surprisal (mass view, not information view).
+    *
+    * Scale shape: one explode + one token-count aggregate; the global
+    * frequency rank comes from [[ScaleOps.prefixSum]] (range
+    * repartition + per-partition offsets — NO single-partition window),
+    * and the 5 budgets join in as a broadcast dimension. The count
+    * table is Heaps'-bounded, so the ranked frame stays far smaller
+    * than the corpus at any scale.
+    */
+  def t36VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = ScaleOps.prefixSum(
+      counts.withColumn("negc", -col("cnt")).withColumn("one", lit(1L)),
+      Seq("negc", "tok"), "one", "rank")
+    val budgets = spark.sql(
+      "SELECT CAST(b AS BIGINT) AS budget FROM (SELECT explode(array(4, 8, 16, 32, 64)) b)")
+    ranked.crossJoin(broadcast(budgets))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("total_types"),
+           sum(col("cnt")).as("total_tokens"),
+           sum(when(col("rank") > col("budget"), 1L).otherwise(0L)).as("oov_types"),
+           sum(when(col("rank") > col("budget"), col("cnt")).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(1000000 * oov_tokens) div total_tokens"))
+      .orderBy(col("budget"))
+  }
+
+  private val t36Sql =
+    """WITH c AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) tok
+      |    FROM documents) GROUP BY tok),
+      |r AS (
+      |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) rank
+      |  FROM c),
+      |b AS (SELECT CAST(unnest([4, 8, 16, 32, 64]) AS BIGINT) budget)
+      |SELECT budget, COUNT(*) AS total_types,
+      |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN rank > budget THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+      |  CAST(SUM(CASE WHEN rank > budget THEN cnt ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  CAST((1000000 * SUM(CASE WHEN rank > budget THEN cnt ELSE 0 END))
+      |       // SUM(cnt) AS BIGINT) AS oov_ppm
+      |FROM r CROSS JOIN b GROUP BY budget ORDER BY budget""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t36_vocab_coverage",
+      "OOV token-mass sweep over vocab budgets (tokenizer sizing curve)",
+      t36VocabCoverage, Some(t36Sql)),
     QueryDef("t35_readability",
       "Flesch reading-ease gate, exact integer milli-units + band label",
       t35Readability, Some(t35Sql)),

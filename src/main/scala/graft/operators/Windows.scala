@@ -1169,7 +1169,65 @@ object Windows {
       |  CAST(SUM(cents) AS BIGINT) AS final_cents
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** w27 — Bollinger-band breach rate: over each event type's value
+    * stream, a trailing 20-row frame defines mean ± 2σ; a row whose
+    * value escapes the band is a breach. The volatility/outlier gate a
+    * monitored metric stream runs continuously (alert fatigue tuning is
+    * literally picking this window and k). Exactness: the breach
+    * predicate (n·x − s)²·(n−1) > k²·n·(n·q − s²) clears every
+    * denominator, so it is pure int64 comparison — no mean, no sqrt, no
+    * float — and only frames with the FULL 20 rows count (a shorter
+    * frame's variance estimate is a different statistic, and excluding
+    * them keeps the predicate well-defined at n ≥ 2). One Exchange+Sort
+    * per type partition serves all three frame aggregates; the finale
+    * is a per-type count — at 100 TB the cost is one window pass, same
+    * as any rolling statistic.
+    */
+  def w27BollingerBreach(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-19, 0)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 20)
+      .withColumn("breach",
+        ((lit(20L) * col("x") - col("s")) * (lit(20L) * col("x") - col("s")) * lit(19L)
+          > lit(80L) * (lit(20L) * col("q") - col("s") * col("s"))).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("breach")).as("n_breaches"))
+      .withColumn("breach_ppm", expr("(1000000 * n_breaches) div n_windows"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w27Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) us,
+      |    CAST(round("value" * 100) AS BIGINT) x
+      |  FROM events WHERE "value" IS NOT NULL),
+      |f AS (
+      |  SELECT event_type, x,
+      |    COUNT(*) OVER w n, SUM(x) OVER w s, SUM(x * x) OVER w q
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN (20 * x - s) * (20 * x - s) * 19 > 80 * (20 * q - s * s)
+      |         THEN 1 ELSE 0 END breach
+      |  FROM f WHERE n = 20)
+      |SELECT event_type, COUNT(*) AS n_windows,
+      |  CAST(SUM(breach) AS BIGINT) AS n_breaches,
+      |  CAST((1000000 * SUM(breach)) // COUNT(*) AS BIGINT) AS breach_ppm
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w27_bollinger_breach",
+      "trailing 20-row 2-sigma band breach rate, denominator-free int64 test",
+      w27BollingerBreach, Some(w27Sql)),
     QueryDef("w26_max_drawdown",
       "max peak-to-trough drawdown of the cumulative value series per type",
       w26MaxDrawdown, Some(w26Sql)),

@@ -929,7 +929,71 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st11 — stream-static dimension enrichment: each event keys into a
+    * small static dimension (nation, via user_id mod 25) and the
+    * per-dimension ledger aggregates counts + exact cents. This is THE
+    * bread-and-butter streaming shape — an unbounded fact stream
+    * decorated by a bounded, slowly-changing dimension — and in Spark
+    * it is a stream-static join: the static side broadcasts, needs no
+    * watermark and holds no state, so the only stateful operator is the
+    * aggregate. Batch semantics here; the streaming dual is
+    * [[streamingStaticEnrich]], asserted equal by EventStreamSpec.
+    */
+  def st11StaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(25L)).as("nk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val st11Sql =
+    """WITH e AS (
+      |  SELECT user_id % 25 nk, CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events)
+      |SELECT n.n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+      |FROM e JOIN nation n ON e.nk = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** Streaming dual of [[st11StaticEnrich]]: the events file stream
+    * joined to the STATIC nation DataFrame (no watermark, no state on
+    * the join — the planner broadcasts the bounded side into every
+    * micro-batch), then the running per-nation aggregate in complete
+    * mode. Multiple micro-batches (maxFilesPerTrigger=1 over a 4-way
+    * split) prove the aggregate accumulates across batches.
+    */
+  def streamingStaticEnrich(spark: SparkSession, dir: String,
+                            queryName: String = "st_static_enrich"): DataFrame = {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_enrich_").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(stageDir)
+    val dim = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val src = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .select(pmod(col("user_id"), lit(25L)).as("nk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val q = src.writeStream
+      .format("memory").queryName(queryName).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy(col("n_name"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st11_static_enrich",
+      "stream-static dimension enrichment ledger (broadcast dim, exact cents)",
+      st11StaticEnrich, Some(st11Sql)),
     QueryDef("st10_redelivery_dedup",
       "exactly-once totals under at-least-once redelivery (id dedup ledger)",
       st10RedeliveryDedup, Some(st10Sql)),

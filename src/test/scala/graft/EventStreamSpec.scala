@@ -30,6 +30,15 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming stream-static enrichment == batch dimension ledger") {
+    val batch = EventStream.st11StaticEnrich(spark, sf).collect().map(_.toString)
+    // 4-way file split, one file per trigger => the complete-mode
+    // aggregate must accumulate across micro-batches
+    val streamed = EventStream.streamingStaticEnrich(spark, sf).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming quality gate split sinks == batch gate accounting") {
     val batch = EventStream.st06QualityGate(spark, sf).collect().map(_.toString)
     val streamed = EventStream.streamingQualityGate(spark, sf).collect().map(_.toString)

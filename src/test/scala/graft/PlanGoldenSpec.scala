@@ -57,7 +57,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a45_entropy_profile", "sql03_access_by_country",
     "w26_max_drawdown", "t34_vocab_growth", "t35_readability",
     "g10_personalized_rank", "a46_chi_square", "v19_maxsim_topk",
-    "st10_redelivery_dedup")
+    "st10_redelivery_dedup",
+    "a47_welch_ttest", "w27_bollinger_breach", "g11_reciprocity",
+    "t36_vocab_coverage", "d13_threshold_sweep", "st11_static_enrich")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

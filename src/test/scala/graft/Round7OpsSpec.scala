@@ -137,6 +137,118 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a47: Welch statistics match an exact BigInt recompute of the quantized formula") {
+    val row = Maintenance.a47WelchTtest(spark, sf).collect().head
+    val xs = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "error"))
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val g1 = xs.filter(_._1 == "click").map(_._2)
+    val g2 = xs.filter(_._1 == "error").map(_._2)
+    val (n1, n2) = (BigInt(g1.length), BigInt(g2.length))
+    val (s1, s2) = (g1.sum, g2.sum)
+    val (q1, q2) = (g1.map(x => x * x).sum, g2.map(x => x * x).sum)
+    val dNum = s1 * n2 - s2 * n1
+    val dmic = if (dNum >= 0) (dNum * 1000000) / (n1 * n2)
+               else -((-dNum * 1000000) / (n1 * n2))
+    val v1 = (1000000 * (n1 * q1 - s1 * s1)) / (n1 * n1 * (n1 - 1))
+    val v2 = (1000000 * (n2 * q2 - s2 * s2)) / (n2 * n2 * (n2 - 1))
+    val (a, b) = (v1 / n1, v2 / n2)
+    val t2 = (dmic * dmic) / (a + b).max(1)
+    val dof = (1000 * (a + b) * (a + b)) / (a * a / (n1 - 1) + b * b / (n2 - 1)).max(1)
+    assert((row.getLong(0), row.getLong(1)) == (g1.length.toLong, g2.length.toLong))
+    assert(BigInt(row.getLong(2)) == dmic)
+    assert(BigInt(row.getLong(3)) == a + b)
+    assert(BigInt(row.getLong(4)) == t2)
+    assert(BigInt(row.getLong(5)) == dof)
+    // Welch dof must sit between min(n1,n2)-1 and n1+n2-2
+    assert(row.getLong(5) >= 1000L * (math.min(g1.length, g2.length) - 1))
+    assert(row.getLong(5) <= 1000L * (g1.length + g2.length - 2))
+  }
+
+  test("w27: breach flags match a sliding-window fold over each sorted series") {
+    val got = Windows.w27BollingerBreach(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = raw.groupBy(_._1).map { case (typ, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val frames = xs.sliding(20).filter(_.length == 20).toSeq
+      val breaches = frames.count { f =>
+        val x = f.last; val s = f.sum; val q = f.map(v => v * v).sum
+        (20 * x - s) * (20 * x - s) * 19 > 80 * (20 * q - s * s)
+      }
+      typ -> (frames.length.toLong, breaches.toLong,
+        1000000L * breaches / math.max(frames.length, 1))
+    }
+    assert(got == expected.filter(_._2._1 > 0))
+  }
+
+  test("g11: reciprocity matches a set-based recompute; formula graph has no mutual pair unless constructed") {
+    val row = LinkRank.g11Reciprocity(spark, sf).collect().head
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val raw = ids.flatMap(src => Seq(1L, 2L, 3L).map(k =>
+      (src, (src * src * 31 + k * 17) % n)))
+    val loops = raw.filter(e => e._1 == e._2)
+    val edges = raw.filter(e => e._1 != e._2).distinct
+    val eset = edges.toSet
+    val recip = edges.count(e => eset.contains((e._2, e._1)))
+    assert(row.getLong(0) == edges.length.toLong)
+    assert(row.getLong(1) == recip.toLong)
+    assert(row.getLong(2) == 1000000L * recip / edges.length)
+    assert(row.getLong(3) == loops.length.toLong)
+    assert(row.getLong(4) == loops.map(_._1).distinct.length.toLong)
+  }
+
+  test("t36: OOV mass matches a direct frequency-rank recompute and is anti-monotone in budget") {
+    val rows = TextOps.t36VocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L, 32L, 64L))
+    val oov = rows.map(_.getLong(4))
+    assert(oov.zip(oov.tail).forall { case (hi, lo) => lo <= hi },
+      "OOV mass must shrink as the budget grows")
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val byRank = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case (t, c) => (t, c) }.sortBy { case (t, c) => (-c, t) }
+    rows.foreach { r =>
+      val budget = r.getLong(0).toInt
+      val oovTokens = byRank.drop(budget).map(_._2).sum
+      assert(r.getLong(1) == byRank.length.toLong)
+      assert(r.getLong(2) == toks.length.toLong)
+      assert(r.getLong(3) == math.max(byRank.length - budget, 0).toLong)
+      assert(r.getLong(4) == oovTokens, s"budget $budget")
+      assert(r.getLong(5) == 1000000L * oovTokens / toks.length)
+    }
+  }
+
+  test("d13: sweep rows are consistent, anti-monotone, and agree with exact Jaccard at 0.7") {
+    val rows = operators.Dedup.d13ThresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(700000L, 750000L, 800000L, 850000L, 900000L))
+    val pairs = rows.map(_.getLong(1))
+    assert(pairs.zip(pairs.tail).forall { case (lo, hi) => hi <= lo },
+      "pair count must shrink as the threshold rises")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "flagged docs cannot exceed qualifying pairs"))
+    // exact brute-force bigram Jaccard at the 0.7 floor over the corpus
+    val sets = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val ws = r.getString(1).trim.split("\\s+")
+      r.getLong(0) -> ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    var exact = 0L
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val (a, b) = (sets(i)._2, sets(j)._2)
+      val inter = (a & b).size.toLong
+      if (1000000L * inter / (a.size + b.size - inter) >= 700000L) exact += 1
+    }
+    assert(rows.head.getLong(1) == exact,
+      "LSH-verified 0.7 pair count must equal brute force (recall contract)")
+  }
+
   test("st10: dedup ledger proves duplicates existed and totals match the clean corpus") {
     val rows = graft.streaming.EventStream.st10RedeliveryDedup(spark, sf).collect()
     val clean = Tables.events(spark, sf)
