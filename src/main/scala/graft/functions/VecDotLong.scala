@@ -88,5 +88,9 @@ object GraftFunctions {
       FunctionIdentifier("byte_surprisal"),
       new ExpressionInfo(classOf[ByteSurprisal].getName, "byte_surprisal"),
       (children: Seq[Expression]) => ByteSurprisal(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
   }
 }

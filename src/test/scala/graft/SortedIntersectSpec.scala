@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SortedIntersectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("sorted_intersect_count agrees with array_intersect across random sorted sets") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(5L), Seq(5L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ) ++ (0 until 20).map { _ =>
+      def s() = Seq.fill(rng.nextInt(50))(rng.nextInt(40).toLong).distinct.sorted
+      (s(), s())
+    }
+    import spark.implicits._
+    val df = cases.toDF("a", "b").selectExpr(
+      "sorted_intersect_count(a, b) AS got",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS want")
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("null propagation and codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 2L), CAST(NULL AS ARRAY<BIGINT>)),
+        |       sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))""".stripMargin).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // the projection must stay inside whole-stage codegen
+    val df = spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS c FROM range(3)")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+  }
+}
