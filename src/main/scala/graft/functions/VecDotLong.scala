@@ -92,5 +92,13 @@ object GraftFunctions {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (children: Seq[Expression]) => WinnowMins(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1)))
   }
 }

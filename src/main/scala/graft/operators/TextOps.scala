@@ -1887,14 +1887,19 @@ object TextOps {
   /** The winnowing frame itself — (doc_id, hs, fps) over any
     * (doc_id, text) input; public so the guarantee is property-testable
     * on crafted documents. */
-  def winnow(docs: DataFrame, w: Int = 8): DataFrame =
+  def winnow(docs: DataFrame, w: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("hs", expr(
-        "transform(sequence(1, greatest(1, length(text) - 4)), " +
-          "i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(1, greatest(1, size(hs) - ${w - 1})), " +
-          s"i -> array_min(slice(hs, i, $w))))"))
+      // native one-pass md5 shingle hashing; semantically identical to
+      // transform(sequence(1, greatest(1, length(text) - 4)),
+      //   i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT))
+      // — see [[graft.functions.ShingleHashes]]
+      .withColumn("hs", expr("shingle_hashes(text, 5)"))
+      // native O(n) monotonic-deque window minima; semantically identical
+      // to array_distinct(transform(..., i -> array_min(slice(hs, i, w))))
+      // — see [[graft.functions.WinnowMins]]
+      .withColumn("fps", expr(s"winnow_mins(hs, $w)"))
+  }
 
   def t33Winnowing(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
     winnow(Tables.documents(spark, dir).select(col("doc_id"), col("text")), w)

@@ -25,6 +25,31 @@ class SortedIntersectSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("shingle_hashes and winnow_mins equal their SQL lambda forms on the real corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val mismatches = Tables.documents(spark, sf).selectExpr(
+      "doc_id",
+      "shingle_hashes(text, 5) AS native_hs",
+      """transform(sequence(1, greatest(1, length(text) - 4)),
+        |  i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT)) AS sql_hs""".stripMargin)
+      .selectExpr("doc_id", "native_hs", "sql_hs",
+        "winnow_mins(native_hs, 8) AS native_fps",
+        """array_distinct(transform(sequence(1, greatest(1, size(sql_hs) - 7)),
+          |  i -> array_min(slice(sql_hs, i, 8)))) AS sql_fps""".stripMargin)
+      .filter("native_hs != sql_hs OR native_fps != sql_fps")
+      .count()
+    assert(mismatches == 0L)
+    // non-ASCII + short + empty edge cases through both paths
+    val edge = Seq("", "a", "héllo wörld ¿niño?", "ab", "日本語のテキスト処理",
+      "exact").toDF("text").selectExpr(
+      "shingle_hashes(text, 5) AS n",
+      """transform(sequence(1, greatest(1, length(text) - 4)),
+        |  i -> CAST(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) AS BIGINT)) AS s""".stripMargin)
+      .filter("n != s").count()
+    assert(edge == 0L)
+  }
+
   test("null propagation and codegen") {
     graft.functions.GraftFunctions.register(spark)
     val row = spark.sql(
