@@ -332,7 +332,63 @@ object Functions2 {
       |FROM h GROUP BY doc_id, hh % 64
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** f12 — Unicode confusable (homoglyph) audit: spam/spoofing feeds
+    * substitute Cyrillic/Greek lookalikes ('а' U+0430, 'е' U+0435, 'о'
+    * U+043E, …) for Latin letters to evade exact-match filters; a
+    * curation pipeline skeleton-normalizes and flags before dedup,
+    * since a spoofed copy defeats every exact fingerprint. The skeleton
+    * is one `translate` over a fixed 12-char confusable map (pure
+    * map-side, zero state — the f11 scale argument), and a doc is
+    * spoofed iff it contains any mapped char. Like t07/t37, the
+    * contract plants deterministic spoofed copies (Latin→Cyrillic
+    * translate of a prefix, source 'spoof_probe') so the audit
+    * demonstrably fires; the clean corpus reports zero.
+    */
+  def f12ConfusableAudit(spark: SparkSession, dir: String): DataFrame = {
+    val from = "аеорсхуіѕјοα" // Cyrillic a e o r s h u i dze je; Greek omicron alpha
+    val to = "aeopcxyisjoa"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        expr("concat(translate(substring(text, 1, 100), 'aeo', 'аео'), " +
+          "substring(text, 101))").as("text"),
+        lit("spoof_probe").as("source"))
+    docs.unionByName(planted)
+      .withColumn("n_confusable",
+        (length(col("text")) - length(translate(col("text"), from, ""))).cast("long"))
+      .withColumn("spoofed", (col("n_confusable") > 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("spoofed")).as("n_spoofed"),
+        sum(col("n_confusable")).as("confusable_chars"))
+      .withColumn("spoofed_ppm", expr("(1000000 * n_spoofed) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val f12Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    concat(translate(substr(text, 1, 100), 'aeo', 'аео'), substr(text, 101)),
+      |    'spoof_probe'
+      |  FROM documents WHERE doc_id < 25),
+      |m AS (
+      |  SELECT source,
+      |    CAST(length(text) - length(translate(text, 'аеорсхуіѕјοα', '')) AS BIGINT)
+      |      AS n_confusable
+      |  FROM docs)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_confusable > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spoofed,
+      |  CAST(SUM(n_confusable) AS BIGINT) AS confusable_chars,
+      |  CAST((1000000 * SUM(CASE WHEN n_confusable > 0 THEN 1 ELSE 0 END))
+      |       // COUNT(*) AS BIGINT) AS spoofed_ppm
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("f12_confusable_audit",
+      "homoglyph spoofing screen: skeleton translate + per-source spoof rate",
+      f12ConfusableAudit, Some(f12Sql)),
     QueryDef("f11_feature_hash",
       "hashing-trick sparse features: 64 buckets + sign hash, zero global state",
       f11FeatureHash, Some(f11Sql)),

@@ -1058,7 +1058,113 @@ object Maintenance {
       |    AS dof_milli
       |FROM ab""".stripMargin
 
+  /** a48 — Benford first-digit audit over order totals: the classic
+    * fabricated-data / unit-mixing screen a lake runs on every ingested
+    * monetary column. Per leading digit d: observed count, observed ppm,
+    * Benford's expected ppm (log₁₀(1+1/d), folded to integer LITERALS at
+    * authoring time — no runtime float/log anywhere), the signed
+    * deviation, and the digit's χ²-style contribution (dev²/exp, plain
+    * integer div — both numerator and denominator non-negative).
+    *
+    * Scale shape: one map-side-combined groupBy over the scan (9 groups)
+    * plus a 1-row total joined back by broadcast — the same "tiny
+    * aggregate joined to tiny aggregate" shape as a31's extent
+    * broadcast; nothing about it changes at 100 TB.
+    */
+  def a48BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byDigit = Tables.orders(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val total = byDigit.agg(sum(col("n_orders")).as("n_total"))
+    byDigit.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("(1000000 * n_orders) div n_total"))
+      // log10(1 + 1/d) in ppm, authoring-time constants
+      .withColumn("exp_ppm", expr(
+        """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+          |  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+          |  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin)
+        .cast(LongType))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .withColumn("chi2_contrib_micro",
+        expr("(dev_ppm * dev_ppm) div exp_ppm"))
+      .select(col("digit"), col("n_orders"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"), col("chi2_contrib_micro"))
+      .orderBy(col("digit"))
+  }
+
+  private val a48Sql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+      |t AS (SELECT SUM(n_orders) AS n_total FROM g),
+      |j AS (
+      |  SELECT digit, n_orders,
+      |    (1000000 * n_orders) // n_total AS obs_ppm,
+      |    CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |      WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm
+      |  FROM g, t)
+      |SELECT digit, n_orders, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+      |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+      |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm,
+      |  CAST(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm AS BIGINT)
+      |    AS chi2_contrib_micro
+      |FROM j ORDER BY digit""".stripMargin
+
+  /** a49 — Gini coefficient of customer revenue concentration: the
+    * inequality metric a mixing/billing audit reports next to a24's
+    * skew stats. Exact integer row-number formula over cents, with the
+    * deterministic (revenue, custkey) tiebreak, via the cumulative-sum
+    * identity Σ rank·x = (n+1)·T − Σ cum — so the plan needs a PREFIX
+    * SUM, not a rank: [[ScaleOps.prefixSum]] range-partitions, computes
+    * per-partition offsets, and never sorts through one partition (the
+    * a17 scalable-row-number machinery). Final arithmetic in
+    * DECIMAL(38,0) (Σ cum is O(n·T)); the numerator (n+1)T − 2C is
+    * non-negative by construction (ascending order), so plain div is
+    * floor on both engines.
+    */
+  def a49GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("cents"))
+    ScaleOps.prefixSum(rev, Seq("cents", "o_custkey"), "cents", "cum")
+      // Σcents and Σcum in DECIMAL(38,0): Σcum is O(n·T) and int64 drowns
+      // long before the scan does
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("t"),
+        sum(col("cum").cast(DecimalType(38, 0))).as("c"))
+      .select(col("n_customers"),
+        col("t").cast(LongType).as("total_cents"),
+        expr("(1000000 * ((n_customers + 1) * t - 2 * c)) div (n_customers * t)")
+          .cast(LongType).as("gini_ppm"))
+  }
+
+  private val a49Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (
+      |  SELECT cents,
+      |    SUM(cents) OVER (ORDER BY cents, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM r)
+      |SELECT COUNT(*) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST((1000000 * ((COUNT(*) + 1) * SUM(cents) - 2 * SUM(cum)))
+      |       // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a48_benford_audit",
+      "Benford first-digit screen: per-digit obs/exp ppm + chi2 contribution",
+      a48BenfordAudit, Some(a48Sql)),
+    QueryDef("a49_gini_concentration",
+      "exact Gini of customer revenue via distributed prefix-sum ranks",
+      a49GiniConcentration, Some(a49Sql)),
     QueryDef("a47_welch_ttest",
       "exact quantized Welch t-test: mean drift with direction + dof",
       a47WelchTtest(_, _), Some(a47Sql)),

@@ -2092,7 +2092,84 @@ object TextOps {
       |       // SUM(cnt) AS BIGINT) AS oov_ppm
       |FROM r CROSS JOIN b GROUP BY budget ORDER BY budget""".stripMargin
 
+  /** t37 — OCR/mojibake garbage detection: the encoding-damage screen a
+    * crawl-ingest pipeline runs before any model-based quality scoring.
+    * Per doc: U+FFFD replacement-character count (the universal "decode
+    * went wrong" tracer), non-alphanumeric density, and the longest
+    * consonant run (OCR column-merge / base64-spill tracer);
+    * a doc is garbage when any tracer trips its threshold. Reported per
+    * source so a bad feed is visible as a feed. Like t07, the contract
+    * plants deterministically-damaged copies (same SQL on both engines:
+    * vowels → U+FFFD plus a consonant/symbol tail, under source
+    * 'garbage_probe') so the tracers demonstrably FIRE — the clean
+    * corpus alone would exercise nothing.
+    *
+    * All-ratio integer arithmetic; per-row projections + one
+    * map-combined groupBy — linear, shuffle only on the tiny source key.
+    */
+  def t37GarbageScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        expr("concat(replace(substring(text, 1, 80), 'e', '�'), " +
+          "' bcdfghjklmnp 4711 @@##%%')").as("text"),
+        lit("garbage_probe").as("source"))
+    docs.unionByName(planted)
+      .withColumn("len", length(col("text")))
+      .withColumn("fffd_cnt",
+        col("len") - length(regexp_replace(col("text"), "�", "")))
+      // stripping [A-Za-z0-9 ] LEAVES the non-alphanumeric chars
+      .withColumn("nonalnum_ppm", expr(
+        "(1000000 * length(regexp_replace(text, '[A-Za-z0-9 ]', ''))) div greatest(len, 1)"))
+      .withColumn("max_consonant_run", expr(
+        "coalesce(array_max(transform(regexp_extract_all(lower(text), " +
+          "'[bcdfghjklmnpqrstvwxz]+', 0), x -> length(x))), 0)"))
+      .withColumn("garbage",
+        (col("fffd_cnt") > 0 || col("nonalnum_ppm") > 150000 ||
+          col("max_consonant_run") >= 8).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("garbage")).as("n_garbage"),
+        sum(col("fffd_cnt").cast("long")).as("fffd_total"),
+        max(col("max_consonant_run")).cast(LongType).as("worst_consonant_run"))
+      .withColumn("garbage_ppm", expr("(1000000 * n_garbage) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val t37Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    concat(replace(substr(text, 1, 80), 'e', chr(65533)),
+      |           ' bcdfghjklmnp 4711 @@##%%'),
+      |    'garbage_probe'
+      |  FROM documents WHERE doc_id < 30),
+      |m AS (
+      |  SELECT source, length(text) AS len,
+      |    length(text) - length(replace(text, chr(65533), '')) AS fffd_cnt,
+      |    (1000000 * length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))
+      |      // greatest(length(text), 1) AS nonalnum_ppm,
+      |    COALESCE(list_max(list_transform(
+      |      regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxz]+'),
+      |      x -> length(x))), 0) AS run
+      |  FROM docs),
+      |g AS (
+      |  SELECT source, fffd_cnt,  run,
+      |    CASE WHEN fffd_cnt > 0 OR nonalnum_ppm > 150000 OR run >= 8
+      |         THEN 1 ELSE 0 END AS garbage
+      |  FROM m)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(garbage) AS BIGINT) AS n_garbage,
+      |  CAST(SUM(fffd_cnt) AS BIGINT) AS fffd_total,
+      |  CAST(MAX(run) AS BIGINT) AS worst_consonant_run,
+      |  CAST((1000000 * SUM(garbage)) // COUNT(*) AS BIGINT) AS garbage_ppm
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t37_garbage_score",
+      "OCR/mojibake tracers per source: U+FFFD, density ratios, consonant runs",
+      t37GarbageScore, Some(t37Sql)),
     QueryDef("t36_vocab_coverage",
       "OOV token-mass sweep over vocab budgets (tokenizer sizing curve)",
       t36VocabCoverage, Some(t36Sql)),

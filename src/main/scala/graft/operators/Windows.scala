@@ -1224,7 +1224,95 @@ object Windows {
       |  CAST((1000000 * SUM(breach)) // COUNT(*) AS BIGINT) AS breach_ppm
       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** w28 — rolling cross-correlation between two event types' hourly
+    * value series (does the error-rate signal co-move with the click
+    * signal over the trailing day?): per joint hour, the signed
+    * quantized r² of (click avg-cents, error avg-cents) over the
+    * trailing 24 joint hours. Pearson's r needs a square root, which no
+    * integer plan can replicate bit-for-bit — so like w25 the contract
+    * emits sign(cov)·10⁶·cov²/(varx·vary), exactly the statistic a
+    * monitor thresholds on, computed entirely in int64/DECIMAL(38,0)
+    * (inputs are floor-quantized hourly MEANS, bounded by the value
+    * domain, so the decimal headroom is scale-independent).
+    *
+    * Scale shape: one partial-aggregated pass over events → a per-hour
+    * table bounded by the TIME DOMAIN, not the corpus (a 100 TB year is
+    * still 8 760 rows); the rolling frame runs over that bounded series
+    * (same documented single-partition rationale as a28).
+    */
+  def w28RollingCorr(spark: SparkSession, dir: String,
+                     typeA: String = "click", typeB: String = "error"): DataFrame = {
+    def hourly(t: String, out: String) =
+      Tables.events(spark, dir)
+        .filter(col("value").isNotNull && col("event_type") === t)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+        .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(1)").as(out))
+    val joint = hourly(typeA, "xa").join(hourly(typeB, "xb"), "hour")
+    val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
+    joint
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sa", sum(col("xa")).over(w))
+      .withColumn("sb", sum(col("xb")).over(w))
+      .withColumn("qa", sum(col("xa") * col("xa")).over(w))
+      .withColumn("qb", sum(col("xb") * col("xb")).over(w))
+      .withColumn("sab", sum(col("xa") * col("xb")).over(w))
+      .filter(col("n") === 24)
+      .select(col("hour"), col("xa"), col("xb"),
+        expr("24 * sab - sa * sb").as("cov_n"),
+        expr("24 * qa - sa * sa").as("varx_n"),
+        expr("24 * qb - sb * sb").as("vary_n"))
+      .withColumn("r2_signed_micro", expr(
+        """CASE WHEN cov_n >= 0
+          |  THEN (1000000 * CAST(cov_n AS DECIMAL(38,0)) * cov_n)
+          |       div greatest(CAST(varx_n AS DECIMAL(38,0)) * vary_n, 1)
+          |  ELSE -((1000000 * CAST(cov_n AS DECIMAL(38,0)) * cov_n)
+          |       div greatest(CAST(varx_n AS DECIMAL(38,0)) * vary_n, 1))
+          |END""".stripMargin).cast(LongType))
+      .orderBy(col("hour"))
+  }
+
+  private val w28Sql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |    CAST(round("value" * 100) AS BIGINT) x
+      |  FROM events WHERE "value" IS NOT NULL
+      |    AND event_type IN ('click', 'error')),
+      |h AS (
+      |  SELECT hour,
+      |    SUM(CASE WHEN event_type = 'click' THEN x END)
+      |      // COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS xa,
+      |    SUM(CASE WHEN event_type = 'error' THEN x END)
+      |      // COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS xb
+      |  FROM e GROUP BY hour
+      |  HAVING COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 0),
+      |f AS (
+      |  SELECT hour, xa, xb, COUNT(*) OVER w n,
+      |    SUM(xa) OVER w sa, SUM(xb) OVER w sb,
+      |    SUM(xa * xa) OVER w qa, SUM(xb * xb) OVER w qb,
+      |    SUM(xa * xb) OVER w sab
+      |  FROM h
+      |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT hour, xa, xb,
+      |    CAST(24 * sab - sa * sb AS HUGEINT) cov_n,
+      |    CAST(24 * qa - sa * sa AS HUGEINT) varx_n,
+      |    CAST(24 * qb - sb * sb AS HUGEINT) vary_n
+      |  FROM f WHERE n = 24)
+      |SELECT hour, CAST(xa AS BIGINT) AS xa, CAST(xb AS BIGINT) AS xb,
+      |  CAST(cov_n AS BIGINT) AS cov_n,
+      |  CAST(varx_n AS BIGINT) AS varx_n,
+      |  CAST(vary_n AS BIGINT) AS vary_n,
+      |  CAST(CASE WHEN cov_n >= 0
+      |    THEN (1000000 * cov_n * cov_n) // greatest(varx_n * vary_n, 1)
+      |    ELSE -((1000000 * cov_n * cov_n) // greatest(varx_n * vary_n, 1))
+      |  END AS BIGINT) AS r2_signed_micro
+      |FROM g ORDER BY hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w28_rolling_corr",
+      "trailing-24h signed quantized r^2 between two hourly value series",
+      w28RollingCorr(_, _), Some(w28Sql)),
     QueryDef("w27_bollinger_breach",
       "trailing 20-row 2-sigma band breach rate, denominator-free int64 test",
       w27BollingerBreach, Some(w27Sql)),

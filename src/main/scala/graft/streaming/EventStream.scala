@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -990,7 +991,114 @@ object EventStream {
     spark.table(queryName).orderBy(col("n_name"))
   }
 
+  /** st12 — CDC apply: materialize an entity table from a change log.
+    * The event log is read as a CDC stream over user profiles — 'signup'
+    * and 'purchase' upsert the profile's value, 'error' is the tombstone
+    * — and the result is each LIVE user's latest state. Semantics are
+    * last-writer-wins by EVENT TIME (ts, event_id), not arrival order:
+    * that is the only deterministic contract an out-of-order log admits,
+    * and it is what the streaming dual enforces from its state store.
+    *
+    * Batch form: one window rank per user (shuffle on the
+    * high-cardinality user key, no skew), rn=1, tombstones dropped. The
+    * streaming dual is [[streamingCdcApply]] — `mapGroupsWithState`
+    * holding ONE fixed-size record per user (ts/id/live/cents, never a
+    * history), the state shape that survives an unbounded log — asserted
+    * equal to this batch result by EventStreamSpec across out-of-order
+    * multi-batch replay.
+    */
+  def st12CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ops = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    ops
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("n_ops"), col("us").as("last_us"),
+        col("cents").as("last_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val st12Sql =
+    """WITH ops AS (
+      |  SELECT user_id, epoch_us(ts) us, event_id, event_type,
+      |    CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+      |r AS (
+      |  SELECT user_id, us, event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) n_ops
+      |  FROM ops)
+      |SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, us AS last_us,
+      |  cents AS last_cents
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  final case class CdcState(nOps: Long, lastUs: Long, lastId: Long,
+                            live: Boolean, cents: Long)
+  final case class CdcUpdate(user_id: Long, n_ops: Long, last_us: Long,
+                             live: Boolean, last_cents: Long)
+
+  /** Streaming dual of [[st12CdcApply]]: the change log replays through
+    * the file source one file per trigger over an event-time-SHUFFLED
+    * 4-way split (so later micro-batches genuinely carry earlier ops),
+    * and `mapGroupsWithState` applies last-writer-wins by (us, event_id)
+    * from a single fixed-size state record per user. The memory sink in
+    * update mode receives one cumulative update per touched user per
+    * batch; the final image is each user's last update (max n_ops, which
+    * is strictly increasing per user).
+    */
+  def streamingCdcApply(spark: SparkSession, dir: String,
+                        queryName: String = "st_cdc_apply"): DataFrame = {
+    import spark.implicits._
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      // arrival order decorrelated from event time: hash-split the log
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(stageDir)
+    val updates = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcUpdate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(CdcState(0L, Long.MinValue, Long.MinValue, false, 0L))
+          rows.foreach { case (_, us, id, typ, cents) =>
+            val newer = us > s.lastUs || (us == s.lastUs && id > s.lastId)
+            s =
+              if (newer) CdcState(s.nOps + 1, us, id, typ != "error", cents)
+              else s.copy(nOps = s.nOps + 1)
+          }
+          state.update(s)
+          CdcUpdate(uid, s.nOps, s.lastUs, s.live, s.cents)
+      }
+    val q = updates.toDF().writeStream
+      .format("memory").queryName(queryName).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = spark.table(queryName)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_ops").desc)
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("live"))
+      .select(col("user_id"), col("n_ops"), col("last_us"), col("last_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st12_cdc_apply",
+      "CDC apply: last-writer-wins entity image from an out-of-order change log",
+      st12CdcApply, Some(st12Sql)),
     QueryDef("st11_static_enrich",
       "stream-static dimension enrichment ledger (broadcast dim, exact cents)",
       st11StaticEnrich, Some(st11Sql)),

@@ -30,6 +30,18 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming CDC apply == batch last-writer-wins image on out-of-order replay") {
+    import org.apache.spark.sql.functions._
+    val batch = graft.streaming.EventStream.st12CdcApply(spark, sf)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty)
+    // hash-split files decorrelate arrival from event time: the state
+    // machine must ignore stale ops that arrive after newer ones
+    val streamed = graft.streaming.EventStream.streamingCdcApply(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming stream-static enrichment == batch dimension ledger") {
     val batch = EventStream.st11StaticEnrich(spark, sf).collect().map(_.toString)
     // 4-way file split, one file per trigger => the complete-mode

@@ -59,7 +59,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "g10_personalized_rank", "a46_chi_square", "v19_maxsim_topk",
     "st10_redelivery_dedup",
     "a47_welch_ttest", "w27_bollinger_breach", "g11_reciprocity",
-    "t36_vocab_coverage", "d13_threshold_sweep", "st11_static_enrich")
+    "t36_vocab_coverage", "d13_threshold_sweep", "st11_static_enrich",
+    "w28_rolling_corr", "a48_benford_audit", "a49_gini_concentration",
+    "t37_garbage_score", "f12_confusable_audit", "st12_cdc_apply")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -263,4 +263,111 @@ class Round7OpsSpec extends AnyFunSuite {
       assert((unique, cents) == clean(typ), s"$typ: dedup must restore the clean totals")
     }
   }
+
+  test("w28: rolling cross-correlation matches a BigInt sliding recompute of joint hours") {
+    val got = Windows.w28RollingCorr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "error"))
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hourly(t: String) = raw.filter(_._1 == t).groupBy(_._2).view
+      .mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+    val (ha, hb) = (hourly("click"), hourly("error"))
+    val joint = ha.keySet.intersect(hb.keySet).toSeq.sorted
+      .map(h => (h, BigInt(ha(h)), BigInt(hb(h))))
+    val expected = joint.sliding(24).filter(_.length == 24).map { win =>
+      val (h, _, _) = win.last
+      val (sa, sb) = (win.map(_._2).sum, win.map(_._3).sum)
+      val cov = 24 * win.map(w => w._2 * w._3).sum - sa * sb
+      val vx = 24 * win.map(w => w._2 * w._2).sum - sa * sa
+      val vy = 24 * win.map(w => w._3 * w._3).sum - sb * sb
+      val mag = (1000000 * cov * cov) / (vx * vy).max(1)
+      h -> (cov.toLong, vx.toLong, vy.toLong,
+        (if (cov >= 0) mag else -mag).toLong)
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("a48: Benford digits cover 1-9, ppms are consistent, counts match a recompute") {
+    val rows = Maintenance.a48BenfordAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val cents = Tables.orders(spark, sf)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect().map(_.getLong(0))
+    val n = cents.length.toLong
+    val byDigit = cents.groupBy(c => c.toString.head.asDigit.toLong).view.mapValues(_.length.toLong)
+    rows.foreach { r =>
+      val (d, cnt, obs, ex, dev, chi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cnt == byDigit(d))
+      assert(obs == 1000000L * cnt / n)
+      assert(dev == obs - ex)
+      assert(chi == dev * dev / ex)
+    }
+    // Benford's ppms must sum to ~1e6 (authoring-time constants sanity)
+    assert(Math.abs(rows.map(_.getLong(3)).sum - 1000000L) <= 5)
+  }
+
+  test("a49: Gini matches the classic sorted-rank formula recomputed in BigInt") {
+    val row = Maintenance.a49GiniConcentration(spark, sf).collect().head
+    val rev = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = rev.sortBy(r => (r._2, r._1)).map(r => BigInt(r._2))
+    val n = BigInt(sorted.length)
+    val t = sorted.sum
+    val s = sorted.zipWithIndex.map { case (x, i) => (BigInt(i) + 1) * x }.sum
+    val gini = (1000000 * (2 * s - (n + 1) * t)) / (n * t)
+    assert(row.getLong(0) == sorted.length.toLong)
+    assert(BigInt(row.getLong(1)) == t)
+    assert(BigInt(row.getLong(2)) == gini)
+    assert(row.getLong(2) > 0 && row.getLong(2) < 1000000L)
+  }
+
+  test("t37: only the planted garbage probe flags; its tracer counts are exact") {
+    val rows = TextOps.t37GarbageScore(spark, sf).collect()
+    val flagged = rows.filter(_.getLong(2) > 0)
+    assert(flagged.map(_.getString(0)).toSeq == Seq("garbage_probe"))
+    val probe = flagged.head
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 30).select("text").collect().map(_.getString(0))
+    assert(probe.getLong(1) == planted.length.toLong)
+    assert(probe.getLong(2) == planted.length.toLong) // every probe doc flags
+    val fffd = planted.map(_.take(80).count(_ == 'e').toLong).sum
+    assert(probe.getLong(3) == fffd)
+    assert(probe.getLong(5) == 1000000L)
+  }
+
+  test("f12: only the planted spoof probe is confusable; char counts are exact") {
+    val rows = operators.Functions2.f12ConfusableAudit(spark, sf).collect()
+    val spoofed = rows.filter(_.getLong(2) > 0)
+    assert(spoofed.map(_.getString(0)).toSeq == Seq("spoof_probe"))
+    val probe = spoofed.head
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 25).select("text").collect().map(_.getString(0))
+    assert(probe.getLong(1) == planted.length.toLong)
+    val confusable = planted.map(_.take(100).count(c => "aeo".contains(c)).toLong).sum
+    assert(probe.getLong(3) == confusable)
+  }
+
+  test("st12: CDC image equals a per-user fold and tombstoned users are absent") {
+    val got = graft.streaming.EventStream.st12CdcApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ops = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val expected = ops.groupBy(_._1).flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._2, r._3))
+      if (last._4 == "error") None
+      else Some(uid -> (rows.length.toLong, last._2, last._5))
+    }
+    assert(got == expected)
+    // tombstones must exist in the log for the filter to mean anything
+    assert(expected.size < ops.groupBy(_._1).size)
+  }
 }
