@@ -313,7 +313,53 @@ object Formats {
       |    (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS hash_sum
       |FROM documents""".stripMargin
 
+  /** io08 — parquet codec transparency audit: write the same projection
+    * under every bundled compression codec (uncompressed / snappy /
+    * gzip / zstd / lz4 — the codecs a 100 TB lake actually trades off),
+    * read each back, and emit identical content checksums per codec —
+    * the "compression is a storage detail, never a semantics detail"
+    * invariant a format migration job asserts before flipping a table's
+    * default codec. `smaller_than_none` additionally pins that every
+    * real codec beats the uncompressed baseline on this data (byte
+    * sizes themselves are codec-version-dependent and deliberately NOT
+    * in the contract).
+    */
+  def io08CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io08_codec_")
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val codecs = Seq("none", "snappy", "gzip", "zstd", "lz4")
+    def bytes(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val written = codecs.map { c =>
+      src.coalesce(1).write.mode("overwrite")
+        .option("compression", c).parquet(s"$out/$c")
+      c -> bytes(s"$out/$c")
+    }.toMap
+    codecs.map { c =>
+      spark.read.parquet(s"$out/$c")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("cents")).as("cents_sum"))
+        .select(lit(c).as("codec"), col("n_rows"), col("key_sum"), col("cents_sum"),
+          lit(c == "none" || written(c) < written("none")).as("smaller_than_none"))
+    }.reduce(_ unionByName _).orderBy(col("codec"))
+  }
+
+  private val io08Sql =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+      |  FROM orders),
+      |c(codec) AS (VALUES ('gzip'), ('lz4'), ('none'), ('snappy'), ('zstd'))
+      |SELECT codec, n_rows, key_sum, cents_sum, TRUE AS smaller_than_none
+      |FROM c, s ORDER BY codec""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io08_codec_roundtrip",
+      "parquet codec transparency: 5 codecs, identical checksums, size sanity",
+      io08CodecRoundtrip, Some(io08Sql)),
     QueryDef("io07_lines_sink",
       "custom DSv2 sink: two-phase commit write + readback, topology-invariant",
       io07LinesSink, Some(io07Sql)),

@@ -1058,35 +1058,39 @@ object Maintenance {
       |    AS dof_milli
       |FROM ab""".stripMargin
 
-  /** a48 — Benford first-digit audit over order totals: the classic
-    * fabricated-data / unit-mixing screen a lake runs on every ingested
-    * monetary column. Per leading digit d: observed count, observed ppm,
-    * Benford's expected ppm (log₁₀(1+1/d), folded to integer LITERALS at
-    * authoring time — no runtime float/log anywhere), the signed
-    * deviation, and the digit's χ²-style contribution (dev²/exp, plain
-    * integer div — both numerator and denominator non-negative).
+  /** a48 — SECOND-ORDER Benford audit (first TWO significant digits,
+    * 10–99) over order totals: the finer forensic screen practitioners
+    * run after [[a39Benford]]'s 9-bucket first-digit test passes —
+    * rounding, invented numbers, and psychological price points ($x.99)
+    * that survive the coarse test show up in the 90-bucket two-digit
+    * distribution (Nigrini's standard escalation). Per digit pair d:
+    * observed count/ppm, expected ppm ⌊10⁶·log₁₀(1+1/d)⌋, signed
+    * deviation, and the χ²-style contribution dev²/exp (plain integer
+    * div — numerator and denominator non-negative). The 90 expected
+    * constants are folded at PLAN AUTHORING time from one shared Scala
+    * computation into both engines' literals (the d10 seeded-coefficient
+    * convention) — no runtime float/log anywhere.
     *
-    * Scale shape: one map-side-combined groupBy over the scan (9 groups)
-    * plus a 1-row total joined back by broadcast — the same "tiny
-    * aggregate joined to tiny aggregate" shape as a31's extent
-    * broadcast; nothing about it changes at 100 TB.
+    * Scale shape: one map-side-combined groupBy over the scan (≤90
+    * groups) plus a 1-row total broadcast — a31's extent-broadcast
+    * shape; nothing about it changes at 100 TB.
     */
+  private val benford2Ppm: IndexedSeq[Long] =
+    (10 to 99).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
   def a48BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expArr = benford2Ppm.mkString("array(", ", ", ")")
     val byDigit = Tables.orders(spark, dir)
       .select(expr(
-        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 2) AS BIGINT)")
         .as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_orders"))
     val total = byDigit.agg(sum(col("n_orders")).as("n_total"))
     byDigit.crossJoin(broadcast(total))
       .withColumn("obs_ppm", expr("(1000000 * n_orders) div n_total"))
-      // log10(1 + 1/d) in ppm, authoring-time constants
-      .withColumn("exp_ppm", expr(
-        """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
-          |  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
-          |  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin)
-        .cast(LongType))
+      .withColumn("exp_ppm",
+        expr(s"CAST(element_at($expArr, CAST(digit - 9 AS INT)) AS BIGINT)"))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
       .withColumn("chi2_contrib_micro",
         expr("(dev_ppm * dev_ppm) div exp_ppm"))
@@ -1095,37 +1099,38 @@ object Maintenance {
       .orderBy(col("digit"))
   }
 
-  private val a48Sql =
-    """WITH d AS (
-      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      |  FROM orders),
-      |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
-      |t AS (SELECT SUM(n_orders) AS n_total FROM g),
-      |j AS (
-      |  SELECT digit, n_orders,
-      |    (1000000 * n_orders) // n_total AS obs_ppm,
-      |    CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
-      |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
-      |      WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm
-      |  FROM g, t)
-      |SELECT digit, n_orders, CAST(obs_ppm AS BIGINT) AS obs_ppm,
-      |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
-      |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm,
-      |  CAST(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm AS BIGINT)
-      |    AS chi2_contrib_micro
-      |FROM j ORDER BY digit""".stripMargin
+  private val a48Sql = {
+    val expList = benford2Ppm.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 2) AS BIGINT) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+       |t AS (SELECT SUM(n_orders) AS n_total FROM g),
+       |j AS (
+       |  SELECT digit, n_orders,
+       |    (1000000 * n_orders) // n_total AS obs_ppm,
+       |    CAST($expList[CAST(digit - 9 AS INTEGER)] AS BIGINT) AS exp_ppm
+       |  FROM g, t)
+       |SELECT digit, n_orders, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm,
+       |  CAST(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm AS BIGINT)
+       |    AS chi2_contrib_micro
+       |FROM j ORDER BY digit""".stripMargin
+  }
 
-  /** a49 — Gini coefficient of customer revenue concentration: the
-    * inequality metric a mixing/billing audit reports next to a24's
-    * skew stats. Exact integer row-number formula over cents, with the
-    * deterministic (revenue, custkey) tiebreak, via the cumulative-sum
-    * identity Σ rank·x = (n+1)·T − Σ cum — so the plan needs a PREFIX
-    * SUM, not a rank: [[ScaleOps.prefixSum]] range-partitions, computes
-    * per-partition offsets, and never sorts through one partition (the
-    * a17 scalable-row-number machinery). Final arithmetic in
-    * DECIMAL(38,0) (Σ cum is O(n·T)); the numerator (n+1)T − 2C is
-    * non-negative by construction (ascending order), so plain div is
-    * floor on both engines.
+  /** a49 — Gini of CUSTOMER REVENUE concentration, computed with NO
+    * window at all: [[a40Gini]] ranks inside each event_type with a
+    * per-type window (fine when every partition key bounds its cohort);
+    * this is the GLOBAL-cohort dual for when there is no partitioning
+    * key — the a15/a17 row-number pairing applied to a statistic. The
+    * rank term is eliminated via the cumulative-sum identity
+    * Σ rank·x = (n+1)·T − Σ cum, so the plan is [[ScaleOps.prefixSum]]
+    * (range partitions + per-partition offsets) and never sorts through
+    * one partition. Deterministic (revenue, custkey) tiebreak; final
+    * arithmetic in DECIMAL(38,0) (Σ cum is O(n·T)); the numerator
+    * (n+1)T − 2C is non-negative by construction (ascending order), so
+    * plain div is floor on both engines.
     */
   def a49GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
@@ -1160,7 +1165,7 @@ object Maintenance {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a48_benford_audit",
-      "Benford first-digit screen: per-digit obs/exp ppm + chi2 contribution",
+      "second-order two-digit Benford screen: obs/exp ppm + chi2 contribution",
       a48BenfordAudit, Some(a48Sql)),
     QueryDef("a49_gini_concentration",
       "exact Gini of customer revenue via distributed prefix-sum ranks",

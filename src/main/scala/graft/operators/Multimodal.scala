@@ -659,7 +659,60 @@ object Multimodal {
       |FROM s GROUP BY declared, sniffed
       |ORDER BY declared, sniffed""".stripMargin
 
+  /** m13 — WebDataset-style shard manifest: lay the payload stream out
+    * on a byte axis and emit the per-shard manifest a training/inference
+    * loader actually mmaps — shard id, item count, byte extent, global
+    * start offset, id range, and a bit_xor content checksum (so a
+    * corrupted or re-ordered repack is caught before an epoch starts).
+    * The byte axis comes from [[graft.operators.ScaleOps.prefixSum]]
+    * (range partitions + per-partition offsets — no single-partition
+    * window); shards are contiguous in doc_id order, the t08 contiguous-
+    * packing contract transposed from tokens to BYTES, which is the unit
+    * an object-store reader budgets by.
+    */
+  def m13ShardManifest(spark: SparkSession, dir: String,
+                       budget: Long = 65536L): DataFrame = {
+    val items = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(length(cast(concat('IMG0', text) AS BINARY)) AS BIGINT)").as("nbytes"),
+        expr("CAST(conv(substring(md5(cast(concat('IMG0', text) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    ScaleOps.prefixSum(items, Seq("doc_id"), "nbytes", "cum")
+      .withColumn("shard_id", expr(s"(cum - nbytes) div $budget"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("nbytes")).as("shard_bytes"),
+        min(col("cum") - col("nbytes")).as("start_offset"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val m13Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(4 + strlen(text) AS BIGINT) AS nbytes,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5('IMG0' || text), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) AS BIGINT) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nbytes, h,
+      |    SUM(nbytes) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT CAST((cum - nbytes) // 65536 AS BIGINT) AS shard_id,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+      |  CAST(MIN(cum - nbytes) AS BIGINT) AS start_offset,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(bit_xor(h) AS BIGINT) AS checksum
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m13_shard_manifest",
+      "byte-offset shard manifest over the payload stream + xor checksums",
+      m13ShardManifest(_, _), Some(m13Sql)),
     QueryDef("m12_magic_sniff",
       "declared-vs-sniffed modality confusion audit (4-byte magic, planted drift)",
       m12MagicSniff, Some(m12Sql)),

@@ -308,7 +308,59 @@ object ScaleDiag {
       |  CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** l05 — manifest-based retention vacuum: the snapshot/orphan
+    * lifecycle every table format (Iceberg/Delta-style) runs. A rewrite
+    * APPENDS new data files and flips the manifest — it never deletes in
+    * place, because readers may still hold the old snapshot — so the
+    * directory accumulates orphans that only an explicit vacuum
+    * reclaims. Here: gen-1 writes 8 files (manifest v1), a compaction
+    * rewrite appends 2 files holding the full data (manifest v2 = those
+    * 2 only), vacuum = FS listing MINUS live manifest → delete; the
+    * contract emits the file arithmetic (10 listed, 8 orphans, 2 after)
+    * AND the post-vacuum data aggregate read through manifest v2, so
+    * the oracle proves reclamation lost nothing.
+    *
+    * Scale shape: listing−manifest is an anti-join on file path (here
+    * over a handful of paths; at 100 TB it is the same anti-join over
+    * file-metadata tables); data files are never read during vacuum.
+    */
+  def l05RetentionVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l05_vacuum_")
+    val data = new java.io.File(s"$scratch/data")
+    def listing(): Set[String] =
+      Option(data.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Tables.orders(spark, dir).repartition(8)
+      .write.mode("overwrite").parquet(data.toString)
+    val gen1 = listing()
+    spark.read.parquet(data.toString).repartition(2)
+      .write.mode("append").parquet(data.toString)
+    val manifestV2 = listing() -- gen1 // the rewrite's own files
+    val before = listing()
+    val orphans = before -- manifestV2
+    orphans.foreach(n => new java.io.File(data, n).delete())
+    val after = listing()
+    require(after == manifestV2, "vacuum must leave exactly the live snapshot")
+    spark.read.parquet(manifestV2.toSeq.sorted.map(n => s"$data/$n"): _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("files_listed", lit(before.size.toLong))
+      .withColumn("n_orphans", lit(orphans.size.toLong))
+      .withColumn("files_after", lit(after.size.toLong))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val l05Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(10 AS BIGINT) AS files_listed, CAST(8 AS BIGINT) AS n_orphans,
+      |  CAST(2 AS BIGINT) AS files_after
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l05_retention_vacuum",
+      "snapshot vacuum lifecycle: orphans = listing minus manifest, data conserved",
+      l05RetentionVacuum, Some(l05Sql)),
     QueryDef("l04_compaction_exec",
       "small-file compaction lifecycle: 64-file debris -> 4 files, rows conserved",
       l04CompactionExec, Some(l04Sql)),

@@ -2166,7 +2166,67 @@ object TextOps {
       |  CAST((1000000 * SUM(garbage)) // COUNT(*) AS BIGINT) AS garbage_ppm
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** t38 — per-source domain-shift divergence: how far each source's
+    * unigram distribution sits from the corpus-wide distribution — the
+    * number a data-mixing run watches when deciding whether a new feed
+    * changes the blend ("is source X just more of the same, or a
+    * different domain?"). The statistic is the χ²-style divergence
+    * Σ_t (obs_ppm − exp_ppm)²/max(exp_ppm,1) over floor-quantized ppm
+    * shares — exact integer end to end (an information-theoretic JSD
+    * needs ln; the χ² form is its second-order Taylor twin and needs
+    * only division), with per-source token/vocab mass alongside.
+    *
+    * Scale shape: one token explode → two partial-aggregated groupBys
+    * ((source,term) and (term)); the per-term join is a shuffle join on
+    * the term key — corpus-vocabulary sized, deliberately NOT broadcast
+    * (vocab grows with the corpus; the t22 argument); source totals are
+    * a tiny broadcast.
+    */
+  def t38SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val st = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val ts = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val tot = t.agg(sum(col("c_t")).as("t_all"))
+    st.join(t, "term")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(1000000 * c_st) div t_s"))
+      .withColumn("exp_ppm", expr("(1000000 * c_t) div t_all"))
+      .withColumn("contrib", expr(
+        "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div greatest(exp_ppm, 1)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("t_s")).as("n_tokens"),
+        sum(col("contrib")).as("chi2_divergence"))
+      .orderBy(col("source"))
+  }
+
+  private val t38Sql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) term
+      |  FROM documents),
+      |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) c_st
+      |       FROM toks GROUP BY 1, 2),
+      |t AS (SELECT term, CAST(SUM(c_st) AS BIGINT) c_t FROM st GROUP BY 1),
+      |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) t_s FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) t_all FROM t),
+      |j AS (
+      |  SELECT st.source,
+      |    (1000000 * c_st) // t_s AS obs_ppm,
+      |    (1000000 * c_t) // t_all AS exp_ppm,
+      |    t_s
+      |  FROM st JOIN t USING (term) JOIN ts ON st.source = ts.source, tot)
+      |SELECT source, COUNT(*) AS n_terms, MAX(t_s) AS n_tokens,
+      |  CAST(SUM(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))
+      |           // greatest(exp_ppm, 1)) AS BIGINT) AS chi2_divergence
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t38_source_divergence",
+      "per-source chi2 domain-shift divergence vs the corpus unigram blend",
+      t38SourceDivergence, Some(t38Sql)),
     QueryDef("t37_garbage_score",
       "OCR/mojibake tracers per source: U+FFFD, density ratios, consonant runs",
       t37GarbageScore, Some(t37Sql)),

@@ -1309,7 +1309,61 @@ object Windows {
       |  END AS BIGINT) AS r2_signed_micro
       |FROM g ORDER BY hour""".stripMargin
 
+  /** w29 — day-over-day top-k churn: how much of yesterday's top-5
+    * leaderboard (users by event count) survives into today — the
+    * stability metric behind "is this ranking signal or noise", and the
+    * cheap canary for an instrumentation change (a sudden 100% churn
+    * day is a pipeline incident, not user behavior). Deterministic
+    * (count desc, user asc) tiebreak; per-day ranking partitions by
+    * day, so no global window; the day-to-day comparison is a self-join
+    * on (day+1, user) — all tables are top-k-bounded after the rank.
+    */
+  def w29TopkChurn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("user_id").asc)
+    val top = daily.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("day"), col("user_id"))
+    val prev = top.select((col("day") + 1).as("day"), col("user_id").as("prev_user"))
+    val cur = top.groupBy(col("day")).agg(count(lit(1)).as("cur_top"))
+    val pre = prev.groupBy(col("day")).agg(count(lit(1)).as("prev_top"))
+    val common = top.join(prev,
+        top("day") === prev("day") && col("user_id") === col("prev_user"))
+      .groupBy(top("day")).agg(count(lit(1)).as("n_common"))
+    cur.join(pre, "day")
+      .join(common, Seq("day"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("churn_ppm", expr("(1000000 * (cur_top - n_common)) div cur_top"))
+      .orderBy(col("day"))
+  }
+
+  private val w29Sql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, COUNT(*) n
+      |  FROM events GROUP BY 1, 2),
+      |top AS (
+      |  SELECT day, user_id FROM (
+      |    SELECT day, user_id,
+      |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id ASC) rn
+      |    FROM daily) WHERE rn <= 5),
+      |prev AS (SELECT day + 1 AS day, user_id FROM top),
+      |cur AS (SELECT day, CAST(COUNT(*) AS BIGINT) cur_top FROM top GROUP BY 1),
+      |pre AS (SELECT day, CAST(COUNT(*) AS BIGINT) prev_top FROM prev GROUP BY 1),
+      |com AS (
+      |  SELECT t.day, CAST(COUNT(*) AS BIGINT) n_common
+      |  FROM top t JOIN prev p ON t.day = p.day AND t.user_id = p.user_id
+      |  GROUP BY 1)
+      |SELECT cur.day, cur_top, prev_top,
+      |  COALESCE(n_common, 0) AS n_common,
+      |  (1000000 * (cur_top - COALESCE(n_common, 0))) // cur_top AS churn_ppm
+      |FROM cur JOIN pre USING (day) LEFT JOIN com ON cur.day = com.day
+      |ORDER BY cur.day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w29_topk_churn",
+      "day-over-day top-5 leaderboard churn (rank stability canary)",
+      w29TopkChurn(_, _), Some(w29Sql)),
     QueryDef("w28_rolling_corr",
       "trailing-24h signed quantized r^2 between two hourly value series",
       w28RollingCorr(_, _), Some(w28Sql)),

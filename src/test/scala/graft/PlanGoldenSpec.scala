@@ -61,7 +61,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a47_welch_ttest", "w27_bollinger_breach", "g11_reciprocity",
     "t36_vocab_coverage", "d13_threshold_sweep", "st11_static_enrich",
     "w28_rolling_corr", "a48_benford_audit", "a49_gini_concentration",
-    "t37_garbage_score", "f12_confusable_audit", "st12_cdc_apply")
+    "t37_garbage_score", "f12_confusable_audit", "st12_cdc_apply",
+    "w29_topk_churn", "t38_source_divergence", "d14_template_dedup",
+    "m13_shard_manifest")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -292,23 +292,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("a48: Benford digits cover 1-9, ppms are consistent, counts match a recompute") {
+  test("a48: two-digit Benford pairs are in 10-99, ppms consistent, counts match a recompute") {
     val rows = Maintenance.a48BenfordAudit(spark, sf).collect()
-    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val digits = rows.map(_.getLong(0))
+    assert(digits.forall(d => d >= 10L && d <= 99L))
+    assert(digits.length > 50, "order totals should populate most two-digit buckets")
     val cents = Tables.orders(spark, sf)
       .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect().map(_.getLong(0))
     val n = cents.length.toLong
-    val byDigit = cents.groupBy(c => c.toString.head.asDigit.toLong).view.mapValues(_.length.toLong)
+    val byDigit = cents.groupBy(c => c.toString.take(2).toLong).view.mapValues(_.length.toLong)
     rows.foreach { r =>
       val (d, cnt, obs, ex, dev, chi) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       assert(cnt == byDigit(d))
       assert(obs == 1000000L * cnt / n)
+      assert(BigInt(ex) == BigInt(math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong))
       assert(dev == obs - ex)
       assert(chi == dev * dev / ex)
     }
-    // Benford's ppms must sum to ~1e6 (authoring-time constants sanity)
-    assert(Math.abs(rows.map(_.getLong(3)).sum - 1000000L) <= 5)
+    // second-order Benford ppms over ALL 90 pairs must sum to ~1e6
+    val all = (10 to 99).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).sum
+    assert(Math.abs(all - 1000000L) <= 90)
   }
 
   test("a49: Gini matches the classic sorted-rank formula recomputed in BigInt") {
@@ -369,5 +373,112 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got == expected)
     // tombstones must exist in the log for the filter to mean anything
     assert(expected.size < ops.groupBy(_._1).size)
+  }
+
+  test("l05: vacuum keeps exactly the live snapshot and loses no data") {
+    val rows = operators.ScaleDiag.l05RetentionVacuum(spark, sf).collect()
+    val direct = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == direct(r.getString(0)))
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == (10L, 8L, 2L))
+    }
+  }
+
+  test("io08: every codec round-trips identical checksums and compresses vs none") {
+    val rows = operators.Formats.io08CodecRoundtrip(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("gzip", "lz4", "none", "snappy", "zstd"))
+    val sums = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).distinct
+    assert(sums.length == 1, "codec must never change content")
+    assert(rows.forall(_.getBoolean(4)), "every real codec must beat uncompressed")
+  }
+
+  test("t38: divergence matches an exact ppm recompute and self-blend diverges least") {
+    val got = operators.TextOps.t38SourceDivergence(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+").map(r.getString(0) -> _))
+    val cSt = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cT = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tS = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val tAll = toks.length.toLong
+    val expected = cSt.keys.toSeq.groupBy(_._1).map { case (s, keys) =>
+      val chi = keys.map { k =>
+        val obs = 1000000L * cSt(k) / tS(s)
+        val ex = 1000000L * cT(k._2) / tAll
+        (obs - ex) * (obs - ex) / math.max(ex, 1L)
+      }.sum
+      s -> (keys.size.toLong, tS(s), chi)
+    }
+    assert(got == expected)
+  }
+
+  test("d14: planted template families exist; char accounting is conserved") {
+    val rows = operators.Dedup.d14TemplateDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the 40 planted pairs guarantee >= 40 two-member families
+    assert(rows.contains(2L) && rows(2L)._1 >= 40L)
+    // singleton families reclaim nothing
+    rows.get(1L).foreach { case (_, _, reclaim) => assert(reclaim == 0L) }
+    // total docs across the histogram = corpus + 80 planted
+    val nDocs = rows.map { case (m, (nt, _, _)) => m * nt }.sum
+    assert(nDocs == Tables.documents(spark, sf).count() + 80)
+  }
+
+  test("w29: churn matches a direct per-day top-5 set recompute") {
+    val got = Windows.w29TopkChurn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((d, u), n) => (d, u, n) }
+    val tops = daily.groupBy(_._1).view.mapValues(rs =>
+      rs.sortBy(r => (-r._3, r._2)).take(5).map(_._2).toSet).toMap
+    val expected = tops.keys.filter(d => tops.contains(d - 1)).map { d =>
+      val (cur, prev) = (tops(d), tops(d - 1))
+      val common = (cur & prev).size.toLong
+      d -> (cur.size.toLong, prev.size.toLong, common,
+        1000000L * (cur.size - common) / cur.size)
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("m13: shard manifest is contiguous, byte-conserving, and checksum-exact") {
+    val rows = operators.Multimodal.m13ShardManifest(spark, sf).collect()
+    val items = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), ("IMG0" + r.getString(1)).getBytes("UTF-8")))
+      .sortBy(_._1)
+    val totalBytes = items.map(_._2.length.toLong).sum
+    assert(rows.map(_.getLong(2)).sum == totalBytes)
+    // contiguity: each shard starts where byte math says it must
+    rows.sortBy(_.getLong(0)).foldLeft(0L) { case (off, r) =>
+      assert(r.getLong(3) == off)
+      off + r.getLong(2)
+    }
+    // id ranges must not overlap across shards
+    val ranges = rows.sortBy(_.getLong(0)).map(r => (r.getLong(4), r.getLong(5)))
+    ranges.sliding(2).foreach {
+      case Array((_, lastA), (firstB, _)) => assert(lastA < firstB)
+      case _ =>
+    }
+    // checksum = xor of 60-bit md5 images, recomputed in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(b: Array[Byte]): Long = {
+      md.reset()
+      val d = md.digest(b)
+      var v = 0L
+      (0 until 7).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      (v << 4) | ((d(7) & 0xffL) >>> 4)
+    }
+    var cum = 0L
+    val byShard = items.map { case (id, b) =>
+      val start = cum; cum += b.length; (start / 65536L, h60(b))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ^ _)).toMap
+    rows.foreach(r => assert(r.getLong(6) == byShard(r.getLong(0))))
   }
 }
