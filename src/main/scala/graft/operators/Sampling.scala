@@ -359,7 +359,71 @@ object Sampling {
       |GROUP BY 1, 2, 3
       |ORDER BY quotas.source""".stripMargin
 
+  /** s13 — temporal train/val/test split + leakage audit: time-series
+    * models split by TIME, never by row hash — a hash split leaks the
+    * future into training. Cut points sit at 70% / 85% of the observed
+    * time span (integer-micros arithmetic over a 1-row min/max extent
+    * broadcast — the a31 idiom, no driver collect), and the audit
+    * reports what a time split cannot avoid and a modeler must know:
+    * how many test/val users were already seen in train ("warm", their
+    * behavior partially memorized) vs genuinely cold. Split sizes,
+    * per-split user counts, warm/cold counts and warm ppm — all exact
+    * integers.
+    *
+    * Scale shape: one scan for the extent, one for the split tagging;
+    * the warm/cold audit is a semi-join of per-split user sets against
+    * train users — shuffle on the high-cardinality user key, no skew.
+    */
+  def s13TimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val extent = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val tagged = ev.crossJoin(broadcast(extent))
+      .withColumn("split", expr(
+        """CASE WHEN (us - lo) * 100 < (hi - lo) * 70 THEN 'train'
+          |     WHEN (us - lo) * 100 < (hi - lo) * 85 THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+    val users = tagged.select(col("split"), col("user_id")).distinct()
+    val trainUsers = users.filter(col("split") === "train")
+      .select(col("user_id").as("tu"))
+    val warm = users.join(trainUsers, col("user_id") === col("tu"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tu")).as("warm_users"))
+    tagged.groupBy(col("split")).agg(count(lit(1)).as("n_events"))
+      .join(warm, "split")
+      .withColumn("cold_users", col("n_users") - col("warm_users"))
+      .withColumn("warm_ppm", expr("(1000000 * warm_users) div n_users"))
+      .orderBy(col("split"))
+  }
+
+  private val s13Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) us FROM events),
+      |x AS (SELECT MIN(us) lo, MAX(us) hi FROM e),
+      |t AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN (us - lo) * 100 < (hi - lo) * 70 THEN 'train'
+      |         WHEN (us - lo) * 100 < (hi - lo) * 85 THEN 'val'
+      |         ELSE 'test' END split
+      |  FROM e, x),
+      |u AS (SELECT DISTINCT split, user_id FROM t),
+      |tr AS (SELECT user_id FROM u WHERE split = 'train'),
+      |w AS (
+      |  SELECT u.split, CAST(COUNT(*) AS BIGINT) n_users,
+      |    CAST(COUNT(tr.user_id) AS BIGINT) warm_users
+      |  FROM u LEFT JOIN tr ON u.user_id = tr.user_id
+      |  GROUP BY 1),
+      |n AS (SELECT split, COUNT(*) n_events FROM t GROUP BY 1)
+      |SELECT n.split, n_events, n_users, warm_users,
+      |  n_users - warm_users AS cold_users,
+      |  (1000000 * warm_users) // n_users AS warm_ppm
+      |FROM n JOIN w ON n.split = w.split
+      |ORDER BY n.split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s13_time_split",
+      "temporal train/val/test split with warm/cold user leakage audit",
+      s13TimeSplit, Some(s13Sql)),
     QueryDef("s12_temperature_mix",
       "temperature-0.5 mixture quotas + deterministic execution + checksums",
       s12TemperatureMix(_, _), Some(s12Sql)),

@@ -1554,7 +1554,138 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v20 — hybrid retrieval with reciprocal-rank fusion: the production
+    * RAG shape nobody ships half of — a LEXICAL ranking (word-bigram
+    * Jaccard over the documents table, query-by-example) and a DENSE
+    * ranking (exact quantized cosine over the paired embeddings — same
+    * id space, see m08) fused per query by RRF,
+    * score = Σ_lists 10⁶/(60+rank), which needs no score calibration
+    * between the two retrievers — exactly why RRF is the default fusion
+    * in hybrid search. Integer end to end (ranks are ints; Jaccard is
+    * ppm; the only double is inside v01's established cosine ORDER BY).
+    * A doc absent from a list contributes 0 — the standard "not
+    * retrieved" contract — and lexical candidates require a shared
+    * bigram (empty posting ⇒ not retrieved), so the lexical side is the
+    * SPARSE broadcast join of the d10 audit, never all-pairs.
+    *
+    * Scale shape: queries are every 25th id (bounded fraction, guarded
+    * by [[requirePairsBounded]] for the dense side); the lexical side is
+    * a broadcast-join proportional to shared-bigram mass; both rankings
+    * window per query id. At 100 TB the dense side routes through the
+    * v05/v09/v12 shortlists — fusion itself is rank arithmetic and
+    * never changes.
+    */
+  def v20RrfFusion(spark: SparkSession, dir: String,
+                   maxPairs: Long = 1L << 28): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v20", maxPairs)
+    // dense: v01's exact quantized cosine, top-10
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val dq = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val wd = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val dense = dq.join(
+        vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")),
+        col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank_d", row_number().over(wd))
+      .filter(col("rank_d") <= 10)
+      .select(col("qid"), col("cid"), col("rank_d"))
+    // lexical: distinct word bigrams, sparse overlap join, Jaccard ppm
+    val bg = Tables.documents(spark, dir)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(1, size(ws) - 1))")).as("i"), col("ws"))
+      .select(col("doc_id"),
+        concat(expr("element_at(ws, i)"), lit(" "), expr("element_at(ws, i + 1)")).as("s"))
+      .filter(col("s").isNotNull)
+      .distinct()
+    val sz = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val qbg = bg.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("s"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("cid").asc)
+    val lexical = bg.select(col("doc_id").as("cid"), col("s"))
+      .join(broadcast(qbg), Seq("s"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("qid"), col("sz").as("sq")), "qid")
+      .join(sz.select(col("doc_id").as("cid"), col("sz").as("sc")), "cid")
+      .withColumn("jac", expr("(1000000 * inter) div (sq + sc - inter)"))
+      .withColumn("rank_l", row_number().over(wl))
+      .filter(col("rank_l") <= 10)
+      .select(col("qid"), col("cid"), col("rank_l"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("cid").asc)
+    dense.join(lexical, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf_micro",
+        expr("coalesce(1000000 div (60 + rank_d), 0) + coalesce(1000000 div (60 + rank_l), 0)"))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("fused_rank").cast("int").as("fused_rank"),
+        col("cid").as("neighbor_id"), col("rrf_micro"),
+        coalesce(col("rank_d"), lit(-1)).cast(LongType).as("dense_rank"),
+        coalesce(col("rank_l"), lit(-1)).cast(LongType).as("lex_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  private val v20Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |dp AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |dr AS (SELECT qid, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank_d
+      |       FROM dp),
+      |dense AS (SELECT qid, cid, rank_d FROM dr WHERE rank_d <= 10),
+      |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, greatest(2, len(ws))),
+      |      i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]))) s
+      |  FROM w),
+      |bgn AS (SELECT doc_id, s FROM bg WHERE s IS NOT NULL),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) sz FROM bgn GROUP BY 1),
+      |ov AS (
+      |  SELECT q.doc_id qid, c.doc_id cid, CAST(COUNT(*) AS BIGINT) inter
+      |  FROM bgn q JOIN bgn c USING (s)
+      |  WHERE q.doc_id % 25 = 0 AND q.doc_id <> c.doc_id
+      |  GROUP BY 1, 2),
+      |lj AS (
+      |  SELECT qid, cid,
+      |    (1000000 * inter) // (sq.sz + sc.sz - inter) jac
+      |  FROM ov JOIN sz sq ON ov.qid = sq.doc_id JOIN sz sc ON ov.cid = sc.doc_id),
+      |lr AS (SELECT qid, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac DESC, cid ASC) rank_l
+      |       FROM lj),
+      |lex AS (SELECT qid, cid, rank_l FROM lr WHERE rank_l <= 10),
+      |fused AS (
+      |  SELECT COALESCE(d.qid, l.qid) qid, COALESCE(d.cid, l.cid) cid,
+      |    COALESCE(1000000 // (60 + d.rank_d), 0)
+      |      + COALESCE(1000000 // (60 + l.rank_l), 0) rrf_micro,
+      |    d.rank_d, l.rank_l
+      |  FROM dense d FULL OUTER JOIN lex l ON d.qid = l.qid AND d.cid = l.cid),
+      |fr AS (
+      |  SELECT qid, cid, rrf_micro, rank_d, rank_l,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, cid ASC) fused_rank
+      |  FROM fused)
+      |SELECT qid, CAST(fused_rank AS INTEGER) AS fused_rank, cid AS neighbor_id,
+      |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+      |  CAST(COALESCE(rank_d, -1) AS BIGINT) AS dense_rank,
+      |  CAST(COALESCE(rank_l, -1) AS BIGINT) AS lex_rank
+      |FROM fr WHERE fused_rank <= 5
+      |ORDER BY qid, fused_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v20_rrf_fusion",
+      "hybrid lexical+dense retrieval fused by reciprocal-rank fusion",
+      v20RrfFusion(_, _), Some(v20Sql)),
     QueryDef("v19_maxsim_topk",
       "late-interaction MaxSim top-3: 8x8 sub-vector best-match, integer exact",
       v19MaxsimTopK(_, _), Some(v19Sql)),

@@ -481,4 +481,76 @@ class Round7OpsSpec extends AnyFunSuite {
     }.groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ^ _)).toMap
     rows.foreach(r => assert(r.getLong(6) == byShard(r.getLong(0))))
   }
+
+  test("v20: RRF fusion equals an independent dense+lexical rank recompute") {
+    val got = Similarity.v20RrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // dense ranking: quantized cosine, v01 convention
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val nrm = vecs.toMap.view.mapValues(q => dot(q, q)).toMap
+    val qids = vecs.map(_._1).filter(_ % 25 == 0)
+    def denseTop(q: Long): Seq[Long] = {
+      val qv = vecs.toMap.apply(q)
+      vecs.filter(_._1 != q).map { case (c, cv) =>
+        c -> dot(qv, cv).toDouble / math.sqrt(nrm(q).toDouble * nrm(c).toDouble)
+      }.sortBy { case (c, cos) => (-cos, c) }.take(10).map(_._1).toSeq
+    }
+    // lexical ranking: distinct word-bigram jaccard ppm, shared-bigram only
+    val bgs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).trim.split("\\s+")
+        r.getLong(0) -> ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      }.toMap
+    def lexTop(q: Long): Seq[Long] =
+      bgs.toSeq.filter(_._1 != q).flatMap { case (c, s) =>
+        val inter = (bgs(q) & s).size.toLong
+        if (inter == 0) None
+        else Some(c -> 1000000L * inter / (bgs(q).size + s.size - inter))
+      }.sortBy { case (c, j) => (-j, c) }.take(10).map(_._1)
+    qids.foreach { q =>
+      val d = denseTop(q).zipWithIndex.map { case (c, i) => c -> (i + 1L) }.toMap
+      val l = lexTop(q).zipWithIndex.map { case (c, i) => c -> (i + 1L) }.toMap
+      val fused = (d.keySet ++ l.keySet).toSeq.map { c =>
+        val rrf = d.get(c).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          l.get(c).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (c, rrf)
+      }.sortBy { case (c, s) => (-s, c) }.take(5)
+      fused.zipWithIndex.foreach { case ((c, rrf), i) =>
+        assert(got((q, i + 1)) ==
+          (c, rrf, d.getOrElse(c, -1L), l.getOrElse(c, -1L)),
+          s"query $q fused rank ${i + 1}")
+      }
+    }
+  }
+
+  test("s13: split boundaries, user counts, and warm/cold audit match a direct recompute") {
+    val rows = operators.Sampling.s13TimeSplit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    def split(us: Long): String =
+      if ((us - lo) * 100 < (hi - lo) * 70) "train"
+      else if ((us - lo) * 100 < (hi - lo) * 85) "val"
+      else "test"
+    val tagged = ev.map { case (u, us) => (split(us), u) }
+    val trainUsers = tagged.filter(_._1 == "train").map(_._2).toSet
+    val expected = tagged.groupBy(_._1).map { case (s, rs) =>
+      val users = rs.map(_._2).distinct
+      val warm = users.count(trainUsers.contains).toLong
+      s -> (rs.length.toLong, users.length.toLong, warm,
+        users.length - warm, 1000000L * warm / users.length)
+    }
+    assert(rows == expected)
+    // the split must actually separate: test has cold users OR warm < all
+    assert(rows("test")._2 > 0 && rows("train")._5 == 1000000L)
+  }
 }
