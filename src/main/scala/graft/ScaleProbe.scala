@@ -38,7 +38,9 @@ object ScaleProbe {
     "v09_pq_rerank", "v12_binary_topk", "v18_ivf_pq_rerank",
     "t25_curation_funnel", "j14_bucketed_join",
     "g10_personalized_rank", "d13_threshold_sweep", "t34_vocab_growth",
-    "t07_repetition_filters", "t33_winnowing", "w27_bollinger_breach")
+    "t07_repetition_filters", "t33_winnowing", "w27_bollinger_breach",
+    "d14_template_dedup", "t38_source_divergence", "v20_rrf_fusion",
+    "m13_shard_manifest", "g12_degree_profile")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer")
   private val copiedTables = Seq("region", "nation", "supplier", "part", "events")

@@ -712,7 +712,78 @@ object LinkRank {
       |  CAST(loops.n_loop_nodes AS BIGINT) AS n_loop_nodes
       |FROM ne CROSS JOIN r CROSS JOIN loops""".stripMargin
 
+  /** g12 — in-degree distribution + hub-tail profile of the link graph:
+    * the first diagnostic a graph job runs before choosing partitioning
+    * (a heavy hub tail means vertex-cut / salting; a flat profile means
+    * plain hash partitioning is fine — the g07 hub-cap and j09/j10
+    * salting decisions start from exactly this table). Per observed
+    * in-degree d: node count, the CCDF count of nodes with degree ≥ d,
+    * and the ppm of ALL edge mass landing on those ≥d nodes — "what
+    * fraction of traffic do the hubs absorb". Zero-in-degree nodes are
+    * counted via the left join (a distribution that silently drops
+    * sinks misreports the tail).
+    *
+    * Scale shape: one edge aggregate on dst (shuffle on the vertex
+    * key), one left join onto the vertex table, then windows over the
+    * DEGREE HISTOGRAM — whose row count is the number of distinct
+    * degrees, a bounded diagnostic table, never the vertex table.
+    */
+  def g12DegreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val indeg = docs.join(
+        edges.groupBy(col("dst")).agg(count(lit(1)).as("d")),
+        docs("doc_id") === col("dst"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("in_degree"))
+    val hist = indeg.groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("edge_mass", col("in_degree") * col("n_nodes"))
+    val wDesc = Window.orderBy(col("in_degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("nodes_ge", sum(col("n_nodes")).over(wDesc))
+      .withColumn("mass_ge", sum(col("edge_mass")).over(wDesc))
+      .withColumn("total_mass", sum(col("edge_mass")).over(wAll))
+      .select(col("in_degree"), col("n_nodes"), col("nodes_ge"),
+        expr("(1000000 * mass_ge) div total_mass").as("tail_mass_ppm"))
+      .orderBy(col("in_degree"))
+  }
+
+  private val g12Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |raw AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents, nn, (SELECT unnest([1, 2, 3]) k)),
+      |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |ind AS (
+      |  SELECT d.doc_id, CAST(COALESCE(cnt.d, 0) AS BIGINT) in_degree
+      |  FROM documents d
+      |  LEFT JOIN (SELECT dst, COUNT(*) d FROM e GROUP BY dst) cnt
+      |    ON d.doc_id = cnt.dst),
+      |h AS (
+      |  SELECT in_degree, CAST(COUNT(*) AS BIGINT) n_nodes,
+      |    CAST(in_degree * COUNT(*) AS BIGINT) edge_mass
+      |  FROM ind GROUP BY in_degree)
+      |SELECT in_degree, n_nodes,
+      |  CAST(SUM(n_nodes) OVER (ORDER BY in_degree DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nodes_ge,
+      |  CAST((1000000 * SUM(edge_mass) OVER (ORDER BY in_degree DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    // SUM(edge_mass) OVER () AS BIGINT) AS tail_mass_ppm
+      |FROM h ORDER BY in_degree""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g12_degree_profile",
+      "in-degree histogram + hub-tail CCDF/mass of the link graph",
+      g12DegreeProfile, Some(g12Sql)),
     QueryDef("g11_reciprocity",
       "edge reciprocity + self-loop audit of the deterministic link graph",
       g11Reciprocity, Some(g11Sql)),

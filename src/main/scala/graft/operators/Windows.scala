@@ -1331,8 +1331,12 @@ object Windows {
     val common = top.join(prev,
         top("day") === prev("day") && col("user_id") === col("prev_user"))
       .groupBy(top("day")).agg(count(lit(1)).as("n_common"))
-    cur.join(pre, "day")
-      .join(common, Seq("day"), "left")
+    // all three are day-bounded (k rows per day); pin the broadcast
+    // sides explicitly — the two day tables are near-identical size, so
+    // leaving the build-side choice to AQE made the plan shape flip
+    // run-to-run on a few compressed bytes
+    cur.join(broadcast(pre), "day")
+      .join(broadcast(common), Seq("day"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("churn_ppm", expr("(1000000 * (cur_top - n_common)) div cur_top"))
       .orderBy(col("day"))

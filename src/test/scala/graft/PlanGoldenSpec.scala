@@ -63,7 +63,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w28_rolling_corr", "a48_benford_audit", "a49_gini_concentration",
     "t37_garbage_score", "f12_confusable_audit", "st12_cdc_apply",
     "w29_topk_churn", "t38_source_divergence", "d14_template_dedup",
-    "m13_shard_manifest", "v20_rrf_fusion", "s13_time_split")
+    "m13_shard_manifest", "v20_rrf_fusion", "s13_time_split",
+    "g12_degree_profile")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -482,6 +482,29 @@ class Round7OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(6) == byShard(r.getLong(0))))
   }
 
+  test("g12: degree profile matches a set-based recompute; CCDF and mass are monotone") {
+    val rows = LinkRank.g12DegreeProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = ids.flatMap(src => Seq(1L, 2L, 3L).map(k =>
+      (src, (src * src * 31 + k * 17) % n))).filter(e => e._1 != e._2).distinct
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val degs = ids.map(i => indeg.getOrElse(i, 0L))
+    val hist = degs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totalMass = hist.map { case (d, c) => d * c }.sum
+    val expected = hist.keys.toSeq.sorted.map { d =>
+      val ge = hist.filter(_._1 >= d)
+      d -> (hist(d), ge.values.sum,
+        1000000L * ge.map { case (dd, c) => dd * c }.sum / totalMass)
+    }
+    assert(rows.toSeq == expected)
+    // CCDF counts shrink and hub mass shrinks as the degree floor rises
+    val ccdf = rows.map(_._2._2)
+    assert(ccdf.zip(ccdf.tail).forall { case (a, b) => b < a })
+    assert(rows.head._2._2 == n)
+  }
+
   test("v20: RRF fusion equals an independent dense+lexical rank recompute") {
     val got = Similarity.v20RrfFusion(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
