@@ -114,13 +114,27 @@ object Windows {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** ntile + percent_rank distribution buckets over account balances. */
+  /** ntile + percent_rank distribution buckets over account balances —
+    * WITHOUT the global single-partition window the naive
+    * `ntile(10).over(Window.orderBy(...))` plans (it was the engine's
+    * last unbounded one-partition sort). Both statistics are pure
+    * functions of the global row number, which [[ScaleOps.denseIds]]
+    * supplies partition-parallel (range repartition + per-partition
+    * offsets): NTILE(k) ≡ ⌊(r−1)·k/n⌋+1 (first n mod k tiles get the
+    * extra row — the identity reproduces SQL NTILE exactly) and
+    * PERCENT_RANK ≡ (r−1)/(n−1) (ties impossible: c_custkey is a total
+    * tiebreak, matching the window's ORDER BY). n arrives as a 1-row
+    * broadcast, so every stage is partition-parallel at any scale.
+    */
   def w05Distribution(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    Tables.customer(spark, dir)
+    val base = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val n = base.agg(count(lit(1)).as("n"))
+    ScaleOps.denseIds(base, Seq("c_acctbal", "c_custkey"), "r")
+      .crossJoin(broadcast(n))
       .select(col("c_custkey"),
-        ntile(10).over(w).cast(IntegerType).as("decile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+        expr("CAST(((r - 1) * 10) div n + 1 AS INT)").as("decile"),
+        round((col("r") - 1).cast("double") / (col("n") - 1).cast("double"), 6)
+          .as("pct_rank"))
       .orderBy(col("c_custkey"))
   }
 

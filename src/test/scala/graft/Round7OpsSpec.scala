@@ -482,6 +482,24 @@ class Round7OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(6) == byShard(r.getLong(0))))
   }
 
+  test("w05: rank-identity ntile/percent_rank equals the global-window form exactly") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val got = Windows.w05Distribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val w = W.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val want = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        ntile(10).over(w).cast("int").as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_custkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // and the plan must contain no unpartitioned Window operator
+    val plan = Windows.w05Distribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "w05 must not plan a global window")
+  }
+
   test("g12: degree profile matches a set-based recompute; CCDF and mass are monotone") {
     val rows = LinkRank.g12DegreeProfile(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
