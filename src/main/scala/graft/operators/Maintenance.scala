@@ -1163,7 +1163,78 @@ object Maintenance {
       |       // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
       |FROM c""".stripMargin
 
+  /** a51 — seasonality strength per event type: how much of the value
+    * signal's variance the hour-of-week profile explains — the ANOVA R²
+    * (SSB/SST over the 168 hour-of-week groups) that decides whether
+    * [[w16SeasonalAnomaly]]'s seasonal baseline is even the right model
+    * (strength near 0 ⇒ the hour-of-week gate is noise; near 1 ⇒ the
+    * residual threshold is trustworthy). Exact integers at DEFINED
+    * quantization points (the a47 convention): group and global means
+    * floor to whole cents first, then SSB = Σ n_g·(m_g−m)² and
+    * SST = Q − 2mS + n·m² are pure int64/DECIMAL arithmetic —
+    * strength_ppm = ⌊10⁶·SSB / SST⌋ is engine-exact.
+    *
+    * Scale shape: one partial-aggregated (type, how) pass — 168 groups
+    * per type — then a per-type rollup; hour-of-week from epoch integer
+    * math (immune to dayofweek numbering differences).
+    */
+  def a51SeasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+    val groups = base.groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum((col("x") * col("x")).cast(D)).as("qg"))
+      .withColumn("mg", expr("sg div ng"))
+    groups.groupBy(col("event_type"))
+      .agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+        sum(col("qg")).as("q"),
+        count(lit(1)).as("n_cells"),
+        sum(col("ng").cast(D) * col("mg") * col("mg")).as("nm2"),
+        sum(col("ng").cast(D) * col("mg")).as("nm1"))
+      .withColumn("m", expr("s div n"))
+      // SSB* = Σ ng·mg² − 2m·Σ ng·mg + n·m²; SST* = Q − 2mS + n·m²
+      // (both over the FLOORED means — the defined quantization points)
+      .withColumn("ssb", expr(
+        "nm2 - 2 * CAST(m AS DECIMAL(38,0)) * nm1 + CAST(n AS DECIMAL(38,0)) * m * m"))
+      .withColumn("sst", expr(
+        "q - 2 * CAST(m AS DECIMAL(38,0)) * s + CAST(n AS DECIMAL(38,0)) * m * m"))
+      .select(col("event_type"), col("n"), col("n_cells"),
+        expr("(1000000 * ssb) div greatest(sst, 1)").cast(LongType)
+          .as("strength_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a51Sql =
+    """WITH e AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) % 168 how,
+      |    CAST(round("value" * 100) AS BIGINT) x
+      |  FROM events WHERE "value" IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, how, CAST(COUNT(*) AS HUGEINT) ng,
+      |    CAST(SUM(x) AS HUGEINT) sg, CAST(SUM(x * x) AS HUGEINT) qg
+      |  FROM e GROUP BY 1, 2),
+      |gm AS (SELECT *, sg // ng mg FROM g),
+      |t AS (
+      |  SELECT event_type, SUM(ng) n, SUM(sg) s, SUM(qg) q,
+      |    CAST(COUNT(*) AS BIGINT) n_cells,
+      |    SUM(ng * mg * mg) nm2, SUM(ng * mg) nm1
+      |  FROM gm GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n, n_cells, s // n m, nm2, nm1, q, s
+      |  FROM t)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, n_cells,
+      |  CAST((1000000 * (nm2 - 2 * m * nm1 + n * m * m))
+      |       // greatest(q - 2 * m * s + n * m * m, 1) AS BIGINT) AS strength_ppm
+      |FROM f ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a51_seasonality_strength",
+      "ANOVA R^2 of the hour-of-week profile per type (is w16's baseline real?)",
+      a51SeasonalityStrength, Some(a51Sql)),
     QueryDef("a48_benford_audit",
       "second-order two-digit Benford screen: obs/exp ppm + chi2 contribution",
       a48BenfordAudit, Some(a48Sql)),

@@ -1682,7 +1682,93 @@ object Similarity {
       |FROM fr WHERE fused_rank <= 5
       |ORDER BY qid, fused_rank""".stripMargin
 
+  /** v21 — embedding-drift monitor over the IVF cells: assign the whole
+    * corpus to the shared deterministic quantizer (the v02/v03 first-16
+    * cell convention), split it into an OLD and NEW half (vec_id below /
+    * above the midpoint — the stand-in for "last month's corpus vs this
+    * month's"), and compare the two cell-occupancy distributions. When
+    * the χ²-style per-cell drift mass spikes, the embedding distribution
+    * has moved and the IVF index needs re-training — the production
+    * trigger for centroid refresh, measured with the t38 divergence
+    * convention (floor-quantized ppm shares, (Δppm)²/Σppm contribution,
+    * exact integer end to end).
+    *
+    * Scale shape: one broadcast-assign projection (16 centroids), one
+    * (cell, half) partial-aggregated count, windows only over the
+    * 16-row cell table.
+    */
+  def v21CentroidDrift(spark: SparkSession, dir: String,
+                       nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val centroids = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
+    val n = vecs.agg(count(lit(1)).as("n"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .crossJoin(broadcast(n))
+      .select(col("centroid_id").as("cell"),
+        (col("vec_id") * 2 < col("n")).as("is_old"))
+    val counts = assigned.groupBy(col("cell"))
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_old"), 0L).otherwise(1L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_old_ppm", expr("(1000000 * n_old) div t_old"))
+      .withColumn("share_new_ppm", expr("(1000000 * n_new) div t_new"))
+      .withColumn("drift_contrib", expr(
+        """((share_old_ppm - share_new_ppm) * (share_old_ppm - share_new_ppm))
+          | div greatest(share_old_ppm + share_new_ppm, 1)""".stripMargin))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        col("share_old_ppm"), col("share_new_ppm"), col("drift_contrib"))
+      .orderBy(col("cell"))
+  }
+
+  private val v21Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |tot AS (SELECT COUNT(*) nn FROM n),
+      |scored AS (
+      |  SELECT n.vec_id, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |a AS (
+      |  SELECT vec_id, centroid_id cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |    FROM scored) WHERE crank = 1),
+      |c AS (
+      |  SELECT cell,
+      |    CAST(SUM(CASE WHEN vec_id * 2 < tot.nn THEN 1 ELSE 0 END) AS BIGINT) n_old,
+      |    CAST(SUM(CASE WHEN vec_id * 2 < tot.nn THEN 0 ELSE 1 END) AS BIGINT) n_new
+      |  FROM a, tot GROUP BY cell),
+      |t AS (SELECT SUM(n_old) t_old, SUM(n_new) t_new FROM c),
+      |j AS (
+      |  SELECT cell, n_old, n_new,
+      |    (1000000 * n_old) // t_old share_old_ppm,
+      |    (1000000 * n_new) // t_new share_new_ppm
+      |  FROM c, t)
+      |SELECT cell, n_old, n_new,
+      |  CAST(share_old_ppm AS BIGINT) AS share_old_ppm,
+      |  CAST(share_new_ppm AS BIGINT) AS share_new_ppm,
+      |  CAST(((share_old_ppm - share_new_ppm) * (share_old_ppm - share_new_ppm))
+      |       // greatest(share_old_ppm + share_new_ppm, 1) AS BIGINT) AS drift_contrib
+      |FROM j ORDER BY cell""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v21_centroid_drift",
+      "IVF cell-occupancy drift between corpus halves (index refresh trigger)",
+      v21CentroidDrift(_, _), Some(v21Sql)),
     QueryDef("v20_rrf_fusion",
       "hybrid lexical+dense retrieval fused by reciprocal-rank fusion",
       v20RrfFusion(_, _), Some(v20Sql)),

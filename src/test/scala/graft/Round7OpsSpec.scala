@@ -482,6 +482,68 @@ class Round7OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(6) == byShard(r.getLong(0))))
   }
 
+  test("v21: centroid drift matches an in-memory assignment recompute; halves conserve") {
+    val rows = Similarity.v21CentroidDrift(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = vecs.filter(_._1 < 16)
+    val n = vecs.length.toLong
+    val assigned = vecs.map { case (id, q) =>
+      val cell = cents.map { case (cid, cq) =>
+        cid -> dot(q, cq).toDouble / math.sqrt(dot(q, q).toDouble * dot(cq, cq).toDouble)
+      }.maxBy { case (cid, c) => (c, -cid) }._1
+      (cell, id * 2 < n)
+    }
+    val counts = assigned.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2).toLong, rs.count(!_._2).toLong)
+    }.toMap
+    val (tOld, tNew) = (counts.values.map(_._1).sum, counts.values.map(_._2).sum)
+    assert(tOld + tNew == n)
+    counts.foreach { case (cell, (no, nn)) =>
+      val so = 1000000L * no / tOld
+      val sn = 1000000L * nn / tNew
+      val drift = (so - sn) * (so - sn) / math.max(so + sn, 1L)
+      assert(rows(cell) == (no, nn, so, sn, drift), s"cell $cell")
+    }
+    assert(rows.keySet == counts.keySet)
+  }
+
+  test("a51: seasonality strength matches a BigInt ANOVA recompute at the floored means") {
+    val rows = Maintenance.a51SeasonalityStrength(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).map { case (t, rs) =>
+      val n = BigInt(rs.length)
+      val s = rs.map(r => BigInt(r._3)).sum
+      val q = rs.map(r => BigInt(r._3) * r._3).sum
+      val m = s / n
+      val cells = rs.groupBy(_._2).values.toSeq
+      val ssb = cells.map { g =>
+        val ng = BigInt(g.length); val sg = g.map(r => BigInt(r._3)).sum
+        val mg = sg / ng
+        ng * (mg - m) * (mg - m)
+      }.sum
+      val sst = q - 2 * m * s + n * m * m
+      t -> (rs.length.toLong, cells.length.toLong,
+        ((1000000 * ssb) / sst.max(1)).toLong)
+    }
+    assert(rows == expected)
+    rows.values.foreach { case (_, cells, strength) =>
+      assert(cells >= 100L && cells <= 168L)
+      assert(strength >= 0L && strength <= 1010000L)
+    }
+  }
+
   test("w05: rank-identity ntile/percent_rank equals the global-window form exactly") {
     import org.apache.spark.sql.expressions.{Window => W}
     val got = Windows.w05Distribution(spark, sf).collect()
