@@ -390,8 +390,9 @@ object Sampling {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_users"),
         count(col("tu")).as("warm_users"))
+    // two 3-row tables: pin the build side (the w29 golden-flap lesson)
     tagged.groupBy(col("split")).agg(count(lit(1)).as("n_events"))
-      .join(warm, "split")
+      .join(broadcast(warm), "split")
       .withColumn("cold_users", col("n_users") - col("warm_users"))
       .withColumn("warm_ppm", expr("(1000000 * warm_users) div n_users"))
       .orderBy(col("split"))

@@ -1261,7 +1261,10 @@ object Windows {
         .filter(col("value").isNotNull && col("event_type") === t)
         .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
         .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(1)").as(out))
-    val joint = hourly(typeA, "xa").join(hourly(typeB, "xb"), "hour")
+    // both sides are time-domain-bounded and near-identical size; pin the
+    // build side or AQE's choice flips the plan shape run-to-run (the w29
+    // golden-flap lesson)
+    val joint = hourly(typeA, "xa").join(broadcast(hourly(typeB, "xb")), "hour")
     val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
     joint
       .withColumn("n", count(lit(1)).over(w))
