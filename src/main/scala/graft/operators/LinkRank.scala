@@ -14,6 +14,25 @@ import graft.{QueryDef, Tables}
   */
 object LinkRank {
 
+  /** The deterministic synthetic link graph's RAW directed edge rows —
+    * (src, dst) with multiplicity and self-loops intact: every doc
+    * links to (src²·31 + 17k) mod N for k ∈ {1, 2, 3}. This is the ONE
+    * builder all the graph operators derive from (each applies its own
+    * loop/dedup/orientation policy on top), and the one place to widen
+    * the arithmetic if doc ids ever approach the src²·31 int64 ceiling
+    * (~5.4·10⁸ ids).
+    */
+  private def rawLinkEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
+      .select(col("src"),
+        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+  }
+
+
   /** g01 — three damped power-iteration steps over a deterministic
     * synthetic link graph (each doc links to `(id²·31 + 17k) mod N`,
     * k=1..3 — in-query generation, same convention as d04's planted
@@ -35,11 +54,7 @@ object LinkRank {
   def g01LinkRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val edges = rawLinkEdges(spark, dir)
     def step(ranks: DataFrame): DataFrame = {
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(expr("r div 3")).as("s"))
@@ -104,11 +119,7 @@ object LinkRank {
   def g02TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val nRow = docs.agg(count(lit(1)).as("n"))
-    val directed = docs.crossJoin(broadcast(nRow))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val directed = rawLinkEdges(spark, dir)
     // The edge set feeds FIVE consumers (degrees, two orientation joins,
     // the closure semi-join, the edge count) and Catalyst does not share
     // common subplans across a DAG — without pinning, the scan+distinct
@@ -195,11 +206,7 @@ object LinkRank {
   def g05Hits(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val edges = rawLinkEdges(spark, dir)
 
     // one normalized update: scores(node, s) × edges summed on `agg` side,
     // re-attached to every doc (0 for sinks), renormalized to micro-units
@@ -276,11 +283,7 @@ object LinkRank {
   def g06KCore(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val und = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("kk"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("kk") * 17) % col("n")).as("dst"))
+    val und = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
@@ -374,11 +377,7 @@ object LinkRank {
                      maxHubDeg: Long = 64L): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val directed = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val directed = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst"))
     val und = directed.select(col("src").as("a"), col("dst").as("b"))
       .union(directed.select(col("dst").as("a"), col("src").as("b")))
@@ -448,11 +447,7 @@ object LinkRank {
   def g08LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val directed = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val directed = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst"))
     val und = directed.select(col("src").as("a"), col("dst").as("b"))
       .union(directed.select(col("dst").as("a"), col("src").as("b")))
@@ -535,11 +530,7 @@ object LinkRank {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val directed = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val directed = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst"))
     val und = directed.select(col("src").as("a"), col("dst").as("b"))
       .union(directed.select(col("dst").as("a"), col("src").as("b")))
@@ -604,11 +595,7 @@ object LinkRank {
   def g10PersonalizedRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val edges = rawLinkEdges(spark, dir)
     val seedTerm = when(col("doc_id") % 50 === 0, 150000L).otherwise(0L)
     def step(ranks: DataFrame): DataFrame = {
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
@@ -671,11 +658,7 @@ object LinkRank {
   def g11Reciprocity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val raw = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val raw = rawLinkEdges(spark, dir)
     val loops = raw.filter(col("src") === col("dst"))
       .agg(count(lit(1)).as("n_loop_refs"),
            countDistinct(col("src")).as("n_loop_nodes"))
@@ -731,11 +714,7 @@ object LinkRank {
   def g12DegreeProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        explode(expr("array(1, 2, 3)")).as("k"), col("n"))
-      .select(col("src"),
-        ((col("src") * col("src") * 31 + col("k") * 17) % col("n")).as("dst"))
+    val edges = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst")).distinct()
     val indeg = docs.join(
         edges.groupBy(col("dst")).agg(count(lit(1)).as("d")),

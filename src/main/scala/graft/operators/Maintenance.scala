@@ -1188,14 +1188,17 @@ object Maintenance {
     val groups = base.groupBy(col("event_type"), col("how"))
       .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
         sum((col("x") * col("x")).cast(D)).as("qg"))
-      .withColumn("mg", expr("sg div ng"))
+      // FLOOR division (event values can be negative; Spark `div`
+      // truncates, DuckDB `//` floors): (n − pmod(n,d)) is divisible by
+      // d, so the truncating div of it IS the floor — exact on any sign
+      .withColumn("mg", expr("(sg - pmod(sg, ng)) div ng"))
     groups.groupBy(col("event_type"))
       .agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
         sum(col("qg")).as("q"),
         count(lit(1)).as("n_cells"),
         sum(col("ng").cast(D) * col("mg") * col("mg")).as("nm2"),
         sum(col("ng").cast(D) * col("mg")).as("nm1"))
-      .withColumn("m", expr("s div n"))
+      .withColumn("m", expr("(s - pmod(s, n)) div n"))
       // SSB* = Σ ng·mg² − 2m·Σ ng·mg + n·m²; SST* = Q − 2mS + n·m²
       // (both over the FLOORED means — the defined quantization points)
       .withColumn("ssb", expr(

@@ -1593,15 +1593,10 @@ object Similarity {
       .withColumn("rank_d", row_number().over(wd))
       .filter(col("rank_d") <= 10)
       .select(col("qid"), col("cid"), col("rank_d"))
-    // lexical: distinct word bigrams, sparse overlap join, Jaccard ppm
-    val bg = Tables.documents(spark, dir)
-      .withColumn("ws", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(1, size(ws) - 1))")).as("i"), col("ws"))
-      .select(col("doc_id"),
-        concat(expr("element_at(ws, i)"), lit(" "), expr("element_at(ws, i + 1)")).as("s"))
-      .filter(col("s").isNotNull)
-      .distinct()
+    // lexical: distinct word bigrams ([[Dedup.wordBigramRows]] — the one
+    // shared shingle frame with the uniform null contract), sparse
+    // overlap join, Jaccard ppm
+    val bg = Dedup.wordBigramRows(Tables.documents(spark, dir)).distinct()
     val sz = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val qbg = bg.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id").as("qid"), col("s"))

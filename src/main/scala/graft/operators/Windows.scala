@@ -133,7 +133,10 @@ object Windows {
       .crossJoin(broadcast(n))
       .select(col("c_custkey"),
         expr("CAST(((r - 1) * 10) div n + 1 AS INT)").as("decile"),
-        round((col("r") - 1).cast("double") / (col("n") - 1).cast("double"), 6)
+        // greatest(n−1, 1): a 1-row input must give 0.0 like
+        // PERCENT_RANK(), not 0.0/0.0 = NaN
+        round((col("r") - 1).cast("double") /
+            greatest(col("n") - 1, lit(1L)).cast("double"), 6)
           .as("pct_rank"))
       .orderBy(col("c_custkey"))
   }
@@ -1260,7 +1263,11 @@ object Windows {
       Tables.events(spark, dir)
         .filter(col("value").isNotNull && col("event_type") === t)
         .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
-        .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) div count(1)").as(out))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"),
+          count(lit(1)).as("c"))
+        // FLOOR mean (values can be negative; Spark div truncates while
+        // the oracle's // floors): (s − pmod(s,c)) div c is exact floor
+        .select(col("hour"), expr("(s - pmod(s, c)) div c").as(out))
     // both sides are time-domain-bounded and near-identical size; pin the
     // build side or AQE's choice flips the plan shape run-to-run (the w29
     // golden-flap lesson)

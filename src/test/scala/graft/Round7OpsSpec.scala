@@ -274,7 +274,7 @@ class Round7OpsSpec extends AnyFunSuite {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def hourly(t: String) = raw.filter(_._1 == t).groupBy(_._2).view
-      .mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+      .mapValues(rs => Math.floorDiv(rs.map(_._3).sum, rs.length)).toMap
     val (ha, hb) = (hourly("click"), hourly("error"))
     val joint = ha.keySet.intersect(hb.keySet).toSeq.sorted
       .map(h => (h, BigInt(ha(h)), BigInt(hb(h))))
@@ -522,15 +522,18 @@ class Round7OpsSpec extends AnyFunSuite {
       .select(col("event_type"), expr("(unix_micros(ts) div 3600000000) % 168").as("how"),
         expr("CAST(round(value * 100) AS BIGINT)").as("x"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // FLOOR division like both engines (BigInt / truncates toward zero)
+    def fdiv(a: BigInt, b: BigInt): BigInt =
+      if (a.signum >= 0) a / b else -((-a + b - 1) / b)
     val expected = raw.groupBy(_._1).map { case (t, rs) =>
       val n = BigInt(rs.length)
       val s = rs.map(r => BigInt(r._3)).sum
       val q = rs.map(r => BigInt(r._3) * r._3).sum
-      val m = s / n
+      val m = fdiv(s, n)
       val cells = rs.groupBy(_._2).values.toSeq
       val ssb = cells.map { g =>
         val ng = BigInt(g.length); val sg = g.map(r => BigInt(r._3)).sum
-        val mg = sg / ng
+        val mg = fdiv(sg, ng)
         ng * (mg - m) * (mg - m)
       }.sum
       val sst = q - 2 * m * s + n * m * m
