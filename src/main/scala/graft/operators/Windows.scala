@@ -120,19 +120,40 @@ object Windows {
     * last unbounded one-partition sort). Both statistics are pure
     * functions of the global row number, which [[ScaleOps.denseIds]]
     * supplies partition-parallel (range repartition + per-partition
-    * offsets): NTILE(k) ≡ ⌊(r−1)·k/n⌋+1 (first n mod k tiles get the
-    * extra row — the identity reproduces SQL NTILE exactly) and
+    * offsets): SQL NTILE(k) FRONT-LOADS the n mod k oversized tiles —
+    * with q = n div k and m = n mod k, the first m tiles hold q+1 rows
+    * and the rest hold q, so the closed form is
+    * `if r ≤ m·(q+1) then ⌊(r−1)/(q+1)⌋+1 else m + ⌊(r−1−m·(q+1))/q⌋+1`.
+    * (The tempting ⌊(r−1)·k/n⌋+1 distributes the oversized tiles EVENLY
+    * across the range and diverges whenever n mod k ≠ 0 — e.g. n=12:
+    * SQL puts row 4 in tile 2, the even form yields 3. TPC-H customer
+    * is always a multiple of 10, so only the Round7OpsSpec property
+    * test on a non-multiple cardinality can catch that bug.) And
     * PERCENT_RANK ≡ (r−1)/(n−1) (ties impossible: c_custkey is a total
     * tiebreak, matching the window's ORDER BY). n arrives as a 1-row
     * broadcast, so every stage is partition-parallel at any scale.
     */
+  /** SQL text of the front-loaded NTILE(`k`) closed form over a 1-based
+    * global row number column `r` and a total-count column `n` — exactly
+    * SQL NTILE's tile assignment for every n (Round7OpsSpec property-
+    * tests it on cardinalities not divisible by k, where the even form
+    * diverges). The q = 0 (n < k) case stays in the WHEN branch
+    * (r ≤ m·1 = n always), so the ELSE's `div q` never sees a zero
+    * divisor (CASE WHEN is lazy in codegen).
+    */
+  private[graft] def ntileClosedForm(r: String, n: String, k: Int): String =
+    s"""CAST(CASE WHEN $r <= ($n % $k) * ($n div $k + 1)
+       |     THEN ($r - 1) div ($n div $k + 1) + 1
+       |     ELSE ($n % $k) + ($r - 1 - ($n % $k) * ($n div $k + 1)) div ($n div $k) + 1
+       |     END AS INT)""".stripMargin
+
   def w05Distribution(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
     val n = base.agg(count(lit(1)).as("n"))
     ScaleOps.denseIds(base, Seq("c_acctbal", "c_custkey"), "r")
       .crossJoin(broadcast(n))
       .select(col("c_custkey"),
-        expr("CAST(((r - 1) * 10) div n + 1 AS INT)").as("decile"),
+        expr(ntileClosedForm("r", "n", 10)).as("decile"),
         // greatest(n−1, 1): a 1-row input must give 0.0 like
         // PERCENT_RANK(), not 0.0/0.0 = NaN
         round((col("r") - 1).cast("double") /

@@ -565,6 +565,31 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!plan.contains("WindowExec"), "w05 must not plan a global window")
   }
 
+  test("w05 closed form: front-loaded NTILE on cardinalities NOT divisible by k") {
+    // TPC-H customer is always a multiple of 10, so the contract run can
+    // never see the n mod k != 0 tiles — this property test covers every
+    // residue class. SQL NTILE front-loads the oversized tiles: n=12, k=10
+    // puts row 4 in tile 2 (the even-spread form ((r-1)*k) div n + 1
+    // wrongly yields 3).
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    for (n <- Seq(1, 3, 7, 10, 11, 12, 19, 57, 101)) {
+      val df = (1 to n).map(_.toLong).toDF("r")
+        .crossJoin(broadcast(Seq(n.toLong).toDF("n")))
+      val got = df.select(col("r"),
+          expr(Windows.ntileClosedForm("r", "n", 10)).as("decile"))
+        .orderBy("r").collect().map(_.getInt(1)).toSeq
+      val want = (1 to n).map(_.toLong).toDF("r")
+        .select(col("r"), ntile(10).over(W.orderBy(col("r"))).as("decile"))
+        .orderBy("r").collect().map(_.getInt(1)).toSeq
+      assert(got == want, s"NTILE(10) mismatch at n=$n: got $got want $want")
+    }
+    // spot-check the documented divergence example directly
+    assert(Seq(12L).toDF("n").crossJoin(Seq(4L).toDF("r"))
+      .select(expr(Windows.ntileClosedForm("r", "n", 10)))
+      .head().getInt(0) == 2)
+  }
+
   test("g12: degree profile matches a set-based recompute; CCDF and mass are monotone") {
     val rows = LinkRank.g12DegreeProfile(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
