@@ -38,6 +38,19 @@ object Tables {
     } else (f.length(), f.lastModified())
   }
 
+  /** Cache key carrying the SAME (length, mtime) corpus fingerprint the
+    * schema cache uses — for any per-JVM memo of a derived ARTIFACT of a
+    * testdata table (the stored LSH/cluster indexes): an in-place
+    * regeneration of /root/testdata must invalidate those artifacts too,
+    * not just the schema (a dir-string-only key would keep serving index
+    * parquet built from the previous corpus).
+    */
+  private[graft] def artifactKey(dir: String, name: String): String = {
+    val path = s"$dir/$name.parquet"
+    val (len, mtime) = fingerprint(path)
+    s"$path:$len:$mtime"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val (len, mtime) = fingerprint(path)

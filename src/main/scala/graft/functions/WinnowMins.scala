@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * For n < w the single window is the whole array (slice truncates at
   * the end), matching the SQL form's greatest(1, ·) guard.
+  *
+  * DELIBERATE deviation at n = 0: this returns the empty array, while
+  * the SQL form above yields `[null]` (array_min over the empty slice
+  * is NULL and array_distinct keeps it). An empty fingerprint set is
+  * the only useful answer for an empty document — a nullable element
+  * type just to carry that sentinel would poison every downstream
+  * `sorted_intersect_count` — so the element type stays
+  * containsNull = false. Unreachable via `shingle_hashes` (which always
+  * emits ≥ 1 element), but the function is registered as a general
+  * session SQL function, so external callers should know.
+  * SortedIntersectSpec pins both the equivalence on non-empty inputs
+  * and this divergence at the empty input.
   */
 object WinnowMins {
   def compute(x: ArrayData, w: Int): ArrayData = {

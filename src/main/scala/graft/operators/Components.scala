@@ -95,9 +95,13 @@ object Components {
     */
   private val clusterIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed on applicationId + corpus FINGERPRINT (Tables.artifactKey): an
+  // in-place regeneration of /root/testdata invalidates the stored
+  // assignment exactly like it invalidates the schema cache
   private[operators] def clusterIndex(spark: SparkSession, dir: String): String =
     clusterIdxCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "::" + dir, _ => {
+      spark.sparkContext.applicationId + "::" +
+        graft.Tables.artifactKey(dir, "documents"), _ => {
         val idx = graft.util.Scratch.dir("graft_cc_idx_")
         connectedComponents(Dedup.d03NgramJaccard(spark, dir).select("ida", "idb"))
           .write.mode("overwrite").parquet(idx)

@@ -29,14 +29,43 @@ import graft.{QueryDef, Tables}
   */
 object Dedup {
 
+  /** 60-bit md5 image of a shingle string `s` — the engine-portable
+    * hash-set element shared with the DuckDB oracles (d10's convention:
+    * first 15 hex digits of md5 as int64, replicated in SQL via the
+    * hex-digit fold). Used by every exact-Jaccard verification layer so
+    * a hash collision, if one ever fired, would fire IDENTICALLY in
+    * both engines instead of diverging them.
+    */
+  private val md5ShingleImage =
+    "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB replication of [[md5ShingleImage]] over a list expression of
+    * raw shingle strings: NULLs dropped before hashing (inner
+    * list_distinct — DuckDB drops NULLs there, matching
+    * [[wordBigramRows]]'s filter), hex-digit fold of the first 15 md5
+    * digits, collisions deduped after (outer list_distinct). Identical
+    * to the d10/d12 oracle construction.
+    */
+  private def oracleHashedSet(rawList: String): String =
+    s"""list_distinct(list_transform(list_distinct($rawList),
+       |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, 16),
+       |            i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+       |          (a, b) -> a * 16 + b)))""".stripMargin
+
   /** Exact-Jaccard-verified LSH near-dup pairs over any (doc_id, s)
     * shingle-row frame. Three stages, all codegen-friendly:
     *
     *  1. bands: nHashes min-aggregates → band hashes → bucket self-join
     *     (candidate generation; affects recall only, never values);
-    *  2. hashed shingle sets: collect_set(xxhash64(shingle)) per doc —
-    *     Jaccard over the 64-bit hash set equals Jaccard over the raw
-    *     shingle set (collisions: ~|sh|²·2⁻⁶⁴, deterministic);
+    *  2. hashed shingle sets: collect_set(md5-int64(shingle)) per doc —
+    *     Jaccard over the 60-bit hash set equals Jaccard over the raw
+    *     shingle set (collisions: ~|sh|²·2⁻⁶⁰, deterministic). The image
+    *     is the d10/d12 convention (first 15 hex digits of md5), which
+    *     the DuckDB oracle can replicate exactly — so if a collision
+    *     ever DID fire it would fire identically in both engines,
+    *     keeping the cross-engine contract intact (an engine-local
+    *     xxhash64 here would let a collision diverge the engines);
     *  3. verification: one array_intersect over long arrays per CANDIDATE
     *     (not per corpus row, and never interpreted text re-shingling —
     *     pushing a text-HOF predicate into the pair join made the first
@@ -55,7 +84,7 @@ object Dedup {
       bandsFor(shingleRows, "doc_id", nHashes, rowsPerBand), "doc_id")
     val hsets = shingleRows
       .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(lit(-1), col("s"))).as("hs"))
+      .agg(collect_set(expr(md5ShingleImage)).as("hs"))
     val a = hsets.select(col("doc_id").as("ida"), col("hs").as("ha"))
     val b = hsets.select(col("doc_id").as("idb"), col("hs").as("hb"))
     pairs.join(a, "ida").join(b, "idb")
@@ -133,9 +162,10 @@ object Dedup {
   }
 
   private val d01Sql =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, length(text) - 3)),
-      |           i -> substr(text, CAST(i AS INTEGER), 5))) g
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${oracleHashedSet(
+        """list_transform(range(1, greatest(2, length(text) - 3)),
+          |           i -> substr(text, CAST(i AS INTEGER), 5))""".stripMargin)} g
       |  FROM documents),
       |p AS (
       |  SELECT a.doc_id ida, b.doc_id idb,
@@ -236,9 +266,10 @@ object Dedup {
       nHashes = 60, rowsPerBand = 5, threshold = 0.7)
 
   private val d03Sql =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
-      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, ${oracleHashedSet(
+        """list_transform(range(1, greatest(2, len(ws))),
+          |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])""".stripMargin)} g FROM w),
       |p AS (
       |  SELECT a.doc_id ida, b.doc_id idb,
       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
@@ -499,7 +530,7 @@ object Dedup {
       .distinct()
     val hsets = shingleRows
       .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(lit(-1), col("s"))).as("hs"))
+      .agg(collect_set(expr(md5ShingleImage)).as("hs"))
     val a = hsets.select(col("doc_id").as("batch_id"), col("hs").as("ha"))
     val b = hsets.select(col("doc_id").as("corpus_id"), col("hs").as("hb"))
     cand.join(a, "batch_id").join(b, "corpus_id")
@@ -512,9 +543,10 @@ object Dedup {
   }
 
   private val d08Sql =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
-      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w)
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, ${oracleHashedSet(
+        """list_transform(range(1, greatest(2, len(ws))),
+          |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])""".stripMargin)} g FROM w)
       |SELECT a.doc_id batch_id, b.doc_id corpus_id,
       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) jaccard
@@ -660,8 +692,11 @@ object Dedup {
     */
   private val neutralIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed on the corpus FINGERPRINT (Tables.artifactKey), not the dir
+  // string: an in-place regeneration of /root/testdata invalidates this
+  // stored index exactly like it invalidates the schema cache
   private[operators] def neutralLshIndex(spark: SparkSession, dir: String): String =
-    neutralIdxCache.computeIfAbsent(dir, _ => {
+    neutralIdxCache.computeIfAbsent(Tables.artifactKey(dir, "documents"), _ => {
       val idx = graft.util.Scratch.dir("graft_lsh_idx_")
       // the shingle explode + per-shingle md5 dominates the build; pay it
       // ONCE — both aggregates below read the materialized rows
@@ -918,7 +953,7 @@ object Dedup {
       bandsFor(shingleRows, "doc_id", nHashes = 60, rowsPerBand = 5), "doc_id")
     val hsets = shingleRows
       .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(lit(-1), col("s"))).as("hs"))
+      .agg(collect_set(expr(md5ShingleImage)).as("hs"))
     val verified = pairs
       .join(hsets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
       .join(hsets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
@@ -949,9 +984,10 @@ object Dedup {
     * same contract d03 is green under).
     */
   private val d13Sql =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
-      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, ${oracleHashedSet(
+        """list_transform(range(1, greatest(2, len(ws))),
+          |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])""".stripMargin)} g FROM w),
       |p AS (
       |  SELECT a.doc_id ida, b.doc_id idb,
       |    (1000000 * CAST(len(list_intersect(a.g, b.g)) AS BIGINT))

@@ -50,6 +50,26 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(edge == 0L)
   }
 
+  test("winnow_mins empty input: documented deviation from the SQL lambda form") {
+    graft.functions.GraftFunctions.register(spark)
+    // winnow_mins([]) = [] (containsNull=false element type), while the
+    // SQL form it otherwise replicates yields [null] — pinned here so the
+    // divergence stays a documented decision, not an accident
+    val r = spark.sql(
+      """SELECT winnow_mins(CAST(array() AS ARRAY<BIGINT>), 8) AS native,
+        |  array_distinct(transform(sequence(1, greatest(1, -7)),
+        |    i -> array_min(slice(CAST(array() AS ARRAY<BIGINT>), i, 8)))) AS sql_form
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq.empty[Long])
+    assert(r.getSeq[Any](1) == Seq(null))
+    // and non-empty inputs shorter than the window still agree exactly
+    val short = spark.sql(
+      """SELECT winnow_mins(array(9L, 3L, 7L), 8) AS n,
+        |  array_distinct(transform(sequence(1, greatest(1, 3 - 7)),
+        |    i -> array_min(slice(array(9L, 3L, 7L), i, 8)))) AS s""".stripMargin).head()
+    assert(short.getSeq[Long](0) == short.getSeq[Long](1))
+  }
+
   test("null propagation and codegen") {
     graft.functions.GraftFunctions.register(spark)
     val row = spark.sql(
