@@ -1163,6 +1163,73 @@ object Maintenance {
       |       // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
       |FROM c""".stripMargin
 
+  /** a50 — exact two-sample Kolmogorov–Smirnov distance between the
+    * l_quantity distributions of returned (R) vs non-returned (N)
+    * lineitems: D = max over the merged support of |F_R(x) − F_N(x)|,
+    * the DISTRIBUTIONAL drift test that complements [[a44DecileDrift]]
+    * (fixed decile bins) and [[a47WelchTtest]] (mean-only — KS sees
+    * shape changes a mean test is blind to). All arithmetic is the
+    * exact integer rational |cumR·nN − cumN·nR| (DECIMAL(38,0): the
+    * cross products are O(n²) and int64 drowns at ~3·10⁹ rows), so
+    * ks_ppm = ⌊10⁶·max|…|⌋ / (nR·nN) is engine-exact; `at_qty` (lowest
+    * point achieving the max — deterministic tiebreak) localizes WHERE
+    * the two distributions diverge most.
+    *
+    * Scale shape: one partial-aggregated groupBy collapses the fact
+    * table to the ≤ 50-row quantity histogram; the cumulative window
+    * runs over that BOUNDED aggregated frame (the g12 degree-histogram
+    * convention — never a window over the fact table), and totals
+    * arrive as a 1-row broadcast.
+    */
+  def a50KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val hist = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ca"),
+           sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val scored = hist
+      .select(col("qty"), sum(col("ca")).over(w).as("cuma"),
+        sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .select(col("qty"), col("na"), col("nb"),
+        expr(s"abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)")
+          .as("num"))
+    scored
+      .crossJoin(broadcast(scored.agg(max(col("num")).as("mx"))))
+      .filter(col("num") === col("mx"))
+      .agg(max(col("na")).as("n_r"), max(col("nb")).as("n_n"),
+           max(col("num")).as("mxv"), min(col("qty")).as("at_qty"))
+      .select(col("n_r"), col("n_n"),
+        expr("(1000000 * mxv) div (CAST(n_r AS DECIMAL(38,0)) * n_n)")
+          .cast(LongType).as("ks_ppm"),
+        col("at_qty"))
+  }
+
+  private val a50Sql =
+    """WITH h AS (
+      |  SELECT CAST(l_quantity AS BIGINT) qty,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) ca,
+      |    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) cb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |c AS (
+      |  SELECT qty,
+      |    SUM(ca) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cuma,
+      |    SUM(cb) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumb
+      |  FROM h),
+      |t AS (SELECT SUM(ca) na, SUM(cb) nb FROM h),
+      |s AS (SELECT qty, na, nb,
+      |        abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) num
+      |      FROM c, t),
+      |m AS (SELECT MAX(num) mx FROM s)
+      |SELECT CAST(MAX(na) AS BIGINT) AS n_r, CAST(MAX(nb) AS BIGINT) AS n_n,
+      |  CAST((1000000 * MAX(num)) // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS ks_ppm,
+      |  MIN(qty) AS at_qty
+      |FROM s, m WHERE num = mx""".stripMargin
+
   /** a51 — seasonality strength per event type: how much of the value
     * signal's variance the hour-of-week profile explains — the ANOVA R²
     * (SSB/SST over the 168 hour-of-week groups) that decides whether
@@ -1238,6 +1305,9 @@ object Maintenance {
     QueryDef("a51_seasonality_strength",
       "ANOVA R^2 of the hour-of-week profile per type (is w16's baseline real?)",
       a51SeasonalityStrength, Some(a51Sql)),
+    QueryDef("a50_ks_test",
+      "exact two-sample Kolmogorov-Smirnov distance, R vs N quantity distributions",
+      a50KsTest, Some(a50Sql)),
     QueryDef("a48_benford_audit",
       "second-order two-digit Benford screen: obs/exp ppm + chi2 contribution",
       a48BenfordAudit, Some(a48Sql)),

@@ -55,6 +55,23 @@ object Similarity {
     * joins 3 feedback rows per query against the corpus; v17 makes an
     * exact pass and a Hamming pass).
     */
+  /** Non-throwing form of the pair pricing: true iff the flat
+    * (queries × corpus) scan fits under `maxPairs`. Footer-metadata
+    * only — no Spark job. v09/v12 use it to ROUTE to the IVF-restricted
+    * path instead of refusing (the eval-family ops keep the hard
+    * `require`, because silently approximating an *evaluation metric*
+    * would corrupt the number being measured, while v09/v12's contract
+    * — top-k ids by exact re-ranked cosine over a heuristic shortlist —
+    * is preserved by a different shortlist generator).
+    */
+  private[graft] def pairsWithinBound(
+      spark: SparkSession, dir: String,
+      maxPairs: Long, multiplier: Long = 1L): Boolean = {
+    val nCorpus = Tables.footerRowCount(spark, dir, "embeddings")
+    val nQueries = (nCorpus + 24) / 25
+    multiplier * nQueries * nCorpus <= maxPairs
+  }
+
   private[graft] def requirePairsBounded(
       spark: SparkSession, dir: String, op: String,
       maxPairs: Long, multiplier: Long = 1L,
@@ -652,11 +669,19 @@ object Similarity {
   def v09PqRerank(spark: SparkSession, dir: String, shortlist: Int = 32,
                   maxPairs: Long = 1L << 31): DataFrame = {
     // the refine stage is bounded (|queries|·shortlist), but the FLAT
-    // ADC stage underneath still scans all pairs — same wide bound and
-    // escape route as v08 (ScaleProbe measured 14x at 10x data)
-    requirePairsBounded(spark, dir, "v09", maxPairs,
-      routes = "route through v18 (IVF-PQ: cell-restricted ADC + exact refine) " +
-        "or v05 (stored IVF index)")
+    // ADC stage underneath still scans all pairs (ScaleProbe measured
+    // 14x at 10x data). Past the pair bound the query ROUTES to the
+    // IVF-restricted ADC (the v18 funnel) with this op's shortlist
+    // depth — same output contract (top-3 ids by exact re-ranked
+    // cosine over a PQ shortlist), the flat scan replaced by the
+    // cell-restricted one. Under the bound the flat form stays: it is
+    // the recall baseline v18 is measured against, and the sf0.01
+    // oracle contract prices under the bound by construction.
+    if (!pairsWithinBound(spark, dir, maxPairs)) {
+      System.err.println(s"[v09] pair bound $maxPairs exceeded - routing " +
+        "to the IVF-restricted ADC funnel (v18) at shortlist depth " + shortlist)
+      return v18IvfPqRerank(spark, dir, nprobe = 2, shortlist = shortlist)
+    }
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     val short = pqScores(spark, dir, 8, 8, 16)
@@ -870,17 +895,24 @@ object Similarity {
     * final order is the exact-cosine double (bit-identical from int64
     * inputs) — hash-green end to end.
     *
-    * The Hamming scan is still all-pairs (the cheapest possible flat
-    * scan — 2 XOR+popcounts per pair), so it carries the widest of the
-    * family's pair bounds; past it, bucket the codes (d02's band trick)
-    * or coarse-quantize first (v18).
+    * The Hamming scan is all-pairs under the pair bound (the cheapest
+    * possible flat scan — 2 XOR+popcounts per pair, hence the widest of
+    * the family's bounds). PAST the bound the scan ROUTES to the
+    * coarse-quantize-first shape: the same [[ivfAssignment]] v18 uses
+    * (√n cells, probe-2) restricts Hamming candidates to probed-cell
+    * members, cutting the scan to ~nprobe/√n of the corpus per query
+    * while keeping the output contract — (qid, rank, neighbor_id,
+    * hamming, cosine), Hamming-shortlisted, exact-cosine-ranked —
+    * identical. Recall past the bound additionally depends on coarse
+    * cell misses, the standard IVF trade.
     */
   def v12BinaryTopK(spark: SparkSession, dir: String, shortlist: Int = 32,
                     maxPairs: Long = 1L << 33): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    requirePairsBounded(spark, dir, "v12", maxPairs,
-      routes = "band the binary codes (the d02 pigeonhole trick) or coarse-" +
-        "quantize first (v18 IVF-PQ / v05 stored IVF)")
+    val flat = pairsWithinBound(spark, dir, maxPairs)
+    if (!flat)
+      System.err.println(s"[v12] pair bound $maxPairs exceeded - restricting " +
+        "the Hamming scan to IVF probed-cell members (coarse-quantize-first)")
     def packWord(w: Int): String =
       s"aggregate(sequence(0, 31), 0L, (acc, j) -> " +
         s"acc + IF(element_at(embedding, ${32 * w} + j + 1) > 0, shiftleft(1L, j), 0L))"
@@ -895,9 +927,21 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("ham").asc, col("cid").asc)
-    val short = qcodes
-      .join(codes.select(col("vec_id").as("cid"), col("w0"), col("w1")),
-            col("qid") =!= col("cid"))
+    // candidate (qid, cid) surface: flat all-pairs under the bound,
+    // IVF probed-cell members past it (same Hamming + refine after)
+    val cand =
+      if (flat)
+        qcodes.join(codes.select(col("vec_id").as("cid"), col("w0"), col("w1")),
+          col("qid") =!= col("cid"))
+      else {
+        val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+        val (homes, probes) = ivfAssignment(vecs, nl, 2)
+        probes.join(homes, "cell").filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid")).distinct()
+          .join(qcodes, "qid")
+          .join(codes.select(col("vec_id").as("cid"), col("w0"), col("w1")), "cid")
+      }
+    val short = cand
       .withColumn("ham",
         expr("CAST(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) AS BIGINT)"))
       .withColumn("srank", row_number().over(wShort))
@@ -966,30 +1010,58 @@ object Similarity {
     * measurable with the v07 machinery.
     *
     * Scale shape: this is the 100 TB serving pipeline in ONE plan —
-    * a broadcast 16-row centroid assignment (map-side), ADC work cut
+    * a broadcast nlist-row centroid assignment (map-side), ADC work cut
     * from |queries|·n LUT lookups to Σ probed-cell members
     * (≈ nprobe/nlist of the corpus), raw 64-dim vectors touched only
     * |queries|·shortlist times in the refine. With a stored index
     * (v05/d12 pattern) the member scan would additionally prune cell
     * partitions; here the emphasis is the composed funnel.
+    *
+    * `nlist` SIZES WITH THE CORPUS: the registered contract passes the
+    * default (≤ 0 = derive), which prices [[defaultNlist]] ≈ √n from
+    * parquet FOOTER metadata ([[Tables.footerRowCount]] — plan building
+    * stays action-free, the requirePairsBounded convention), and the
+    * oracle SQL derives the IDENTICAL value with a scalar subquery
+    * (`GREATEST(16, CEIL(SQRT(COUNT(*))))` — IEEE sqrt is correctly
+    * rounded in both engines, so the two sides agree exactly). A fixed
+    * nlist would make the probed-cell ADC stage super-linear (the 10×
+    * probe measured 4.9× at the old pinned 16); √n keeps per-query
+    * probe cost ~n/√n and is what production IVF deployments size.
     */
-  def v18IvfPqRerank(spark: SparkSession, dir: String, nlist: Int = 16,
-                     nprobe: Int = 2, shortlist: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(quantize).as("q"))
-      .withColumn("nrm", expr(dot("q", "q")))
+  /** IVF coarse assignment shared by v18 and the v09/v12 routed
+    * fallbacks: `homes` = every vector's nearest-centroid cell (cid →
+    * cell), `probes` = each query's `nprobe` nearest cells (qid →
+    * cell). Centroids are the deterministic first-`nlist` vectors (the
+    * v02/v03 seeding convention); assignment is max exact-int64 cosine,
+    * tie → lower centroid id. One broadcast of the nlist-row centroid
+    * table — map-side at any corpus size.
+    */
+  private def ivfAssignment(vecs: DataFrame, nlist: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
     val cen = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val ranked = vecs.crossJoin(broadcast(cen))
+    val ranked = vecs.select(col("vec_id"), col("q"), col("nrm"))
+      .crossJoin(broadcast(cen))
       .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
       .withColumn("crank", row_number().over(wAssign))
     val homes = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
     val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
       .select(col("vec_id").as("qid"), col("centroid_id").as("cell"))
+    (homes, probes)
+  }
+
+  def v18IvfPqRerank(spark: SparkSession, dir: String, nlist: Int = 0,
+                     nprobe: Int = 2, shortlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nl = if (nlist > 0) nlist
+             else defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val (homes, probes) = ivfAssignment(vecs, nl, nprobe)
     // PQ encode + query LUTs — the v08 frame (8 subspaces x 8 dims, 16 codes)
     val sub = vecs
       .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
@@ -1038,7 +1110,9 @@ object Similarity {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
       |  FROM embeddings),
       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
-      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n
+      |        WHERE vec_id < (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+      |                        FROM embeddings)),
       |cscored AS (
       |  SELECT n.vec_id, cen.centroid_id,
       |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),

@@ -54,6 +54,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after === before, s"building v01 launched ${after - before} Spark job(s)")
   }
 
+  test("v09/v12: past the pair bound the scan ROUTES to the IVF path, same contract") {
+    // fallback branch forced with maxPairs = 1; flat branch = registered
+    val flat09 = Similarity.v09PqRerank(spark, sf)
+    val fb09 = Similarity.v09PqRerank(spark, sf, maxPairs = 1L)
+    assert(fb09.schema == flat09.schema, "v09 fallback changed the output schema")
+    val rows09 = fb09.collect()
+    assert(rows09.nonEmpty)
+    rows09.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"ranks for $qid") }
+    // the routed form IS the v18 funnel at v09's shortlist depth
+    val v18eq = Similarity.v18IvfPqRerank(spark, sf, nprobe = 2, shortlist = 32)
+      .collect().map(_.toString).toSeq
+    assert(rows09.map(_.toString).toSeq == v18eq, "v09 fallback != v18 funnel @32")
+
+    val flat12 = Similarity.v12BinaryTopK(spark, sf)
+    val fb12 = Similarity.v12BinaryTopK(spark, sf, maxPairs = 1L)
+    assert(fb12.schema == flat12.schema, "v12 fallback changed the output schema")
+    val rows12 = fb12.collect()
+    assert(rows12.nonEmpty)
+    rows12.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, s"cosine order for $qid")
+    }
+    // cell-restricted recall vs the flat top-3: coarse misses are the IVF
+    // trade, but the overlap must be far from random
+    val flatSets = flat12.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val fbSets = rows12.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlap = fbSets.map { case (q, s) =>
+      (s & flatSets.getOrElse(q, Set.empty[Long])).size.toDouble / 3 }.sum / fbSets.size
+    info(s"v12 fallback overlap with flat top-3: $overlap")
+    assert(overlap > 0.05, s"cell-restricted Hamming overlap $overlap ~ random")
+  }
+
   test("v05: stored-index probe == in-plan v02, and the probe prunes on cell") {
     val fromIndex = Similarity.v05IvfIndexLifecycle(spark, sf)
     val got = fromIndex.collect().map(_.toString)
