@@ -483,6 +483,7 @@ object EventStream {
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   final case class FirstTouchOut(user_id: Long, first_us: Long)
+  final case class FirstTouchState(minUs: Long, emitted: Boolean)
 
   /** Streaming first-touch: per-user min event time, emitted exactly
     * once — when the watermark passes the candidate minimum, at which
@@ -494,39 +495,71 @@ object EventStream {
     * drains are correctly withheld (append-mode contract); the spec
     * compares against the batch contract on the closed region only.
     */
-  def streamingFirstTouch(spark: SparkSession, dir: String,
-                          queryName: String = "st_first_touch"): DataFrame = {
+  /** The first-touch state machine over any streaming events frame
+    * (with `user_id` and `ts`) — shared by [[streamingFirstTouch]] and
+    * StreamRecoverySpec (which drives it through a checkpointed parquet
+    * sink across a mid-stream kill). The emitted record is the user's
+    * event-time min, final once the watermark passes it.
+    *
+    * State per user is one long + an `emitted` bit KEPT AS A TOMBSTONE
+    * after the emit — bounded by distinct users, the floor any
+    * distinct-user metric carries. The earlier emit-and-EVICT form was
+    * a latent multi-batch bug this suite's time-sliced replay exposed:
+    * a user whose history spans micro-batches would, after eviction,
+    * re-create state from a later event and emit a SECOND (higher)
+    * "first" touch — and re-setting its timeout below the advanced
+    * watermark throws. With the tombstone, post-emit events are no-ops
+    * (accepted events are ≥ wm > min, so they cannot lower the answer).
+    */
+  private[graft] def firstTouchUpdates(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[FirstTouchOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_ft_")
-    java.nio.file.Files.createSymbolicLink(
-      stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val firsts = eventsStream(spark, stageDir.toString)
+    events
       .withColumn("tsc", col("ts"))
       .withWatermark("tsc", "0 seconds")
       .selectExpr("user_id", "tsc", "unix_micros(tsc) AS us")
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, FirstTouchOut](
+      .flatMapGroupsWithState[FirstTouchState, FirstTouchOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state) =>
           if (state.hasTimedOut) {
-            // wm passed the candidate min: it is final (nothing older
-            // than the wm is ever accepted), emit once and evict
-            val out = state.getOption.map(FirstTouchOut(uid, _)).toList
-            state.remove()
-            out.iterator
+            // wm passed the candidate min: final — emit once, keep the
+            // tombstone (no new timeout: tombstones never fire again)
+            val s = state.get
+            state.update(FirstTouchState(s.minUs, emitted = true))
+            Iterator.single(FirstTouchOut(uid, s.minUs))
+          } else if (state.getOption.exists(_.emitted)) {
+            // already answered: accepted events cannot lower the min
+            Iterator.empty
           } else {
             val batchMin = rows.map(_._3).min
-            val newMin = state.getOption.fold(batchMin)(math.min(_, batchMin))
-            state.update(newMin)
-            // fire as soon as wm_ms >= floor(min/1000) (ms-floor rule)
-            state.setTimeoutTimestamp(newMin / 1000L - 1)
-            Iterator.empty
+            val newMin = state.getOption.fold(batchMin)(s => math.min(s.minUs, batchMin))
+            // the candidate is final as soon as wm_ms >= floor(min/1000)
+            // (ms-floor rule); if the wm has ALREADY passed it — a user
+            // whose pending state meets a later batch — emit inline
+            // instead of setting a timeout in the past (which throws)
+            if (state.getCurrentWatermarkMs() >= newMin / 1000L) {
+              state.update(FirstTouchState(newMin, emitted = true))
+              Iterator.single(FirstTouchOut(uid, newMin))
+            } else {
+              state.update(FirstTouchState(newMin, emitted = false))
+              state.setTimeoutTimestamp(newMin / 1000L - 1)
+              Iterator.empty
+            }
           }
       }
+  }
+
+  def streamingFirstTouch(spark: SparkSession, dir: String,
+                          queryName: String = "st_first_touch"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ft_")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val firsts = firstTouchUpdates(spark, eventsStream(spark, stageDir.toString))
     val q = firsts.toDF().writeStream
       .format("memory").queryName(queryName).outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1052,18 +1085,35 @@ object EventStream {
     * batch; the final image is each user's last update (max n_ops, which
     * is strictly increasing per user).
     */
-  def streamingCdcApply(spark: SparkSession, dir: String,
-                        queryName: String = "st_cdc_apply"): DataFrame = {
-    import spark.implicits._
+  /** Stage the CDC change log as an `nFiles`-way event-id hash split —
+    * arrival order decorrelated from event time, so later micro-batches
+    * genuinely carry earlier ops. Shared by [[streamingCdcApply]] and
+    * the crash-recovery spec (which wants more, smaller files so a
+    * mid-stream kill deterministically lands between commits).
+    */
+  private[graft] def stageCdcLog(spark: SparkSession, dir: String,
+                                 nFiles: Int = 4): String = {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
     Tables.events(spark, dir)
       .filter(col("event_type").isin("signup", "purchase", "error"))
       .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
         col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      // arrival order decorrelated from event time: hash-split the log
-      .repartition(4, col("event_id"))
+      .repartition(nFiles, col("event_id"))
       .write.mode("overwrite").parquet(stageDir)
-    val updates = spark.readStream
+    stageDir
+  }
+
+  /** The last-writer-wins CDC state machine as a one-file-per-trigger
+    * stream over a staged log — shared by [[streamingCdcApply]] and the
+    * crash-recovery spec. ONE fixed-size state record per user; n_ops
+    * counts every applied op exactly once, which makes it a sharp
+    * exactly-once detector across checkpoint recovery (a replayed batch
+    * would inflate it, a lost one would deflate it).
+    */
+  private[graft] def cdcUpdates(spark: SparkSession, stageDir: String)
+      : org.apache.spark.sql.Dataset[CdcUpdate] = {
+    import spark.implicits._
+    spark.readStream
       .schema(spark.read.parquet(stageDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
@@ -1082,6 +1132,11 @@ object EventStream {
           state.update(s)
           CdcUpdate(uid, s.nOps, s.lastUs, s.live, s.cents)
       }
+  }
+
+  def streamingCdcApply(spark: SparkSession, dir: String,
+                        queryName: String = "st_cdc_apply"): DataFrame = {
+    val updates = cdcUpdates(spark, stageCdcLog(spark, dir))
     val q = updates.toDF().writeStream
       .format("memory").queryName(queryName).outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
