@@ -40,10 +40,16 @@ object ScaleProbe {
     "g10_personalized_rank", "d13_threshold_sweep", "t34_vocab_growth",
     "t07_repetition_filters", "t33_winnowing", "w27_bollinger_breach",
     "d14_template_dedup", "t38_source_divergence", "v20_rrf_fusion",
-    "m13_shard_manifest", "g12_degree_profile")
+    "m13_shard_manifest", "g12_degree_profile",
+    // r8 additions (VERDICT r7 #3): the bench top-20 / r7 spike set and
+    // the new ops — events now SCALES with the fact side (it was copied
+    // verbatim before, which made any events-shaped probe vacuous)
+    "a25_grouping_sets", "a27_quantile_bins", "w25_lag_autocorr",
+    "j02_fact_fact_revenue", "io08_codec_roundtrip", "m10_avghash_pairs",
+    "a50_ks_test", "a51_seasonality_strength")
 
-  private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer")
-  private val copiedTables = Seq("region", "nation", "supplier", "part", "events")
+  private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
+  private val copiedTables = Seq("region", "nation", "supplier", "part")
 
   private def rotAlphabet(i: Int): String = {
     val a = "etaoinshrd"
@@ -106,6 +112,18 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
+    // events: k× the traffic in the SAME time window (the realistic
+    // shape of an event-volume scale-up) — event ids and users shift per
+    // copy so per-user event densities and dedup structure stay constant
+    val ev = Tables.events(spark, baseDir)
+    val nEvt = maxOf(ev, "event_id")
+    val nUsr = maxOf(ev, "user_id")
+    (0 until k).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * nEvt))
+        .withColumn("user_id", col("user_id") + lit(i * nUsr))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     copiedTables.foreach { t =>
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -152,7 +170,26 @@ object ScaleProbe {
       System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f")
       f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f}"""
     }
-    println(s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}}}""")
+    // Routed-fallback evidence: the registered v09/v12 pair bounds trip
+    // near sf≈30 for this corpus, far past the probe scale — force the
+    // route here so the probe RECORDS what the past-the-bound path costs
+    // at the scaled corpus (it should sit near v18's cost, not the flat
+    // scan's super-linear one).
+    def timeRouted(label: String,
+                   f: => org.apache.spark.sql.DataFrame): String = {
+      val t = System.nanoTime()
+      val s = try { f.queryExecution.toRdd.count(); (System.nanoTime() - t) / 1e9 }
+              catch { case e: Throwable =>
+                System.err.println(s"[probe] $label FAILED: ${e.getMessage}"); -1.0 }
+      System.err.println(f"[probe] $label%-28s ${factor}x $s%7.1f s (forced past pair bound)")
+      f"""\"$label\":{\"scaled_s\":$s%.2f}"""
+    }
+    val routed = Seq(
+      timeRouted("v09_pq_rerank_routed",
+        graft.operators.Similarity.v09PqRerank(spark, outDir, maxPairs = 1L)),
+      timeRouted("v12_binary_topk_routed",
+        graft.operators.Similarity.v12BinaryTopK(spark, outDir, maxPairs = 1L)))
+    println(s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}},"routed":{${routed.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -334,8 +334,11 @@ object Formats {
     val codecs = Seq("none", "snappy", "gzip", "zstd", "lz4")
     def bytes(p: String): Long = new java.io.File(p).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // parallel multi-file writes: the contract row is layout-independent
+    // content checksums, so nothing needs the old coalesce(1) (which
+    // serialized each codec write and made the 10x probe I/O-bound)
     val written = codecs.map { c =>
-      src.coalesce(1).write.mode("overwrite")
+      src.write.mode("overwrite")
         .option("compression", c).parquet(s"$out/$c")
       c -> bytes(s"$out/$c")
     }.toMap

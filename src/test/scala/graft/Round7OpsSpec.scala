@@ -386,13 +386,16 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("io08: every codec round-trips identical checksums and compresses vs none") {
+  test("io08: every codec round-trips identical checksums") {
+    // sizes are codec-version/data-dependent and deliberately NOT in the
+    // contract row (ADVICE r7) — they are logged, only content is pinned
     val rows = operators.Formats.io08CodecRoundtrip(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("gzip", "lz4", "none", "snappy", "zstd"))
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("codec", "n_rows", "key_sum", "cents_sum"))
     val sums = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).distinct
     assert(sums.length == 1, "codec must never change content")
-    assert(rows.forall(_.getBoolean(4)), "every real codec must beat uncompressed")
   }
 
   test("t38: divergence matches an exact ppm recompute and self-blend diverges least") {
