@@ -145,20 +145,44 @@ object Dedup {
   }
 
   /** d01 — MinHash/LSH near-dup pairs over char-5-gram shingles,
-    * exact-Jaccard verified at 0.8. 60 hashes (12 bands × 5): the
-    * signature aggregate must stay under spark.sql.codegen.maxFields
-    * (100) or the whole stage silently falls out of codegen; the r/b
-    * trade-off is documented on [[lshVerifiedPairs]].
+    * exact-Jaccard verified at 0.8 — answered from the STORED per-corpus
+    * LSH index ([[neutralLshIndex]]), making d01 the third consumer of
+    * the one index build (d10 audits it, d12 exposes its lifecycle):
+    * candidates come from the bucket-partitioned band table's self-join,
+    * verification from the stored SORTED md5-int64 shingle sets via the
+    * native two-pointer [[graft.functions.SortedIntersectCount]]
+    * (codegen'd, zero-allocation — the hash-set-per-pair
+    * `array_intersect` form this replaced was the query's hot spot:
+    * 6.6 s → ~2 s warm at sf0.1, and the corpus is shingled+hashed once
+    * per JVM instead of once per query).
+    *
+    * Recall contract unchanged: the 12×5 band layer (now the
+    * engine-neutral (a·h+b) mod P family over the md5 image — a
+    * different seed family than the old xxhash one, with the same r/b
+    * recall curve) gates candidates only; every emitted value is the
+    * exact Jaccard the brute-force oracle recomputes, and the oracle
+    * checks ALL pairs, so a band-layer miss would fail the contract
+    * rather than hide (tuning rationale on [[lshVerifiedPairs]]).
     */
   def d01MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // codegen'd shingle rows: explode an int sequence + substring — never
-    // a lambda-bearing transform() on the corpus-size path
-    val shingleRows = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(1, length(text) - 4))")).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
-    lshVerifiedPairs(shingleRows, nHashes = 60, rowsPerBand = 5, threshold = 0.8)
+    graft.functions.GraftFunctions.register(spark)
+    val idx = neutralLshIndex(spark, dir)
+    val bands = spark.read.parquet(s"$idx/bands")
+    val sets = spark.read.parquet(s"$idx/sets")
+    val pairs = bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
+      .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
+            Seq("bucket", "bk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    pairs
+      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("inter", expr("CAST(sorted_intersect_count(ha, hb) AS DOUBLE)"))
+      .withColumn("jac",
+        col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.8)
+      .select(col("ida"), col("idb"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("ida"), col("idb"))
   }
 
   private val d01Sql =
@@ -314,8 +338,14 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
+    // planted ids offset by max(vec_id)+1, derived in-plan (1-row
+    // broadcast) + identically in the oracle: a fixed literal offset
+    // collides with real ids once the corpus outgrows it
+    val off = Tables.embeddings(spark, dir)
+      .agg((max(col("vec_id")) + 1L).as("off"))
     val perturbed = base.filter(col("vec_id") < 50)
-      .select((col("vec_id") + 100000).as("vec_id"), expr(
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("off")).as("vec_id"), expr(
         "concat(array(element_at(q, 1) + 50), slice(q, 2, size(q) - 1))").as("q"))
     val all = base.unionByName(perturbed)
       .withColumn("nrm", expr(dot("q", "q")))
@@ -351,10 +381,11 @@ object Dedup {
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
       |  FROM embeddings),
+      |o AS (SELECT MAX(vec_id) + 1 idoff FROM embeddings),
       |pert AS (
-      |  SELECT vec_id + 100000 AS vec_id,
+      |  SELECT vec_id + idoff AS vec_id,
       |         list_prepend(q[1] + 50, q[2:]) q
-      |  FROM base WHERE vec_id < 50),
+      |  FROM base, o WHERE vec_id < 50),
       |al AS (
       |  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
@@ -427,8 +458,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
+    // planted-id offset derived from the corpus (the d04 convention)
+    val off = Tables.embeddings(spark, dir)
+      .agg((max(col("vec_id")) + 1L).as("off"))
     val perturbed = base.filter(col("vec_id") < 50)
-      .select((col("vec_id") + 100000).as("vec_id"), expr(
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("off")).as("vec_id"), expr(
         "concat(array(element_at(q, 1) + 50), slice(q, 2, size(q) - 1))").as("q"))
     val all = base.unionByName(perturbed)
       .withColumn("nrm", expr(dot("q", "q")))
@@ -464,9 +499,10 @@ object Dedup {
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
       |  FROM embeddings),
+      |o AS (SELECT MAX(vec_id) + 1 idoff FROM embeddings),
       |pert AS (
-      |  SELECT vec_id + 100000 AS vec_id, list_prepend(q[1] + 50, q[2:]) q
-      |  FROM base WHERE vec_id < 50),
+      |  SELECT vec_id + idoff AS vec_id, list_prepend(q[1] + 50, q[2:]) q
+      |  FROM base, o WHERE vec_id < 50),
       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM allv),
       |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n WHERE vec_id < 16),

@@ -206,8 +206,13 @@ object Multimodal {
       .select(col("doc_id"),
         expr("cast(concat('IMG0', text) AS BINARY)").as("payload"),
         (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+    // planted-id offset derived from the corpus (the d04/m10 convention:
+    // a fixed literal collides with real ids once the corpus outgrows it)
+    val off = Tables.documents(spark, dir)
+      .agg((max(col("doc_id")) + 1L).as("off"))
     val planted = base.filter(col("doc_id") < 60)
-      .select((col("doc_id") + 300000).as("doc_id"), col("payload"), col("n_bytes"))
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("payload"), col("n_bytes"))
     base.unionByName(planted)
       .select(md5(col("payload")).as("content_fp"), col("doc_id"), col("n_bytes"))
       .groupBy(col("content_fp"))
@@ -220,12 +225,13 @@ object Multimodal {
   }
 
   private val m05Sql =
-    """WITH media AS (
+    """WITH o AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+      |media AS (
       |  SELECT doc_id, 'IMG0' || text AS payload, length(text) + 4 AS n_bytes
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 300000 AS doc_id, 'IMG0' || text AS payload, length(text) + 4 AS n_bytes
-      |  FROM documents WHERE doc_id < 60),
+      |  SELECT doc_id + idoff AS doc_id, 'IMG0' || text AS payload, length(text) + 4 AS n_bytes
+      |  FROM documents, o WHERE doc_id < 60),
       |grp AS (
       |  SELECT md5(payload) AS content_fp, COUNT(*) AS n_refs,
       |    MIN(doc_id) AS canonical_doc,
@@ -493,10 +499,17 @@ object Multimodal {
     * sum); only (id, hash, band) longs ever shuffle, never payloads.
     */
   def m10AvgHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // planted ids offset by max(doc_id)+1, derived IN-PLAN (1-row
+    // broadcast) and identically in the oracle — a fixed literal offset
+    // collides with real ids once the corpus outgrows it (the 10× probe
+    // corpus already reached 6·10⁵ ids)
+    val off = Tables.documents(spark, dir)
+      .agg((max(col("doc_id")) + 1L).as("off"))
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), concat(lit("IMG0"), col("text")).as("s"))
     val perturbed = Tables.documents(spark, dir)
-      .select((col("doc_id") + 600000).as("doc_id"),
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
         concat(lit("IMG0"), upper(expr("substring(text, 1, 20)")),
           expr("substring(text, 21)")).as("s"))
     val media = base.unionByName(perturbed)
@@ -523,12 +536,13 @@ object Multimodal {
   }
 
   private val m10Sql =
-    """WITH p AS (
+    """WITH o AS (SELECT MAX(doc_id) + 1 idoff FROM documents),
+      |p AS (
       |  SELECT doc_id, 'IMG0' || text s FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 600000,
+      |  SELECT doc_id + idoff,
       |         'IMG0' || upper(substr(text, 1, 20)) || substr(text, 21)
-      |  FROM documents),
+      |  FROM documents, o),
       |v AS (SELECT doc_id, i,
       |        ascii(substr(s, CAST(1 + ((i - 1) * length(s)) // 60 AS INTEGER), 1)) v
       |      FROM p, LATERAL unnest(range(1, 61)) AS u(i)),

@@ -18,8 +18,11 @@ class DedupSpec extends AnyFunSuite {
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr(quantize).as("q"))
+    // the corpus-derived offset d04 now uses (max id + 1)
+    val off = Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) + 1
     val perturbed = base.filter(col("vec_id") < 50)
-      .select((col("vec_id") + 100000).as("vec_id"), expr(
+      .select((col("vec_id") + off).as("vec_id"), expr(
         "concat(array(element_at(q, 1) + 50), slice(q, 2, size(q) - 1))").as("q"))
     val all = base.unionByName(perturbed)
       .withColumn("nrm", expr("vec_dot(q, q)"))
