@@ -23,6 +23,25 @@ class StreamRecoverySpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("st12 CDC apply: kill mid-stream, restart from checkpoint, exactly-once == batch") {
+    cdcKillRecover()
+  }
+
+  test("st12 CDC apply: the same kill-recovery cycle on the RocksDB state store") {
+    // the provider a real cluster deploys for large state: same state
+    // machine, different on-disk format + changelog — the recovery
+    // guarantees must be provider-independent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try cdcKillRecover()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def cdcKillRecover(): Unit = {
     val s = spark
     // 8 small files so the kill deterministically lands between commits
     val stage = EventStream.stageCdcLog(spark, sf, nFiles = 8)
