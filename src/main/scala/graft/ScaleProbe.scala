@@ -58,7 +58,11 @@ object ScaleProbe {
   }
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
-    val ready = java.nio.file.Paths.get(outDir, "_READY")
+    // generation-versioned marker: a _READY dir built by an older
+    // generator (e.g. pre-r8, when events was copied verbatim instead of
+    // scaled) must NOT be silently reused — it would quietly measure the
+    // new probes against stale data. Bump the suffix on any layout change.
+    val ready = java.nio.file.Paths.get(outDir, "_READY_v2")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 

@@ -683,7 +683,7 @@ object Dedup {
         explode(expr("sequence(1, greatest(1, length(text) - 4))")).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
-      .withColumn("h", expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", expr(md5ShingleImage))
 
   /** Engine-neutral 12×5 MinHash banding over [[neutralShingleRows]]:
     * the same (a_k·h + b_k) mod P family as [[bandsFor]] (P =

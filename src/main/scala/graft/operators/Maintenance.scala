@@ -1182,7 +1182,6 @@ object Maintenance {
     * arrive as a 1-row broadcast.
     */
   def a50KsTest(spark: SparkSession, dir: String): DataFrame = {
-    val D = DecimalType(38, 0)
     val hist = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag").isin("R", "N"))
       .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qty"))
@@ -1196,7 +1195,7 @@ object Maintenance {
         sum(col("cb")).over(w).as("cumb"))
       .crossJoin(broadcast(tot))
       .select(col("qty"), col("na"), col("nb"),
-        expr(s"abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)")
+        expr("abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)")
           .as("num"))
     scored
       .crossJoin(broadcast(scored.agg(max(col("num")).as("mx"))))

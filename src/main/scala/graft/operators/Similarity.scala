@@ -32,10 +32,13 @@ object Similarity {
 
   /** IVF cell-count sizing for a corpus of `n` vectors: ~√n (the
     * standard IVF heuristic — keeps Σ|cell|² ≈ n·√n for the cell-join
-    * candidate generation in d04 and the probe cost in v02/v03), floored
-    * at the oracle-pinned 16. Callers at scale pass
-    * `defaultNlist(corpus.count())` for `nlist`; the contract queries
-    * keep the pinned value so results stay oracle-checkable.
+    * candidate generation in d04 and the probe cost in v02/v03),
+    * floored at 16. The REGISTERED v18 contract derives nlist through
+    * this function (from parquet footer metadata, action-free) and its
+    * oracle SQL derives the identical value with a scalar subquery —
+    * so the corpus-sized value IS the oracle-checked one; v02/v03/v05's
+    * contracts still pin 16 (their oracles hardcode it), with this as
+    * the documented at-scale sizing.
     */
   def defaultNlist(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -64,13 +67,22 @@ object Similarity {
     * — top-k ids by exact re-ranked cosine over a heuristic shortlist —
     * is preserved by a different shortlist generator).
     */
+  /** Overflow-safe `multiplier · ⌈n/25⌉ · n ≤ maxPairs`: the raw Long
+    * product wraps negative near n ≈ 1.7·10¹⁰ corpus rows — which would
+    * silently PASS the `<=` check and run the flat O(n²) scan at
+    * exactly the scale the bound exists to refuse. Compared via
+    * division instead (for c > 0, m·q·c ≤ B ⟺ m·q ≤ ⌊B/c⌋; m·q itself
+    * cannot overflow: m ≤ 8 and q ≤ Long.Max/25).
+    */
+  private def pairsFit(nCorpus: Long, multiplier: Long, maxPairs: Long): Boolean = {
+    val nQueries = (nCorpus + 24) / 25
+    nCorpus == 0 || multiplier * nQueries <= maxPairs / nCorpus
+  }
+
   private[graft] def pairsWithinBound(
       spark: SparkSession, dir: String,
-      maxPairs: Long, multiplier: Long = 1L): Boolean = {
-    val nCorpus = Tables.footerRowCount(spark, dir, "embeddings")
-    val nQueries = (nCorpus + 24) / 25
-    multiplier * nQueries * nCorpus <= maxPairs
-  }
+      maxPairs: Long, multiplier: Long = 1L): Boolean =
+    pairsFit(Tables.footerRowCount(spark, dir, "embeddings"), multiplier, maxPairs)
 
   private[graft] def requirePairsBounded(
       spark: SparkSession, dir: String, op: String,
@@ -80,8 +92,8 @@ object Similarity {
       : Unit = {
     val nCorpus = Tables.footerRowCount(spark, dir, "embeddings")
     val nQueries = (nCorpus + 24) / 25
-    val pairs = multiplier * nQueries * nCorpus
-    require(pairs <= maxPairs,
+    val pairs = BigInt(multiplier) * BigInt(nQueries) * BigInt(nCorpus)
+    require(pairsFit(nCorpus, multiplier, maxPairs),
       s"$op exact scoring is O(queries x corpus): $multiplier x $nQueries x " +
         s"$nCorpus = $pairs scored pairs exceeds the $maxPairs bound - " +
         s"$routes at this scale, or raise maxPairs deliberately")

@@ -509,7 +509,12 @@ object EventStream {
     * re-create state from a later event and emit a SECOND (higher)
     * "first" touch — and re-setting its timeout below the advanced
     * watermark throws. With the tombstone, post-emit events are no-ops
-    * (accepted events are ≥ wm > min, so they cannot lower the answer).
+    * (emission requires wm_ms STRICTLY past the min's millisecond, and
+    * accepted events are ≥ the wm's ms — so nothing admissible can
+    * lower a finalized answer, even same-millisecond stragglers with
+    * smaller microseconds, which at wm == floor(min/1000) WOULD still
+    * be accepted; that boundary case is why finalization at equality
+    * would over-commit).
     */
   private[graft] def firstTouchUpdates(spark: SparkSession,
       events: DataFrame): org.apache.spark.sql.Dataset[FirstTouchOut] = {
@@ -536,16 +541,20 @@ object EventStream {
           } else {
             val batchMin = rows.map(_._3).min
             val newMin = state.getOption.fold(batchMin)(s => math.min(s.minUs, batchMin))
-            // the candidate is final as soon as wm_ms >= floor(min/1000)
-            // (ms-floor rule); if the wm has ALREADY passed it — a user
-            // whose pending state meets a later batch — emit inline
-            // instead of setting a timeout in the past (which throws)
-            if (state.getCurrentWatermarkMs() >= newMin / 1000L) {
+            // the candidate is final only when wm_ms is STRICTLY past
+            // floor(min/1000): the ms-resolution watermark still admits
+            // same-millisecond events with SMALLER microseconds at
+            // equality, so finalizing at == would over-commit (timeout
+            // ts = min/1000 fires at wm_ms >= min/1000 + 1). If the wm
+            // has already passed — a user whose pending state meets a
+            // later batch — emit inline instead of setting a timeout in
+            // the past (which throws)
+            if (state.getCurrentWatermarkMs() > newMin / 1000L) {
               state.update(FirstTouchState(newMin, emitted = true))
               Iterator.single(FirstTouchOut(uid, newMin))
             } else {
               state.update(FirstTouchState(newMin, emitted = false))
-              state.setTimeoutTimestamp(newMin / 1000L - 1)
+              state.setTimeoutTimestamp(newMin / 1000L)
               Iterator.empty
             }
           }

@@ -134,10 +134,12 @@ class EventStreamSpec extends AnyFunSuite {
       .agg(min(unix_micros(col("ts"))).as("first_us"))
     val maxUs = Tables.events(spark, sf)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    // the timeout fires iff wm_ms >= floor(first/1000); the final wm with
-    // a 0s delay is floor(max/1000) — compare in ms like the sessionizer
+    // the timeout fires iff wm_ms is STRICTLY past floor(first/1000)
+    // (finalizing at equality would over-commit: the ms-resolution wm
+    // still admits same-ms smaller-us events); the final wm with a 0s
+    // delay is floor(max/1000) — compare in ms like the sessionizer
     val expected = firsts.collect()
-      .filter(r => r.getLong(1) / 1000L <= maxUs / 1000L)
+      .filter(r => r.getLong(1) / 1000L < maxUs / 1000L)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val streamed = EventStream.streamingFirstTouch(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_us"))).toSet
