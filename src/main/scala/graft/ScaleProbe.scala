@@ -46,7 +46,7 @@ object ScaleProbe {
     // verbatim before, which made any events-shaped probe vacuous)
     "a25_grouping_sets", "a27_quantile_bins", "w25_lag_autocorr",
     "j02_fact_fact_revenue", "io08_codec_roundtrip", "m10_avghash_pairs",
-    "a50_ks_test", "a51_seasonality_strength")
+    "a50_cvm_drift", "a51_seasonality_strength")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

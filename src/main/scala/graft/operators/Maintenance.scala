@@ -1163,17 +1163,26 @@ object Maintenance {
       |       // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
       |FROM c""".stripMargin
 
-  /** a50 — exact two-sample Kolmogorov–Smirnov distance between the
+  /** a50 — Cramér–von-Mises-style INTEGRAL drift statistic between the
     * l_quantity distributions of returned (R) vs non-returned (N)
-    * lineitems: D = max over the merged support of |F_R(x) − F_N(x)|,
-    * the DISTRIBUTIONAL drift test that complements [[a44DecileDrift]]
-    * (fixed decile bins) and [[a47WelchTtest]] (mean-only — KS sees
-    * shape changes a mean test is blind to). All arithmetic is the
-    * exact integer rational |cumR·nN − cumN·nR| (DECIMAL(38,0): the
-    * cross products are O(n²) and int64 drowns at ~3·10⁹ rows), so
-    * ks_ppm = ⌊10⁶·max|…|⌋ / (nR·nN) is engine-exact; `at_qty` (lowest
-    * point achieving the max — deterministic tiebreak) localizes WHERE
-    * the two distributions diverge most.
+    * lineitems: Σ over the merged support of (combined mass at v) ·
+    * (ECDF gap at v)², normalized by total mass. The
+    * whole-distribution complement of [[a38KsDrift]]'s max-gap KS —
+    * CvM integrates EVERY gap, so many small distributed distortions
+    * (which KS's single supremum under-weights) and one large local
+    * one score differently; a pipeline runs both before promoting a
+    * snapshot. Also complements [[a44DecileDrift]] (fixed decile bins)
+    * and [[a47WelchTtest]] (mean-only).
+    *
+    * Exact at DEFINED quantization points (the a47/a51 convention):
+    * each side's ECDF is floored to ppm FIRST — d(v) = ⌊10⁶·cumR/nR⌋ −
+    * ⌊10⁶·cumN/nN⌋, |d| ≤ 10⁶ — then S = Σ (cR+cN)·d² is pure integer
+    * arithmetic in DECIMAL(38,0) (good to ~10²⁵ rows, where a raw
+    * int64 Σ drowns at ~10⁷; the cross-multiplied KS form caps at
+    * ~3·10⁹ per side — this quantized form is the one that survives
+    * 100 TB). `cvm_ppm2` = ⌊S / N⌋ is the mass-weighted mean squared
+    * ECDF gap in ppm²; `peak_qty` (lowest value with the largest
+    * single contribution) localizes the dominant distortion.
     *
     * Scale shape: one partial-aggregated groupBy collapses the fact
     * table to the ≤ 50-row quantity histogram; the cumulative window
@@ -1181,7 +1190,7 @@ object Maintenance {
     * convention — never a window over the fact table), and totals
     * arrive as a 1-row broadcast.
     */
-  def a50KsTest(spark: SparkSession, dir: String): DataFrame = {
+  def a50CvmDrift(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag").isin("R", "N"))
       .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qty"))
@@ -1191,21 +1200,26 @@ object Maintenance {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val scored = hist
-      .select(col("qty"), sum(col("ca")).over(w).as("cuma"),
-        sum(col("cb")).over(w).as("cumb"))
+      .select(col("qty"), col("ca"), col("cb"),
+        sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
       .crossJoin(broadcast(tot))
-      .select(col("qty"), col("na"), col("nb"),
-        expr("abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)")
-          .as("num"))
+      .withColumn("d",
+        expr("(1000000 * CAST(cuma AS DECIMAL(38,0))) div na" +
+          " - (1000000 * CAST(cumb AS DECIMAL(38,0))) div nb"))
+      .withColumn("contrib",
+        expr("CAST(ca + cb AS DECIMAL(38,0)) * (d * d)"))
+    val peak = scored
+      .crossJoin(broadcast(scored.agg(max(col("contrib")).as("mx"))))
+      .filter(col("contrib") === col("mx"))
+      .agg(min(col("qty")).as("peak_qty"))
     scored
-      .crossJoin(broadcast(scored.agg(max(col("num")).as("mx"))))
-      .filter(col("num") === col("mx"))
       .agg(max(col("na")).as("n_r"), max(col("nb")).as("n_n"),
-           max(col("num")).as("mxv"), min(col("qty")).as("at_qty"))
+           sum(col("contrib")).as("s"))
+      .crossJoin(broadcast(peak))
       .select(col("n_r"), col("n_n"),
-        expr("(1000000 * mxv) div (CAST(n_r AS DECIMAL(38,0)) * n_n)")
-          .cast(LongType).as("ks_ppm"),
-        col("at_qty"))
+        expr("s div (CAST(n_r AS DECIMAL(38,0)) + n_n)")
+          .cast(LongType).as("cvm_ppm2"),
+        col("peak_qty"))
   }
 
   private val a50Sql =
@@ -1215,19 +1229,24 @@ object Maintenance {
       |    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) cb
       |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
       |c AS (
-      |  SELECT qty,
+      |  SELECT qty, ca, cb,
       |    SUM(ca) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cuma,
       |    SUM(cb) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumb
       |  FROM h),
       |t AS (SELECT SUM(ca) na, SUM(cb) nb FROM h),
       |s AS (SELECT qty, na, nb,
-      |        abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) num
+      |        CAST(ca + cb AS HUGEINT)
+      |          * (((1000000 * CAST(cuma AS HUGEINT)) // na
+      |                - (1000000 * CAST(cumb AS HUGEINT)) // nb)
+      |             * ((1000000 * CAST(cuma AS HUGEINT)) // na
+      |                - (1000000 * CAST(cumb AS HUGEINT)) // nb)) contrib
       |      FROM c, t),
-      |m AS (SELECT MAX(num) mx FROM s)
+      |m AS (SELECT MAX(contrib) mx FROM s),
+      |p AS (SELECT MIN(qty) peak_qty FROM s, m WHERE contrib = mx)
       |SELECT CAST(MAX(na) AS BIGINT) AS n_r, CAST(MAX(nb) AS BIGINT) AS n_n,
-      |  CAST((1000000 * MAX(num)) // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS ks_ppm,
-      |  MIN(qty) AS at_qty
-      |FROM s, m WHERE num = mx""".stripMargin
+      |  CAST(SUM(contrib) // (CAST(MAX(na) AS HUGEINT) + MAX(nb)) AS BIGINT) AS cvm_ppm2,
+      |  (SELECT peak_qty FROM p) AS peak_qty
+      |FROM s""".stripMargin
 
   /** a51 — seasonality strength per event type: how much of the value
     * signal's variance the hour-of-week profile explains — the ANOVA R²
@@ -1304,9 +1323,9 @@ object Maintenance {
     QueryDef("a51_seasonality_strength",
       "ANOVA R^2 of the hour-of-week profile per type (is w16's baseline real?)",
       a51SeasonalityStrength, Some(a51Sql)),
-    QueryDef("a50_ks_test",
-      "exact two-sample Kolmogorov-Smirnov distance, R vs N quantity distributions",
-      a50KsTest, Some(a50Sql)),
+    QueryDef("a50_cvm_drift",
+      "Cramer-von-Mises integral drift (whole-distribution dual of a38's max-gap KS)",
+      a50CvmDrift, Some(a50Sql)),
     QueryDef("a48_benford_audit",
       "second-order two-digit Benford screen: obs/exp ppm + chi2 contribution",
       a48BenfordAudit, Some(a48Sql)),

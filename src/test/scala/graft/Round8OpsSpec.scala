@@ -9,11 +9,12 @@ import graft.operators.{Maintenance, Similarity}
 class Round8OpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("a50: KS distance matches an in-memory recompute and is a valid statistic") {
-    val row = Maintenance.a50KsTest(spark, sf).head()
-    val (nR, nN, ksPpm, atQty) =
+  test("a50: CvM integral drift matches an in-memory recompute and is a valid statistic") {
+    val row = Maintenance.a50CvmDrift(spark, sf).head()
+    val (nR, nN, cvm, peakQty) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    // in-memory oracle over the same filtered frame
+    // in-memory oracle over the same filtered frame, replaying the
+    // defined quantization points (floor each ECDF to ppm FIRST)
     val rows = Tables.lineitem(spark, sf)
       .filter(col("l_returnflag").isin("R", "N"))
       .select(col("l_quantity").cast("long"), col("l_returnflag"))
@@ -22,16 +23,20 @@ class Round8OpsSpec extends AnyFunSuite {
     val (r, n) = rows.partition(_._2 == "R")
     assert(nR == r.length && nN == n.length)
     val scored = qtys.map { q =>
-      val cumR = BigInt(r.count(_._1 <= q)); val cumN = BigInt(n.count(_._1 <= q))
-      q -> (cumR * n.length - cumN * r.length).abs
+      val d = BigInt(1000000) * r.count(_._1 <= q) / r.length -
+        BigInt(1000000) * n.count(_._1 <= q) / n.length
+      val mass = BigInt(rows.count(_._1 == q))
+      (q, mass * d * d)
     }
+    val s = scored.map(_._2).sum
+    assert(cvm == (s / BigInt(rows.length)).toLong)
     val mx = scored.map(_._2).max
-    assert(atQty == scored.filter(_._2 == mx).map(_._1).min)
-    assert(ksPpm == (BigInt(1000000) * mx / (BigInt(r.length) * n.length)).toLong)
-    assert(ksPpm >= 0L && ksPpm <= 1000000L)
+    assert(peakQty == scored.filter(_._2 == mx).map(_._1).min)
+    // mean squared ppm gap is bounded by (10^6)^2
+    assert(cvm >= 0L && cvm <= 1000000000000L)
     // the cumulative window must run over the bounded histogram, never
     // the fact table: the window's input is an aggregate of lineitem
-    val plan = Maintenance.a50KsTest(spark, sf)
+    val plan = Maintenance.a50CvmDrift(spark, sf)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("Window"), "expected the bounded-histogram window")
     assert(
