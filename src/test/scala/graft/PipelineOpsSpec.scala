@@ -196,11 +196,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
     val dropped = out.filter(!_._2._2)
     assert(dropped.nonEmpty, "planted near-identical copies must be dropped")
-    // only planted copies (id >= 100000) can be near-identical to a
-    // lower id — the natural corpus tops out around cos 0.51
-    assert(dropped.keys.forall(_ >= 100000L), s"natural vector dropped: $dropped")
+    // only planted copies (id >= the corpus-derived max(id)+1 offset)
+    // can be near-identical to a lower id — the natural corpus tops out
+    // around cos 0.51
+    val off = Tables.embeddings(spark, sf001)
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) + 1
+    assert(dropped.keys.forall(_ >= off), s"natural vector dropped: $dropped")
     dropped.foreach { case (id, (cell, _, dupOf)) =>
-      assert(dupOf === id - 100000L, s"$id should dup to its own original")
+      assert(dupOf === id - off, s"$id should dup to its own original")
       assert(out(dupOf)._2, s"survivor chain broken: $dupOf itself dropped")
       assert(out(dupOf)._1 === cell, s"$id dups across cells")
     }
@@ -945,9 +948,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       val sm = v.sum
       v.zipWithIndex.map { case (x, j) => if (x * 60 > sm) 1L << j else 0L }.sum
     }
+    // the corpus-derived planted offset m10 now uses (max id + 1)
+    val off = docs.map(_._1).max + 1
     val all = docs.map { case (d, t) => (d, ahash("IMG0" + t)) } ++
       docs.map { case (d, t) =>
-        (d + 600000L, ahash("IMG0" + t.take(20).toUpperCase + t.drop(20)))
+        (d + off, ahash("IMG0" + t.take(20).toUpperCase + t.drop(20)))
       }
     val brute = (for {
       (ia, ha) <- all; (ib, hb) <- all
@@ -957,7 +962,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${(brute -- got).take(5)} / extra: ${(got -- brute).take(5)}")
     // the catch m05's content hash cannot make: perturbed copies with a
     // DIFFERENT payload md5 still pair with their original
-    val planted = got.count { case (a, b, _) => b == a + 600000L }
+    val planted = got.count { case (a, b, _) => b == a + off }
     assert(planted > 0, "no perturbed copy was caught")
   }
 
