@@ -363,7 +363,74 @@ object Formats {
       |SELECT codec, n_rows, key_sum, cents_sum
       |FROM c, s ORDER BY codec""".stripMargin
 
+  /** io09 — parquet bloom-filter point-lookup path: the needle-in-100-TB
+    * access pattern. The layout is written with a bloom filter on
+    * `l_orderkey`, DELIBERATELY clustered by a different column
+    * (`l_partkey`) and cut into many small row groups, so min/max
+    * stats on the lookup key span everything and cannot prune — the
+    * bloom filter is the only mechanism that lets the reader skip row
+    * groups on a point predicate. The probe then reads the layout back
+    * with an 8-key IN filter (pushed to the scan — asserted in the
+    * suite) and emits exact per-key line accounting.
+    *
+    * The 8 probe keys derive from the data (smallest distinct keys
+    * ≡ 0 mod 25), collected once — an 8-element driver list, the
+    * bounded-collect class. Row-group skip counts are hardware/version
+    * flavored, so (like io08's byte sizes) layout stats are LOGGED,
+    * never contract cells.
+    *
+    * Scale shape: the write is one linear pass (sort within
+    * partitions); the lookup reads only row groups whose bloom admits
+    * a key — at 1000 row groups per file and 8 keys, the scan touches
+    * a few percent of the bytes a full scan would. (At toy scale
+    * parquet drops the bloom for chunks that stay fully
+    * dictionary-encoded — the dictionary is already an exact
+    * membership filter there; blooms materialize exactly when
+    * cardinality outgrows the dictionary, i.e. when they matter.)
+    */
+  def io09BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_io09_bloom_")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(s"$out/data")
+    val keys = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 25 === 0)
+      .select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(8)
+      .collect().map(_.getLong(0))
+    val files = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    System.err.println(s"[io09] files=${files.length} bytes=${files.map(_.length()).sum} keys=${keys.mkString(",")}")
+    spark.read.parquet(s"$out/data")
+      .filter(col("l_orderkey").isin(keys.map(Long.box): _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("qty")).as("sum_qty"),
+           sum(col("price_cents")).as("sum_price_cents"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val io09Sql =
+    """WITH k AS (
+      |  SELECT DISTINCT l_orderkey FROM lineitem
+      |  WHERE l_orderkey % 25 = 0 ORDER BY l_orderkey LIMIT 8)
+      |SELECT l_orderkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io09_bloom_lookup",
+      "parquet bloom-filter point lookups on a decorrelated layout (8-key IN probe)",
+      io09BloomLookup, Some(io09Sql)),
     QueryDef("io08_codec_roundtrip",
       "parquet codec transparency: 5 codecs, identical checksums, size sanity",
       io08CodecRoundtrip, Some(io08Sql)),

@@ -1319,7 +1319,78 @@ object Maintenance {
       |       // greatest(q - 2 * m * s + n * m * m, 1) AS BIGINT) AS strength_ppm
       |FROM f ORDER BY event_type""".stripMargin
 
+  /** a52 — Kruskal–Wallis rank components across ALL event types: the
+    * k-group omnibus completion of the rank-test family. [[a41MannWhitney]]
+    * owns the TWO-sample U + rank-biserial effect; [[a51SeasonalityStrength]]
+    * owns the PARAMETRIC (means-based) ANOVA R²; a52 is the k-group
+    * RANK-based location screen — "do the k types draw values from one
+    * distribution at all?" — the test run before any pairwise a41 drill-down.
+    *
+    * Exactness: ranks held at 2× so tied mid-ranks stay integers (a tie
+    * block at ranks [b+1, b+k] has doubled mid-rank 2(b+1)+k−1 — the a41
+    * convention). Per type g the output is n_g, t2r_g = Σ doubled
+    * mid-ranks, and dev2r_g = t2r_g − n_g·(N+1) (a doubled rank's
+    * expectation is N+1, so dev2r is the exact integer deviation from
+    * the null and Σ_g dev2r = 0 — asserted in the suite). H itself is
+    * 3·Σ dev2r_g²/n_g / (N(N+1)): dev2r² exceeds int64 in the worst
+    * case, so the division is left to the consumer — the exact-integer-
+    * COMPONENTS contract the w25 DECIMAL-div lesson mandates. (int64
+    * bounds t2r at n ≲ 2·10⁹ rows; past that, lift to DECIMAL(38,0) —
+    * the w16 rule.)
+    *
+    * Scale shape: ranking runs over the DISTINCT-VALUE count table
+    * (one partial-aggregated groupBy), below-counts via
+    * [[ScaleOps.prefixSum]] (range repartition + offsets — no
+    * single-partition window), per-(type, value) counts join that
+    * value-sized frame, and the finale is a |types|-row aggregate.
+    */
+  def a52KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val vc = e.groupBy(col("cents")).agg(count(lit(1)).as("k"))
+    val pre = ScaleOps.prefixSum(vc, Seq("cents"), "k", "cum")
+      .withColumn("below", col("cum") - col("k"))
+      .select(col("cents"), col("k"), col("below"))
+    val byType = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("kg"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    byType.join(pre, Seq("cents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("kg")).as("n"),
+           sum(col("kg") * (lit(2) * (col("below") + 1) + col("k") - 1)).as("t2r"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"), col("t2r"),
+        (col("t2r") - col("n") * (col("n_total") + 1)).as("dev2r"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a52Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events WHERE "value" IS NOT NULL),
+      |vc AS (SELECT cents, CAST(COUNT(*) AS BIGINT) k FROM e GROUP BY 1),
+      |pre AS (
+      |  SELECT cents, k,
+      |    CAST(COALESCE(SUM(k) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) below
+      |  FROM vc),
+      |bt AS (
+      |  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) kg
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_total FROM e),
+      |g AS (
+      |  SELECT event_type, SUM(kg) n,
+      |    SUM(kg * (2 * (below + 1) + k - 1)) t2r
+      |  FROM bt JOIN pre USING (cents) GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t2r AS BIGINT) AS t2r,
+      |  CAST(t2r - n * (n_total + 1) AS BIGINT) AS dev2r
+      |FROM g, tot ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a52_kruskal_wallis",
+      "k-group Kruskal-Wallis rank components (2x mid-ranks; a41's omnibus dual)",
+      a52KruskalWallis, Some(a52Sql)),
     QueryDef("a51_seasonality_strength",
       "ANOVA R^2 of the hour-of-week profile per type (is w16's baseline real?)",
       a51SeasonalityStrength, Some(a51Sql)),

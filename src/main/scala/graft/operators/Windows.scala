@@ -1409,7 +1409,77 @@ object Windows {
       |FROM cur JOIN pre USING (day) LEFT JOIN com ON cur.day = com.day
       |ORDER BY cur.day""".stripMargin
 
+  /** w30 — least-squares trend of the hourly value series per event
+    * type, as EXACT integer OLS components. [[w24Changepoint]] finds
+    * the single break, [[w25LagAutocorr]] the short-range memory,
+    * [[w26MaxDrawdown]] the worst excursion; w30 answers the remaining
+    * series question — "is the level drifting, which way, and at what
+    * rate?" — via the regression line over (hour index, hourly sum).
+    *
+    * Exactness: x is the hour index REBASED to the series' first hour
+    * (the raw epoch-hour ≈ 5·10⁵ would put sxx at ~10¹⁷ for no
+    * information gain — the w16 centering rule), y the hourly cents
+    * sum; n, Σx, Σy, Σxy, Σx² are pure int64, and the slope is emitted
+    * as its rational form num = n·Σxy − Σx·Σy over den = n·Σx² − (Σx)²
+    * plus a sign verdict. The quotient itself is left to the consumer:
+    * 10³·num can exceed int64 once hourly mass grows ~10× (the probe
+    * corpus), and a DECIMAL division there is exactly the w25
+    * cross-engine div trap. den depends only on the hour-index shape,
+    * never on data mass; num grows linearly with row count — int64 to
+    * ~10⁹ rows/hour, then lift to DECIMAL(38,0) (the w16 rule).
+    *
+    * Scale shape: one partial-aggregated groupBy collapses the stream
+    * to the |types|×hours hourly frame; the rebase min() windows over
+    * that BOUNDED frame partitioned by type (the g12 histogram
+    * convention), and the finale is a |types|-row aggregate.
+    */
+  def w30TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val based = hourly.withColumn("x",
+      col("hr") - min(col("hr")).over(Window.partitionBy(col("event_type"))))
+    based.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("trend",
+        when(col("num") > 0, lit("up"))
+          .when(col("num") < 0, lit("down")).otherwise(lit("flat")))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+              col("sxy"), col("sxx"), col("num"), col("den"), col("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w30Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 hr,
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type,
+      |    hr - MIN(hr) OVER (PARTITION BY event_type) x, y
+      |  FROM h),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(x) AS BIGINT) sx, CAST(SUM(y) AS BIGINT) sy,
+      |    CAST(SUM(x * y) AS BIGINT) sxy, CAST(SUM(x * x) AS BIGINT) sxx
+      |  FROM b GROUP BY 1)
+      |SELECT event_type, n, sx, sy, sxy, sxx,
+      |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |  CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+      |       WHEN n * sxy - sx * sy < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w30_trend_slope",
+      "per-type OLS trend of the hourly series: exact integer components + verdict",
+      w30TrendSlope, Some(w30Sql)),
     QueryDef("w29_topk_churn",
       "day-over-day top-5 leaderboard churn (rank stability canary)",
       w29TopkChurn(_, _), Some(w29Sql)),

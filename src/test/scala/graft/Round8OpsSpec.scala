@@ -64,4 +64,121 @@ class Round8OpsSpec extends AnyFunSuite {
         "corpus-sized nlist should alter the probed-cell funnel on this corpus")
     }
   }
+
+  test("a52: dev2r sums to zero and t2r totals N(N+1) (doubled-rank identities)") {
+    val rows = Maintenance.a52KruskalWallis(spark, sf).collect()
+    assert(rows.length >= 3, "expected the k event-type groups")
+    val n = rows.map(_.getLong(1)).sum
+    // sum of ALL doubled mid-ranks is 2 * N(N+1)/2 = N(N+1), and the
+    // per-group deviations from the null expectation cancel exactly
+    assert(rows.map(_.getLong(2)).sum == n * (n + 1))
+    assert(rows.map(_.getLong(3)).sum == 0L)
+    // ranking must run over the distinct-value table via prefixSum —
+    // the optimized plan may not contain an unpartitioned row window
+    val plan = Maintenance.a52KruskalWallis(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "a52 must use prefixSum, not a single-partition rank window")
+  }
+
+  test("w30: OLS components match a brute-force recompute; verdict tracks num") {
+    val out = operators.Windows.w30TrendSlope(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val pts = hourly(t).map(p => (p._2, p._3))
+      val x0 = pts.map(_._1).min
+      val xs = pts.map(_._1 - x0)
+      val ys = pts.map(_._2)
+      val (n, sx, sy) = (pts.length.toLong, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((n, sx, sy, sxy, sxx)), s"components diverge for $t")
+      val num = n * sxy - sx * sy
+      assert(r.getLong(6) == num && r.getLong(7) == n * sxx - sx * sx)
+      val verdict = if (num > 0) "up" else if (num < 0) "down" else "flat"
+      assert(r.getString(8) == verdict)
+      // den is a pure x-shape quantity: strictly positive once two
+      // distinct hours exist (Cauchy-Schwarz is strict for non-constant x)
+      assert(r.getLong(7) > 0)
+    }
+    // the rebase window partitions by event_type over the bounded hourly
+    // frame — never an unpartitioned global window
+    val plan = operators.Windows.w30TrendSlope(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(event_type"),
+      "w30's min-hour rebase must partition by event_type")
+  }
+
+  test("io09: IN point-lookup is pushed to the scan and blooms are in the footer") {
+    val df = operators.Formats.io09BloomLookup(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(l_orderkey"),
+      s"expected the 8-key IN pushed to the parquet scan:\n$scan")
+    assert(df.count() > 0)
+    // the write path must actually have produced bloom filters: check
+    // the parquet footer of a fresh layout written with the same option
+    val out = java.nio.file.Files.createTempDirectory("graft_io09_spec_").toString
+    // parquet DROPS the bloom when a chunk is fully dictionary-encoded
+    // (the dictionary is already an exact membership filter) — which is
+    // the case at sf0.001's tiny key cardinality; disable the dictionary
+    // on the key column so this asserts the bloom WRITE path itself
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      val chunk = blocks.head.getColumns.asScala
+        .find(_.getPath.toDotString == "l_orderkey").get
+      val bloom = reader.getBloomFilterDataReader(blocks.head)
+        .readBloomFilter(chunk)
+      assert(bloom != null, "l_orderkey column chunk carries no bloom filter")
+      val noBloom = blocks.head.getColumns.asScala
+        .find(_.getPath.toDotString == "l_partkey").get
+      assert(reader.getBloomFilterDataReader(blocks.head)
+        .readBloomFilter(noBloom) == null,
+        "bloom must be per-column opt-in, not table-wide")
+    } finally reader.close()
+  }
+
+  test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
+    val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach { r =>
+      // every neighbor shares its query's label — pre-filter, not post
+      assert(labelOf(r.getLong(3)) == r.getInt(1),
+        s"neighbor ${r.getLong(3)} crosses the label filter")
+      assert(labelOf(r.getLong(0)) == r.getInt(1))
+    }
+    // the flat label scan (v10) searches a superset of v22's probed
+    // cells, so at every (qid, rank) its cosine dominates
+    val flat = Similarity.v10FilteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(4)).toMap
+    ivf.foreach { r =>
+      val f = flat((r.getLong(0), r.getInt(2)))
+      assert(r.getDouble(4) <= f + 1e-9,
+        s"IVF rank-${r.getInt(2)} beats the exhaustive scan for qid ${r.getLong(0)}")
+    }
+  }
 }
