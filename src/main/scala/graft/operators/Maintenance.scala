@@ -1387,7 +1387,206 @@ object Maintenance {
       |  CAST(t2r - n * (n_total + 1) AS BIGINT) AS dev2r
       |FROM g, tot ORDER BY event_type""".stripMargin
 
+  /** a53 — declarative data-contract audit over the fact tables: the
+    * Deequ-shaped validation pass every production lake runs at ingest
+    * (uniqueness, referential integrity, completeness, ranges, value
+    * domains, cross-table temporal ordering), emitted as one row per
+    * constraint with exact checked/violation counts and a pass verdict.
+    * The synthetic lineitem genuinely carries duplicate
+    * (l_orderkey, l_linenumber) keys, so the pk check FIRES on real
+    * data — the audit is a detector, not a tautology.
+    *
+    * Scale shape: the three per-table check families fold into ONE
+    * conditional-aggregation pass over each table (no per-constraint
+    * rescans); pk uniqueness is one partial-aggregated groupBy on the
+    * composite key; referential integrity + ship-after-order share a
+    * single left join on the fk (at cluster scale, co-partition both
+    * facts on the order key and the join is exchange-free). Output is
+    * eight rows regardless of corpus size.
+    */
+  private[graft] def contractChecks(li: DataFrame, ord: DataFrame): DataFrame = {
+    val liChecks = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull ||
+               col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty"),
+      sum(when(col("l_discount").isNull ||
+               col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("disc"),
+      sum(when(col("l_returnflag").isNull ||
+               !col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("flag"))
+      .select(explode(array(
+        struct(lit("li_qty_range").as("check_name"),
+               col("n").as("n_checked"), col("qty").as("n_violations")),
+        struct(lit("li_discount_range").as("check_name"),
+               col("n").as("n_checked"), col("disc").as("n_violations")),
+        struct(lit("li_returnflag_domain").as("check_name"),
+               col("n").as("n_checked"), col("flag").as("n_violations")))).as("c"))
+      .select(col("c.*"))
+    val pk = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), sum(col("c") - 1).as("v"))
+      .select(lit("li_pk_unique").as("check_name"),
+              col("n").as("n_checked"), col("v").as("n_violations"))
+    val j = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk"),
+        sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L)).as("nm"),
+        sum(when(col("o_orderkey").isNotNull &&
+                 col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("tmp"))
+      .select(explode(array(
+        struct(lit("li_fk_orders").as("check_name"),
+               col("n").as("n_checked"), col("fk").as("n_violations")),
+        struct(lit("li_ship_after_order").as("check_name"),
+               col("nm").as("n_checked"), col("tmp").as("n_violations")))).as("c"))
+      .select(col("c.*"))
+    val oChecks = ord.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderstatus").isNull ||
+               !col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("st"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+        .otherwise(0L)).as("pr"))
+      .select(explode(array(
+        struct(lit("ord_status_domain").as("check_name"),
+               col("n").as("n_checked"), col("st").as("n_violations")),
+        struct(lit("ord_price_positive").as("check_name"),
+               col("n").as("n_checked"), col("pr").as("n_violations")))).as("c"))
+      .select(col("c.*"))
+    liChecks.unionAll(pk).unionAll(j).unionAll(oChecks)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  def a53ContractAudit(spark: SparkSession, dir: String): DataFrame =
+    contractChecks(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  private val a53Sql =
+    """WITH li AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+      |             THEN 1 ELSE 0 END) AS BIGINT) qty,
+      |    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+      |             THEN 1 ELSE 0 END) AS BIGINT) disc,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+      |             THEN 1 ELSE 0 END) AS BIGINT) flag
+      |  FROM lineitem),
+      |pk AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) n, CAST(SUM(c - 1) AS BIGINT) v
+      |  FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+      |j AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) fk,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) nm,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL AND l.l_shipdate < o.o_orderdate
+      |             THEN 1 ELSE 0 END) AS BIGINT) tmp
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |od AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
+      |             THEN 1 ELSE 0 END) AS BIGINT) st,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+      |             THEN 1 ELSE 0 END) AS BIGINT) pr
+      |  FROM orders),
+      |u AS (
+      |  SELECT 'li_qty_range' check_name, n n_checked, qty n_violations FROM li
+      |  UNION ALL SELECT 'li_discount_range', n, disc FROM li
+      |  UNION ALL SELECT 'li_returnflag_domain', n, flag FROM li
+      |  UNION ALL SELECT 'li_pk_unique', n, v FROM pk
+      |  UNION ALL SELECT 'li_fk_orders', n, fk FROM j
+      |  UNION ALL SELECT 'li_ship_after_order', nm, tmp FROM j
+      |  UNION ALL SELECT 'ord_status_domain', n, st FROM od
+      |  UNION ALL SELECT 'ord_price_positive', n, pr FROM od)
+      |SELECT check_name, n_checked, n_violations,
+      |  n_violations = 0 AS pass
+      |FROM u ORDER BY check_name""".stripMargin
+
+  /** a54 — exact 5%-trimmed mean of event value per type: the robust
+    * location estimate between the plain mean (skew-fragile) and the
+    * median (throws away 98% of the data). Exactly floor(n/20) rows are
+    * trimmed from EACH end by rank; a distinct value straddling the cut
+    * contributes its partial count (t − below rows), so the trimmed sum
+    * is exact integer cents with no tie ambiguity — trimming is defined
+    * on row counts, never on which equal-valued row "came first".
+    *
+    * Mechanism: the a27/a49/a52 rank-free family — per-(type, value)
+    * counts, cumulative counts via [[ScaleOps.prefixSum]] over the
+    * GLOBAL (type, value) order, and per-type rebase by subtracting the
+    * type's starting offset (a window over the |types|-row total frame,
+    * the g12 bounded-frame convention). No per-row window, no global
+    * sort, no single-partition exchange; the value table is
+    * cardinality-bounded, not row-bounded.
+    *
+    * The mean itself is one int64/int64 IEEE division (identical in
+    * both engines) rounded to 6dp; the exact components (tsum_cents,
+    * n_kept) ride alongside per the w25/w30 components convention.
+    */
+  def a54TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val vc = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("k"))
+    val pre = ScaleOps.prefixSum(vc, Seq("event_type", "cents"), "k", "cum")
+    val wTypes = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vc.groupBy(col("event_type")).agg(sum(col("k")).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wTypes), lit(0L)))
+    pre.join(broadcast(offsets), Seq("event_type"))
+      .withColumn("below", col("cum") - col("k") - col("offset"))
+      .withColumn("t", expr("n div 20"))
+      .withColumn("above", col("n") - col("below") - col("k"))
+      .withColumn("lowc", greatest(least(col("k"), col("t") - col("below")), lit(0L)))
+      .withColumn("highc", greatest(least(col("k"), col("t") - col("above")), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("t")).as("trim_each"),
+        sum((col("k") - col("lowc") - col("highc")) * col("cents")).as("tsum_cents"))
+      .withColumn("n_kept", col("n") - lit(2) * col("trim_each"))
+      .withColumn("trimmed_mean_cents",
+        round(col("tsum_cents").cast("double") / col("n_kept"), 6))
+      .select(col("event_type"), col("n"), col("trim_each"), col("n_kept"),
+              col("tsum_cents"), col("trimmed_mean_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a54Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round("value" * 100) AS BIGINT) cents
+      |  FROM events WHERE "value" IS NOT NULL),
+      |vc AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) k
+      |       FROM e GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, cents, k,
+      |    CAST(COALESCE(SUM(k) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) below,
+      |    CAST(SUM(k) OVER (PARTITION BY event_type) AS BIGINT) n
+      |  FROM vc),
+      |c AS (
+      |  SELECT event_type, cents, k, below, n, n // 20 t,
+      |    n - below - k above
+      |  FROM pre),
+      |g AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) n,
+      |    CAST(MAX(t) AS BIGINT) trim_each,
+      |    CAST(SUM((k - GREATEST(LEAST(k, t - below), 0)
+      |              - GREATEST(LEAST(k, t - above), 0)) * cents) AS BIGINT) tsum_cents
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n, trim_each, n - 2 * trim_each AS n_kept, tsum_cents,
+      |  ROUND(CAST(tsum_cents AS DOUBLE) / (n - 2 * trim_each), 6) AS trimmed_mean_cents
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a54_trimmed_mean",
+      "exact 5%-trimmed mean per type via rank-free prefix-sum cuts",
+      a54TrimmedMean, Some(a54Sql)),
+    QueryDef("a53_contract_audit",
+      "Deequ-shaped data-contract audit: pk/fk/range/domain/temporal checks, exact counts",
+      a53ContractAudit, Some(a53Sql)),
     QueryDef("a52_kruskal_wallis",
       "k-group Kruskal-Wallis rank components (2x mid-ranks; a41's omnibus dual)",
       a52KruskalWallis, Some(a52Sql)),

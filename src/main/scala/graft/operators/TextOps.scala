@@ -2244,7 +2244,89 @@ object TextOps {
       |           // greatest(exp_ppm, 1)) AS BIGINT) AS chi2_divergence
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** t39 — interpolated Kneser–Ney bigram perplexity: the modern-LM
+    * smoother, scored per document in integer micro-nats. Where
+    * [[t22BigramLm]] backs off to RAW unigram frequency
+    * (Jelinek–Mercer), KN backs off to the CONTINUATION probability —
+    * how many distinct contexts a word follows, not how often it
+    * occurs — which is the fix for the "San Francisco" pathology
+    * (frequent-but-bound words like "Francisco" stop inflating unseen
+    * contexts). A genuinely different dataflow, not different
+    * constants: the backoff model is built from the distinct-bigram
+    * TYPE table (one distinct + two type-count aggregates), a shuffle
+    * t22 never runs.
+    *
+    * With absolute discount D = 3/4 (exactly dyadic) every probability
+    * is the rational (4·B·c12 − 3·B + 3·Nf·Nr) / (4·B·c1): c12 the
+    * bigram token count, c1 the context token count, Nf = |{w: c(v,w)>0}|,
+    * Nr = |{v: c(v,w)>0}|, B = total distinct bigrams. Numerator and
+    * denominator are exact int64 (|num| < 8·B·max(c12) ≈ 2⁵² at sf0.1 —
+    * int64→double conversion stays exact; at larger corpora lift to
+    * DECIMAL, the w16 rule), the division is one IEEE op identical in
+    * both engines, and only ln() crosses libm — quantized to micro-nats
+    * with the t12/t14 boundary-margin audit in the suite.
+    *
+    * Scale shape: identical to t22 — map-side bigram extraction, one
+    * shuffle join on the (w1, w2) bigram key (corpus-linear vocab,
+    * never broadcast), Heaps'-law-bounded unigram-level tables
+    * broadcast, the discount scoring codegen'd per row.
+    */
+  def t39KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
+    val bigrams = arr
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("a"),
+        explode(expr("sequence(2, size(a))")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(a, i - 1)").as("w1"), expr("element_at(a, i)").as("w2"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    val btypes = bi.agg(count(lit(1)).as("b"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .select(col("doc_id"),
+        expr("CAST(round(-ln(CAST(4 * b * c12 - 3 * b + 3 * nf * nr AS DOUBLE)" +
+             " / CAST(4 * b * c1 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_micronats"))
+      .withColumn("mean_nats",
+        round(col("nll_micronats").cast("double") / col("n_bigrams") / 1000000, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t39Sql =
+    """WITH a AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') a FROM documents),
+      |bg AS (SELECT doc_id, a[CAST(i - 1 AS INTEGER)] w1, a[CAST(i AS INTEGER)] w2
+      |       FROM a, LATERAL unnest(range(2, len(a) + 1)) AS u(i)),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) c12 FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) c1, CAST(COUNT(*) AS BIGINT) nf
+      |        FROM bi GROUP BY 1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) nr FROM bi GROUP BY 1),
+      |bt AS (SELECT CAST(COUNT(*) AS BIGINT) b FROM bi),
+      |s AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(-ln(CAST(4 * bt.b * bi.c12 - 3 * bt.b + 3 * ctx.nf * cont.nr AS DOUBLE)
+      |      / CAST(4 * bt.b * ctx.c1 AS DOUBLE)) * 1000000) AS BIGINT) nll_micro
+      |  FROM bg JOIN bi USING (w1, w2)
+      |          JOIN ctx USING (w1)
+      |          JOIN cont USING (w2)
+      |          CROSS JOIN bt)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(nll_micro) AS BIGINT) AS nll_micronats,
+      |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t39_kneser_ney",
+      "interpolated Kneser-Ney bigram perplexity (continuation-count backoff, micro-nat exact)",
+      t39KneserNey, Some(t39Sql)),
     QueryDef("t38_source_divergence",
       "per-source chi2 domain-shift divergence vs the corpus unigram blend",
       t38SourceDivergence, Some(t38Sql)),

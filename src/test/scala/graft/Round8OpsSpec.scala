@@ -159,6 +159,109 @@ class Round8OpsSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("a53: planted violations are counted exactly; the real-data pk check fires") {
+    val s = spark
+    import s.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // (orderkey, linenumber, qty, discount, flag, shipdate)
+    val li = Seq(
+      (1L, 1, 10.0, 0.05, "A", ts("2024-01-10 00:00:00")),  // clean
+      (1L, 1, 10.0, 0.05, "A", ts("2024-01-10 00:00:00")),  // pk dup
+      (2L, 1, 99.0, 0.05, "N", ts("2024-01-10 00:00:00")),  // qty out of range
+      (3L, 1, 10.0, 0.50, "R", ts("2024-01-10 00:00:00")),  // discount out of range
+      (4L, 1, 10.0, 0.05, "X", ts("2024-01-10 00:00:00")),  // bad flag
+      (5L, 1, 10.0, 0.05, "A", ts("2023-12-31 00:00:00")),  // ships before order
+      (9L, 1, 10.0, 0.05, "A", ts("2024-01-10 00:00:00")))  // fk orphan
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_returnflag", "l_shipdate")
+    val ord = Seq(
+      (1L, "O", 100.0, ts("2024-01-01 00:00:00")),
+      (2L, "F", 100.0, ts("2024-01-01 00:00:00")),
+      (3L, "P", 100.0, ts("2024-01-01 00:00:00")),
+      (4L, "O", 100.0, ts("2024-01-01 00:00:00")),
+      (5L, "O", 100.0, ts("2024-01-01 00:00:00")),
+      (6L, "Z", 100.0, ts("2024-01-01 00:00:00")),          // bad status
+      (7L, "O", -5.0, ts("2024-01-01 00:00:00")))           // non-positive price
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val got = Maintenance.contractChecks(li, ord).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("li_pk_unique") == ((7L, 1L, false)))
+    assert(got("li_qty_range") == ((7L, 1L, false)))
+    assert(got("li_discount_range") == ((7L, 1L, false)))
+    assert(got("li_returnflag_domain") == ((7L, 1L, false)))
+    assert(got("li_fk_orders") == ((7L, 1L, false)))
+    assert(got("li_ship_after_order") == ((6L, 1L, false)))
+    assert(got("ord_status_domain") == ((7L, 1L, false)))
+    assert(got("ord_price_positive") == ((7L, 1L, false)))
+    // against the real corpus: 8 rows, and the synthetic lineitem's
+    // genuine pk duplicates make the audit a live detector
+    val real = Maintenance.a53ContractAudit(spark, sf).collect()
+    assert(real.length == 8)
+    val pk = real.find(_.getString(0) == "li_pk_unique").get
+    assert(pk.getLong(2) > 0 && !pk.getBoolean(3),
+      "synthetic lineitem carries pk duplicates; the check must fire")
+  }
+
+  test("a54: trimmed sum matches a sort-and-drop brute force per type") {
+    val out = Maintenance.a54TrimmedMean(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val xs = byType(t)
+      val trim = xs.length / 20
+      val kept = xs.slice(trim, xs.length - trim)
+      assert(r.getLong(1) == xs.length && r.getLong(2) == trim.toLong)
+      assert(r.getLong(3) == kept.length.toLong)
+      assert(r.getLong(4) == kept.sum, s"trimmed sum diverges for $t")
+      // 6dp-rounded mean within half an ulp-of-6dp of the raw quotient
+      // (exact decimal-string rounding is re-verified by the oracle)
+      assert(math.abs(r.getDouble(5) - kept.sum.toDouble / kept.length) < 5.01e-7)
+    }
+  }
+
+  test("t39: KN probabilities are proper, boundary margins hold, brute force agrees") {
+    val out = operators.TextOps.t39KneserNey(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    // driver-side model rebuild
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val bigrams = docs.flatMap { case (_, a) => a.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nf = c12.keys.groupBy(_._1).map { case (w, ks) => w -> ks.size.toLong }
+    val nr = c12.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val b = c12.size.toLong
+    // every scored probability is proper and clear of its rounding boundary
+    c12.foreach { case ((v, w), c) =>
+      val num = 4L * b * c - 3L * b + 3L * nf(v) * nr(w)
+      val den = 4L * b * c1(v)
+      assert(num > 0 && num < den, s"KN p outside (0,1) for ($v,$w)")
+      val x = -math.log(num.toDouble / den.toDouble) * 1e6
+      val dist = math.abs(x - math.floor(x) - 0.5)
+      assert(dist > 1e-5, s"($v,$w) nll within $dist micro-units of a boundary")
+    }
+    // brute-force document scores
+    docs.filter(_._2.length >= 2).take(50).foreach { case (id, a) =>
+      val scores = a.sliding(2).filter(_.length == 2).map { p =>
+        val num = 4L * b * c12((p(0), p(1))) - 3L * b + 3L * nf(p(0)) * nr(p(1))
+        math.round(-math.log(num.toDouble / (4L * b * c1(p(0))).toDouble) * 1e6)
+      }.toSeq
+      assert(out(id) == ((scores.length.toLong, scores.sum)),
+        s"doc $id KN score diverges")
+    }
+    // conservation: total scored positions == total bigram positions
+    val positions = docs.map(_._2.length).filter(_ >= 2).map(_ - 1L).sum
+    assert(out.values.map(_._1).sum == positions)
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
