@@ -46,7 +46,14 @@ object ScaleProbe {
     // verbatim before, which made any events-shaped probe vacuous)
     "a25_grouping_sets", "a27_quantile_bins", "w25_lag_autocorr",
     "j02_fact_fact_revenue", "io08_codec_roundtrip", "m10_avghash_pairs",
-    "a50_cvm_drift", "a51_seasonality_strength")
+    "a50_cvm_drift", "a51_seasonality_strength",
+    // r8 second-wave additions: the new contract ops whose cost is
+    // corpus-shaped (a52/a54 prefix-sum ranking, t39's bigram-type
+    // shuffle, v22's filtered funnel, io09's write+probe, w30/a53 pure
+    // aggregation passes, t26 replaying the stored BPE rules)
+    "a52_kruskal_wallis", "a53_contract_audit", "a54_trimmed_mean",
+    "t39_kneser_ney", "v22_filtered_ivf", "io09_bloom_lookup",
+    "w30_trend_slope", "t26_bpe_encode")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -759,7 +759,100 @@ object LinkRank {
       |    // SUM(edge_mass) OVER () AS BIGINT) AS tail_mass_ppm
       |FROM h ORDER BY in_degree""".stripMargin
 
+  /** g13 — local clustering-coefficient histogram: per-node closure
+    * c(v) = 2·t(v) / (d(v)·(d(v)−1)) binned into deciles, the LOCAL
+    * dual of [[g02TriangleCount]]'s single global transitivity number.
+    * The curation read: a corpus whose link graph shows a bimodal
+    * coefficient histogram (many c≈1 nodes) is dominated by cliquey
+    * template families — exactly the structure d14/g08 then dig into —
+    * while global transitivity can average that signal away.
+    *
+    * Mechanism: g02's degree-oriented wedge enumeration (each wedge
+    * materialized once, at its lowest-degree corner — the standard
+    * bound that keeps hub nodes from exploding the join), with the
+    * closing semi-join upgraded to keep the wedge CORNERS: each closed
+    * triangle credits all three vertices via one explode, and the
+    * per-node counts divide by the exact pair count. Output is ten
+    * decile rows + exact ppm sums regardless of corpus size.
+    */
+  def g13ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val directed = rawLinkEdges(spark, dir)
+    val undRaw = directed.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // one materialization serving degrees, both wedge sides, and the
+    // closure probe — the g02 RDD-persist convention
+    val undRdd = undRaw.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = spark.createDataFrame(undRdd, undRaw.schema)
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("x"),
+              when(lowFirst, col("b")).otherwise(col("a")).as("y"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.x").as("x"), col("e1.y").as("p"), col("e2.y").as("q"))
+    val tri = wedges.join(und,
+      wedges("p") === und("a") && wedges("q") === und("b"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("p"), col("q"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .withColumn("coeff_ppm", expr("(1000000 * 2 * t) div (d * (d - 1))"))
+      .withColumn("bin", least(expr("coeff_ppm div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("coeff_ppm")).as("sum_coeff_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  private val g13Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |d0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |und AS (
+      |  SELECT DISTINCT LEAST(src, dst) a, GREATEST(src, dst) b
+      |  FROM d0 WHERE src <> dst),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) d
+      |  FROM (SELECT a v FROM und UNION ALL SELECT b v FROM und) GROUP BY 1),
+      |ori AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |              THEN u.a ELSE u.b END x,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |              THEN u.b ELSE u.a END y
+      |  FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+      |w AS (
+      |  SELECT e1.x x, e1.y p, e2.y q
+      |  FROM ori e1 JOIN ori e2 ON e1.x = e2.x AND e1.y < e2.y),
+      |tri AS (
+      |  SELECT w.x, w.p, w.q FROM w
+      |  WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.p AND und.b = w.q)),
+      |corners AS (
+      |  SELECT x v FROM tri UNION ALL SELECT p v FROM tri
+      |  UNION ALL SELECT q v FROM tri),
+      |tc AS (SELECT v, CAST(COUNT(*) AS BIGINT) t FROM corners GROUP BY 1),
+      |cc AS (
+      |  SELECT deg.v, deg.d, COALESCE(tc.t, 0) t
+      |  FROM deg LEFT JOIN tc USING (v) WHERE deg.d >= 2),
+      |co AS (SELECT (1000000 * 2 * t) // (d * (d - 1)) coeff FROM cc)
+      |SELECT LEAST(coeff // 100000, 9) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(coeff) AS BIGINT) AS sum_coeff_ppm
+      |FROM co GROUP BY 1 ORDER BY bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g13_clustering_coeff",
+      "local clustering-coefficient decile histogram (per-node closure, corner-credited)",
+      g13ClusteringCoeff, Some(g13Sql)),
     QueryDef("g12_degree_profile",
       "in-degree histogram + hub-tail CCDF/mass of the link graph",
       g12DegreeProfile, Some(g12Sql)),

@@ -1580,7 +1580,59 @@ object Maintenance {
       |  ROUND(CAST(tsum_cents AS DOUBLE) / (n - 2 * trim_each), 6) AS trimmed_mean_cents
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** a55 — l-diversity audit: the companion check to [[a34KAnonymity]].
+    * k-anonymity counts CLASS SIZE (how many rows share a
+    * quasi-identifier tuple); a class can be large yet still leak if
+    * every member shares the same SENSITIVE value — l-diversity counts
+    * the distinct sensitive values per class (here the account-balance
+    * kilo-band over the (mktsegment, nationkey) quasi-identifiers) and
+    * flags classes below l = 3. Suppression decisions need BOTH audits;
+    * publishing a 500-row class whose members all sit in one balance
+    * band re-identifies the attribute, not the person.
+    *
+    * The band is computed sign-safely: cents are first snapped DOWN to
+    * the band multiple via pmod (Spark's `div` truncates while DuckDB's
+    * `//` floors — they agree only when the remainder is zero, so make
+    * it zero; the g09 negative-floor-div rule).
+    *
+    * Scale shape: one exact-distinct aggregate — partial-aggregated
+    * (class, band) distinct then a class-level count, two shuffles on
+    * bounded keys; output is |segments|×|nations| rows regardless of
+    * corpus size.
+    */
+  def a55LDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("band",
+        expr("(cents - pmod(cents, 100000)) div 100000"))
+    banded.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("band")).as("l_distinct"))
+      .withColumn("risky", col("l_distinct") < l)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  private val a55Sql =
+    """WITH b AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) cents
+      |  FROM customer),
+      |bb AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    (cents - ((cents % 100000 + 100000) % 100000)) // 100000 band
+      |  FROM b)
+      |SELECT c_mktsegment, c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT band) AS BIGINT) AS l_distinct,
+      |  COUNT(DISTINCT band) < 3 AS risky
+      |FROM bb GROUP BY 1, 2
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a55_l_diversity",
+      "l-diversity of acctbal bands per (segment, nation) class -- a34's companion audit",
+      a55LDiversity(_, _), Some(a55Sql)),
     QueryDef("a54_trimmed_mean",
       "exact 5%-trimmed mean per type via rank-free prefix-sum cuts",
       a54TrimmedMean, Some(a54Sql)),

@@ -1061,7 +1061,7 @@ object Similarity {
     val homes = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
     val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
-      .select(col("vec_id").as("qid"), col("centroid_id").as("cell"))
+      .select(col("vec_id").as("qid"), col("centroid_id").as("cell"), col("crank"))
     (homes, probes)
   }
 
@@ -1924,7 +1924,99 @@ object Similarity {
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v23 — IVF recall-vs-nprobe sweep: the tuning curve for the OTHER
+    * ANN knob. [[v17ShortlistSweep]] sweeps the PQ shortlist depth;
+    * v23 sweeps the IVF probe count — the parameter every production
+    * deployment of v18/v22 actually budgets (nprobe × cell size = work
+    * per query). One exact ground-truth pass (eval-scale, guarded — the
+    * eval family keeps the hard refusal; approximating the measurement
+    * would corrupt it), then ZERO per-nprobe searches: a true neighbor
+    * is reachable at probe depth p iff its HOME cell ranks ≤ p in the
+    * query's centroid ordering, so the whole curve falls out of one
+    * rank join against the assignment both v18 and v22 already build.
+    *
+    * Output: recall@3 (ppm) at nprobe ∈ {1, 2, 4, 8} — monotone
+    * non-decreasing by construction, asserted in the suite.
+    */
+  def v23NprobeSweep(spark: SparkSession, dir: String,
+                     maxPairs: Long = 1L << 28): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v23", maxPairs)
+    val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val (homes, probes) = ivfAssignment(vecs, nl, 8)
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val wCos = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val exact3 = queries
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")),
+            col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    exact3
+      .join(homes, "cid")
+      .join(probes.select(col("qid"), col("cell"), col("crank")),
+            Seq("qid", "cell"), "left")
+      .select(col("qid"), col("cid"), coalesce(col("crank"), lit(999L)).as("cellrank"))
+      .select(col("cellrank"), explode(expr("array(1, 2, 4, 8)")).as("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("cellrank") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(nq))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div (3 * n_queries)"))
+      .select(col("nprobe"), col("hits"), col("n_queries"), col("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val v23Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n
+      |        WHERE vec_id < (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+      |                        FROM embeddings)),
+      |cranked AS (
+      |  SELECT n.vec_id, cen.centroid_id,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |      CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |             i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |        / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) DESC,
+      |      cen.centroid_id ASC) crank
+      |  FROM n, cen),
+      |homes AS (SELECT vec_id cid, centroid_id cell FROM cranked WHERE crank = 1),
+      |ex AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |             i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC, b.vec_id ASC) rank
+      |    FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id)
+      |  WHERE rank <= 3),
+      |cr AS (
+      |  SELECT ex.qid, ex.cid,
+      |    COALESCE((SELECT c.crank FROM cranked c
+      |              WHERE c.vec_id = ex.qid AND c.centroid_id = h.cell
+      |                AND c.crank <= 8), 999) cellrank
+      |  FROM ex JOIN homes h ON ex.cid = h.cid),
+      |nq AS (SELECT COUNT(*) n_queries FROM embeddings WHERE vec_id % 25 = 0),
+      |d AS (SELECT unnest([1, 2, 4, 8]) nprobe)
+      |SELECT d.nprobe,
+      |  CAST(SUM(CASE WHEN cr.cellrank <= d.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(ANY_VALUE(nq.n_queries) AS BIGINT) AS n_queries,
+      |  (1000000 * CAST(SUM(CASE WHEN cr.cellrank <= d.nprobe THEN 1 ELSE 0 END) AS BIGINT))
+      |    // (3 * CAST(ANY_VALUE(nq.n_queries) AS BIGINT)) AS recall_ppm
+      |FROM cr, d, nq GROUP BY d.nprobe ORDER BY d.nprobe""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v23_nprobe_sweep",
+      "IVF recall@3 vs nprobe {1,2,4,8} from one exact pass + the cell-rank identity",
+      v23NprobeSweep(_, _), Some(v23Sql)),
     QueryDef("v22_filtered_ivf",
       "label-filtered IVF top-3: pre-filter composed inside the probed-cell funnel",
       v22FilteredIvf(_, _), Some(v22Sql)),

@@ -262,6 +262,100 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == positions)
   }
 
+  test("v23: recall curve is monotone and matches a driver recompute") {
+    val out = Similarity.v23NprobeSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // monotone non-decreasing, bounded by 3*nq
+    out.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2); case _ => }
+    out.foreach { case (_, hits, nq, ppm) =>
+      assert(hits <= 3 * nq && ppm == 1000000L * hits / (3 * nq))
+    }
+    // driver recompute of the cell-rank identity
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    val nl = Similarity.defaultNlist(vecs.length.toLong)
+    def cosv(a: Array[Long], b: Array[Long]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val cen = vecs.filter(_._1 < nl)
+    def centroidRanking(q: Array[Long]): Seq[Long] =
+      cen.map { case (cid, cv) => (cid, cosv(q, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.map(_._1).toSeq
+    val home = vecs.map { case (id, v) => id -> centroidRanking(v).head }.toMap
+    val queries = vecs.filter(_._1 % 25 == 0)
+    val expected = Array(0L, 0L, 0L, 0L)
+    queries.foreach { case (qid, qv) =>
+      val top3 = vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cosv(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1)
+      val ranking = centroidRanking(qv)
+      top3.foreach { cid =>
+        val cr = ranking.indexOf(home(cid)) + 1
+        Seq(1, 2, 4, 8).zipWithIndex.foreach { case (p, i) =>
+          if (cr <= p) expected(i) += 1
+        }
+      }
+    }
+    assert(out.map(_._2).toSeq == expected.toSeq, "hits diverge from brute force")
+  }
+
+  test("a55: class keys align with a34 and l_distinct matches a brute force") {
+    val out = Maintenance.a55LDiversity(spark, sf).collect()
+    val a34 = Maintenance.a34KAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    assert(out.nonEmpty && out.length == a34.size)
+    val brute = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+    out.foreach { r =>
+      val key = (r.getString(0), r.getInt(1).toLong)
+      val rows = brute(key)
+      assert(r.getLong(2) == rows.size.toLong && r.getLong(2) == a34(key))
+      val bands = rows.map(t => Math.floorDiv(t._3, 100000L)).toSet
+      assert(r.getLong(3) == bands.size.toLong, s"l_distinct diverges for $key")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getBoolean(4) == (bands.size < 3))
+    }
+  }
+
+  test("g13: corner credits total 3x g02's triangles; coefficients match brute force") {
+    val out = operators.LinkRank.g13ClusteringCoeff(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    val g02 = operators.LinkRank.g02TriangleCount(spark, sf).head()
+    // brute force over the deterministic edge map
+    val n = Tables.documents(spark, sf).count()
+    val edges = (0L until n).flatMap(s => Seq(1, 2, 3).map(k =>
+        (s, (s * s * 31 + k * 17) % n)))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val tri = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).foreach { c =>
+        // count each triangle once at its max corner to credit all three
+        if (c > b) { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+      }
+    }
+    assert(tri.values.sum == 3L * g02.getLong(3),
+      "per-node credits must total three per triangle")
+    val hist = adj.toSeq.filter(_._2.size >= 2).map { case (v, nbrs) =>
+      val d = nbrs.size.toLong
+      val coeff = 1000000L * 2 * tri(v) / (d * (d - 1))
+      math.min(coeff / 100000L, 9L) -> coeff
+    }.groupBy(_._1).map { case (bin, xs) =>
+      bin -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap == hist)
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
