@@ -53,7 +53,8 @@ object ScaleProbe {
     // aggregation passes, t26 replaying the stored BPE rules)
     "a52_kruskal_wallis", "a53_contract_audit", "a54_trimmed_mean",
     "t39_kneser_ney", "v22_filtered_ivf", "io09_bloom_lookup",
-    "w30_trend_slope", "t26_bpe_encode")
+    "w30_trend_slope", "t26_bpe_encode", "a55_l_diversity",
+    "v23_nprobe_sweep", "g13_clustering_coeff", "l06_retractable_refresh")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -159,14 +160,41 @@ object ScaleProbe {
     buildScaled(spark, baseDir, outDir, factor)
     System.err.println(f"[probe] build/verify ${factor}x data ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    def timeAt(name: String, dir: String): Double = {
-      val t = System.nanoTime()
-      try { Registry.byName(name).fn(spark, dir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[probe] $name at $dir FAILED: ${e.getMessage}")
-        return -1.0
+    /** Total "shuffle bytes written" across the executed (AQE-final)
+      * plan — the byte-level scale evidence wall-clock can't give: a
+      * probe ratio can hide in JVM noise, but a shuffle-bytes ratio at
+      * 10× data is a property of the PLAN. ReusedExchange subtrees are
+      * deliberately NOT expanded (the reuse means those bytes were
+      * written once). Subquery plans (scalar broadcasts) are included.
+      */
+    def shuffleBytes(df: DataFrame): Long = {
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Long = {
+        val own = p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+        val sub = p.subqueries.map(walk).sum
+        own + sub + (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec        => walk(s.plan)
+          case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0L
+          case other => other.children.map(walk).sum
+        })
       }
-      (System.nanoTime() - t) / 1e9
+      walk(df.queryExecution.executedPlan)
+    }
+
+    def timeAt(name: String, dir: String): (Double, Long) = {
+      val t = System.nanoTime()
+      val df = try {
+        val d = Registry.byName(name).fn(spark, dir)
+        d.queryExecution.toRdd.count()
+        d
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] $name at $dir FAILED: ${e.getMessage}")
+        return (-1.0, -1L)
+      }
+      val secs = (System.nanoTime() - t) / 1e9
+      (secs, try shuffleBytes(df) catch { case _: Throwable => -1L })
     }
     // JIT/codegen warmup, untimed
     Seq("j01_broadcast_star", "w01_topn_per_group", "t01_token_stats")
@@ -175,11 +203,14 @@ object ScaleProbe {
         catch { case _: Throwable => () }))
 
     val rows = probes.map { name =>
-      val base = timeAt(name, baseDir)
-      val scaled = timeAt(name, outDir)
+      val (base, baseBytes) = timeAt(name, baseDir)
+      val (scaled, scaledBytes) = timeAt(name, outDir)
       val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
-      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f")
-      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f}"""
+      val bytesRatio =
+        if (baseBytes > 0 && scaledBytes >= 0) scaledBytes.toDouble / baseBytes
+        else -1.0
+      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f  shuffleMB ${baseBytes / 1e6}%8.1f -> ${scaledBytes / 1e6}%8.1f (x$bytesRatio%.1f)")
+      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f,\"shuffle_mb_base\":${baseBytes / 1e6}%.1f,\"shuffle_mb_scaled\":${scaledBytes / 1e6}%.1f,\"shuffle_ratio\":$bytesRatio%.2f}"""
     }
     // Routed-fallback evidence: the registered v09/v12 pair bounds trip
     // near sf≈30 for this corpus, far past the probe scale — force the

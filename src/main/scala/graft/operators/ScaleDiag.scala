@@ -357,7 +357,130 @@ object ScaleDiag {
       |  CAST(2 AS BIGINT) AS files_after
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** l06 — retraction-aware incremental aggregate refresh: the matview
+    * maintenance problem [[graft.operators.Maintenance.a33IncrementalAgg]]
+    * deliberately avoids. a33's append-only merge works because
+    * COUNT/SUM/MIN/MAX are monoids under INSERTS; once a CDC delta
+    * carries DELETES, count/sum stay algebraic (they form groups — just
+    * subtract) but MIN/MAX do not: deleting a non-extreme row cannot
+    * move them, deleting the stored extreme might. l06 applies exactly
+    * that classification per key: every affected key's count/sum is
+    * refreshed from partials alone, and only keys where a deleted value
+    * EQUALS the stored min or max re-scan their post-CDC rows (a
+    * targeted semi-join — at 100 TB the rescan set is the handful of
+    * keys whose extreme died, never the fact table).
+    *
+    * The CDC delta derives deterministically from orders (pk-keyed,
+    * the st12 convention): deletes at orderkey ≡ 0 (mod 101), fresh
+    * inserts at ≡ 0 (mod 97) with max(key)+1-offset ids (in-plan, the
+    * d04 convention), updates at ≡ 0 (mod 89) as delete+reinsert with a
+    * bumped price. Output rows are the AFFECTED keys only, each tagged
+    * with its refresh class — the driver oracle rebuilds the same state
+    * from scratch, so equality IS the incremental-==-full proof, and
+    * the suite asserts the rescan set is a strict minority.
+    */
+  def l06RetractableRefresh(spark: SparkSession, dir: String): DataFrame =
+    retractableRefresh(spark,
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+
+  private[graft] def retractableRefresh(spark: SparkSession,
+                                        ord: DataFrame): DataFrame = {
+    // stored per-key state: written, read back (the a33 lifecycle)
+    val stateDir = graft.util.Scratch.dir("graft_l06_state_")
+    ord.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+           min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .write.mode("overwrite").parquet(stateDir)
+    val state = spark.read.parquet(stateDir)
+    val mk = ord.agg((max(col("k")) + 1).as("mk"))
+    val dels = ord.filter(col("k") % 101 === 0 || col("k") % 89 === 0)
+    val ins = ord.filter(col("k") % 97 === 0).crossJoin(broadcast(mk))
+      .select((col("k") + col("mk")).as("k"), col("cust"),
+              (col("cents") + 731).as("cents"))
+      .unionAll(ord.filter(col("k") % 89 === 0)
+        .select(col("k"), col("cust"), (col("cents") + 500).as("cents")))
+    // algebraic delta partials per key
+    val delta = dels.select(col("cust"), col("cents"), lit(-1L).as("sgn"))
+      .unionAll(ins.select(col("cust"), col("cents"), lit(1L).as("sgn")))
+      .groupBy(col("cust"))
+      .agg(sum(col("sgn")).as("dn"),
+           sum(col("sgn") * col("cents")).as("ds"),
+           min(when(col("sgn") === 1, col("cents"))).as("ins_mn"),
+           max(when(col("sgn") === 1, col("cents"))).as("ins_mx"))
+    // a key re-scans iff some deleted value equals its stored extreme
+    val rescanKeys = dels.join(state, Seq("cust"))
+      .filter(col("cents") === col("mn") || col("cents") === col("mx"))
+      .select(col("cust")).distinct()
+    val joined = delta.join(state, Seq("cust"), "left")
+      .join(rescanKeys.withColumn("needs_rescan", lit(true)), Seq("cust"), "left")
+      .withColumn("n_new", coalesce(col("n"), lit(0L)) + col("dn"))
+      .withColumn("s_new", coalesce(col("s"), lit(0L)) + col("ds"))
+    // targeted min/max recompute over the post-CDC rows of ONLY the
+    // rescan keys: base minus deleted keys, plus inserts, semi-joined
+    val post = ord.join(dels.select(col("k")), Seq("k"), "left_anti")
+      .unionAll(ins)
+    val rescanMM = post.join(rescanKeys, Seq("cust"), "left_semi")
+      .groupBy(col("cust"))
+      .agg(min(col("cents")).as("r_mn"), max(col("cents")).as("r_mx"))
+    joined.join(rescanMM, Seq("cust"), "left")
+      .select(col("cust").as("o_custkey"), col("n_new").as("n_orders"),
+        when(col("n_new") === 0, lit(null).cast(LongType))
+          .otherwise(col("s_new")).as("sum_cents"),
+        when(col("n_new") === 0, lit(null).cast(LongType))
+          .when(col("needs_rescan"), col("r_mn"))
+          // Spark least/greatest IGNORE nulls: absent state or absent
+          // inserts fall through to the other operand (the F8 rule)
+          .otherwise(least(col("mn"), col("ins_mn"))).as("min_cents"),
+        when(col("n_new") === 0, lit(null).cast(LongType))
+          .when(col("needs_rescan"), col("r_mx"))
+          .otherwise(greatest(col("mx"), col("ins_mx"))).as("max_cents"),
+        when(col("n_new") === 0, lit("removed"))
+          .when(col("needs_rescan"), lit("rescan"))
+          .otherwise(lit("algebraic")).as("refresh_class"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val l06Sql =
+    """WITH c AS (
+      |  SELECT o_orderkey k, o_custkey cust,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |mk AS (SELECT MAX(k) + 1 mk FROM c),
+      |dels AS (SELECT k, cust, cents FROM c WHERE k % 101 = 0 OR k % 89 = 0),
+      |ins AS (
+      |  SELECT k + mk.mk k, cust, cents + 731 cents FROM c, mk WHERE k % 97 = 0
+      |  UNION ALL SELECT k, cust, cents + 500 FROM c WHERE k % 89 = 0),
+      |base AS (SELECT cust, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) s,
+      |                MIN(cents) mn, MAX(cents) mx
+      |         FROM c GROUP BY 1),
+      |affected AS (
+      |  SELECT DISTINCT cust FROM (
+      |    SELECT cust FROM dels UNION ALL SELECT cust FROM ins)),
+      |post AS (
+      |  SELECT cust, cents FROM c WHERE k NOT IN (SELECT k FROM dels)
+      |  UNION ALL SELECT cust, cents FROM ins),
+      |fin AS (
+      |  SELECT cust, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) s,
+      |         MIN(cents) mn, MAX(cents) mx
+      |  FROM post GROUP BY 1),
+      |resc AS (
+      |  SELECT DISTINCT d.cust FROM dels d JOIN base b ON d.cust = b.cust
+      |  WHERE d.cents = b.mn OR d.cents = b.mx)
+      |SELECT a.cust AS o_custkey,
+      |  COALESCE(fin.n, 0) AS n_orders,
+      |  fin.s AS sum_cents, fin.mn AS min_cents, fin.mx AS max_cents,
+      |  CASE WHEN fin.cust IS NULL THEN 'removed'
+      |       WHEN a.cust IN (SELECT cust FROM resc) THEN 'rescan'
+      |       ELSE 'algebraic' END AS refresh_class
+      |FROM affected a LEFT JOIN fin ON a.cust = fin.cust
+      |ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l06_retractable_refresh",
+      "delete-aware matview refresh: algebraic count/sum, rescan only keys whose extreme died",
+      l06RetractableRefresh, Some(l06Sql)),
     QueryDef("l05_retention_vacuum",
       "snapshot vacuum lifecycle: orphans = listing minus manifest, data conserved",
       l05RetentionVacuum, Some(l05Sql)),

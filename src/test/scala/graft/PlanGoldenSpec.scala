@@ -64,7 +64,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     "t37_garbage_score", "f12_confusable_audit", "st12_cdc_apply",
     "w29_topk_churn", "t38_source_divergence", "d14_template_dedup",
     "m13_shard_manifest", "v20_rrf_fusion", "s13_time_split",
-    "g12_degree_profile", "v21_centroid_drift", "a51_seasonality_strength")
+    "g12_degree_profile", "v21_centroid_drift", "a51_seasonality_strength",
+    "a50_cvm_drift", "a52_kruskal_wallis", "a53_contract_audit",
+    "a54_trimmed_mean", "a55_l_diversity", "t39_kneser_ney",
+    "v22_filtered_ivf", "v23_nprobe_sweep", "g13_clustering_coeff",
+    "w30_trend_slope", "l06_retractable_refresh")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -356,6 +356,61 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap == hist)
   }
 
+  test("l06: incremental refresh equals from-scratch; classes behave; removed branch fires") {
+    val s = spark
+    import s.implicits._
+    // planted frame: one key per refresh class
+    // cust 20: k=89 (update: delete 500, reinsert 1000) — 500 is the
+    //   stored min, so the key must RESCAN; cust 30: k=97 (insert-only
+    //   CDC) — algebraic; cust 40: sole order k=101 deleted — removed
+    val planted = Seq(
+      (89L, 20L, 500L), (5L, 20L, 900L),
+      (97L, 30L, 700L), (6L, 30L, 100L), (7L, 30L, 800L),
+      (101L, 40L, 400L)).toDF("k", "cust", "cents")
+    val got = operators.ScaleDiag.retractableRefresh(spark, planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5)))).toMap
+    assert(got(20L) == ((2L, 1900L, 900L, 1000L, "rescan")))
+    assert(got(30L) == ((4L, 3031L, 100L, 1431L, "algebraic")))
+    assert(got(40L) == ((0L, -1L, -1L, -1L, "removed")))
+    // real corpus: incremental result == a from-scratch recompute
+    val out = operators.ScaleDiag.l06RetractableRefresh(spark, sf).collect()
+    assert(out.nonEmpty)
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mk = base.map(_._1).max + 1
+    val dels = base.filter(t => t._1 % 101 == 0 || t._1 % 89 == 0)
+    val ins = base.filter(_._1 % 97 == 0).map(t => (t._1 + mk, t._2, t._3 + 731)) ++
+      base.filter(_._1 % 89 == 0).map(t => (t._1, t._2, t._3 + 500))
+    val delKeys = dels.map(_._1).toSet
+    val post = base.filterNot(t => delKeys(t._1)) ++ ins
+    val affected = (dels ++ ins).map(_._2).toSet
+    val postBy = post.filter(t => affected(t._2)).groupBy(_._2)
+    out.foreach { r =>
+      val cust = r.getLong(0)
+      postBy.get(cust) match {
+        case Some(rows) =>
+          val cents = rows.map(_._3)
+          assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+            ((rows.size.toLong, cents.sum, cents.min, cents.max)),
+            s"incremental state diverges from scratch for cust $cust")
+        case None =>
+          assert(r.getString(5) == "removed" && r.getLong(1) == 0L)
+      }
+    }
+    assert(out.map(_.getLong(0)).toSet == affected, "affected-key set mismatch")
+    // the rescan set must be a strict minority of affected keys — the
+    // whole point of the classification is that most keys stay algebraic
+    val classes = out.groupBy(_.getString(5)).map { case (c, xs) => c -> xs.length }
+    assert(classes.contains("algebraic") && classes.contains("rescan"))
+    assert(classes("rescan") * 2 < out.length,
+      s"rescan should be the exception, got $classes")
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
