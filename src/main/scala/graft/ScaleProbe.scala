@@ -54,7 +54,8 @@ object ScaleProbe {
     "a52_kruskal_wallis", "a53_contract_audit", "a54_trimmed_mean",
     "t39_kneser_ney", "v22_filtered_ivf", "io09_bloom_lookup",
     "w30_trend_slope", "t26_bpe_encode", "a55_l_diversity",
-    "v23_nprobe_sweep", "g13_clustering_coeff", "l06_retractable_refresh")
+    "v23_nprobe_sweep", "g13_clustering_coeff", "l06_retractable_refresh",
+    "a56_effective_sample_size", "v24_pq_distortion")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -1629,7 +1629,58 @@ object Maintenance {
       |FROM bb GROUP BY 1, 2
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  /** a56 — effective sample size of the value-weighted event stream per
+    * type: ESS = (Σw)² / Σw², the importance-sampling health metric the
+    * s09/s12 weighted-sampling family needs before anyone trusts a
+    * weighted estimate — ESS ≈ n means the weights are benign, ESS ≪ n
+    * means a few heavy rows dominate and the weighted mean's variance
+    * is that of a tiny sample. Σw stays int64; Σw² is held in
+    * DECIMAL(38,0) (the a40/a50 exact-aggregation convention — cents²
+    * crosses int64 around 10⁹ rows/type). The ESS itself is one
+    * deterministic IEEE expression over exact inputs (sw < 2⁵³ is
+    * double-exact; both engines' DECIMAL→DOUBLE casts are correctly
+    * rounded), rounded to 3dp; the exact components ride alongside.
+    *
+    * Scale shape: one partial-aggregated groupBy, |types| output rows.
+    */
+  def a56EffectiveSampleSize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_w"),
+        sum(col("w").cast(DecimalType(38, 0)) * col("w")).as("sum_w2"))
+      .withColumn("ess",
+        round(col("sum_w").cast("double") * col("sum_w").cast("double")
+          / col("sum_w2").cast("double"), 3))
+      .withColumn("ess_share_ppm",
+        expr("CAST(round(1000000 * ess / n) AS BIGINT)"))
+      .select(col("event_type"), col("n"), col("sum_w"),
+              col("sum_w2").cast(DecimalType(38, 0)).as("sum_w2"),
+              col("ess"), col("ess_share_ppm"))
+      .orderBy(col("event_type"))
+
+  private val a56Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round("value" * 100) AS BIGINT) w
+      |  FROM events WHERE "value" IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(w) AS BIGINT) sum_w,
+      |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) sum_w2
+      |  FROM e GROUP BY 1)
+      |SELECT event_type, n, sum_w, sum_w2,
+      |  ROUND(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+      |    / CAST(sum_w2 AS DOUBLE), 3) AS ess,
+      |  CAST(round(1000000 * ROUND(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+      |    / CAST(sum_w2 AS DOUBLE), 3) / n) AS BIGINT) AS ess_share_ppm
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a56_effective_sample_size",
+      "ESS = (Sum w)^2 / Sum w^2 per type -- the weighted-sampling health metric",
+      a56EffectiveSampleSize, Some(a56Sql)),
     QueryDef("a55_l_diversity",
       "l-diversity of acctbal bands per (segment, nation) class -- a34's companion audit",
       a55LDiversity(_, _), Some(a55Sql)),

@@ -2013,7 +2013,78 @@ object Similarity {
       |    // (3 * CAST(ANY_VALUE(nq.n_queries) AS BIGINT)) AS recall_ppm
       |FROM cr, d, nq GROUP BY d.nprobe ORDER BY d.nprobe""".stripMargin
 
+  /** v24 — PQ codebook distortion audit: per-subspace quantization
+    * error of the v08/v09/v18 product-quantization codebook, the
+    * index-build-time health check run BEFORE trusting any ADC score.
+    * For each of the 8 subspaces: Σ‖qs − codeword‖² over the corpus
+    * (exact int64 — the assignment distance is the same
+    * `vec_dot`-composed integer v08 minimizes), the corpus energy
+    * Σ‖qs‖² in that subspace, and the relative distortion in ppm —
+    * the per-subspace number that says WHICH dimensions the codebook
+    * represents poorly (the actionable dual of [[v16DimVariance]]'s
+    * raw-data screen: v16 says where the data varies, v24 says where
+    * the INDEX fails to capture it).
+    *
+    * Scale shape: one broadcast codebook join + one (vec, subspace)
+    * min-assignment window over 16-row groups + one 8-row aggregate;
+    * corpus-linear, output constant.
+    */
+  def v24PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+    val sub = vecs
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
+      .select(col("vec_id"), col("s"), expr("slice(q, s * 8 + 1, 8)").as("qs"))
+    val codebook = sub.filter(col("vec_id") < 16)
+      .select(col("s").as("cb_s"), col("vec_id").as("code"), col("qs").as("cw"))
+    val wCode = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("code").asc)
+    sub.join(broadcast(codebook), col("s") === col("cb_s"))
+      .withColumn("dist",
+        expr("vec_dot(qs, qs) - 2 * vec_dot(qs, cw) + vec_dot(cw, cw)"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .groupBy(col("s").cast(LongType).as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist")).as("total_dist"),
+        sum(expr("vec_dot(qs, qs)")).as("total_energy"))
+      .withColumn("distortion_ppm",
+        expr("(1000000 * total_dist) div greatest(total_energy, 1)"))
+      .orderBy(col("subspace"))
+  }
+
+  private val v24Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, CAST(s AS BIGINT) s, q[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] qs
+      |  FROM v, (SELECT unnest(range(0, 8)) s)),
+      |cb AS (SELECT s cb_s, vec_id code, qs cw FROM sub WHERE vec_id < 16),
+      |d AS (
+      |  SELECT sub.vec_id, sub.s, sub.qs, cb.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)])
+      |         * (sub.qs[CAST(i AS INTEGER)] - cb.cw[CAST(i AS INTEGER)]))) AS BIGINT) dist
+      |  FROM sub JOIN cb ON sub.s = cb.cb_s),
+      |a AS (
+      |  SELECT vec_id, s, qs, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) rn
+      |  FROM d),
+      |g AS (
+      |  SELECT s subspace, CAST(COUNT(*) AS BIGINT) n_vectors,
+      |    CAST(SUM(dist) AS BIGINT) total_dist,
+      |    CAST(SUM(list_sum(list_transform(qs, x -> x * x))) AS BIGINT) total_energy
+      |  FROM a WHERE rn = 1 GROUP BY 1)
+      |SELECT subspace, n_vectors, total_dist, total_energy,
+      |  (1000000 * total_dist) // GREATEST(total_energy, 1) AS distortion_ppm
+      |FROM g ORDER BY subspace""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v24_pq_distortion",
+      "per-subspace PQ codebook distortion (ppm of corpus energy) -- index health audit",
+      v24PqDistortion, Some(v24Sql)),
     QueryDef("v23_nprobe_sweep",
       "IVF recall@3 vs nprobe {1,2,4,8} from one exact pass + the cell-rank identity",
       v23NprobeSweep(_, _), Some(v23Sql)),

@@ -411,6 +411,54 @@ class Round8OpsSpec extends AnyFunSuite {
       s"rescan should be the exception, got $classes")
   }
 
+  test("a56: ESS components match a brute force and ESS never exceeds n") {
+    val out = Maintenance.a56EffectiveSampleSize(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    out.foreach { r =>
+      val ws = byType(r.getString(0)).map(_._2)
+      val (n, sw) = (ws.length.toLong, ws.sum)
+      val sw2 = ws.map(w => BigInt(w) * w).sum
+      assert(r.getLong(1) == n && r.getLong(2) == sw)
+      assert(r.getDecimal(3).toBigInteger == sw2.bigInteger)
+      val ess = sw.toDouble * sw.toDouble / sw2.toDouble
+      // Cauchy-Schwarz: (Sum w)^2 <= n * Sum w^2, so ESS <= n
+      assert(ess <= n + 1e-9 && r.getDouble(4) <= n + 1e-9)
+      assert(math.abs(r.getDouble(4) - ess) < 5.01e-4)
+      assert(r.getLong(5) <= 1000001L)
+    }
+  }
+
+  test("v24: per-subspace distortion matches a brute-force min-codeword recompute") {
+    val out = Similarity.v24PqDistortion(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 8L))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    val codebook = vecs.filter(_._1 < 16)
+    (0 until 8).foreach { s =>
+      var (dist, energy) = (0L, 0L)
+      vecs.foreach { case (_, q) =>
+        val qs = q.slice(s * 8, s * 8 + 8)
+        energy += qs.map(x => x * x).sum
+        dist += codebook.map { case (_, c) =>
+          val cw = c.slice(s * 8, s * 8 + 8)
+          qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }
+      val r = out(s)
+      assert(r.getLong(1) == vecs.length.toLong)
+      assert(r.getLong(2) == dist, s"distortion diverges in subspace $s")
+      assert(r.getLong(3) == energy)
+      assert(r.getLong(4) == 1000000L * dist / math.max(energy, 1L))
+    }
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
