@@ -379,6 +379,54 @@ object ScaleDiag {
     * from scratch, so equality IS the incremental-==-full proof, and
     * the suite asserts the rescan set is a strict minority.
     */
+  /** One retractable-refresh step as a reusable library call: given the
+    * current stored state (cust, n, s, mn, mx), the current maintained
+    * base rows (k, cust, cents), and a CDC micro-batch split into
+    * deletes/inserts, return (new state, new base). Exactly the
+    * [[l06RetractableRefresh]] classification — count/sum algebraic,
+    * min/max rescanned only for keys whose stored extreme was deleted,
+    * the rescan reading the MAINTAINED base (never a full-history
+    * rescan) — packaged so a streaming job can fold CDC micro-batches
+    * into a materialized view via foreachBatch (StreamingMatviewSpec
+    * proves N chained steps equal the from-scratch aggregate of the
+    * final base).
+    */
+  private[graft] def applyRetractableDelta(spark: SparkSession,
+      state: DataFrame, base: DataFrame,
+      dels: DataFrame, ins: DataFrame): (DataFrame, DataFrame) = {
+    val delta = dels.select(col("cust"), col("cents"), lit(-1L).as("sgn"))
+      .unionAll(ins.select(col("cust"), col("cents"), lit(1L).as("sgn")))
+      .groupBy(col("cust"))
+      .agg(sum(col("sgn")).as("dn"),
+           sum(col("sgn") * col("cents")).as("ds"),
+           min(when(col("sgn") === 1, col("cents"))).as("ins_mn"),
+           max(when(col("sgn") === 1, col("cents"))).as("ins_mx"))
+    val rescanKeys = dels.join(state, Seq("cust"))
+      .filter(col("cents") === col("mn") || col("cents") === col("mx"))
+      .select(col("cust")).distinct()
+    val newBase = base
+      .join(dels.select(col("k")), Seq("k"), "left_anti")
+      .unionAll(ins.select(col("k"), col("cust"), col("cents")))
+    val rescanMM = newBase.join(rescanKeys, Seq("cust"), "left_semi")
+      .groupBy(col("cust"))
+      .agg(min(col("cents")).as("r_mn"), max(col("cents")).as("r_mx"))
+    val refreshed = delta.join(state, Seq("cust"), "left")
+      .join(rescanKeys.withColumn("needs_rescan", lit(true)), Seq("cust"), "left")
+      .join(rescanMM, Seq("cust"), "left")
+      .withColumn("n_new", coalesce(col("n"), lit(0L)) + col("dn"))
+      .withColumn("s_new", coalesce(col("s"), lit(0L)) + col("ds"))
+      .filter(col("n_new") > 0)
+      .select(col("cust"), col("n_new").as("n"), col("s_new").as("s"),
+        when(col("needs_rescan"), col("r_mn"))
+          .otherwise(least(col("mn"), col("ins_mn"))).as("mn"),
+        when(col("needs_rescan"), col("r_mx"))
+          .otherwise(greatest(col("mx"), col("ins_mx"))).as("mx"))
+    val untouched = state.join(delta.select(col("cust")), Seq("cust"), "left_anti")
+    (untouched.select(col("cust"), col("n"), col("s"), col("mn"), col("mx"))
+       .unionAll(refreshed),
+     newBase.select(col("k"), col("cust"), col("cents")))
+  }
+
   def l06RetractableRefresh(spark: SparkSession, dir: String): DataFrame =
     retractableRefresh(spark,
       Tables.orders(spark, dir)
