@@ -427,7 +427,76 @@ object Formats {
       |FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** io10 — corrupt-tolerant JSONL ingest: the crawl-feed reality that
+    * [[io04CorruptCsv]] covers for CSV, with the failure mode JSON adds
+    * on top. Two distinct channels, both planted deterministically:
+    * syntactically BROKEN lines (every 37th doc's closing brace is
+    * truncated) land whole in `_corrupt_record` under PERMISSIVE mode
+    * with every data column null; SCHEMA-SHORT lines (every 41st doc is
+    * serialized without its n_chars key) parse fine with the missing
+    * field null — the row is data, not quarantine. Conflating the two
+    * is the classic JSONL-ingest bug: dropping schema-short rows
+    * silently loses data, trusting broken rows corrupts it. The
+    * accounting groups by source with the corrupt population in its own
+    * '(corrupt)' bucket (a failed parse has no source).
+    *
+    * The oracle never parses JSON: corruption is a pure doc_id rule, so
+    * the expected populations derive from the documents table directly
+    * — the engine proves the PARSER lands each planted row in the right
+    * population.
+    */
+  def io10CorruptJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = scratch("graft_io10_jsonl_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 41 === 0,
+          to_json(struct(col("doc_id"), col("source"))))
+          .otherwise(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+          .as("j"))
+      .select(when(col("doc_id") % 37 === 0,
+          expr("substring(j, 1, length(j) - 1)")).otherwise(col("j")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      // bucket on the corrupt FLAG, not on source: Spark's JSON reader
+      // keeps partial results for malformed records (fields parsed
+      // before the syntax error survive alongside _corrupt_record), so
+      // a truncated line may still carry its source — quarantine
+      // membership is _corrupt_record, never field presence
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("(corrupt)"))
+        .otherwise(col("source")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull && col("n_chars").isNull, 1L)
+          .otherwise(0L)).as("n_missing_chars"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  private val io10Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    doc_id % 37 = 0 AS broken,
+      |    doc_id % 41 = 0 AS short
+      |  FROM documents)
+      |SELECT CASE WHEN broken THEN '(corrupt)' ELSE source END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(CASE WHEN broken THEN 1 END) AS BIGINT) AS n_corrupt,
+      |  CAST(COUNT(CASE WHEN NOT broken AND short THEN 1 END) AS BIGINT) AS n_missing_chars,
+      |  CAST(SUM(CASE WHEN NOT broken AND NOT short THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io10_corrupt_jsonl",
+      "PERMISSIVE JSONL ingest: broken lines quarantined, schema-short lines kept",
+      io10CorruptJsonl, Some(io10Sql)),
     QueryDef("io09_bloom_lookup",
       "parquet bloom-filter point lookups on a decorrelated layout (8-key IN probe)",
       io09BloomLookup, Some(io09Sql)),

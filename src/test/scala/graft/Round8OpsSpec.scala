@@ -459,6 +459,26 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("io10: broken lines quarantine whole, schema-short lines stay data") {
+    val out = operators.Formats.io10CorruptJsonl(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val broken = docs.filter(_._1 % 37 == 0)
+    assert(out("(corrupt)") == ((broken.length.toLong, broken.length.toLong, 0L, -1L)),
+      "every truncated line must land whole in the quarantine bucket")
+    docs.filterNot(_._1 % 37 == 0).groupBy(_._2).foreach { case (src, rows) =>
+      val (short, full) = rows.partition(_._1 % 41 == 0)
+      assert(out(src) == ((rows.length.toLong, 0L, short.length.toLong,
+        full.map(_._3).sum)), s"population diverges for source $src")
+    }
+    // the dual channel genuinely exercises both failure modes
+    assert(out.exists { case (b, v) => b != "(corrupt)" && v._3 > 0 },
+      "expected schema-short rows kept as data with a null field")
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
