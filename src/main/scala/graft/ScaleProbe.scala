@@ -55,7 +55,8 @@ object ScaleProbe {
     "t39_kneser_ney", "v22_filtered_ivf", "io09_bloom_lookup",
     "w30_trend_slope", "t26_bpe_encode", "a55_l_diversity",
     "v23_nprobe_sweep", "g13_clustering_coeff", "l06_retractable_refresh",
-    "a56_effective_sample_size", "v24_pq_distortion", "io10_corrupt_jsonl")
+    "a56_effective_sample_size", "v24_pq_distortion", "io10_corrupt_jsonl",
+    "v25_lsh_ann")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

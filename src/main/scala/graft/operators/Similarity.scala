@@ -2081,7 +2081,104 @@ object Similarity {
       |  (1000000 * total_dist) // GREATEST(total_energy, 1) AS distortion_ppm
       |FROM g ORDER BY subspace""".stripMargin
 
+  /** v25 — hyperplane-LSH bucketed ANN: the brief's "LSH-bucketed
+    * variant" as a first-class scale path, and the one candidate-
+    * generation shape the v-family didn't yet have. IVF (v02/v18/v22)
+    * restricts by DATA-DEPENDENT cells; v12 scans EVERYTHING and ranks
+    * by Hamming; v25 generates candidates by pure EQUALITY JOIN — each
+    * vector hashes into 4 tables of b sign-bits (bit j = ⟨q, h⟩ > 0
+    * against a corpus-vector hyperplane, exact int64 dots), and only
+    * same-bucket-in-some-table pairs are ever scored. At cluster scale
+    * that is a shuffle on the (table, bucket) key and nothing else —
+    * no scan of the corpus per query, no centroid training.
+    *
+    * The bit width is CORPUS-DERIVED (the v18 nlist lesson — a pinned
+    * width is dead at scale): b = max(6, bitLength(n−1)) per table via
+    * the j19 bin-string-length integer log2, identical in the oracle by
+    * construction, so the table count of buckets tracks n and expected
+    * bucket occupancy — and with it per-query candidate work — stays
+    * O(1) as the corpus grows. Recall is whatever the buckets give
+    * (honest LSH; v07/v23 are the measuring instruments); the contract
+    * is engine parity on the exact re-rank of the generated candidates.
+    */
+  def v25LshAnn(spark: SparkSession, dir: String, tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = Tables.footerRowCount(spark, dir, "embeddings")
+    val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val nh = tables * b
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val hyper = vecs.filter(col("vec_id") >= 16 && col("vec_id") < 16 + nh)
+      .select((col("vec_id") - 16).as("hp"), col("q").as("hq"))
+    val buckets = vecs.select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(hyper))
+      .withColumn("bit", (expr(dot("q", "hq")) > 0).cast(LongType))
+      .groupBy(col("vec_id"), expr(s"hp div $b").as("t"))
+      .agg(sum(expr(s"shiftleft(bit, CAST(hp % $b AS INT))")).as("bucket"))
+    val qb = buckets.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val cand = qb.join(buckets.select(col("vec_id").as("cid"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")), "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v25Sql =
+    """WITH nn AS (
+      |  SELECT CAST(GREATEST(6, LENGTH(BIN(GREATEST(1, COUNT(*) - 1)))) AS BIGINT) b
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |hyper AS (
+      |  SELECT vec_id - 16 hp, q hq FROM v, nn
+      |  WHERE vec_id >= 16 AND vec_id < 16 + 4 * nn.b),
+      |bits AS (
+      |  SELECT v.vec_id, hyper.hp // nn.b t,
+      |    CASE WHEN CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+      |           i -> v.q[CAST(i AS INTEGER)] * hyper.hq[CAST(i AS INTEGER)])) AS BIGINT) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(hyper.hp % nn.b AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END bitval
+      |  FROM v, hyper, nn),
+      |buckets AS (
+      |  SELECT vec_id, t, CAST(SUM(bitval) AS BIGINT) bucket
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id qid, c.vec_id cid
+      |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT cand.qid, cand.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * d.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(d.nrm AS DOUBLE)) cos
+      |  FROM cand JOIN n a ON cand.qid = a.vec_id
+      |            JOIN n d ON cand.cid = d.vec_id),
+      |rk AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |  FROM r)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id,
+      |  ROUND(cos, 6) AS cosine
+      |FROM rk WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v25_lsh_ann",
+      "hyperplane-LSH bucketed ANN: equality-join candidates, corpus-derived bit width",
+      v25LshAnn(_, _), Some(v25Sql)),
     QueryDef("v24_pq_distortion",
       "per-subspace PQ codebook distortion (ppm of corpus energy) -- index health audit",
       v24PqDistortion, Some(v24Sql)),

@@ -479,6 +479,49 @@ class Round8OpsSpec extends AnyFunSuite {
       "expected schema-short rows kept as data with a null field")
   }
 
+  test("v25: bucketed candidates + exact re-rank match a driver LSH replay") {
+    val out = Similarity.v25LshAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    val n = vecs.length.toLong
+    val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val hyper = vecs.filter(v => v._1 >= 16 && v._1 < 16 + 4L * b)
+      .map { case (id, q) => (id - 16) -> q }.toMap
+    def dot(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => x * y }.sum
+    def bucketOf(q: Array[Long], t: Long): Long =
+      hyper.collect { case (hp, hq) if hp / b == t && dot(q, hq) > 0 =>
+        1L << (hp % b) }.sum
+    val buckets = vecs.map { case (id, q) =>
+      id -> (0L until 4L).map(t => t -> bucketOf(q, t)).toMap }.toMap
+    val expected = vecs.filter(_._1 % 25 == 0).flatMap { case (qid, qq) =>
+      val cands = vecs.filter { case (cid, _) =>
+        cid != qid && (0L until 4L).exists(t => buckets(cid)(t) == buckets(qid)(t)) }
+      val qn = dot(qq, qq)
+      cands.map { case (cid, cq) =>
+        (qid, cid, dot(qq, cq).toDouble / math.sqrt(qn.toDouble * dot(cq, cq))) }
+        .sortBy { case (_, cid, c) => (-c, cid) }.take(3).zipWithIndex
+        .map { case ((q, c, cos), i) => (q, i + 1, c,
+          BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3)).toSeq,
+      "LSH candidate set or re-rank order diverges from the driver replay")
+    out.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 2e-6, s"cosine diverges at $g vs $e")
+    }
+    // equality-join generation: no query may report a neighbor it does
+    // not share a bucket with (the anti-full-scan property)
+    out.foreach { case (qid, _, cid, _) =>
+      assert((0L until 4L).exists(t => buckets(qid)(t) == buckets(cid)(t)))
+    }
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
