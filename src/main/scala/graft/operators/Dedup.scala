@@ -39,6 +39,19 @@ object Dedup {
   private val md5ShingleImage =
     "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
 
+  /** The engine-neutral MinHash family shared by the stored LSH index
+    * ([[neutralBanded]]) and the source-similarity sketch (d15):
+    * h_k(x) = (a_k·x + b_k) mod P over the 31-bit image of the md5
+    * shingle hash — MLlib MinHashLSH's prime, seed-42 coefficient
+    * stream, products bounded < 2⁶² (ANSI-safe). */
+  private[operators] val minhashP = 2038074743L
+  private[operators] val minhashK = 60
+  private[operators] val minhashCoeffs: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(minhashK)(
+      (1L + rng.nextInt((minhashP - 1).toInt), rng.nextInt(minhashP.toInt).toLong))
+  }
+
   /** DuckDB replication of [[md5ShingleImage]] over a list expression of
     * raw shingle strings: NULLs dropped before hashing (inner
     * list_distinct — DuckDB drops NULLs there, matching
@@ -692,14 +705,11 @@ object Dedup {
     * SQL oracle can replay exactly, not a 64-bit Spark-only band hash.
     */
   private def neutralBanded(shingleRows: DataFrame): DataFrame = {
-    val P = 2038074743L
-    val nHashes = 60
+    val P = minhashP
+    val nHashes = minhashK
     val rowsPerBand = 5
-    val rng = new scala.util.Random(42)
-    val coeffs = IndexedSeq.fill(nHashes)(
-      (1L + rng.nextInt((P - 1).toInt), rng.nextInt(P.toInt).toLong))
     val mins = (0 until nHashes).map { k =>
-      val (a, b) = coeffs(k)
+      val (a, b) = minhashCoeffs(k)
       min(pmod(lit(a) * col("hx") + lit(b), lit(P))).as(s"h$k")
     }
     val bandCols = (0 until nHashes / rowsPerBand).map(b =>
@@ -1099,7 +1109,84 @@ object Dedup {
       |    AS reclaimable_chars
       |FROM fam GROUP BY members ORDER BY members""".stripMargin
 
+  /** d15 — corpus-level source×source similarity matrix from MERGEABLE
+    * per-source MinHash sketches. The dedup family so far compares
+    * documents; curation also needs the coarser question "which SOURCES
+    * overlap?" (a mirror crawl shows up as a near-1.0 source pair long
+    * before doc-level dedup finishes). The sketch is the point: each
+    * source's signature is 60 MIN aggregates over the shared md5
+    * shingle image — the same (a·h+b) mod P family as the LSH index
+    * (seed 42, P = 2038074743) — and MIN is associative/commutative, so
+    * the signature is map-side combinable, per-shard signatures merge
+    * by elementwise min (asserted in Round8OpsSpec), and at 100 TB this
+    * is one partial-agg shuffle producing |sources| rows; the pairwise
+    * layer is |sources|² over 60-element arrays, driver-trivial.
+    * Estimated Jaccard is reported in exact integer ppm of matching
+    * positions (matches·10⁶ div 60) — no float divergence surface.
+    */
+  def d15SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      min(pmod(lit(a) * col("hx") + lit(b), lit(minhashP))).as(s"h$k")
+    }
+    val sk = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("sequence(1, greatest(1, length(text) - 4))")).as("i"),
+        col("text"))
+      .select(col("source"), expr("substring(text, i, 5)").as("s"))
+      .withColumn("hx", pmod(expr(md5ShingleImage), lit(minhashP)))
+      .groupBy(col("source"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("source"),
+        array((0 until minhashK).map(k => col(s"h$k")): _*).as("sig"))
+    sk.select(col("source").as("source_a"), col("sig").as("sa"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("sig").as("sb"))),
+        col("source_a") < col("source_b"))
+      .withColumn("matches",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
+      .select(col("source_a"), col("source_b"), col("matches"),
+        ((col("matches") * 1000000L) / minhashK).cast("long").as("est_jaccard_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: identical 60 MIN aggregates with the coefficient pairs
+    * INLINED from the same seed-42 stream, so the two engines agree by
+    * construction (integer multiply-add-mod, products < 2⁶²). */
+  private val d15Sql = {
+    val minExprs = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      s"MIN(($a * hx + $b) % $minhashP) m$k"
+    }.mkString(",\n      |    ")
+    val sigList = (0 until minhashK).map(k => s"m$k").mkString(", ")
+    s"""WITH sh AS (
+      |  SELECT source, unnest(list_transform(range(1, greatest(2, length(text) - 3)),
+      |           i -> substr(text, CAST(i AS INTEGER), 5))) s
+      |  FROM documents),
+      |hx AS (
+      |  SELECT source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % $minhashP hx
+      |  FROM sh),
+      |sk AS (
+      |  SELECT source, $minExprs
+      |  FROM hx GROUP BY source),
+      |sig AS (SELECT source, [$sigList] sig FROM sk)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(len(list_filter(range(1, ${minhashK + 1}),
+      |    i -> a.sig[CAST(i AS INTEGER)] = b.sig[CAST(i AS INTEGER)])) AS BIGINT) AS matches,
+      |  CAST(len(list_filter(range(1, ${minhashK + 1}),
+      |    i -> a.sig[CAST(i AS INTEGER)] = b.sig[CAST(i AS INTEGER)])) * 1000000 // $minhashK AS BIGINT)
+      |    AS est_jaccard_ppm
+      |FROM sig a JOIN sig b ON a.source < b.source
+      |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d15_source_similarity",
+      "source-pair estimated Jaccard from mergeable per-source MinHash sketches",
+      d15SourceSimilarity, Some(d15Sql)),
     QueryDef("d14_template_dedup",
       "canonical-transform boilerplate dedup: skeleton families + reclaimable mass",
       d14TemplateDedup, Some(d14Sql)),

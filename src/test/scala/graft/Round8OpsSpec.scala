@@ -522,6 +522,45 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d15: source matrix matches a driver MinHash replay; sketches min-merge") {
+    val out = operators.Dedup.d15SourceSimilarity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val P = 2038074743L
+    val rng = new scala.util.Random(42)
+    val coeffs = IndexedSeq.fill(60)(
+      (1L + rng.nextInt((P - 1).toInt), rng.nextInt(P.toInt).toLong))
+    def md5img(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def shingles(t: String): Seq[String] =
+      (1 to math.max(1, t.length - 4)).map(i =>
+        t.substring(i - 1, math.min(i + 4, t.length)))
+    def sketch(texts: Seq[String]): Array[Long] = {
+      val hx = texts.flatMap(shingles).map(s => md5img(s) % P)
+      coeffs.map { case (a, b) => hx.map(x => (a * x + b) % P).min }.toArray
+    }
+    val bySource = docs.groupBy(_._1).map { case (s, ts) =>
+      s -> sketch(ts.map(_._2).toSeq) }
+    // mergeability — the 100 TB property: per-doc sketches folded by
+    // elementwise min equal the direct per-source sketch
+    docs.groupBy(_._1).foreach { case (s, ts) =>
+      val merged = ts.map(t => sketch(Seq(t._2)))
+        .reduce((x, y) => x.zip(y).map(p => math.min(p._1, p._2)))
+      assert(merged.toSeq == bySource(s).toSeq, s"merge diverges for $s")
+    }
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = for { a <- srcs; b <- srcs if a < b } yield {
+      val m = bySource(a).zip(bySource(b)).count(p => p._1 == p._2).toLong
+      (a, b, m, m * 1000000L / 60)
+    }
+    assert(out.length == srcs.length * (srcs.length - 1) / 2)
+    assert(out.toSeq == expected)
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
