@@ -1055,6 +1055,61 @@ object TextOps {
        |  n_tokens * 1000000 // n_chars AS tok_ppm
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** t40 — tokenizer FERTILITY by language: the tokenizer-health audit
+    * a multilingual corpus needs before a run. Fertility differences
+    * (tokens per word, chars per token) across languages are the
+    * standard signal that a tokenizer under-serves a language; the
+    * third metric — the ppm of words still FULLY character-split after
+    * replaying every trained merge rule — is the coverage complement
+    * (a language the merges never fire on pays max sequence length).
+    * All three are exact integer ppm ratios; the encode side reuses the
+    * stored t24 merge artifact through [[bpeEncodeWords]], so the
+    * corpus pays one word-explode + one vocabulary join + one |langs|-
+    * row aggregate — the replay loop itself runs over the Heaps'-law
+    * distinct-word table, never the corpus.
+    */
+  def t40TokenizerFertility(spark: SparkSession, dir: String,
+                            rounds: Int = 3): DataFrame = {
+    val merges =
+      spark.read.parquet(s"${bpeArtifact(spark, dir, rounds)}/merges")
+    val enc = bpeEncodeWords(spark, dir, merges, rounds)
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_words"),
+           sum(col("n_sym")).as("n_tokens"),
+           sum(length(col("word"))).cast(LongType).as("n_chars"),
+           sum(when(col("n_sym") === length(col("word")), 1L).otherwise(0L))
+             .as("n_unmerged"))
+      .withColumn("tokens_per_word_ppm", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm", expr("n_chars * 1000000 div n_tokens"))
+      .withColumn("unmerged_word_ppm", expr("n_unmerged * 1000000 div n_words"))
+      .orderBy(col("lang"))
+  }
+
+  private val t40Sql =
+    s"""WITH ${bpeCtesSql(3)},
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) n_sym FROM v3),
+       |dw AS (SELECT doc_id, lang,
+       |         unnest(string_split_regex(lower(trim(text)), '\\s+')) word
+       |       FROM documents),
+       |agg AS (
+       |  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs,
+       |    COUNT(*) n_words, CAST(SUM(e.n_sym) AS BIGINT) n_tokens,
+       |    CAST(SUM(length(dw.word)) AS BIGINT) n_chars,
+       |    CAST(SUM(CASE WHEN e.n_sym = length(dw.word) THEN 1 ELSE 0 END) AS BIGINT)
+       |      n_unmerged
+       |  FROM dw JOIN enc e USING (word) GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_tokens, n_chars, n_unmerged,
+       |  n_tokens * 1000000 // n_words AS tokens_per_word_ppm,
+       |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm,
+       |  n_unmerged * 1000000 // n_words AS unmerged_word_ppm
+       |FROM agg ORDER BY lang""".stripMargin
+
   /** t25 — the end-to-end curation FUNNEL with per-stage accounting:
     * ingest → language gate → length gate → exact dedup → eval-set
     * decontamination → sequence packing, one row of (docs, tokens) per
@@ -2416,6 +2471,9 @@ object TextOps {
     QueryDef("t26_bpe_encode",
       "corpus encoding with the trained BPE tokenizer (merge-rule replay)",
       t26BpeEncode(_, _), Some(t26Sql)),
+    QueryDef("t40_tokenizer_fertility",
+      "per-language tokenizer fertility + unmerged-coverage audit (ppm exact)",
+      t40TokenizerFertility(_, _), Some(t40Sql)),
     QueryDef("t25_curation_funnel",
       "end-to-end curation funnel: lang -> length -> dedup -> decontam -> pack",
       t25CurationFunnel, Some(t25Sql)),

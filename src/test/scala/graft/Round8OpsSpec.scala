@@ -561,6 +561,54 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("t40: lang fertility rolls up t26 exactly; unmerged count survives a rule replay") {
+    val out = operators.TextOps.t40TokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    // 1. rollup of the per-doc t26 accounting by the corpus lang label
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = operators.TextOps.t26BpeEncode(spark, sf).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    perDoc.groupBy(_._1).foreach { case (lang, ds) =>
+      val (nd, nw, nt, nc) =
+        (ds.length.toLong, ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      val got = out(lang)
+      assert((got._1, got._2, got._3, got._4) == (nd, nw, nt, nc),
+        s"rollup diverges for $lang")
+      assert(got._6 == nt * 1000000L / nw && got._7 == nc * 1000000L / nt,
+        s"ppm ratios diverge for $lang")
+    }
+    assert(out.keySet == perDoc.map(_._1).toSet)
+    // 2. independent driver replay of the trained merge rules: re-derive
+    //    n_tokens and the unmerged counter from raw text + t24's rules
+    val rules = operators.TextOps.t24BpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3))
+    def applyRule(syms: Vector[String], p: (String, String)): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+          b += (p._1 + p._2); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    def encodeLen(w: String): Int =
+      rules.foldLeft(w.map(_.toString).toVector)(applyRule).length
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ts) =>
+      val words = ts.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      val lens = words.map(w => w -> encodeLen(w))
+      val got = out(lang)
+      assert(got._3 == lens.map(_._2.toLong).sum, s"replayed n_tokens diverges for $lang")
+      assert(got._5 == lens.count(p => p._2 == p._1.length).toLong,
+        s"replayed unmerged count diverges for $lang")
+    }
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
