@@ -2101,7 +2101,15 @@ object Similarity {
     * (honest LSH; v07/v23 are the measuring instruments); the contract
     * is engine parity on the exact re-rank of the generated candidates.
     */
-  def v25LshAnn(spark: SparkSession, dir: String, tables: Int = 4): DataFrame = {
+  /** The shared hyperplane-LSH signature layer for v25 (the ANN path)
+    * and v26 (its recall instrument): `tables` hash tables of b
+    * sign-bits each, b = max(6, bitLength(n−1)) derived from the corpus
+    * footer row count, hyperplanes = corpus vectors 16..16+tables·b,
+    * all dots exact int64. Returns (vecs = (vec_id, q, nrm),
+    * buckets = (vec_id, t, bucket)).
+    */
+  private def lshSignature(spark: SparkSession, dir: String,
+                           tables: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val n = Tables.footerRowCount(spark, dir, "embeddings")
     val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
@@ -2116,6 +2124,11 @@ object Similarity {
       .withColumn("bit", (expr(dot("q", "hq")) > 0).cast(LongType))
       .groupBy(col("vec_id"), expr(s"hp div $b").as("t"))
       .agg(sum(expr(s"shiftleft(bit, CAST(hp % $b AS INT))")).as("bucket"))
+    (vecs, buckets)
+  }
+
+  def v25LshAnn(spark: SparkSession, dir: String, tables: Int = 4): DataFrame = {
+    val (vecs, buckets) = lshSignature(spark, dir, tables)
     val qb = buckets.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("t"), col("bucket"))
     val cand = qb.join(buckets.select(col("vec_id").as("cid"), col("t"), col("bucket")),
@@ -2175,7 +2188,117 @@ object Similarity {
       |FROM rk WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v26 — the measuring instrument for v25 (the family convention:
+    * every ANN path ships with its recall audit — v07 measures IVF,
+    * v17 the binary shortlist, v23 the nprobe sweep; this measures the
+    * hyperplane-LSH tables). One exact pass (the guarded O(n²/25)
+    * eval layer, same query set as v25) + one candidate pass keyed by
+    * the EARLIEST table that surfaced each pair, then the recall@3 and
+    * candidate-funnel curves over table-count prefixes T ∈ {1..4} fall
+    * out of a 4-way explode — the r/b tradeoff (more tables = more
+    * recall = more candidates) measured, not asserted. Like the other
+    * instruments it keeps the hard `require` past the pair bound:
+    * silently sampling an evaluation metric would corrupt the number
+    * being measured.
+    */
+  def v26LshRecall(spark: SparkSession, dir: String, tables: Int = 4,
+                   maxPairs: Long = 1L << 28): DataFrame = {
+    requirePairsBounded(spark, dir, "v26", maxPairs,
+      routes = "serve ANN from v25's bucket join and accept its measured " +
+        "recall, or audit a bounded sample corpus")
+    val (vecs, buckets) = lshSignature(spark, dir, tables)
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val exact = queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val qb = buckets.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val cand = qb.join(buckets.select(col("vec_id").as("cid"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(min(col("t")).as("min_t"))
+    val hits = exact.join(cand, Seq("qid", "cid"), "left")
+      .select(col("min_t"), explode(expr(s"sequence(1, $tables)")).as("n_tables"))
+      .groupBy(col("n_tables").cast("int").as("n_tables"))
+      .agg(sum(when(col("min_t") < col("n_tables"), 1L).otherwise(0L)).as("hits"),
+           count(lit(1)).as("total"))
+    val candPerT = cand
+      .select(col("min_t"), explode(expr(s"sequence(1, $tables)")).as("n_tables"))
+      .filter(col("min_t") < col("n_tables"))
+      .groupBy(col("n_tables").cast("int").as("n_tables"))
+      .agg(count(lit(1)).as("candidate_pairs"))
+    hits.join(candPerT, Seq("n_tables"), "left")
+      .select(col("n_tables"),
+        coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"),
+        col("hits"),
+        expr("hits * 1000000 div total").as("recall_ppm"))
+      .orderBy(col("n_tables"))
+  }
+
+  private val v26Sql =
+    """WITH nn AS (
+      |  SELECT CAST(GREATEST(6, LENGTH(BIN(GREATEST(1, COUNT(*) - 1)))) AS BIGINT) b
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |hyper AS (
+      |  SELECT vec_id - 16 hp, q hq FROM v, nn
+      |  WHERE vec_id >= 16 AND vec_id < 16 + 4 * nn.b),
+      |bits AS (
+      |  SELECT v.vec_id, hyper.hp // nn.b t,
+      |    CASE WHEN CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+      |           i -> v.q[CAST(i AS INTEGER)] * hyper.hq[CAST(i AS INTEGER)])) AS BIGINT) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(hyper.hp % nn.b AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END bitval
+      |  FROM v, hyper, nn),
+      |buckets AS (
+      |  SELECT vec_id, t, CAST(SUM(bitval) AS BIGINT) bucket
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT q.vec_id qid, c.vec_id cid, MIN(q.t) min_t
+      |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.vec_id qid, d.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * d.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(d.nrm AS DOUBLE)) cos
+      |  FROM n a, n d WHERE a.vec_id % 25 = 0 AND a.vec_id <> d.vec_id),
+      |ex AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |    FROM p) WHERE rank <= 3),
+      |mk AS (SELECT ex.qid, ex.cid, cand.min_t
+      |       FROM ex LEFT JOIN cand ON ex.qid = cand.qid AND ex.cid = cand.cid),
+      |ts AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) n_tables),
+      |h AS (
+      |  SELECT ts.n_tables,
+      |    CAST(SUM(CASE WHEN mk.min_t < ts.n_tables THEN 1 ELSE 0 END) AS BIGINT) hits,
+      |    COUNT(*) total
+      |  FROM mk, ts GROUP BY 1),
+      |cp AS (
+      |  SELECT ts.n_tables, CAST(COUNT(*) AS BIGINT) candidate_pairs
+      |  FROM cand, ts WHERE cand.min_t < ts.n_tables GROUP BY 1)
+      |SELECT h.n_tables, COALESCE(cp.candidate_pairs, 0) AS candidate_pairs,
+      |  h.hits, h.hits * 1000000 // h.total AS recall_ppm
+      |FROM h LEFT JOIN cp ON h.n_tables = cp.n_tables
+      |ORDER BY h.n_tables""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v26_lsh_recall",
+      "LSH recall@3 + candidate funnel over table-count prefixes (v25's instrument)",
+      v26LshRecall(_, _), Some(v26Sql)),
     QueryDef("v25_lsh_ann",
       "hyperplane-LSH bucketed ANN: equality-join candidates, corpus-derived bit width",
       v25LshAnn(_, _), Some(v25Sql)),

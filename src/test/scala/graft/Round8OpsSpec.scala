@@ -609,6 +609,53 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v26: recall/funnel curves match a driver replay and are monotone in tables") {
+    val out = Similarity.v26LshRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // monotone: more tables never lose recall, never shrink the funnel
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 <= hi._2 && lo._3 <= hi._3 && lo._4 <= hi._4)
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    val n = vecs.length.toLong
+    val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val hyper = vecs.filter(v => v._1 >= 16 && v._1 < 16 + 4L * b)
+      .map { case (id, q) => (id - 16) -> q }.toMap
+    def dot(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => x * y }.sum
+    def bucketOf(q: Array[Long], t: Long): Long =
+      hyper.collect { case (hp, hq) if hp / b == t && dot(q, hq) > 0 =>
+        1L << (hp % b) }.sum
+    val buckets = vecs.map { case (id, q) =>
+      id -> (0L until 4L).map(t => t -> bucketOf(q, t)).toMap }.toMap
+    val qids = vecs.map(_._1).filter(_ % 25 == 0)
+    // min_t per candidate pair (earliest table sharing a bucket)
+    val minT = (for {
+      qid <- qids; (cid, _) <- vecs if cid != qid
+      ts = (0L until 4L).filter(t => buckets(qid)(t) == buckets(cid)(t))
+      if ts.nonEmpty
+    } yield (qid, cid) -> ts.min).toMap
+    val byId = vecs.toMap
+    val exact = qids.flatMap { qid =>
+      val qq = byId(qid); val qn = dot(qq, qq)
+      vecs.filter(_._1 != qid).map { case (cid, cq) =>
+        (cid, dot(qq, cq).toDouble / math.sqrt(qn.toDouble * dot(cq, cq))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val expected = (1 to 4).map { t =>
+      val hits = exact.count(p => minT.get(p).exists(_ < t)).toLong
+      val candN = minT.values.count(_ < t).toLong
+      (t, candN, hits, hits * 1000000L / exact.length)
+    }
+    assert(out.toSeq == expected)
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
