@@ -421,7 +421,79 @@ object Sampling {
       |FROM n JOIN w ON n.split = w.split
       |ORDER BY n.split""".stripMargin
 
+  /** s14 — deterministic EPOCH SHUFFLE: the training-data ordering
+    * primitive. Each epoch e permutes the corpus by the md5-int64 image
+    * of "e:doc_id" (ties broken by doc_id — a total order, so the
+    * permutation is a pure function of the row and the epoch number:
+    * any engine, any partitioning, any retry reproduces it), then cuts
+    * the permuted order into `shards` equal-size contiguous shards
+    * (sizes differ by at most 1 — `ord·shards div n`). Reported per
+    * (epoch, shard): count, order extent, and an order-sensitive
+    * engine-neutral checksum (bit_xor of the md5 image of
+    * "doc_id@ord" — position-dependent, so ANY mis-assignment flips
+    * it).
+    *
+    * Scale shape: the global per-epoch rank runs through
+    * [[ScaleOps.denseIds]] (range-repartition + partition-offset — no
+    * single-partition window), and because epochs sort first, ONE
+    * dense-id pass ranks every epoch: ord = gid − 1 − epoch·n with n
+    * from parquet footer metadata. At 100 TB this is the
+    * shuffle-service-free epoch reshuffle: each epoch is one range
+    * exchange, shards land contiguous in permuted order so a trainer
+    * streams shard files without a second shuffle.
+    */
+  def s14EpochShuffle(spark: SparkSession, dir: String,
+                      epochs: Int = 3, shards: Int = 8): DataFrame = {
+    val n = Tables.footerRowCount(spark, dir, "documents")
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("k", expr(
+        "CAST(conv(substring(md5(concat(CAST(epoch AS STRING), ':', " +
+          "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+    ScaleOps.denseIds(keyed, Seq("epoch", "k", "doc_id"), "gid")
+      .withColumn("ord", col("gid") - 1L - col("epoch").cast("long") * n)
+      .withColumn("shard", expr(s"ord * $shards div $n"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("ord")).as("first_ord"),
+           max(col("ord")).as("last_ord"),
+           expr("bit_xor(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+             "'@', CAST(ord AS STRING))), 1, 15), 16, 10) AS BIGINT))")
+             .as("order_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  private val s14Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |e AS (
+      |  SELECT doc_id, CAST(ep.epoch AS INTEGER) epoch
+      |  FROM documents, (SELECT unnest(range(0, 3)) epoch) ep),
+      |k AS (
+      |  SELECT doc_id, epoch,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(epoch || ':' || doc_id), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) k
+      |  FROM e),
+      |o AS (
+      |  SELECT doc_id, epoch,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1 ord
+      |  FROM k),
+      |s AS (SELECT doc_id, epoch, ord, ord * 8 // nn.n shard FROM o, nn)
+      |SELECT epoch, shard, COUNT(*) n_docs,
+      |  MIN(ord) AS first_ord, MAX(ord) AS last_ord,
+      |  bit_xor(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 16),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(doc_id || '@' || ord), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |    (a, b) -> a * 16 + b)) AS order_checksum
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s14_epoch_shuffle",
+      "deterministic per-epoch permutation + equal contiguous shards (epoch reshuffle)",
+      s14EpochShuffle(_, _), Some(s14Sql)),
     QueryDef("s13_time_split",
       "temporal train/val/test split with warm/cold user leakage audit",
       s13TimeSplit, Some(s13Sql)),

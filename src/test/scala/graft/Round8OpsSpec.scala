@@ -656,6 +656,54 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("s14: epoch permutation matches a driver replay, shards balance, epochs decorrelate") {
+    val out = operators.Sampling.s14EpochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def md5img(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val ordOf = (0 until 3).map { e =>
+      e -> ids.map(id => id -> md5img(s"$e:$id"))
+        .sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> i.toLong }.toMap
+    }.toMap
+    val expected = (for { e <- 0 until 3; id <- ids } yield {
+      val o = ordOf(e)(id); (e, o * 8 / n, id, o)
+    }).groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map { case ((e, sh), rs) =>
+      (e, sh, rs.length.toLong, rs.map(_._4).min, rs.map(_._4).max,
+        rs.map(t => md5img(s"${t._3}@${t._4}")).reduce(_ ^ _))
+    }
+    assert(out.toSeq == expected)
+    // equal shards: sizes within each epoch differ by at most 1, and the
+    // ord extents tile [0, n) contiguously
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sizes = rows.map(_._3)
+      assert(sizes.max - sizes.min <= 1L)
+      assert(rows.map(_._3).sum == n)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4 == 0L && sorted.last._5 == n - 1)
+      sorted.sliding(2).foreach { case Array(a, b) => assert(b._4 == a._5 + 1) }
+    }
+    // reproducible: a second run is bit-identical (pure function of row+epoch)
+    val again = operators.Sampling.s14EpochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == out.toSeq)
+    // decorrelated: Spearman rho between epoch-0 and epoch-1 positions ~ 0
+    val o0 = ordOf(0); val o1 = ordOf(1)
+    val rho = {
+      val ds = ids.map(id => (o0(id) - o1(id)).toDouble)
+      1.0 - 6.0 * ds.map(d => d * d).sum / (n * (n * n - 1.0))
+    }
+    assert(math.abs(rho) < 0.15, s"epochs correlate: rho=$rho")
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
