@@ -1183,7 +1183,173 @@ object Dedup {
       |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** st13 (batch contract) — dedup-on-ingest: the corpus arrives in 3
+    * waves (wave = doc_id mod 3, arrival order = (wave, doc_id)), and a
+    * document is REJECTED iff it is a word-bigram near-dup (Jaccard ≥
+    * 0.7, the d03/d08 convention) of ANY earlier-arriving document —
+    * accepted or not. That "of anything seen" policy (rather than "of
+    * anything accepted") is deliberate: it is order-insensitive within
+    * a near-dup family beyond the first arrival, needs no transitive
+    * chase, and is exactly what a bloom/band-indexed ingest filter
+    * implements at scale. Per wave: arrival/accept/reject counts and an
+    * engine-neutral md5-image XOR checksum of the accepted ids.
+    *
+    * The streaming twin [[streamingIngestDedup]] replays the same
+    * policy as a file stream (one micro-batch per wave, strictly-
+    * increasing staged mtimes): each batch probes a GROWING band-index
+    * store of everything seen, then appends its own signatures —
+    * the incremental-ingest topology a 100 TB corpus actually runs,
+    * asserted equal to this batch plan in Round8OpsSpec.
+    */
+  def st13IngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = wordBigramRows(Tables.documents(spark, dir))
+    val banded = bandsFor(sh, "doc_id", nHashes = 60, rowsPerBand = 5)
+    val hsets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(expr(md5ShingleImage)).as("hs"))
+    val dups = candidatePairs(banded, "doc_id")
+      .join(hsets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(hsets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.7)
+    // of each near-dup pair, the arrival-LATER doc is the rejected one
+    val rejected = dups.select(
+        when(col("ida") % 3 < col("idb") % 3 ||
+            (col("ida") % 3 === col("idb") % 3 && col("ida") < col("idb")),
+          col("idb")).otherwise(col("ida")).as("doc_id"))
+      .distinct().withColumn("rej", lit(true))
+    ingestAccounting(
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(rejected, Seq("doc_id"), "left"))
+  }
+
+  /** Shared per-wave rollup for st13's batch plan and streaming twin:
+    * input (doc_id, rej nullable-true). */
+  private def ingestAccounting(flagged: DataFrame): DataFrame = flagged
+    .withColumn("wave", (col("doc_id") % 3).cast("int"))
+    .groupBy(col("wave"))
+    .agg(count(lit(1)).as("n_arrived"),
+      sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_accepted"),
+      sum(when(col("rej").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+      coalesce(expr("bit_xor(CASE WHEN rej IS NULL THEN " +
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) END)"),
+        lit(0L)).as("accepted_checksum"))
+    .orderBy(col("wave"))
+
+  private val st13Sql =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, doc_id % 3 wave, ${oracleHashedSet(
+        """list_transform(range(1, greatest(2, len(ws))),
+          |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])""".stripMargin)} g FROM w),
+      |rej AS (
+      |  SELECT a.doc_id FROM sh a
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM sh b
+      |    WHERE (b.wave < a.wave OR (b.wave = a.wave AND b.doc_id < a.doc_id))
+      |      AND len(a.g) > 0 AND len(b.g) > 0
+      |      AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7)),
+      |f AS (
+      |  SELECT s.doc_id, CAST(s.wave AS INTEGER) wave, r.doc_id IS NOT NULL rejected
+      |  FROM sh s LEFT JOIN rej r ON s.doc_id = r.doc_id)
+      |SELECT wave, COUNT(*) n_arrived,
+      |  CAST(SUM(CASE WHEN NOT rejected THEN 1 ELSE 0 END) AS BIGINT) n_accepted,
+      |  CAST(SUM(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT) n_rejected,
+      |  COALESCE(bit_xor(CASE WHEN NOT rejected THEN
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) END), 0) AS accepted_checksum
+      |FROM f GROUP BY wave ORDER BY wave""".stripMargin
+
+  /** Streaming twin of [[st13IngestDedup]]: documents staged as one
+    * file per wave (strictly increasing mtimes → FileStreamSource
+    * delivers one wave per micro-batch, in order). Each foreachBatch
+    * (a) probes the batch's band signatures against the SEEN-store
+    * (band equality join → exact Jaccard verify — the d12 stored-index
+    * probe shape), (b) resolves within-batch earlier-arrival dups the
+    * same way, (c) appends the batch's own signatures + shingle sets to
+    * the store, and (d) writes per-doc verdicts — every write goes to a
+    * per-batchId directory with overwrite, so a replayed batch is
+    * idempotent (the NOTES update-mode/FileSink rule). State lives in
+    * STORAGE, not executor memory: at 100 TB the seen-store is the
+    * persistent LSH index, and each ingest batch is one bounded probe.
+    */
+  def streamingIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft_ingest_src_")
+    for (wv <- 0 until 3) {
+      val tmp = Files.createTempDirectory("graft_ingest_w_")
+      Tables.documents(spark, dir).filter(col("doc_id") % 3 === wv)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = stage.resolve(f"wave_$wv%02d.parquet")
+      Files.move(Paths.get(part), target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + wv * 60000L))
+    }
+    val store = Files.createTempDirectory("graft_ingest_store_").toString
+    val acct = Files.createTempDirectory("graft_ingest_acct_").toString
+    def existing(path: String): Option[DataFrame] = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+        Some(spark.read.parquet(s"$path/*")) else None
+    }
+    val schema = spark.read.parquet(stage.resolve("wave_00.parquet").toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val sh = wordBigramRows(batch).localCheckpoint(true)
+        val bands = bandsFor(sh, "doc_id", nHashes = 60, rowsPerBand = 5)
+          .select(col("doc_id"), explode(col("bands")).as("bh"))
+          .localCheckpoint(true)
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(collect_set(expr(md5ShingleImage)).as("hs"))
+          .localCheckpoint(true)
+        def verified(cand: DataFrame, rhsSets: DataFrame): DataFrame = cand
+          .join(sets.select(col("doc_id").as("late_id"), col("hs").as("ha")), "late_id")
+          .join(rhsSets.select(col("doc_id").as("early_id"), col("hs").as("hb")), "early_id")
+          .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("ha")) + size(col("hb")) - col("inter")).cast("double"))
+          .filter(col("jac") >= 0.7)
+          .select(col("late_id"))
+        val vsStore = existing(s"$store/bands").map { sb =>
+          verified(
+            bands.join(sb.select(col("doc_id").as("early_id"), col("bh")), "bh")
+              .select(col("doc_id").as("late_id"), col("early_id")).distinct(),
+            existing(s"$store/sets").get)
+        }
+        val inBatch = verified(
+          bands.as("x").join(bands.as("y"),
+              col("x.bh") === col("y.bh") && col("x.doc_id") > col("y.doc_id"))
+            .select(col("x.doc_id").as("late_id"), col("y.doc_id").as("early_id"))
+            .distinct(),
+          sets)
+        val rejected = vsStore.map(_.unionByName(inBatch)).getOrElse(inBatch)
+          .distinct().withColumnRenamed("late_id", "doc_id")
+          .withColumn("rej", lit(true))
+        batch.select(col("doc_id")).join(rejected, Seq("doc_id"), "left")
+          .write.mode("overwrite").parquet(s"$acct/b$bid")
+        bands.write.mode("overwrite").parquet(s"$store/bands/b$bid")
+        sets.write.mode("overwrite").parquet(s"$store/sets/b$bid")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ingestAccounting(spark.read.parquet(s"$acct/*"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st13_ingest_dedup",
+      "dedup-on-ingest accounting: arrival-ordered near-dup rejection per wave",
+      st13IngestDedup, Some(st13Sql)),
     QueryDef("d15_source_similarity",
       "source-pair estimated Jaccard from mergeable per-source MinHash sketches",
       d15SourceSimilarity, Some(d15Sql)),

@@ -704,6 +704,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(math.abs(rho) < 0.15, s"epochs correlate: rho=$rho")
   }
 
+  test("st13: streaming ingest-dedup over a growing store equals the batch plan") {
+    val batch = operators.Dedup.st13IngestDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val streamed = operators.Dedup.streamingIngestDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(batch.nonEmpty && batch.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming twin diverges from the batch contract")
+    // conservation: every arriving doc is either accepted or rejected
+    batch.foreach { case (_, arr, acc, rej, _) => assert(arr == acc + rej) }
+    val n = Tables.documents(spark, sf).count()
+    assert(batch.map(_._2).sum == n)
+    // the corpus plants near-dups, so the policy must actually fire
+    assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
