@@ -849,7 +849,113 @@ object LinkRank {
       |  CAST(SUM(coeff) AS BIGINT) AS sum_coeff_ppm
       |FROM co GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** g14 — the neighborhood function N(d) by Flajolet–Martin sketch
+    * propagation (ANF/HyperBall, Palmer et al. KDD'02 / Boldi–Vigna):
+    * per-node out-ball sizes at depths 0..2, summarized per depth
+    * WITHOUT ever running a BFS per node. Every node carries R = 4
+    * one-bit FM registers (register k's mask starts as the lowest set
+    * bit of a shared md5-int64 image of `k:id` — `h & -h`, so both
+    * engines plant the identical bit), and one ball step is
+    * `ball(v) ← ball(v) | OR over out-edges v→w of ball(w)` — the
+    * whole frontier advances in ONE edge join + bit_or aggregate.
+    * That is the 100 TB story: exact per-node k-hop sets are
+    * quadratic-ish (g04 bounds them by flagged seeds for that reason);
+    * a fixed-width OR-monoid sketch per node makes the global
+    * distance distribution two linear shuffles per depth, the same
+    * contract as one [[g01LinkRank]] iteration.
+    *
+    * Emitted per (depth, register): Σ_v 2^(lowest-zero-bit of mask) —
+    * the integer FM estimator numerator ((-m-1) & (m+1)) summed in
+    * DECIMAL(38,0) — plus the global OR. No floats, no φ-correction:
+    * the contract pins the sketch algebra, and the Φ-scaled size
+    * estimate is one driver-side division away. Masks at each depth
+    * are RDD-persisted once (the g02 convention): depth d's table
+    * feeds both its summary and depth d+1's join.
+    */
+  def g14NeighborhoodFunction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = rawLinkEdges(spark, dir)
+      .filter(col("src") =!= col("dst")).distinct()
+    def pin(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val m0 = pin(Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"),
+        explode(expr("array(1, 2, 3, 4)")).as("k"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', " +
+          "CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("node"), col("k"), expr("h & -h").as("m")))
+    def step(cur: DataFrame): DataFrame = {
+      val nbr = edges.join(cur, edges("dst") === cur("node"))
+        .groupBy(edges("src").as("node"), col("k"))
+        .agg(expr("bit_or(m)").as("om"))
+      pin(cur.join(nbr, Seq("node", "k"), "left")
+        .select(col("node"), col("k"),
+          coalesce(expr("m | om"), col("m")).as("m")))
+    }
+    val m1 = step(m0)
+    val m2 = step(m1)
+    def summary(df: DataFrame, depth: Int): DataFrame = df
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))")).as("sum_pow"),
+        expr("bit_or(m)").as("or_all"))
+      .select(lit(depth).as("depth"), col("k"), col("n_nodes"),
+        col("sum_pow").cast(DecimalType(38, 0)).as("sum_pow"), col("or_all"))
+    summary(m0, 0).unionByName(summary(m1, 1)).unionByName(summary(m2, 2))
+      .orderBy(col("depth"), col("k"))
+  }
+
+  private val g14Sql = {
+    val md5fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(concat(CAST(k AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |m0 AS (
+      |  SELECT doc_id node, k, (h & -h) m
+      |  FROM (SELECT doc_id, k, $md5fold h
+      |        FROM documents, (SELECT unnest([1, 2, 3, 4]) k))),
+      |m1 AS (
+      |  SELECT c.node, c.k, CASE WHEN b.om IS NULL THEN c.m ELSE c.m | b.om END m
+      |  FROM m0 c LEFT JOIN (
+      |    SELECT e.src node, m0.k k, bit_or(m0.m) om
+      |    FROM e JOIN m0 ON e.dst = m0.node GROUP BY e.src, m0.k) b
+      |  ON c.node = b.node AND c.k = b.k),
+      |m2 AS (
+      |  SELECT c.node, c.k, CASE WHEN b.om IS NULL THEN c.m ELSE c.m | b.om END m
+      |  FROM m1 c LEFT JOIN (
+      |    SELECT e.src node, m1.k k, bit_or(m1.m) om
+      |    FROM e JOIN m1 ON e.dst = m1.node GROUP BY e.src, m1.k) b
+      |  ON c.node = b.node AND c.k = b.k),
+      |s AS (
+      |  SELECT 0 depth, k, COUNT(*) n_nodes,
+      |    SUM(CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))) sum_pow, bit_or(m) or_all
+      |  FROM m0 GROUP BY k
+      |  UNION ALL
+      |  SELECT 1, k, COUNT(*),
+      |    SUM(CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))), bit_or(m) FROM m1 GROUP BY k
+      |  UNION ALL
+      |  SELECT 2, k, COUNT(*),
+      |    SUM(CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))), bit_or(m) FROM m2 GROUP BY k)
+      |SELECT CAST(depth AS INTEGER) depth, CAST(k AS INTEGER) k,
+      |  CAST(n_nodes AS BIGINT) n_nodes,
+      |  CAST(sum_pow AS DECIMAL(38,0)) sum_pow, CAST(or_all AS BIGINT) or_all
+      |FROM s ORDER BY depth, k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g14_neighborhood_function",
+      "ANF/HyperBall neighborhood function: FM-sketch OR-propagation, depths 0-2",
+      g14NeighborhoodFunction, Some(g14Sql)),
     QueryDef("g13_clustering_coeff",
       "local clustering-coefficient decile histogram (per-node closure, corner-credited)",
       g13ClusteringCoeff, Some(g13Sql)),

@@ -720,6 +720,43 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("g14: sketch summaries equal an exact driver-side ball simulation") {
+    val out = operators.LinkRank.g14NeighborhoodFunction(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDecimal(3).toBigInteger, r.getLong(4))).toMap
+    // exact replay: same graph, same md5 images, literal ball OR-propagation
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val edges = ids.flatMap(v => Seq(1, 2, 3).map(k => (v, (v * v * 31 + k * 17) % n)))
+      .filter { case (s, d) => s != d }.distinct
+    val out_ = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    def md5i64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    var masks: Map[(Long, Int), Long] = (for (v <- ids; k <- 1 to 4) yield {
+      val h = md5i64(s"$k:$v"); (v, k) -> (h & -h)
+    }).toMap
+    for (depth <- 0 to 2) {
+      val expected = (1 to 4).map { k =>
+        val ms = ids.map(v => masks((v, k)))
+        k -> (ids.length.toLong,
+          ms.map(m => BigInt((-m - 1) & (m + 1))).sum.bigInteger,
+          ms.reduce(_ | _))
+      }.toMap
+      (1 to 4).foreach(k => assert(out((depth, k)) == expected(k),
+        s"depth=$depth k=$k sketch != exact simulation"))
+      masks = masks.map { case ((v, k), m) =>
+        ((v, k), out_.getOrElse(v, Seq.empty[Long]).foldLeft(m)((acc, w) => acc | masks((w, k))))
+      }
+    }
+    // the estimator must be monotone in depth: balls only grow
+    for (k <- 1 to 4; d <- 0 to 1)
+      assert(out((d, k))._2.compareTo(out((d + 1, k))._2) <= 0)
+  }
+
   test("v22: filtered-IVF respects the label pre-filter and never beats the flat scan") {
     val ivf = Similarity.v22FilteredIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
