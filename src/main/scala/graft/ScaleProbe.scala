@@ -57,7 +57,8 @@ object ScaleProbe {
     "v23_nprobe_sweep", "g13_clustering_coeff", "l06_retractable_refresh",
     "a56_effective_sample_size", "v24_pq_distortion", "io10_corrupt_jsonl",
     "v25_lsh_ann", "d15_source_similarity", "t40_tokenizer_fertility",
-    "s14_epoch_shuffle", "st13_ingest_dedup", "g14_neighborhood_function")
+    "s14_epoch_shuffle", "st13_ingest_dedup", "g14_neighborhood_function",
+    "a57_t_closeness")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -1677,7 +1677,106 @@ object Maintenance {
       |    / CAST(sum_w2 AS DOUBLE), 3) / n) AS BIGINT) AS ess_share_ppm
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** a57 — t-closeness audit: the third leg of the release-privacy
+    * trio. [[a34KAnonymity]] checks class SIZE, [[a55LDiversity]]
+    * checks the class has several sensitive values; t-closeness checks
+    * the class's sensitive DISTRIBUTION is close to the table-wide one
+    * — a class can be large and diverse yet still leak if, say, 90% of
+    * its members sit in the top balance band while the population puts
+    * 10% there. Distance is the ordered-attribute Earth-Mover's
+    * Distance over a55's kilo-bands: EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}(pⱼ−qⱼ)|
+    * (Li et al., ICDE'07). The whole computation is exact-rational:
+    * cross-multiplying the class (n_g) and table (n) denominators turns
+    * each prefix term into |cum_c·n − cum_C·n_g| — DECIMAL(38,0)
+    * integers, bit-identical across engines — and the emitted breach
+    * bit compares EMD > t = 0.2 as 5·num > den with den = n_g·n·(m−1).
+    * (The i = m prefix term is always n_g·n − n·n_g = 0, so summing
+    * over ALL bands needs no m−1 cutoff.)
+    *
+    * Scale shape: one fact-table aggregate to the (class × band) cell
+    * table, everything after runs on the bounded grid (|QI domain| × m
+    * rows) — the per-class prefix windows never see the fact table
+    * (the a50/g12 bounded-frame rule), and the global totals ride along
+    * as a 1-row broadcast.
+    */
+  def a57TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cell = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("band", expr("(cents - pmod(cents, 100000)) div 100000"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val cls = cell.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("c")).as("n_rows"))
+    // global per-band prefix counts: a window over the m-row band
+    // histogram, never the fact table
+    val bands = cell.groupBy(col("band")).agg(sum(col("c")).as("cg"))
+      .withColumn("cum_g", sum(col("cg")).over(
+        Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), col("cum_g"))
+    val tot = cell.agg(sum(col("c")).as("n_total"),
+      countDistinct(col("band")).as("m"))
+    cls.crossJoin(bands)
+      .join(cell, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_c", sum(col("c")).over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", abs(
+        col("cum_c").cast(DecimalType(38, 0)) * col("n_total") -
+          col("cum_g").cast(DecimalType(38, 0)) * col("n_rows")))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        col("n_rows"), col("n_total"), col("m"))
+      .agg(sum(col("term")).as("emd_num"))
+      .withColumn("emd_den",
+        col("n_rows").cast(DecimalType(38, 0)) * col("n_total") * (col("m") - 1))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_rows"),
+        col("emd_num").cast(DecimalType(38, 0)).as("emd_num"),
+        col("emd_den").cast(DecimalType(38, 0)).as("emd_den"),
+        (col("emd_num") * 5 > col("emd_den")).as("breach"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  private val a57Sql =
+    """WITH b AS (SELECT c_mktsegment seg, c_nationkey nat,
+      |    CAST(round(c_acctbal*100) AS BIGINT) cents FROM customer),
+      |bb AS (SELECT seg, nat,
+      |  (cents - ((cents % 100000 + 100000) % 100000)) // 100000 band FROM b),
+      |cell AS (SELECT seg, nat, band, CAST(COUNT(*) AS BIGINT) c
+      |  FROM bb GROUP BY 1,2,3),
+      |cls AS (SELECT seg, nat, CAST(SUM(c) AS BIGINT) n_rows FROM cell GROUP BY 1,2),
+      |bd AS (SELECT band, SUM(c) cg FROM cell GROUP BY 1),
+      |bdc AS (SELECT band, CAST(SUM(cg) OVER (ORDER BY band
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_g FROM bd),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) n_total,
+      |  CAST(COUNT(DISTINCT band) AS BIGINT) m FROM cell),
+      |grid AS (SELECT cls.seg, cls.nat, cls.n_rows, bdc.band, bdc.cum_g,
+      |    COALESCE(cell.c, 0) c
+      |  FROM cls CROSS JOIN bdc LEFT JOIN cell
+      |    ON cell.seg = cls.seg AND cell.nat = cls.nat AND cell.band = bdc.band),
+      |cum AS (SELECT seg, nat, n_rows, band, cum_g,
+      |  CAST(SUM(c) OVER (PARTITION BY seg, nat ORDER BY band
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_c FROM grid),
+      |t AS (SELECT seg, nat, n_rows,
+      |  SUM(CAST(abs(CAST(cum_c AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
+      |    - CAST(cum_g AS DECIMAL(38,0)) * n_rows) AS DECIMAL(38,0))) emd_num
+      |  FROM cum GROUP BY 1,2,3)
+      |SELECT seg AS c_mktsegment, nat AS c_nationkey, n_rows,
+      |  CAST(emd_num AS DECIMAL(38,0)) AS emd_num,
+      |  CAST(CAST(n_rows AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
+      |    * ((SELECT m FROM tot) - 1) AS DECIMAL(38,0)) AS emd_den,
+      |  emd_num * 5 > CAST(n_rows AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
+      |    * ((SELECT m FROM tot) - 1) AS breach
+      |FROM t ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a57_t_closeness",
+      "t-closeness EMD audit of acctbal bands per QI class -- the a34/a55 trio's third leg",
+      a57TCloseness, Some(a57Sql)),
     QueryDef("a56_effective_sample_size",
       "ESS = (Sum w)^2 / Sum w^2 per type -- the weighted-sampling health metric",
       a56EffectiveSampleSize, Some(a56Sql)),

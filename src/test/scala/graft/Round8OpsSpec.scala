@@ -720,6 +720,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("a57: t-closeness EMD matches an exact BigInt recompute and stays <= 1") {
+    val out = Maintenance.a57TCloseness(spark, sf).collect()
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    def band(c: Long) = (c - ((c % 100000 + 100000) % 100000)) / 100000
+    val banded = rows.map { case (s, nk, c) => (s, nk, band(c)) }
+    val bandsAll = banded.map(_._3).distinct.sorted
+    val n = BigInt(banded.length)
+    val m = bandsAll.length
+    val byClass = banded.groupBy(t => (t._1, t._2))
+    assert(out.length == byClass.size && m >= 2)
+    out.foreach { r =>
+      val g = byClass((r.getString(0), r.getInt(1)))
+      val ng = BigInt(g.length)
+      val num = bandsAll.map { b =>
+        (BigInt(g.count(_._3 <= b)) * n - BigInt(banded.count(_._3 <= b)) * ng).abs
+      }.sum
+      val den = ng * n * (m - 1)
+      assert(BigInt(r.getDecimal(3).toBigInteger) == num, s"num mismatch at $r")
+      assert(BigInt(r.getDecimal(4).toBigInteger) == den, s"den mismatch at $r")
+      assert(r.getBoolean(5) == (num * 5 > den))
+      assert(num <= den, "ordered-EMD is normalized: num <= den")
+    }
+    // the prefix windows must run over the bounded grid, never customer
+    val plan = Maintenance.a57TCloseness(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"))
+    assert(plan.indexOf("Window") < plan.indexOf("Relation"),
+      "window must sit above the cell aggregate, not the scan")
+  }
+
   test("g14: sketch summaries equal an exact driver-side ball simulation") {
     val out = operators.LinkRank.g14NeighborhoodFunction(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
