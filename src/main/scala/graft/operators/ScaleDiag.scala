@@ -357,6 +357,70 @@ object ScaleDiag {
       |  CAST(2 AS BIGINT) AS files_after
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** l07 — snapshot time travel: the manifest-versioned read path every
+    * modern table format (Iceberg snapshot / Delta version) builds on,
+    * and the one lake primitive the l01–l06 family hadn't exercised.
+    * Writers only ever APPEND data files and publish a new manifest —
+    * v1 = the day-one load (8 files, keys ≢ 0 mod 3), v2 = v1 plus an
+    * appended delta (4 files, the ≡ 0 keys), v3 = a compaction REWRITE
+    * (2 files holding exactly v2's rows — a new manifest, zero new
+    * data). Every version is then read back AS OF its manifest — file
+    * list from the committed manifest text, never a directory listing —
+    * AFTER all three exist, so the emitted per-version aggregates prove
+    * snapshot isolation: later writes are invisible to an older pin
+    * (v1 keeps its filtered sums), and compaction changes the file
+    * count but not one row (v3 ≡ v2).
+    *
+    * Scale shape: time travel is metadata-only — each read plans from
+    * its manifest's file list (at 100 TB, a file-metadata table driving
+    * the scan), data files are shared across snapshots and never
+    * copied; the aggregates are ordinary partial+final sums.
+    */
+  def l07TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val scratch = graft.util.Scratch.dir("l07_travel_")
+    val data = new java.io.File(s"$scratch/data")
+    def listing(): Set[String] =
+      Option(data.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    def writeManifest(v: Int, files: Set[String]): Unit =
+      Files.write(Paths.get(s"$scratch/manifest-v$v.txt"),
+        files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    def readManifest(v: Int): Seq[String] =
+      new String(Files.readAllBytes(Paths.get(s"$scratch/manifest-v$v.txt")),
+        "UTF-8").split("\n").toSeq
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 3 =!= 0).repartition(8)
+      .write.mode("append").parquet(data.toString)
+    writeManifest(1, listing())
+    orders.filter(col("o_orderkey") % 3 === 0).repartition(4)
+      .write.mode("append").parquet(data.toString)
+    val gen2 = listing()
+    writeManifest(2, gen2)
+    spark.read.parquet(readManifest(2).map(n => s"$data/$n"): _*)
+      .repartition(2).write.mode("append").parquet(data.toString)
+    writeManifest(3, listing() -- gen2)
+    (1 to 3).map { v =>
+      val files = readManifest(v)
+      spark.read.parquet(files.map(n => s"$data/$n"): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .select(lit(v).as("version"), lit(files.size.toLong).as("n_files"),
+          col("n_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private val l07Sql =
+    """WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0),
+      |a AS (
+      |  SELECT CAST(1 AS INTEGER) AS "version", CAST(8 AS BIGINT) n_files,
+      |    CAST(COUNT(*) AS BIGINT) n_rows, CAST(SUM(o_orderkey) AS BIGINT) key_sum
+      |  FROM f
+      |  UNION ALL
+      |  SELECT 2, 12, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 3, 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+      |SELECT "version", n_files, n_rows, key_sum FROM a ORDER BY "version"""".stripMargin
+
   /** l06 — retraction-aware incremental aggregate refresh: the matview
     * maintenance problem [[graft.operators.Maintenance.a33IncrementalAgg]]
     * deliberately avoids. a33's append-only merge works because
@@ -526,6 +590,9 @@ object ScaleDiag {
       |ORDER BY o_custkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l07_time_travel",
+      "manifest-versioned snapshot reads: append/compact/pin, isolation proven by aggregates",
+      l07TimeTravel, Some(l07Sql)),
     QueryDef("l06_retractable_refresh",
       "delete-aware matview refresh: algebraic count/sum, rescan only keys whose extreme died",
       l06RetractableRefresh, Some(l06Sql)),

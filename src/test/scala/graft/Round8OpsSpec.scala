@@ -720,6 +720,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("l07: snapshot pins are isolated, compaction rewrites files not rows") {
+    val out = operators.ScaleDiag.l07TimeTravel(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val v1Keys = orders.filter(_ % 3 != 0)
+    // v1 was READ after v2 and v3 were committed: the pin still sees
+    // only the day-one rows — snapshot isolation
+    assert(out(1) == (8L, v1Keys.length.toLong, v1Keys.sum))
+    // the append delta lands exactly the missing keys
+    assert(out(2)._2 == orders.length.toLong && out(2)._3 == orders.sum)
+    assert(out(2)._1 == 12L)
+    // compaction: new manifest, fewer files, identical data
+    assert(out(3)._1 == 2L && out(3)._2 == out(2)._2 && out(3)._3 == out(2)._3)
+  }
+
   test("a57: t-closeness EMD matches an exact BigInt recompute and stays <= 1") {
     val out = Maintenance.a57TCloseness(spark, sf).collect()
     val rows = Tables.customer(spark, sf)
