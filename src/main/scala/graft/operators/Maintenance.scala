@@ -1773,7 +1773,80 @@ object Maintenance {
       |    * ((SELECT m FROM tot) - 1) AS breach
       |FROM t ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  /** a58 — ANALYZE-style one-pass table statistics: the per-column
+    * (count, nulls, NDV, min/max) catalog rows a cost-based optimizer
+    * prices joins and filters from — the stats that decide broadcast
+    * vs shuffle and drive [[a34KAnonymity]]-style domain bounds. Two
+    * passes, both linear, neither per-column jobs:
+    *
+    *  - envelope pass: ONE wide partial+final aggregate computes every
+    *    column's non-null count and min/max in a single scan (the
+    *    1-row result is reshaped to catalog rows by a `stack` over the
+    *    already-aggregated row — bounded, no generator on the fact
+    *    table);
+    *  - NDV pass: the fact table unpivots to (column, value-image)
+    *    pairs and one two-level distinct aggregate counts per-column
+    *    NDVs — the shuffle carries only the DISTINCT pairs after
+    *    map-side partial dedup, not the ×6 row blowup. Exact NDV here;
+    *    the sketched alternative is a23/a37's territory.
+    *
+    * Numeric envelopes cross engines as DOUBLE (min/max are order
+    * statistics — an existing value is picked, no arithmetic, so the
+    * bits match); string envelopes as UTF-8 binary min/max. NDV counts
+    * value IMAGES (casts to string), which is injective for every
+    * column here, so the count equals the native-value NDV.
+    */
+  def a58TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val stringy = Seq("l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n") +:
+      (numeric ++ stringy).flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val stackRows =
+      numeric.map(c => s"'$c', nn_$c, CAST(mn_$c AS DOUBLE), CAST(mx_$c AS DOUBLE), " +
+          s"CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        stringy.map(c => s"'$c', nn_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          s"mn_$c, mx_$c")
+    val envelope = li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n", s"stack(${stackRows.size}, ${stackRows.mkString(", ")}) " +
+        "AS (col_name, n_nonnull, min_num, max_num, min_str, max_str)")
+    val pairs = li.selectExpr("stack(6, " +
+      numeric.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") + ", " +
+      stringy.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, sval)")
+    val ndv = pairs.groupBy(col("col_name"))
+      .agg(countDistinct(col("sval")).as("ndv"))
+    envelope.join(broadcast(ndv), Seq("col_name"))
+      .select(col("col_name"), col("n"),
+        (col("n") - col("n_nonnull")).as("n_null"), col("ndv"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  private val a58Sql = {
+    def num(c: String) =
+      s"""SELECT '$c' col_name, COUNT(*) n, COUNT(*) - COUNT($c) n_null,
+         |  COUNT(DISTINCT $c) ndv, CAST(MIN($c) AS DOUBLE) min_num,
+         |  CAST(MAX($c) AS DOUBLE) max_num, CAST(NULL AS VARCHAR) min_str,
+         |  CAST(NULL AS VARCHAR) max_str FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN($c), MAX($c)
+         |  FROM lineitem""".stripMargin
+    val branches =
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").map(num) ++
+        Seq("l_returnflag", "l_linestatus").map(str)
+    s"""WITH s AS (
+       |${branches.mkString("\nUNION ALL\n")})
+       |SELECT col_name, CAST(n AS BIGINT) n, CAST(n_null AS BIGINT) n_null,
+       |  CAST(ndv AS BIGINT) ndv, min_num, max_num, min_str, max_str
+       |FROM s ORDER BY col_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a58_table_stats",
+      "one-pass ANALYZE: per-column n/null/NDV/min/max catalog rows for the CBO",
+      a58TableStats, Some(a58Sql)),
     QueryDef("a57_t_closeness",
       "t-closeness EMD audit of acctbal bands per QI class -- the a34/a55 trio's third leg",
       a57TCloseness, Some(a57Sql)),

@@ -72,7 +72,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a56_effective_sample_size", "v24_pq_distortion", "io10_corrupt_jsonl",
     "v25_lsh_ann", "d15_source_similarity", "t40_tokenizer_fertility",
     "v26_lsh_recall", "s14_epoch_shuffle", "st13_ingest_dedup",
-    "g14_neighborhood_function", "a57_t_closeness", "l07_time_travel")
+    "g14_neighborhood_function", "a57_t_closeness", "l07_time_travel",
+    "a58_table_stats")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

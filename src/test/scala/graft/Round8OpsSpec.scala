@@ -720,6 +720,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("a58: catalog rows equal an exact driver recompute; ndv join is broadcast") {
+    val out = Maintenance.a58TableStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+      .collect()
+    val n = rows.length.toLong
+    def check(cname: String, vals: Seq[Any]): Unit = {
+      val r = out(cname)
+      val nonNull = vals.filter(_ != null)
+      assert(r.getLong(1) == n && r.getLong(2) == n - nonNull.length)
+      assert(r.getLong(3) == nonNull.distinct.length.toLong, s"ndv($cname)")
+    }
+    check("l_orderkey", rows.map(_.getLong(0)))
+    check("l_linenumber", rows.map(_.getInt(1)))
+    check("l_quantity", rows.map(_.getDouble(2)))
+    check("l_extendedprice", rows.map(_.getDouble(3)))
+    check("l_returnflag", rows.map(_.getString(4)))
+    check("l_linestatus", rows.map(_.getString(5)))
+    // numeric envelopes are the actual order statistics, bit-exact
+    assert(out("l_orderkey").getDouble(4) == rows.map(_.getLong(0)).min.toDouble)
+    assert(out("l_quantity").getDouble(5) == rows.map(_.getDouble(2)).max)
+    assert(out("l_returnflag").getString(6) == rows.map(_.getString(4)).min)
+    // the 6-row ndv side must broadcast, never shuffle the envelope
+    val df = Maintenance.a58TableStats(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), "ndv join must be broadcast")
+  }
+
   test("l07: snapshot pins are isolated, compaction rewrites files not rows") {
     val out = operators.ScaleDiag.l07TimeTravel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
