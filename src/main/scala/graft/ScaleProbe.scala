@@ -58,7 +58,8 @@ object ScaleProbe {
     "a56_effective_sample_size", "v24_pq_distortion", "io10_corrupt_jsonl",
     "v25_lsh_ann", "d15_source_similarity", "t40_tokenizer_fertility",
     "s14_epoch_shuffle", "st13_ingest_dedup", "g14_neighborhood_function",
-    "a57_t_closeness", "l07_time_travel", "a58_table_stats")
+    "a57_t_closeness", "l07_time_travel", "a58_table_stats",
+    "io11_partition_pruning")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -493,7 +493,54 @@ object Formats {
       |  CAST(SUM(CASE WHEN NOT broken AND NOT short THEN n_chars END) AS BIGINT) AS sum_chars
       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** io11 — static partition pruning through a hive layout: the oldest
+    * and still most load-bearing scale lever — a predicate on the
+    * PARTITION column must be answered from directory metadata, with
+    * non-matching partitions never opened. lineitem is laid out
+    * `partitionBy(l_returnflag)` (3 partitions), and the reader
+    * filters one flag: the catalog resolves the filter against the
+    * partition LISTING (`PartitionFilters` in the scan, zero data-file
+    * reads outside `l_returnflag=R` — asserted against the executed
+    * plan and the scan's file-listing metrics in Round8OpsSpec, not
+    * just eyeballed), then aggregates the surviving third. io05 exercises
+    * the WRITE side of this layout (dynamic overwrite); this is the
+    * READ side — together they are the hive-table lifecycle. At
+    * 100 TB, pruning is the difference between scanning one day and
+    * scanning the lake; the same `PartitionFilters` row in `.explain`
+    * is the first thing to check on any slow production scan.
+    *
+    * The partition column round-trips as a DIRECTORY NAME, so the
+    * emitted group key is re-cast from the path-inferred type — and
+    * the aggregate keeps a quantity checksum so the oracle proves the
+    * pruned read lost (and gained) nothing.
+    */
+  def io11PartitionPruning(spark: SparkSession, dir: String,
+      outDir: String = null): DataFrame = {
+    val out = if (outDir == null) scratch("graft_io11_prune_") else outDir
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        col("l_linestatus"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("key_checksum"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val io11Sql =
+    """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) n_rows,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) sum_qty,
+      |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) key_checksum
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1 ORDER BY l_linestatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io11_partition_pruning",
+      "hive-layout static partition pruning: listing-level filter, pruned read checksummed",
+      io11PartitionPruning(_, _), Some(io11Sql)),
     QueryDef("io10_corrupt_jsonl",
       "PERMISSIVE JSONL ingest: broken lines quarantined, schema-short lines kept",
       io10CorruptJsonl, Some(io10Sql)),

@@ -720,6 +720,43 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("io11: the partition filter prunes at the listing - only one directory is read") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val out = graft.util.Scratch.dir("io11_spec_")
+    val df = operators.Formats.io11PartitionPruning(spark, sf, out)
+    val rows = df.collect()
+    val dual = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("key_checksum"))
+      .orderBy(col("l_linestatus")).collect()
+    assert(rows.nonEmpty && rows.map(_.toSeq).toSeq == dual.map(_.toSeq).toSeq)
+    // the predicate must sit in PartitionFilters (answered from the listing)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(planStr).isDefined,
+      s"partition filter missing from scan:\n$planStr")
+    // and the scan's own metrics must show only the R directory was read
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    def files(d: java.io.File): Int =
+      Option(d.listFiles).getOrElse(Array.empty).map(f =>
+        if (f.isDirectory) files(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val nRead = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val all = files(new java.io.File(out))
+    val rOnly = files(new java.io.File(s"$out/l_returnflag=R"))
+    assert(nRead == rOnly && rOnly < all,
+      s"pruning failed: read $nRead of $all files (R dir holds $rOnly)")
+  }
+
   test("a58: catalog rows equal an exact driver recompute; ndv join is broadcast") {
     val out = Maintenance.a58TableStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
