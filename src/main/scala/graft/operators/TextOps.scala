@@ -2378,7 +2378,88 @@ object TextOps {
       |  ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 4) AS mean_nats
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t41 — DSIR-style importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS'23): score
+    * every document by how target-domain-like it is, as the log-ratio
+    * between two hashed-unigram language models — one fit on the TARGET
+    * slice (here: the lexicographically first `source`, a
+    * corpus-derived parameter both engines compute identically), one on
+    * the RAW corpus. Tokens hash into V = 4096 buckets through the
+    * shared md5-int64 image (the d10 shared-collision rule: a bucket
+    * clash is the SAME clash in both engines — hashed features are the
+    * actual DSIR recipe, not a shortcut), each model is add-one
+    * smoothed, and a doc's weight is Σ_tokens [ln p_t(b) − ln p_r(b)].
+    * The ln is rounded to integer MICRO-NATS once per bucket (≤ 2·4096
+    * roundings per corpus, the t22 determinism convention) and summed
+    * exactly, so per-doc scores are bit-identical across engines.
+    * `target_like` (weight > 0) is the resampling gate s09/s12 would
+    * consume.
+    *
+    * Scale shape: the two models are ≤ V-row tables built by one
+    * partial-aggregated pass each; scoring is a BROADCAST join of the
+    * token stream against the 4096-row score table plus one per-doc
+    * sum — no shuffle ever carries more than (doc_id, token-bucket).
+    */
+  def t41DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b",
+        expr("pmod(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT), 4096)"))
+    val tgtSrc = docs.agg(min(col("source")).as("tgt_src"))
+    val withTgt = toks.crossJoin(broadcast(tgtSrc))
+    val raw = withTgt.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+      sum(when(col("source") === col("tgt_src"), 1L).otherwise(0L)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val scores = raw.crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr("CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) * 1000000) AS BIGINT) - " +
+          "CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (nr + 4096)) * 1000000) AS BIGINT)")
+          .as("delta_micro"))
+    toks.join(broadcast(scores), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("delta_micro")).as("dsir_micronats"))
+      .withColumn("target_like", col("dsir_micronats") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t41Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(tok), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 4096 b
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) tok
+      |        FROM documents)
+      |  WHERE tok <> ''),
+      |tgt AS (SELECT MIN(source) s FROM documents),
+      |raw AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) cr,
+      |    CAST(SUM(CASE WHEN source = (SELECT s FROM tgt) THEN 1 ELSE 0 END) AS BIGINT) ct
+      |  FROM tk GROUP BY b),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) nr, CAST(SUM(ct) AS BIGINT) nt FROM raw),
+      |sc AS (
+      |  SELECT b,
+      |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / ((SELECT nt FROM tot) + 4096)) * 1000000) AS BIGINT)
+      |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / ((SELECT nr FROM tot) + 4096)) * 1000000) AS BIGINT)
+      |      delta_micro
+      |  FROM raw)
+      |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+      |  CAST(SUM(sc.delta_micro) AS BIGINT) dsir_micronats,
+      |  CAST(SUM(sc.delta_micro) AS BIGINT) > 0 AS target_like
+      |FROM tk JOIN sc ON tk.b = sc.b
+      |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t41_dsir_weights",
+      "DSIR importance weights: hashed-unigram target/raw LM log-ratio per doc",
+      t41DsirWeights, Some(t41Sql)),
     QueryDef("t39_kneser_ney",
       "interpolated Kneser-Ney bigram perplexity (continuation-count backoff, micro-nat exact)",
       t39KneserNey, Some(t39Sql)),

@@ -720,6 +720,58 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("t41: DSIR weights equal a driver recompute; bucket micro-nats round safely") {
+    val out = operators.TextOps.t41DsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5i64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val tgtSrc = docs.map(_._2).min
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => (id, src, md5i64(t) % 4096))
+    }
+    val cr = toks.groupBy(_._3).map { case (b, ts) => b -> ts.length.toLong }
+    val ct = toks.filter(_._2 == tgtSrc).groupBy(_._3)
+      .map { case (b, ts) => b -> ts.length.toLong }
+    val nr = toks.length.toLong
+    val nt = toks.count(_._2 == tgtSrc).toLong
+    def microLn(c: Long, n: Long): (Long, Double) = {
+      val v = math.log((c + 1).toDouble / (n + 4096).toDouble) * 1000000.0
+      (math.round(v), math.abs(v - math.floor(v) - 0.5))
+    }
+    val deltas = cr.map { case (b, c) =>
+      val (lt, dt) = microLn(ct.getOrElse(b, 0L), nt)
+      val (lr, dr) = microLn(c, nr)
+      // determinism audit: every rounded ln sits far from a .5 boundary
+      // relative to the ~2e-9 micro-nat cross-engine ulp scale
+      assert(dt > 1e-8 && dr > 1e-8, s"bucket $b ln too close to rounding boundary")
+      b -> (lt - lr)
+    }
+    docs.foreach { case (id, _, text) =>
+      val bs = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => md5i64(t) % 4096)
+      if (bs.nonEmpty) {
+        val (n, w, flag) = out(id)
+        assert(n == bs.length.toLong && w == bs.map(deltas).sum && flag == (w > 0))
+      } else assert(!out.contains(id))
+    }
+    // conservation: the corpus-total weight is the bucket-mass inner
+    // product (catches any lost/duplicated token in the broadcast join)
+    val totalOut = out.values.map(_._2).sum
+    val totalBuckets = cr.map { case (b, c) => c * deltas(b) }.sum
+    assert(totalOut == totalBuckets)
+    // note: NO "target scores higher" assertion — the synthetic sources
+    // are iid word-soup, so the true per-token KL gap is ~0 and its
+    // sign is sampling noise; on a real corpus DSIR consumers should
+    // read the per-token-normalized weight, not the raw doc sum
+  }
+
   test("io11: the partition filter prunes at the listing - only one directory is read") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
