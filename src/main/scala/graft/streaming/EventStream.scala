@@ -1159,7 +1159,92 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st14 — exactly-once lake commit from a stream: the manifest-flip
+    * write protocol whose READ side is
+    * [[graft.operators.ScaleDiag.l07TimeTravel]]. Each micro-batch (a)
+    * writes its rows to a per-batch data directory (overwrite — a
+    * replayed batch rewrites the same bytes), then (b) publishes
+    * `manifest-v<batchId>` as the PREVIOUS manifest (highest version
+    * strictly below this batch id — never its own possibly-half-written
+    * prior attempt) plus its own files, via write-to-temp + atomic
+    * rename. The manifest flip IS the commit: a reader only ever sees a
+    * fully-published snapshot, a crash between data write and manifest
+    * rename leaves invisible orphans (l05's vacuum reclaims those), and
+    * a replay after such a crash reconstructs the identical manifest —
+    * idempotence by construction, asserted by literally re-running the
+    * last commit in Round8OpsSpec. This is how Structured Streaming
+    * achieves exactly-once onto Iceberg/Delta-style tables without any
+    * sink-side dedup state (contrast st13, whose state is the point).
+    *
+    * Scale shape: commit cost is one metadata file per batch,
+    * independent of data volume; the final contract aggregate is an
+    * ordinary partial+final sum over the snapshot's file list.
+    */
+  private[graft] def st14Run(spark: SparkSession, dir: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_lake_src_").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val table = graft.util.Scratch.dir("graft_lake_tbl_")
+    val q = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) => st14Commit(table, b, bid); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table
+  }
+
+  /** One manifest-flip commit; replay-idempotent (see [[st14Run]]). */
+  private[graft] def st14Commit(table: String, batch: DataFrame, bid: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val rel = s"data/b$bid"
+    batch.write.mode("overwrite").parquet(s"$table/$rel")
+    val files = new java.io.File(s"$table/$rel").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}").sorted
+    val prev = st14Versions(table).filter(_ < bid).sorted.lastOption
+      .map(v => st14Manifest(table, v)).getOrElse(Seq.empty)
+    val tmp = Paths.get(s"$table/.manifest-v$bid.tmp")
+    Files.write(tmp, (prev ++ files).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$table/manifest-v$bid.txt"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[graft] def st14Versions(table: String): Seq[Long] =
+    Option(new java.io.File(table).listFiles).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith("manifest-v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("manifest-v").stripSuffix(".txt").toLong).toSeq
+
+  private[graft] def st14Manifest(table: String, v: Long): Seq[String] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$table/manifest-v$v.txt")), "UTF-8")
+    if (s.isEmpty) Seq.empty else s.split("\n").toSeq
+  }
+
+  def st14ManifestSink(spark: SparkSession, dir: String): DataFrame = {
+    val table = st14Run(spark, dir)
+    val versions = st14Versions(table)
+    val files = st14Manifest(table, versions.max).map(f => s"$table/$f")
+    spark.read.parquet(files: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .withColumn("n_snapshots", lit(versions.size.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  private val st14Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n_events,
+      |  CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) sum_cents,
+      |  CAST(4 AS BIGINT) n_snapshots
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st14_manifest_sink",
+      "exactly-once streaming lake commit: per-batch manifest flip, snapshot read-back",
+      st14ManifestSink, Some(st14Sql)),
     QueryDef("st12_cdc_apply",
       "CDC apply: last-writer-wins entity image from an out-of-order change log",
       st12CdcApply, Some(st12Sql)),
