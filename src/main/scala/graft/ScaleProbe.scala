@@ -59,7 +59,8 @@ object ScaleProbe {
     "v25_lsh_ann", "d15_source_similarity", "t40_tokenizer_fertility",
     "s14_epoch_shuffle", "st13_ingest_dedup", "g14_neighborhood_function",
     "a57_t_closeness", "l07_time_travel", "a58_table_stats",
-    "io11_partition_pruning", "t41_dsir_weights", "st14_manifest_sink")
+    "io11_partition_pruning", "t41_dsir_weights", "st14_manifest_sink",
+    "v27_rq_topk")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -2295,7 +2295,134 @@ object Similarity {
       |FROM h LEFT JOIN cp ON h.n_tables = cp.n_tables
       |ORDER BY h.n_tables""".stripMargin
 
+  /** v27 — residual quantization (RQ) top-3: the ADDITIVE-codebook
+    * compression family (Chen et al.'s RVQ lineage; FAISS
+    * ResidualQuantizer), the orthogonal alternative to v08's PRODUCT
+    * quantization. PQ splits dimensions and quantizes each slice
+    * independently; RQ quantizes the WHOLE vector coarsely, then
+    * quantizes the leftover error with a second codebook: x ≈ c₁ + c₂.
+    * Level-1 codewords are the deterministic first-16 vectors (the
+    * v02/v03 seeding convention); level-2 codewords are the ZERO word
+    * plus the level-1 residuals of vectors 16..30 — corpus-derived and
+    * deterministic, and the zero word guarantees two-level distortion
+    * never exceeds one-level (Round8OpsSpec asserts the monotonicity
+    * per vector). Scoring is ADC like v08: ⟨q, c₁+c₂⟩ = lut1[code1] +
+    * lut2[code2], two 16-entry tables per query, all int64 `vec_dot`.
+    *
+    * Scale shape: both encodes are broadcast(16-row codebook) joins +
+    * per-vector argmins (narrow, corpus×16); each corpus vector stores
+    * TWO code bytes. Like every flat ADC it still touches all pairs at
+    * score time — same `requirePairsBounded` guard and v18 escape route
+    * as v08.
+    */
+  def v27RqTopK(spark: SparkSession, dir: String,
+                maxPairs: Long = 1L << 31): DataFrame = {
+    requirePairsBounded(spark, dir, "v27", maxPairs,
+      routes = "route through v18 (IVF-PQ: cell-restricted ADC + exact refine)")
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+    val cb1 = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code1"), col("q").as("cw1"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d1").asc, col("code1").asc)
+    val enc1 = vecs.crossJoin(broadcast(cb1))
+      .withColumn("d1",
+        expr("vec_dot(q, q) - 2 * vec_dot(q, cw1) + vec_dot(cw1, cw1)"))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("code1"),
+        expr("zip_with(q, cw1, (a, b) -> a - b)").as("r"))
+    val cb2 = spark.range(1)
+      .select(lit(0L).as("code2"),
+        expr("array_repeat(CAST(0 AS BIGINT), 64)").as("cw2"))
+      .unionByName(enc1.filter(col("vec_id") >= 16 && col("vec_id") < 31)
+        .select((col("vec_id") - 15).as("code2"), col("r").as("cw2")))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("code2").asc)
+    val enc2 = enc1.crossJoin(broadcast(cb2))
+      .withColumn("d2",
+        expr("vec_dot(r, r) - 2 * vec_dot(r, cw2) + vec_dot(cw2, cw2)"))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("code1"), col("code2"))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+    val lut1 = queries.crossJoin(broadcast(cb1))
+      .select(col("vec_id").as("qid"), col("code1"),
+        expr("vec_dot(q, cw1)").as("p1"))
+    val lut2 = queries.crossJoin(broadcast(cb2))
+      .select(col("vec_id").as("qid"), col("code2"),
+        expr("vec_dot(q, cw2)").as("p2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    enc2.join(broadcast(lut1), Seq("code1"))
+      .join(broadcast(lut2), Seq("qid", "code2"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", col("p1") + col("p2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v27Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |cb1 AS (SELECT vec_id code1, q cw1 FROM v WHERE vec_id < 16),
+      |d1 AS (
+      |  SELECT v.vec_id, cb1.code1,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.q[CAST(i AS INTEGER)] - cb1.cw1[CAST(i AS INTEGER)])
+      |         * (v.q[CAST(i AS INTEGER)] - cb1.cw1[CAST(i AS INTEGER)]))) dist
+      |  FROM v, cb1),
+      |e1 AS (SELECT vec_id, code1 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                 ORDER BY dist ASC, code1 ASC) rn
+      |    FROM d1) WHERE rn = 1),
+      |res AS (
+      |  SELECT v.vec_id, e1.code1,
+      |    list_transform(range(1, 65),
+      |      i -> v.q[CAST(i AS INTEGER)] - cb1.cw1[CAST(i AS INTEGER)]) r
+      |  FROM v JOIN e1 USING (vec_id) JOIN cb1 ON e1.code1 = cb1.code1),
+      |cb2 AS (
+      |  SELECT CAST(0 AS BIGINT) code2,
+      |    list_transform(range(1, 65), i -> CAST(0 AS BIGINT)) cw2
+      |  UNION ALL
+      |  SELECT vec_id - 15, r FROM res WHERE vec_id >= 16 AND vec_id < 31),
+      |d2 AS (
+      |  SELECT res.vec_id, res.code1, cb2.code2,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (res.r[CAST(i AS INTEGER)] - cb2.cw2[CAST(i AS INTEGER)])
+      |         * (res.r[CAST(i AS INTEGER)] - cb2.cw2[CAST(i AS INTEGER)]))) dist
+      |  FROM res, cb2),
+      |e2 AS (SELECT vec_id cid, code1, code2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                 ORDER BY dist ASC, code2 ASC) rn
+      |    FROM d2) WHERE rn = 1),
+      |lut1 AS (
+      |  SELECT v.vec_id qid, cb1.code1,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> v.q[CAST(i AS INTEGER)] * cb1.cw1[CAST(i AS INTEGER)])) p1
+      |  FROM v, cb1 WHERE v.vec_id % 25 = 0),
+      |lut2 AS (
+      |  SELECT v.vec_id qid, cb2.code2,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> v.q[CAST(i AS INTEGER)] * cb2.cw2[CAST(i AS INTEGER)])) p2
+      |  FROM v, cb2 WHERE v.vec_id % 25 = 0),
+      |s AS (
+      |  SELECT lut1.qid, e2.cid, CAST(lut1.p1 + lut2.p2 AS BIGINT) score
+      |  FROM e2 JOIN lut1 ON e2.code1 = lut1.code1
+      |          JOIN lut2 ON lut2.qid = lut1.qid AND lut2.code2 = e2.code2
+      |  WHERE lut1.qid <> e2.cid),
+      |rk AS (SELECT qid, cid, score,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) rank
+      |       FROM s)
+      |SELECT qid, CAST(rank AS INTEGER) rank, cid neighbor_id, score
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v27_rq_topk",
+      "residual-quantization ADC top-3: additive two-level codebooks (PQ's orthogonal dual)",
+      v27RqTopK(_, _), Some(v27Sql)),
     QueryDef("v26_lsh_recall",
       "LSH recall@3 + candidate funnel over table-count prefixes (v25's instrument)",
       v26LshRecall(_, _), Some(v26Sql)),

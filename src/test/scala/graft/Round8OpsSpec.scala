@@ -720,6 +720,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("v27: RQ encode/score equals a driver replay; the residual level only helps") {
+    val out = Similarity.v27RqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val q = vecs.toMap
+    def sub(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => x - y }
+    def dot(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def l2(a: Array[Long], b: Array[Long]) = { val d = sub(a, b); dot(d, d) }
+    val cb1 = ids.filter(_ < 16).map(i => i -> q(i))
+    val enc1 = ids.map(v => v -> cb1.minBy { case (c, cw) => (l2(q(v), cw), c) }._1).toMap
+    val res = ids.map(v => v -> sub(q(v), q(enc1(v)))).toMap
+    val cb2 = (0L -> Array.fill(64)(0L)) +:
+      ids.filter(i => i >= 16 && i < 31).map(i => (i - 15) -> res(i))
+    val enc2 = ids.map(v => v -> cb2.minBy { case (c, cw) => (l2(res(v), cw), c) }).toMap
+    // the zero codeword guarantees level 2 never increases distortion
+    ids.foreach { v =>
+      assert(l2(res(v), enc2(v)._2) <= dot(res(v), res(v)),
+        s"residual level worsened vector $v")
+    }
+    // full ADC ranking replay
+    val queries = ids.filter(_ % 25 == 0)
+    assert(queries.nonEmpty && out.size == queries.length * 3)
+    queries.foreach { qid =>
+      val top = ids.filter(_ != qid).map { cid =>
+        (cid, dot(q(qid), q(enc1(cid))) + dot(q(qid), enc2(cid)._2))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(3)
+      top.zipWithIndex.foreach { case ((cid, s), i) =>
+        assert(out((qid, i + 1)) == ((cid, s)), s"qid=$qid rank=${i + 1}")
+      }
+    }
+  }
+
   test("st14: manifest commits are replay-idempotent and snapshots are isolated") {
     import graft.streaming.EventStream
     val table = EventStream.st14Run(spark, sf)
