@@ -490,7 +490,56 @@ object Sampling {
       |    (a, b) -> a * 16 + b)) AS order_checksum
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** s15 — deterministic stratified k-fold assignment (k = 5): the
+    * cross-validation split ML evaluation runs on top of the corpus —
+    * every doc lands in exactly one fold by the shared md5-int64 image
+    * of its id (so the assignment is reproducible on any engine, any
+    * partitioning, any day — the s05 determinism rule), and the audit
+    * emitted here is what a reviewer actually checks before trusting a
+    * CV number: per-(fold, language) counts and an order-invariant XOR
+    * id checksum proving the folds PARTITION the corpus (Σ = table,
+    * disjointness by construction of a function), with per-stratum
+    * balance asserted in Round8OpsSpec (hash-uniform folds hold each
+    * stratum's share to within sampling noise).
+    *
+    * Scale shape: one projection + one partial-aggregated groupBy on
+    * (fold, lang) — bounded output (k × |langs|), no shuffle of doc
+    * rows beyond the aggregate's.
+    */
+  def s15StratifiedKfold(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr("pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 5)")
+          .as("fold"),
+        expr("CAST(conv(substring(md5(concat('kf:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("img"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(img)").as("id_checksum"))
+      .orderBy(col("fold"), col("lang"))
+
+  private val s15Sql =
+    """WITH a AS (
+      |  SELECT lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 5 fold,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(concat('kf:', CAST(doc_id AS VARCHAR))), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) img
+      |  FROM documents)
+      |SELECT fold, lang, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(bit_xor(img) AS BIGINT) id_checksum
+      |FROM a GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s15_stratified_kfold",
+      "deterministic stratified 5-fold CV assignment: partition proof + per-stratum balance",
+      s15StratifiedKfold, Some(s15Sql)),
     QueryDef("s14_epoch_shuffle",
       "deterministic per-epoch permutation + equal contiguous shards (epoch reshuffle)",
       s14EpochShuffle(_, _), Some(s14Sql)),

@@ -720,6 +720,35 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("s15: folds partition the corpus and hold each stratum's share") {
+    val out = operators.Sampling.s15StratifiedKfold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    val n = Tables.documents(spark, sf).count()
+    // partition: per-stratum fold counts sum back to the stratum sizes
+    val strata = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._2._1).sum == strata(lang), s"fold counts leak for $lang")
+    }
+    assert(out.map(_._2._1).sum == n)
+    // the XOR checksums recombine to the corpus checksum (order-free)
+    val corpusXor = Tables.documents(spark, sf)
+      .agg(expr("bit_xor(CAST(conv(substring(md5(concat('kf:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT))"))
+      .head().getLong(0)
+    assert(out.map(_._2._2).reduce(_ ^ _) == corpusXor)
+    // balance: each fold holds its stratum's share within 4 sigma of
+    // binomial noise (hash-uniform assignment)
+    strata.foreach { case (lang, sn) =>
+      val exp = sn.toDouble / 5
+      val sigma = math.sqrt(exp * 0.8)
+      (0L to 4L).foreach { f =>
+        val got = out.toMap.getOrElse((f, lang), (0L, 0L))._1.toDouble
+        assert(math.abs(got - exp) <= math.max(4 * sigma, 8.0),
+          s"fold $f of $lang unbalanced: $got vs $exp")
+      }
+    }
+  }
+
   test("v27: RQ encode/score equals a driver replay; the residual level only helps") {
     val out = Similarity.v27RqTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
