@@ -1476,7 +1476,79 @@ object Windows {
       |       ELSE 'flat' END AS trend
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** w31 — Mann–Kendall trend test per event type: the NONPARAMETRIC
+    * dual of [[w30TrendSlope]]'s OLS fit. OLS answers "what is the
+    * slope"; MK answers "is there a monotone trend at all", from pair
+    * ORDER alone — S = Σ_{i<j} sgn(y_j − y_i) over the time-ordered
+    * DAILY series — so one outlier day can't manufacture a trend the
+    * way it can drag a least-squares line. The variance carries the
+    * standard tie correction, Var·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5),
+    * and the verdict applies the continuity-corrected z ≥ 2 rule as a
+    * pure integer comparison: 18·(|S|−1)² ≥ 4·Var18 (no sqrt crosses
+    * the engines; S = 0 is never significant).
+    *
+    * Scale shape: the fact table reduces to a per-(type, day) daily
+    * aggregate FIRST; the O(d²) sign self-join runs on that bounded
+    * frame (d grows with the CALENDAR span, not the row count — ten
+    * years is ~3 650 days per type regardless of corpus size; past
+    * that, the inversion-count rank formulation is the escape, the
+    * a52 prefix-rank machinery).
+    */
+  def w31MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
+      .withColumn("sig",
+        col("s") =!= 0 &&
+          lit(18L) * (abs(col("s")) - 1) * (abs(col("s")) - 1) >= lit(4L) * col("var18"))
+      .select(col("event_type"), col("n"), col("n_distinct"), col("s"),
+        col("var18"), col("sig"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w31Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) s
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a."day" < b."day"
+      |  GROUP BY 1),
+      |t0 AS (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) t FROM d GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n_distinct,
+      |    CAST(SUM(t) AS BIGINT) n,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) tie_term
+      |  FROM t0 GROUP BY 1),
+      |g AS (
+      |  SELECT s.event_type, t.n, t.n_distinct, s.s,
+      |    t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term var18
+      |  FROM s JOIN t USING (event_type))
+      |SELECT event_type, n, n_distinct, s, CAST(var18 AS BIGINT) var18,
+      |  s <> 0 AND 18 * (abs(s) - 1) * (abs(s) - 1) >= 4 * var18 AS sig
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w31_mann_kendall",
+      "Mann-Kendall monotone-trend test per type: tie-corrected, integer z>=2 verdict",
+      w31MannKendall, Some(w31Sql)),
     QueryDef("w30_trend_slope",
       "per-type OLS trend of the hourly series: exact integer components + verdict",
       w30TrendSlope, Some(w30Sql)),

@@ -720,6 +720,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("w31: Mann-Kendall components equal a driver recompute; |S|=1 never fires") {
+    val out = operators.Windows.w31MannKendall(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((ty, d), rs) => (ty, d, rs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    daily.foreach { case (ty, rows) =>
+      if (rows.length < 2) assert(!out.contains(ty))
+      else {
+        val ys = rows.sortBy(_._2).map(_._3)
+        val s = (for (i <- ys.indices; j <- i + 1 until ys.length)
+          yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+        val n = ys.length.toLong
+        val tie = ys.groupBy(identity).values
+          .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+        val var18 = n * (n - 1) * (2 * n + 5) - tie
+        val (on, ond, os, ov, osig) = out(ty)
+        assert(on == n && ond == ys.distinct.length.toLong && os == s && ov == var18)
+        assert(osig == (s != 0 &&
+          18 * (math.abs(s) - 1) * (math.abs(s) - 1) >= 4 * var18))
+        if (math.abs(s) == 1) assert(!osig || var18 == 0)
+      }
+    }
+    // the O(d^2) sign join must consume the DAILY aggregate, never rows
+    val plan = operators.Windows.w31MannKendall(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt >= 0 && plan.indexOf("Aggregate", joinAt) >= 0 &&
+      plan.indexOf("Aggregate", joinAt) < plan.indexOf("Relation"),
+      "sign self-join must sit above the daily aggregate")
+  }
+
   test("s15: folds partition the corpus and hold each stratum's share") {
     val out = operators.Sampling.s15StratifiedKfold(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
