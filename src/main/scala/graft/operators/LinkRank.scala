@@ -952,7 +952,111 @@ object LinkRank {
       |FROM s ORDER BY depth, k""".stripMargin
   }
 
+  /** g15 — deterministic random-walk sampling (the DeepWalk/node2vec
+    * corpus generator): one 3-step walk starts at EVERY node, and each
+    * step moves to an out-neighbor chosen by a shared md5-int64 image
+    * of (walk, position, step) mod out-degree — so the "random" walk is
+    * a pure function of the graph, reproducible on any engine and any
+    * partitioning (the s05 determinism rule), which is what makes
+    * walk-generated training corpora auditable. Dead ends (no
+    * out-edges) terminate the walk; the contract emits the per-step
+    * frontier audit — walks alive, distinct nodes occupied, and an
+    * order-invariant XOR checksum of (walk, node) images that pins
+    * every individual transition without materializing n·steps rows in
+    * the contract.
+    *
+    * Scale shape: neighbor selection is rank-indexed — neighbors get a
+    * dense rank within their source (one window partitioned BY src,
+    * shuffle-local), and each step is ONE equi-join of the frontier
+    * against the ranked edge table on (node, chosen-rank): at 100 TB,
+    * three hash joins co-partitioned on node, never a per-walk loop or
+    * a collect. The walk-id rides in the frontier row, so fan-out is
+    * exactly one row per live walk per step.
+    */
+  def g15RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = rawLinkEdges(spark, dir)
+      .filter(col("src") =!= col("dst")).distinct()
+    val wRank = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val ranked = edges
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+    def img(c1: String, c2: String) =
+      expr(s"CAST(conv(substring(md5(concat(CAST($c1 AS STRING), ':', " +
+        s"CAST($c2 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val start = Tables.documents(spark, dir)
+      .select(col("doc_id").as("walk"), col("doc_id").as("node"))
+    def step(frontier: DataFrame, t: Int): DataFrame = frontier
+      .join(ranked, frontier("node") === ranked("src"))
+      .withColumn("pick",
+        expr(s"pmod(CAST(conv(substring(md5(concat(CAST(walk AS STRING), ':', " +
+          s"CAST(node AS STRING), ':', $t)), 1, 15), 16, 10) AS BIGINT), outdeg) + 1"))
+      .filter(col("rn") === col("pick"))
+      .select(col("walk"), col("dst").as("node"))
+    val f1 = step(start, 1)
+    val f2 = step(f1, 2)
+    val f3 = step(f2, 3)
+    def audit(f: DataFrame, t: Int): DataFrame = f
+      .select(col("walk"), col("node"), img("walk", "node").as("i"))
+      .agg(count(lit(1)).as("n_alive"),
+        countDistinct(col("node")).as("n_occupied"),
+        coalesce(expr("bit_xor(i)"), lit(0L)).as("transition_checksum"))
+      .select(lit(t).as("step"), col("n_alive"), col("n_occupied"),
+        col("transition_checksum"))
+    audit(start, 0).unionByName(audit(f1, 1))
+      .unionByName(audit(f2, 2)).unionByName(audit(f3, 3))
+      .orderBy(col("step"))
+  }
+
+  private val g15Sql = {
+    def md5i(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5(concat(CAST($a AS VARCHAR), ':', CAST($b AS VARCHAR))), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b)""".stripMargin
+    def md5i3(a: String, b: String, t: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5(concat(CAST($a AS VARCHAR), ':', CAST($b AS VARCHAR), ':', '$t')), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b)""".stripMargin
+    def stepSql(prev: String, t: Int) =
+      s"""SELECT f.walk, r.dst node
+         |  FROM $prev f JOIN ranked r ON f.node = r.src
+         |  WHERE r.rn = ${md5i3("f.walk", "f.node", t)} % r.outdeg + 1""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |ranked AS (
+      |  SELECT src, dst,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) outdeg
+      |  FROM e),
+      |f0 AS (SELECT doc_id walk, doc_id node FROM documents),
+      |f1 AS (${stepSql("f0", 1)}),
+      |f2 AS (${stepSql("f1", 2)}),
+      |f3 AS (${stepSql("f2", 3)}),
+      |s AS (
+      |  SELECT 0 step, COUNT(*) n_alive, COUNT(DISTINCT node) n_occupied,
+      |    COALESCE(bit_xor(${md5i("walk", "node")}), 0) c FROM f0
+      |  UNION ALL SELECT 1, COUNT(*), COUNT(DISTINCT node),
+      |    COALESCE(bit_xor(${md5i("walk", "node")}), 0) FROM f1
+      |  UNION ALL SELECT 2, COUNT(*), COUNT(DISTINCT node),
+      |    COALESCE(bit_xor(${md5i("walk", "node")}), 0) FROM f2
+      |  UNION ALL SELECT 3, COUNT(*), COUNT(DISTINCT node),
+      |    COALESCE(bit_xor(${md5i("walk", "node")}), 0) FROM f3)
+      |SELECT CAST(step AS INTEGER) step, CAST(n_alive AS BIGINT) n_alive,
+      |  CAST(n_occupied AS BIGINT) n_occupied,
+      |  CAST(c AS BIGINT) transition_checksum
+      |FROM s ORDER BY step""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g15_random_walks",
+      "deterministic DeepWalk sampling: md5-indexed 3-step walks, per-step frontier audit",
+      g15RandomWalks, Some(g15Sql)),
     QueryDef("g14_neighborhood_function",
       "ANF/HyperBall neighborhood function: FM-sketch OR-propagation, depths 0-2",
       g14NeighborhoodFunction, Some(g14Sql)),

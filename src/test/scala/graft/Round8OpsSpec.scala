@@ -720,6 +720,40 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("g15: walk frontier audit equals an exact driver-side walk replay") {
+    val out = operators.LinkRank.g15RandomWalks(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val edges = ids.flatMap(v => Seq(1, 2, 3).map(k => (v, (v * v * 31 + k * 17) % n)))
+      .filter { case (s, d) => s != d }.distinct
+    val nbrs = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.sorted.toSeq }
+    def md5i64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    var frontier: Seq[(Long, Long)] = ids.map(v => (v, v)).toSeq
+    for (t <- 0 to 3) {
+      val expected = (frontier.length.toLong,
+        frontier.map(_._2).distinct.length.toLong,
+        if (frontier.isEmpty) 0L
+        else frontier.map { case (w, v) => md5i64(s"$w:$v") }.reduce(_ ^ _))
+      assert(out(t) == expected, s"step $t diverges from the exact replay")
+      frontier = frontier.flatMap { case (w, v) =>
+        nbrs.get(v).map { ns =>
+          val pick = (md5i64(s"$w:$v:${t + 1}") % ns.length).toInt
+          (w, ns(pick))
+        }
+      }
+    }
+    // walks only ever die at dead ends: alive counts are non-increasing
+    val alive = (0 to 3).map(out(_)._1)
+    assert(alive == alive.sorted.reverse && alive.head == n)
+  }
+
   test("w31: Mann-Kendall components equal a driver recompute; |S|=1 never fires") {
     val out = operators.Windows.w31MannKendall(spark, sf).collect()
       .map(r => r.getString(0) ->
