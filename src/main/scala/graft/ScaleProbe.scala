@@ -61,7 +61,7 @@ object ScaleProbe {
     "a57_t_closeness", "l07_time_travel", "a58_table_stats",
     "io11_partition_pruning", "t41_dsir_weights", "st14_manifest_sink",
     "v27_rq_topk", "s15_stratified_kfold", "w31_mann_kendall",
-    "g15_random_walks")
+    "g15_random_walks", "t42_boilerplate_strip")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

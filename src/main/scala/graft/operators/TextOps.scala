@@ -2456,7 +2456,92 @@ object TextOps {
       |FROM tk JOIN sc ON tk.b = sc.b
       |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
 
+  /** t42 — boilerplate/HTML strip (the C4/CommonCrawl cleaning stage):
+    * script and style BLOCKS go (content included — that's where the
+    * `1 < 2` javascript that breaks naive tag regexes lives), comments
+    * go, tags go, the five standard entities decode (&amp; LAST, the
+    * classic double-decode trap), and whitespace collapses. Because the
+    * synthetic corpus contains no markup characters (checked across all
+    * sfs), the operator can prove itself by ROUND-TRIP: every fifth doc
+    * is wrapped in a full planted template in-query, and the contract
+    * counts docs whose cleaned form equals the whitespace-normalized
+    * original — n_ok == n_docs means the strip removed exactly the
+    * boilerplate and nothing else, and the emitted md5-XOR of cleaned
+    * text pins every byte cross-engine.
+    *
+    * Scale shape: pure per-row projection (regex + replace chain), no
+    * shuffle before the bounded per-lang rollup — the embarrassingly
+    * parallel shape a 100 TB cleaning pass needs.
+    */
+  /** The t42 cleaning pipeline as a SQL expression over column `c` —
+    * exposed for the spec's adversarial unit probes (entity decode
+    * order, script-content removal). */
+  private[graft] def stripExpr(c: String): String = {
+    val tagPat = "(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->|<[^>]*>)"
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(
+       |    regexp_replace($c, '$tagPat', ' '),
+       |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+       |  '\\\\s+', ' '))""".stripMargin
+  }
+
+  def t42BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val template_open = "<html><head><title></title>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "<style>p { color: red; }</style></head><body><div class=\"content\">&nbsp;"
+    val template_close = "&nbsp;</div><!-- footer --></body></html>"
+    val cleaned = stripExpr("raw")
+    Tables.documents(spark, dir)
+      .withColumn("is_wrapped", col("doc_id") % 5 === 0)
+      .withColumn("raw",
+        when(col("is_wrapped"),
+          concat(lit(template_open), col("text"), lit(template_close)))
+          .otherwise(col("text")))
+      .withColumn("cleaned", expr(cleaned))
+      .withColumn("norm", expr("trim(regexp_replace(text, '\\\\s+', ' '))"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_wrapped"), 1L).otherwise(0L)).as("n_wrapped"),
+        sum(when(col("cleaned") === col("norm"), 1L).otherwise(0L)).as("n_ok"),
+        expr("bit_xor(CAST(conv(substring(md5(cleaned), 1, 15), 16, 10) AS BIGINT))")
+          .as("cleaned_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  private val t42Sql =
+    """WITH w AS (
+      |  SELECT lang, text, doc_id % 5 = 0 is_wrapped,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      '<html><head><title></title><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><div class="content">&nbsp;'
+      |      || text ||
+      |      '&nbsp;</div><!-- footer --></body></html>'
+      |    ELSE text END raw
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, is_wrapped,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(raw,
+      |          '(?s)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->|<[^>]*>)',
+      |          ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) cleaned,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) norm
+      |  FROM w)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(SUM(CASE WHEN is_wrapped THEN 1 ELSE 0 END) AS BIGINT) n_wrapped,
+      |  CAST(SUM(CASE WHEN cleaned = norm THEN 1 ELSE 0 END) AS BIGINT) n_ok,
+      |  CAST(bit_xor(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 16),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(cleaned), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |    (a, b) -> a * 16 + b)) AS BIGINT) cleaned_checksum
+      |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t42_boilerplate_strip",
+      "C4-style HTML/boilerplate strip proven by planted-template round-trip per lang",
+      t42BoilerplateStrip, Some(t42Sql)),
     QueryDef("t41_dsir_weights",
       "DSIR importance weights: hashed-unigram target/raw LM log-ratio per doc",
       t41DsirWeights, Some(t41Sql)),

@@ -720,6 +720,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(batch.map(_._4).sum > 0L, "no rejections - planted dups not caught")
   }
 
+  test("t42: every planted template round-trips; adversarial markup cases hold") {
+    val out = operators.TextOps.t42BoilerplateStrip(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        s"lang ${r.getString(0)}: ${r.getLong(1) - r.getLong(3)} docs failed round-trip")
+      assert(r.getLong(2) > 0, "no wrapped docs in this lang")
+    }
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count() && out.map(_.getLong(1)).sum == n)
+    // adversarial unit probes through the same expression
+    import spark.implicits._
+    def clean(s: String): String = Seq(s).toDF("c")
+      .selectExpr(operators.TextOps.stripExpr("c")).head().getString(0)
+    // script CONTENT (with a bare '<') must vanish with the block
+    assert(clean("a <script>if (1 < 2) alert('x');</script> b") == "a b")
+    // entity decode order: &amp;lt; is the LITERAL string "&lt;", not "<"
+    assert(clean("x &amp;lt; y") == "x &lt; y")
+    // comments spanning fake tags vanish whole
+    assert(clean("k <!-- <div> junk --> m") == "k m")
+    // quote entity and attribute-bearing tags
+    assert(clean("<p class=\"z\">say &quot;hi&quot;</p>") == "say \"hi\"")
+    assert(clean("<style>a{content:'<';}</style>done") == "done")
+  }
+
   test("g15: walk frontier audit equals an exact driver-side walk replay") {
     val out = operators.LinkRank.g15RandomWalks(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
