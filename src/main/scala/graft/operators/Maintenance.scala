@@ -1843,7 +1843,86 @@ object Maintenance {
        |FROM s ORDER BY col_name""".stripMargin
   }
 
+  /** a59 — AMS (Alon–Matias–Szegedy) sign-sketch second-moment estimate
+    * audited against the exact F2. F2 = Σ_u c_u² (c_u = events per user)
+    * is the self-join size / skew statistic a planner prices shuffle
+    * joins with; the AMS sketch estimates it from 16 signed counters
+    * X_j = Σ_u s_j(u)·c_u with 16 independent ±1 hash families —
+    * E[X²] = F2 — so the whole sketch is 16 int64s per group no matter
+    * how many users exist. This completes the sketch quartet: HLL
+    * cardinality (a35), CMS point frequency (a36), KMV set algebra
+    * (a37), AMS second moment (a59).
+    *
+    * Cross-engine exactness: the sign hash is the shared md5-int64
+    * image (parity bit of the 60-bit image of "user:j"), so both
+    * engines build bit-identical sketches; every aggregate is integer;
+    * squares go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the
+    * arithmetic is exact at any scale (X² overflows int64 once
+    * Σc_u > ~3·10⁹). The estimator explodes ×16 over the ALREADY
+    * AGGREGATED (type, user) frame — at 100 TB the raw event scan feeds
+    * one partial-agg shuffle and the blowup touches only distinct keys.
+    */
+  def a59AmsF2(spark: SparkSession, dir: String): DataFrame = {
+    val cu = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val exact = cu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"))
+          .cast(DecimalType(38, 0)).as("f2x"))
+    val est = cu
+      .withColumn("j", explode(expr("sequence(0, 15)")))
+      .withColumn("sgn", expr("1 - 2 * CAST(pmod(CAST(conv(substring(md5(" +
+        "concat(CAST(user_id AS STRING), ':', CAST(j AS STRING))" +
+        "), 1, 15), 16, 10) AS BIGINT), 2) AS INT)"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(sum(col("sgn") * col("c")).as("x"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))"))
+        .cast(DecimalType(38, 0)).as("xx"))
+      .withColumn("f2e", expr("xx div 16"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_users"),
+        col("f2x").cast("long").as("f2_exact"),
+        col("f2e").cast("long").as("f2_est"),
+        expr("CAST(abs(f2e - f2x) * 1000000 div f2x AS BIGINT)").as("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a59Sql =
+    """WITH cu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) c
+      |  FROM events GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n_users,
+      |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) f2x
+      |  FROM cu GROUP BY 1),
+      |sg AS (
+      |  SELECT event_type, j, c,
+      |    1 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+      |               CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+      |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 2 AS BIGINT) sgn
+      |  FROM cu CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
+      |xs AS (
+      |  SELECT event_type, j, CAST(SUM(sgn * c) AS BIGINT) x
+      |  FROM sg GROUP BY 1, 2),
+      |est AS (
+      |  SELECT event_type,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) // 16 f2e
+      |  FROM xs GROUP BY 1)
+      |SELECT exact.event_type, n_users, CAST(f2x AS BIGINT) f2_exact,
+      |  CAST(f2e AS BIGINT) f2_est,
+      |  CAST(abs(f2e - f2x) * 1000000 // f2x AS BIGINT) err_ppm
+      |FROM exact JOIN est ON exact.event_type = est.event_type
+      |ORDER BY exact.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a59_ams_f2",
+      "AMS sign-sketch F2 estimate vs exact second moment (16 estimators, shared md5 signs)",
+      a59AmsF2, Some(a59Sql)),
     QueryDef("a58_table_stats",
       "one-pass ANALYZE: per-column n/null/NDV/min/max catalog rows for the CBO",
       a58TableStats, Some(a58Sql)),

@@ -1545,7 +1545,89 @@ object Windows {
       |  s <> 0 AND 18 * (abs(s) - 1) * (abs(s) - 1) >= 4 * var18 AS sig
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** w32 — Wald–Wolfowitz runs test per event type: is the SIGN sequence
+    * of day-over-day moves random, or does it streak (momentum) /
+    * alternate (mean-reversion)? Complements [[w31MannKendall]]: w31
+    * asks "is there a monotone trend", the runs test asks "are moves
+    * independent" — a series can pass one and fail the other. Zero
+    * deltas are dropped (the standard treatment), R = number of
+    * maximal same-sign runs, and the normal-approximation gate
+    * |R − µ| ≥ 2σ with µ = 1 + 2·n₁·n₂/n, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1))
+    * is evaluated as one exact integer inequality — cross-multiplied to
+    * ((R−1)·n − 2n₁n₂)²·(n−1) ≥ 4·2n₁n₂·(2n₁n₂−n) in DECIMAL(38,0) /
+    * HUGEINT so no float or sqrt crosses the engine boundary (the
+    * square overflows int64 once n > ~30k days, i.e. never for
+    * calendar-bounded series, but the decimal form is scale-proof).
+    *
+    * Scale shape: one partial-agg shuffle to the daily rollup, then both
+    * windows and the final aggregate share the single event_type
+    * exchange; per-type state is calendar-bounded.
+    */
+  def w32RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sgn = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .withColumn("d", col("y") - lag(col("y"), 1).over(w))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+      .withColumn("sgn", when(col("d") > 0, 1).otherwise(-1))
+    sgn
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("sgn"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(col("chg")).as("runs"))
+      .withColumn("n", col("n_up") + col("n_down"))
+      .withColumn("m2", expr("CAST(2 * n_up * n_down AS DECIMAL(38,0))"))
+      .withColumn("lhs", expr(
+        "CAST((runs - 1) * n AS DECIMAL(38,0)) - m2"))
+      .withColumn("sig", expr(
+        "m2 > 0 AND lhs * lhs * (n - 1) >= 4 * m2 * (m2 - n)"))
+      .select(col("event_type"), col("n_up"), col("n_down"), col("runs"),
+        col("sig"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w32Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT event_type, "day",
+      |    y - lag(y) OVER (PARTITION BY event_type ORDER BY "day") delta
+      |  FROM d),
+      |s AS (
+      |  SELECT event_type, "day", CASE WHEN delta > 0 THEN 1 ELSE -1 END sgn
+      |  FROM dd WHERE delta IS NOT NULL AND delta <> 0),
+      |r AS (
+      |  SELECT event_type, sgn,
+      |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY "day")
+      |      IS DISTINCT FROM sgn THEN 1 ELSE 0 END chg
+      |  FROM s),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_up,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) n_down,
+      |    CAST(SUM(chg) AS BIGINT) runs
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_up, n_down, runs,
+      |  2 * n_up * n_down > 0 AND
+      |  CAST((runs - 1) * (n_up + n_down) - 2 * n_up * n_down AS HUGEINT)
+      |    * CAST((runs - 1) * (n_up + n_down) - 2 * n_up * n_down AS HUGEINT)
+      |    * (n_up + n_down - 1)
+      |  >= 4 * CAST(2 * n_up * n_down AS HUGEINT)
+      |    * (2 * n_up * n_down - (n_up + n_down)) AS sig
+      |FROM g ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w32_runs_test",
+      "Wald-Wolfowitz runs test on daily up/down moves per type (exact integer gate)",
+      w32RunsTest, Some(w32Sql)),
     QueryDef("w31_mann_kendall",
       "Mann-Kendall monotone-trend test per type: tie-corrected, integer z>=2 verdict",
       w31MannKendall, Some(w31Sql)),

@@ -1142,4 +1142,82 @@ class Round8OpsSpec extends AnyFunSuite {
         s"IVF rank-${r.getInt(2)} beats the exhaustive scan for qid ${r.getLong(0)}")
     }
   }
+
+  test("a59: AMS sketch and exact F2 equal a BigInt driver replay; explode sits above the agg") {
+    val out = Maintenance.a59AmsF2(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cu = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def sign(user: Long, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$user:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1L - 2L * (java.lang.Long.parseLong(hex.take(15), 16) % 2)
+    }
+    cu.groupBy(_._1).foreach { case (ty, rows) =>
+      val (nUsers, f2Exact, f2Est, errPpm) = out(ty)
+      assert(nUsers == rows.length.toLong)
+      val exact = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      assert(BigInt(f2Exact) == exact)
+      val xx = (0 to 15).map { j =>
+        val x = rows.map(r => sign(r._2, j) * r._3).sum
+        BigInt(x) * BigInt(x)
+      }.sum
+      assert(BigInt(f2Est) == xx / 16)
+      assert(errPpm == ((xx / 16 - exact).abs * 1000000 / exact).toLong)
+    }
+    // the x16 estimator explode must consume the (type, user) aggregate,
+    // never the raw event scan — the blowup touches only distinct keys
+    val plan = Maintenance.a59AmsF2(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val genAt = plan.indexOf("Generate")
+    assert(genAt >= 0, "expected the sequence explode")
+    val aggBelow = plan.indexOf("Aggregate", genAt)
+    assert(aggBelow >= 0 && aggBelow < plan.indexOf("Relation", genAt),
+      "explode must sit above the (type, user) aggregate, not the scan")
+  }
+
+  test("w32: runs-test components equal a driver replay; zero deltas are dropped") {
+    val out = operators.Windows.w32RunsTest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((ty, d), rs) => (ty, d, rs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    daily.foreach { case (ty, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val sgns = ys.sliding(2).collect {
+        case Seq(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      if (sgns.isEmpty) assert(!out.contains(ty))
+      else {
+        val nUp = sgns.count(_ == 1).toLong
+        val nDown = sgns.count(_ == -1).toLong
+        val runs = 1L + sgns.sliding(2).count {
+          case Seq(a, b) => a != b
+          case _         => false
+        }
+        val (oUp, oDown, oRuns, oSig) = out(ty)
+        assert((oUp, oDown, oRuns) == ((nUp, nDown, runs)), s"components differ for $ty")
+        val n = BigInt(nUp + nDown)
+        val m2 = 2 * BigInt(nUp) * BigInt(nDown)
+        val lhs = (BigInt(runs) - 1) * n - m2
+        assert(oSig == (m2 > 0 && lhs * lhs * (n - 1) >= 4 * m2 * (m2 - n)),
+          s"significance gate differs for $ty")
+      }
+    }
+    // both lag windows + the final aggregate share one event_type
+    // exchange; the daily rollup adds its own — exactly two in total
+    val df = operators.Windows.w32RunsTest(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges (rollup + windows), got $hashEx")
+  }
 }
