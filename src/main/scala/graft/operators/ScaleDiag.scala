@@ -421,6 +421,97 @@ object ScaleDiag {
       |  SELECT 3, 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
       |SELECT "version", n_files, n_rows, key_sum FROM a ORDER BY "version"""".stripMargin
 
+  /** l08 — write-audit-publish (WAP): the staged-commit protocol a
+    * production lake uses so bad data NEVER becomes readable. Each batch
+    * is (1) STAGED as ordinary parquet files, (2) AUDITED by reading the
+    * staged files back — a data-contract pass in the
+    * [[Maintenance.a53ContractAudit]] spirit: positive price cents and
+    * primary-key uniqueness against the already-published snapshot —
+    * and (3) PUBLISHED by appending the staged file names to the
+    * manifest ONLY if the audit is clean; a failing batch's files stay
+    * on disk as unreferenced orphans ([[l05RetentionVacuum]]'s domain)
+    * and the table read through the manifest is provably unchanged.
+    *
+    * Four deterministic batches exercise both rules and both verdicts:
+    * b1 (keys ≡ 1 mod 3) is clean and publishes; b2 (≡ 2 mod 3) plants
+    * negated cents on even keys and is rejected by the price rule; b3
+    * re-stages the ≡ 10 mod 15 slice of b1 — every staged key collides
+    * with the published snapshot — and is rejected by the pk rule; b4
+    * (≡ 0 mod 3) is clean and publishes. Each emitted row carries the
+    * staged/violation counts, the verdict, and the post-attempt table
+    * aggregate: b2's and b3's table columns equal b1's, which IS the
+    * isolation proof.
+    *
+    * Scale shape: the audit reads only the STAGED batch (plus a
+    * pk semi-join against the published snapshot — at 100 TB a
+    * bloom/bucketed anti-join on the key); publish is a metadata-only
+    * manifest flip, data files are never rewritten or copied.
+    */
+  def l08WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val scratch = graft.util.Scratch.dir("l08_wap_")
+    val data = new java.io.File(s"$scratch/data")
+    def listing(): Set[String] =
+      Option(data.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val batches = Seq(
+      orders.filter(col("k") % 3 === 1),
+      orders.filter(col("k") % 3 === 2)
+        .withColumn("cents", when(col("k") % 2 === 0, -col("cents"))
+          .otherwise(col("cents"))),
+      orders.filter(col("k") % 15 === 10),
+      orders.filter(col("k") % 3 === 0))
+    var manifest = Vector.empty[String]
+    def snapshot(): DataFrame =
+      if (manifest.isEmpty) spark.range(0).select(col("id").as("k"), col("id").as("cents"))
+      else spark.read.parquet(manifest.map(n => s"$data/$n"): _*)
+    val out = batches.zipWithIndex.map { case (b, i) =>
+      val before = listing()
+      b.repartition(2).write.mode("append").parquet(data.toString)
+      val stagedFiles = (listing() -- before).toSeq.sorted
+      val staged = spark.read.parquet(stagedFiles.map(n => s"$data/$n"): _*)
+      val audit = staged.agg(count(lit(1)).as("staged_rows"),
+        coalesce(sum(when(col("cents") <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("bad_price")).head()
+      val (stagedRows, badPrice) = (audit.getLong(0), audit.getLong(1))
+      val dupPk = staged.join(snapshot().select(col("k")), Seq("k"), "left_semi")
+        .count()
+      val publish = badPrice == 0 && dupPk == 0
+      if (publish) manifest ++= stagedFiles
+      Files.write(Paths.get(s"$scratch/manifest-v${i + 1}.txt"),
+        manifest.sorted.mkString("\n").getBytes("UTF-8"))
+      val t = snapshot().agg(count(lit(1)).as("n"), sum(col("k")).as("s")).head()
+      (i + 1, stagedRows, badPrice, dupPk, publish, t.getLong(0), t.getLong(1))
+    }
+    import spark.implicits._
+    out.toDF("batch", "staged_rows", "bad_price", "dup_pk", "published",
+      "table_rows", "table_key_sum").orderBy(col("batch"))
+  }
+
+  private val l08Sql =
+    """WITH o AS (SELECT o_orderkey k FROM orders),
+      |b1 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(k) AS BIGINT) s
+      |       FROM o WHERE k % 3 = 1),
+      |b2 AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+      |              CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) v
+      |       FROM o WHERE k % 3 = 2),
+      |b3 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM o WHERE k % 15 = 10),
+      |b4 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(k) AS BIGINT) s
+      |       FROM o WHERE k % 3 = 0)
+      |SELECT 1 batch, b1.n staged_rows, CAST(0 AS BIGINT) bad_price,
+      |  CAST(0 AS BIGINT) dup_pk, TRUE published,
+      |  b1.n table_rows, b1.s table_key_sum FROM b1
+      |UNION ALL
+      |SELECT 2, b2.n, b2.v, 0, b2.v = 0, b1.n, b1.s FROM b1, b2
+      |UNION ALL
+      |SELECT 3, b3.n, 0, b3.n, b3.n = 0, b1.n, b1.s FROM b1, b3
+      |UNION ALL
+      |SELECT 4, b4.n, 0, 0, TRUE, b1.n + b4.n, b1.s + b4.s FROM b1, b4
+      |ORDER BY batch""".stripMargin
+
   /** l06 — retraction-aware incremental aggregate refresh: the matview
     * maintenance problem [[graft.operators.Maintenance.a33IncrementalAgg]]
     * deliberately avoids. a33's append-only merge works because
@@ -590,6 +681,9 @@ object ScaleDiag {
       |ORDER BY o_custkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l08_write_audit_publish",
+      "write-audit-publish staged commits: contract-failing batches never reach the manifest",
+      l08WriteAuditPublish, Some(l08Sql)),
     QueryDef("l07_time_travel",
       "manifest-versioned snapshot reads: append/compact/pin, isolation proven by aggregates",
       l07TimeTravel, Some(l07Sql)),

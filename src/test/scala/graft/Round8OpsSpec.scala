@@ -1220,4 +1220,28 @@ class Round8OpsSpec extends AnyFunSuite {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(hashEx == 2, s"expected 2 hash exchanges (rollup + windows), got $hashEx")
   }
+
+  test("l08: rejected batches never reach the manifest; verdicts equal a driver replay") {
+    val out = operators.ScaleDiag.l08WriteAuditPublish(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6))).toMap
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val b1 = keys.filter(_ % 3 == 1)
+    val b4 = keys.filter(_ % 3 == 0)
+    // planted failures fire: the price rule on b2's even keys, the pk
+    // rule on b3's restage of the published mod-15 slice
+    assert(out(2)._2 == keys.count(k => k % 3 == 2 && k % 2 == 0).toLong)
+    assert(out(2)._2 > 0 && !out(2)._4)
+    assert(out(3)._3 == keys.count(_ % 15 == 10).toLong)
+    assert(out(3)._3 > 0 && !out(3)._4)
+    assert(out(1)._4 && out(4)._4)
+    // isolation: a rejected commit leaves the readable table bit-identical
+    assert(out(2)._5 == out(1)._5 && out(2)._6 == out(1)._6)
+    assert(out(3)._5 == out(1)._5 && out(3)._6 == out(1)._6)
+    // the published snapshot is exactly b1 + b4
+    assert(out(1)._5 == b1.length.toLong && out(1)._6 == b1.sum)
+    assert(out(4)._5 == (b1.length + b4.length).toLong &&
+      out(4)._6 == b1.sum + b4.sum)
+  }
 }
