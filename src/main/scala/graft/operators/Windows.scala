@@ -1624,7 +1624,91 @@ object Windows {
       |    * (2 * n_up * n_down - (n_up + n_down)) AS sig
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** w33 — rescaled-range (Hurst R/S) components per event type: the
+    * long-range-dependence instrument the w-family's short-memory tests
+    * cannot see ([[w25LagAutocorr]] is lag-1, [[w32RunsTest]] is
+    * sign-independence; a series can pass both and still be persistent).
+    * The daily series is cut into blocks of m ∈ {5, 10, 15} days and
+    * each FULL block emits its two classic components exactly:
+    * `r_scaled` = m·R where R = max−min of the mean-adjusted cumulative
+    * deviations (z_i = m·P_i − i·T keeps everything integer — P_i the
+    * within-block prefix, T the block total), and `s2_scaled` = m²·S²
+    * = m·Σy² − T² in DECIMAL(38,0)/HUGEINT (Σy² overflows int64 once
+    * daily sums pass ~3·10⁹ cents). Consumers regress
+    * ln(R/S) = ln(r_scaled/√s2_scaled) on ln m for the Hurst exponent —
+    * the quotient/sqrt stay out of the contract per the w25 division
+    * rule.
+    *
+    * Scale shape: one partial-agg shuffle to the daily rollup; the
+    * row_number/cumsum windows, the per-block aggregate, the broadcast
+    * join-back, and the z-extent aggregate all run on the
+    * calendar-bounded daily frame (30 rows per type here, ≤ a few
+    * thousand at any horizon) — no fact-scale windows.
+    */
+  def w33RescaledRange(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .withColumn("idx", row_number().over(wOrd))
+      .withColumn("cum", sum(col("y")).over(wOrd))
+    val e = daily
+      .withColumn("block_m", explode(array(lit(5L), lit(10L), lit(15L))))
+      .withColumn("block_id", expr("(idx - 1) div block_m"))
+      .withColumn("i", expr("(idx - 1) % block_m + 1"))
+    val blocks = e.groupBy(col("event_type"), col("block_m"), col("block_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).as("t"),
+        max(when(col("i") === 1, col("cum") - col("y"))).as("c0"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("yy"))
+      .filter(col("nd") === col("block_m"))
+    e.join(broadcast(blocks), Seq("event_type", "block_m", "block_id"))
+      .withColumn("z", expr("block_m * (cum - c0) - i * t"))
+      .groupBy(col("event_type"), col("block_m"), col("block_id"))
+      .agg((max(col("z")) - min(col("z"))).as("r_scaled"),
+        (max(col("block_m")) * max(col("yy")) -
+          expr("CAST(max(t) AS DECIMAL(38,0)) * max(t)"))
+          .cast(DecimalType(38, 0)).as("s2_scaled"))
+      .orderBy(col("event_type"), col("block_m"), col("block_id"))
+  }
+
+  private val w33Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 dy,
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, y,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) idx,
+      |    CAST(SUM(y) OVER w AS BIGINT) cum
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY dy)),
+      |e AS (
+      |  SELECT event_type, block_m, (idx - 1) // block_m block_id,
+      |    (idx - 1) % block_m + 1 i, y, cum
+      |  FROM r, (SELECT CAST(unnest([5, 10, 15]) AS BIGINT) block_m)),
+      |blk AS (
+      |  SELECT event_type, block_m, block_id,
+      |    CAST(COUNT(*) AS BIGINT) nd, CAST(SUM(y) AS BIGINT) t,
+      |    CAST(MAX(CASE WHEN i = 1 THEN cum - y END) AS BIGINT) c0,
+      |    SUM(CAST(y AS HUGEINT) * y) yy
+      |  FROM e GROUP BY 1, 2, 3),
+      |z AS (
+      |  SELECT e.event_type, e.block_m, e.block_id,
+      |    e.block_m * (e.cum - blk.c0) - e.i * blk.t zz,
+      |    blk.t, blk.yy
+      |  FROM e JOIN blk USING (event_type, block_m, block_id)
+      |  WHERE blk.nd = e.block_m)
+      |SELECT event_type, block_m, block_id,
+      |  CAST(MAX(zz) - MIN(zz) AS BIGINT) r_scaled,
+      |  MAX(block_m) * MAX(yy) - CAST(MAX(t) AS HUGEINT) * MAX(t) s2_scaled
+      |FROM z GROUP BY 1, 2, 3
+      |ORDER BY event_type, block_m, block_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w33_rescaled_range",
+      "Hurst R/S components per type: exact per-block m*R and m^2*S^2 over block sizes 5/10/15",
+      w33RescaledRange, Some(w33Sql)),
     QueryDef("w32_runs_test",
       "Wald-Wolfowitz runs test on daily up/down moves per type (exact integer gate)",
       w32RunsTest, Some(w32Sql)),

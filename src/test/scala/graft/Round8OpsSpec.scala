@@ -1244,4 +1244,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(4)._5 == (b1.length + b4.length).toLong &&
       out(4)._6 == b1.sum + b4.sum)
   }
+
+  test("w33: per-block R/S components equal a BigInt driver replay; R is translation-invariant") {
+    val out = operators.Windows.w33RescaledRange(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), BigInt(r.getDecimal(4).toBigInteger))).toMap
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((ty, d), rs) => (ty, d, rs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    var checked = 0
+    daily.foreach { case (ty, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      for (m <- Seq(5, 10, 15); b <- 0 until ys.length / m) {
+        val blk = ys.slice(b * m, b * m + m)
+        val t = blk.sum
+        val zs = blk.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (p, i0) => m * p - (i0 + 1) * t }
+        val r = zs.max - zs.min
+        val s2 = BigInt(m) * blk.map(y => BigInt(y) * y).sum - BigInt(t) * t
+        assert(out((ty, m.toLong, b.toLong)) == ((r, s2)),
+          s"block ($ty, m=$m, b=$b) differs")
+        // mean-adjusted deviations are translation-invariant: shifting
+        // every y by a constant must not move R (z picks it up as
+        // m*i*c - i*m*c = 0) — the property that distinguishes R from
+        // w26's raw drawdown range
+        val shifted = blk.map(_ + 1000000L)
+        val t2 = shifted.sum
+        val zs2 = shifted.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (p, i0) => m * p - (i0 + 1) * t2 }
+        assert(zs2.max - zs2.min == r, "R must be translation-invariant")
+        checked += 1
+      }
+    }
+    assert(checked == out.size && checked >= 11,
+      s"expected full-block coverage, checked=$checked vs ${out.size}")
+    // every per-row window/aggregate must sit above the daily rollup
+    val plan = operators.Windows.w33RescaledRange(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && plan.indexOf("Aggregate", winAt) >= 0 &&
+      plan.indexOf("Aggregate", winAt) < plan.indexOf("Relation", winAt),
+      "windows must run over the daily aggregate, never raw events")
+  }
 }
