@@ -536,7 +536,92 @@ object Sampling {
       |  CAST(bit_xor(img) AS BIGINT) id_checksum
       |FROM a GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
 
+  /** s16 — universe (join-consistent) sampling vs independent Bernoulli:
+    * the correlated-sampling lemma every join-cardinality estimator and
+    * every "develop on 1% of the lake" workflow rests on. Hashing the
+    * JOIN KEY with one shared function and keeping keys whose image
+    * ≡ 0 (mod 10) samples BOTH fact tables consistently: the join of
+    * the samples is exactly the join restricted to kept keys — a true
+    * 10% universe sample of the join, unbiased via est = joined/p.
+    * Independent per-row 10% Bernoulli on each side destroys join
+    * density instead: a pair survives only when both rows independently
+    * survive (p² ≈ 1%), so the same estimator needs joined/p² and its
+    * variance is driven by a 100× smaller surviving-pair count — the
+    * measured joined_rows gap between the two strategy rows IS the
+    * lemma. At 100 TB: universe sampling is a metadata-free filter that
+    * composes with every downstream join (same keys kept everywhere);
+    * independent sampling is only safe for single-table statistics.
+    *
+    * Determinism: the shared md5-int64 image (d10/d12 convention) on
+    * both engines; estimates and err_ppm are exact integer arithmetic.
+    */
+  def s16UniverseSample(spark: SparkSession, dir: String): DataFrame = {
+    def img(s: String) =
+      s"pmod(CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT), 10)"
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val t = li.agg(count(lit(1)).as("true_total"))
+    def branch(name: String, ko: DataFrame, kl: DataFrame,
+               scale: Long): DataFrame = {
+      val j = ko.join(kl, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("joined_rows"))
+      ko.agg(count(lit(1)).as("kept_orders"))
+        .crossJoin(broadcast(kl.agg(count(lit(1)).as("kept_lineitem"))))
+        .crossJoin(broadcast(j))
+        .crossJoin(broadcast(t))
+        .select(lit(name).as("strategy"), col("kept_orders"),
+          col("kept_lineitem"), col("joined_rows"),
+          (col("joined_rows") * scale).as("est_total"), col("true_total"),
+          expr(s"CAST(abs(joined_rows * $scale - true_total) * 1000000 " +
+            "div true_total AS BIGINT)").as("err_ppm"))
+    }
+    val u = branch("universe",
+      orders.filter(expr(img("concat('u:', CAST(o_orderkey AS STRING))")) === 0),
+      li.filter(expr(img("concat('u:', CAST(l_orderkey AS STRING))")) === 0), 10L)
+    val i = branch("independent",
+      orders.filter(expr(img("concat('o:', CAST(o_orderkey AS STRING))")) === 0),
+      li.filter(expr(img("concat('l:', CAST(l_orderkey AS STRING), ':', " +
+        "CAST(l_linenumber AS STRING))")) === 0), 100L)
+    u.unionByName(i).orderBy(col("strategy").desc)
+  }
+
+  private val s16Sql = {
+    def img(s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b) % 10""".stripMargin
+    s"""WITH uo AS (SELECT o_orderkey k FROM orders
+       |  WHERE ${img("concat('u:', CAST(o_orderkey AS VARCHAR))")} = 0),
+       |ul AS (SELECT l_orderkey k FROM lineitem
+       |  WHERE ${img("concat('u:', CAST(l_orderkey AS VARCHAR))")} = 0),
+       |io_ AS (SELECT o_orderkey k FROM orders
+       |  WHERE ${img("concat('o:', CAST(o_orderkey AS VARCHAR))")} = 0),
+       |il AS (SELECT l_orderkey k FROM lineitem
+       |  WHERE ${img("concat('l:', CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))")} = 0),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM lineitem),
+       |rows_ AS (
+       |  SELECT 'universe' strategy,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM uo) kept_orders,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ul) kept_lineitem,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM uo JOIN ul ON uo.k = ul.k) joined_rows,
+       |    CAST(10 AS BIGINT) scale
+       |  UNION ALL
+       |  SELECT 'independent',
+       |    (SELECT COUNT(*) FROM io_), (SELECT COUNT(*) FROM il),
+       |    (SELECT COUNT(*) FROM io_ JOIN il ON io_.k = il.k), 100)
+       |SELECT strategy, kept_orders, kept_lineitem, joined_rows,
+       |  joined_rows * scale est_total, t.n true_total,
+       |  CAST(abs(joined_rows * scale - t.n) * 1000000 // t.n AS BIGINT) err_ppm
+       |FROM rows_, t ORDER BY strategy DESC""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s16_universe_sample",
+      "universe (join-key-consistent) sampling vs independent Bernoulli: the correlated-sampling lemma measured",
+      s16UniverseSample, Some(s16Sql)),
     QueryDef("s15_stratified_kfold",
       "deterministic stratified 5-fold CV assignment: partition proof + per-stratum balance",
       s15StratifiedKfold, Some(s15Sql)),

@@ -1289,4 +1289,39 @@ class Round8OpsSpec extends AnyFunSuite {
       plan.indexOf("Aggregate", winAt) < plan.indexOf("Relation", winAt),
       "windows must run over the daily aggregate, never raw events")
   }
+
+  test("s16: universe join-sample equals a driver replay and keeps ~p of join rows vs ~p^2") {
+    val out = operators.Sampling.s16UniverseSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    def img(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10
+    }
+    val oKeys = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val lRows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val liPerKey = lRows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // universe: both sides keep the SAME keys -> join restricted to them
+    val uKeys = oKeys.filter(k => img(s"u:$k") == 0)
+    val uLi = lRows.count(r => img(s"u:${r._1}") == 0).toLong
+    val uJoin = uKeys.map(k => liPerKey.getOrElse(k, 0L)).sum
+    assert(out("universe") ==
+      ((uKeys.length.toLong, uLi, uJoin, uJoin * 10, lRows.length.toLong)))
+    // independent: a pair survives only if BOTH rows survive
+    val iKeys = oKeys.filter(k => img(s"o:$k") == 0).toSet
+    val iJoin = lRows.count(r =>
+      iKeys(r._1) && img(s"l:${r._1}:${r._2}") == 0).toLong
+    assert(out("independent")._3 == iJoin)
+    // the lemma, measured: consistent hashing keeps ~p of join rows,
+    // independent keeps ~p^2 — an order of magnitude apart
+    assert(uJoin > 5L * iJoin,
+      s"universe joined=$uJoin should dwarf independent joined=$iJoin")
+    // both estimators are unbiased; on this corpus both land within 50%
+    assert(out("universe")._4 > lRows.length / 2 &&
+      out("universe")._4 < lRows.length * 2)
+  }
 }
