@@ -609,7 +609,95 @@ object Joins {
       |FROM x WHERE rn = (pct * n + 99) // 100
       |ORDER BY priority, pct""".stripMargin
 
+  /** j21 — Yannakakis full reducer over the acyclic chain
+    * customer → orders → lineitem: two semi-join sweeps (bottom-up
+    * o⋉c, l⋉o; top-down o⋉l, c⋉o) strip every dangling tuple BEFORE the
+    * real join runs, so no intermediate ever exceeds the output — the
+    * classical guarantee ad-hoc join orders lack, and the multi-relation
+    * exact dual of [[j11BloomJoin]]'s single probabilistic pushdown.
+    * The emitted rows are the audit: per-stage surviving counts (the
+    * reduction each sweep buys on this corpus's filters — BUILDING
+    * customers, 1996 orders, quantity ≥ 45 lines) and the final joined
+    * row count + exact revenue cents. After full reduction the join is
+    * redundancy-free: every reduced line joins exactly one surviving
+    * order and customer, so joined_rows == the reduced lineitem count —
+    * asserted in spec, visible in the contract rows.
+    *
+    * Scale shape: semi-joins are the cheapest reducers Spark has
+    * (left_semi broadcasts the small side's keys; at fact-fact scale
+    * they shuffle only keys, never payloads); the final join then
+    * touches only tuples that contribute to the output. At 100 TB this
+    * is the difference between shuffling a dangling-heavy intermediate
+    * and shuffling the answer.
+    */
+  def j21FullReducer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(expr("year(o_orderdate) = 1996"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val o1 = o.join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+    val l1 = l.join(o1, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val o2 = o1.join(l1, col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val c2 = c.join(o2, col("c_custkey") === col("o_custkey"), "left_semi")
+    val joined = l1
+      .join(o2, col("l_orderkey") === col("o_orderkey"))
+      .join(c2, col("o_custkey") === col("c_custkey"))
+    def stage(step: String, rel: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(step).as("step"), lit(rel).as("relation"),
+          col("n_rows"), lit(0L).as("cents_sum"))
+    stage("0_filter", "customer", c)
+      .unionByName(stage("0_filter", "orders", o))
+      .unionByName(stage("0_filter", "lineitem", l))
+      .unionByName(stage("1_reduce_up", "orders", o1))
+      .unionByName(stage("1_reduce_up", "lineitem", l1))
+      .unionByName(stage("2_reduce_down", "orders", o2))
+      .unionByName(stage("2_reduce_down", "customer", c2))
+      .unionByName(joined.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).as("cents_sum"))
+        .select(lit("3_join").as("step"), lit("result").as("relation"),
+          col("n_rows"), col("cents_sum")))
+      .orderBy(col("step"), col("relation"))
+  }
+
+  private val j21Sql =
+    """WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |o AS (SELECT o_orderkey, o_custkey FROM orders
+      |      WHERE year(o_orderdate) = 1996),
+      |l AS (SELECT l_orderkey,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) cents
+      |      FROM lineitem WHERE l_quantity >= 45),
+      |o1 AS (SELECT * FROM o WHERE o_custkey IN (SELECT c_custkey FROM c)),
+      |l1 AS (SELECT * FROM l WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+      |o2 AS (SELECT * FROM o1 WHERE o_orderkey IN (SELECT l_orderkey FROM l1)),
+      |c2 AS (SELECT * FROM c WHERE c_custkey IN (SELECT o_custkey FROM o2)),
+      |j AS (SELECT l1.cents FROM l1
+      |      JOIN o2 ON l1.l_orderkey = o2.o_orderkey
+      |      JOIN c2 ON o2.o_custkey = c2.c_custkey),
+      |rows_ AS (
+      |  SELECT '0_filter' step, 'customer' relation,
+      |    CAST(COUNT(*) AS BIGINT) n_rows, CAST(0 AS BIGINT) cents_sum FROM c
+      |  UNION ALL SELECT '0_filter', 'orders', COUNT(*), 0 FROM o
+      |  UNION ALL SELECT '0_filter', 'lineitem', COUNT(*), 0 FROM l
+      |  UNION ALL SELECT '1_reduce_up', 'orders', COUNT(*), 0 FROM o1
+      |  UNION ALL SELECT '1_reduce_up', 'lineitem', COUNT(*), 0 FROM l1
+      |  UNION ALL SELECT '2_reduce_down', 'orders', COUNT(*), 0 FROM o2
+      |  UNION ALL SELECT '2_reduce_down', 'customer', COUNT(*), 0 FROM c2
+      |  UNION ALL SELECT '3_join', 'result', COUNT(*),
+      |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM j)
+      |SELECT step, relation, n_rows, cents_sum
+      |FROM rows_ ORDER BY step, relation""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j21_full_reducer",
+      "Yannakakis full reducer: bottom-up/top-down semi-join sweeps, per-stage counts + dangling-free join",
+      j21FullReducer, Some(j21Sql)),
     QueryDef("j20_order_to_ship",
       "accumulating snapshot: exact P50/P90 order-to-ship days per priority",
       j20OrderToShip, Some(j20Sql)),

@@ -1324,4 +1324,44 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out("universe")._4 > lRows.length / 2 &&
       out("universe")._4 < lRows.length * 2)
   }
+
+  test("j21: semi-join sweeps equal a set replay; the reduced join is dangling-free") {
+    val out = operators.Joins.j21FullReducer(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val c = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val o = Tables.orders(spark, sf).filter(expr("year(o_orderdate) = 1996"))
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val l = Tables.lineitem(spark, sf).filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val o1 = o.filter(t => c(t._2))
+    val o1k = o1.map(_._1).toSet
+    val l1 = l.filter(t => o1k(t._1))
+    val l1k = l1.map(_._1).toSet
+    val o2 = o1.filter(t => l1k(t._1))
+    val c2 = o2.map(_._2).toSet
+    assert(out(("0_filter", "customer"))._1 == c.size.toLong)
+    assert(out(("0_filter", "orders"))._1 == o.length.toLong)
+    assert(out(("0_filter", "lineitem"))._1 == l.length.toLong)
+    assert(out(("1_reduce_up", "orders"))._1 == o1.length.toLong)
+    assert(out(("1_reduce_up", "lineitem"))._1 == l1.length.toLong)
+    assert(out(("2_reduce_down", "orders"))._1 == o2.length.toLong)
+    assert(out(("2_reduce_down", "customer"))._1 == c2.size.toLong)
+    // each sweep genuinely reduces on this corpus's filters
+    assert(o1.length < o.length && l1.length < l.length && o2.length < o1.length)
+    // the Yannakakis guarantee: after full reduction every line joins
+    // exactly one surviving order and customer — joined == reduced lines
+    val (nJoin, cents) = out(("3_join", "result"))
+    assert(nJoin == l1.length.toLong, "reduced join must be dangling-free")
+    assert(cents == l1.map(_._2).sum)
+    // reducers must plan as semi-joins, not full joins
+    val plan = operators.Joins.j21FullReducer(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), "expected semi-join reducers")
+  }
 }
