@@ -63,7 +63,8 @@ object ScaleProbe {
     "v27_rq_topk", "s15_stratified_kfold", "w31_mann_kendall",
     "g15_random_walks", "t42_boilerplate_strip",
     "a59_ams_f2", "w32_runs_test", "l08_write_audit_publish",
-    "w33_rescaled_range", "s16_universe_sample", "j21_full_reducer")
+    "w33_rescaled_range", "s16_universe_sample", "j21_full_reducer",
+    "v28_mmr_diversify")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -2419,7 +2419,150 @@ object Similarity {
       |SELECT qid, CAST(rank AS INTEGER) rank, cid neighbor_id, score
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** v28 — MMR (maximal-marginal-relevance) diversity re-ranking: the
+    * post-retrieval stage RAG and search stacks run so the k results
+    * are not k near-duplicates of each other. From each query's top-10
+    * exact-cosine shortlist, greedily pick 3: the first by pure
+    * relevance, then each next maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) with λ = 0.7 — the
+    * Carbonell–Goldstein objective, unrolled into two deterministic
+    * selection steps (ties → lower id, the family convention).
+    *
+    * Cross-engine determinism: relevance and candidate-candidate
+    * similarity are the family's IEEE-double cosine over the ×1000
+    * int64 grid (identical expression trees in both engines); the MMR
+    * combination multiplies by CAST(0.7/0.3 AS DOUBLE) on both sides.
+    *
+    * Scale contract: the DIVERSIFICATION is O(k²) per query over the
+    * already-bounded shortlist (10×10 pair sims, then two windowed
+    * picks) — it composes with any shortlist generator. The exact
+    * shortlist used here prices all (query, corpus) pairs, so it rides
+    * [[requirePairsBounded]]; past the bound, feed the same re-ranker
+    * from the v18 IVF-PQ funnel.
+    */
+  def v28MmrDiversify(spark: SparkSession, dir: String,
+                      maxPairs: Long = 1L << 28): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v28", maxPairs,
+      routes = "feed the MMR re-ranker from the v18 IVF-PQ shortlist")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid").asc)
+    val cand = queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("rel", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("cid"), col("rel"), col("rn"),
+        col("cq"), col("cn"))
+    val sims = cand
+      .select(col("qid"), col("cid").as("a_id"), col("cq").as("aq"),
+        col("cn").as("an"))
+      .join(cand.select(col("qid"), col("cid").as("b_id"), col("cq").as("bq"),
+        col("cn").as("bn")), Seq("qid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("qid"), col("a_id"), col("b_id"),
+        expr(cos("aq", "bq", "an", "bn")).as("sim"))
+    val lean = cand.select(col("qid"), col("cid"), col("rel"), col("rn"))
+    val s1 = lean.filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("s1_id"), col("rel").as("s1_rel"))
+    val lambda = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    val wPick = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr").desc, col("cid").asc)
+    val s2 = lean.join(s1, Seq("qid")).filter(col("cid") =!= col("s1_id"))
+      .join(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
+        col("sim")), Seq("qid", "cid"))
+      .filter(col("b_id") === col("s1_id"))
+      .withColumn("mmr", expr(s"$lambda * rel - $oneMinus * sim"))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("qid"), col("cid").as("s2_id"), col("rel").as("s2_rel"),
+        col("mmr").as("s2_mmr"))
+    val s3 = lean.join(s1, Seq("qid")).join(s2, Seq("qid"))
+      .filter(col("cid") =!= col("s1_id") && col("cid") =!= col("s2_id"))
+      .join(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
+        col("sim")), Seq("qid", "cid"))
+      .filter(col("b_id") === col("s1_id") || col("b_id") === col("s2_id"))
+      .groupBy(col("qid"), col("cid"), col("rel"))
+      .agg(max(col("sim")).as("maxsim"))
+      .withColumn("mmr", expr(s"$lambda * rel - $oneMinus * maxsim"))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("qid"), col("cid").as("s3_id"), col("rel").as("s3_rel"),
+        col("mmr").as("s3_mmr"))
+    s1.select(col("qid"), lit(1).as("rank"), col("s1_id").as("neighbor_id"),
+        round(col("s1_rel"), 6).as("relevance"),
+        round(col("s1_rel"), 6).as("mmr_score"))
+      .unionByName(s2.select(col("qid"), lit(2).as("rank"),
+        col("s2_id").as("neighbor_id"), round(col("s2_rel"), 6).as("relevance"),
+        round(col("s2_mmr"), 6).as("mmr_score")))
+      .unionByName(s3.select(col("qid"), lit(3).as("rank"),
+        col("s3_id").as("neighbor_id"), round(col("s3_rel"), 6).as("relevance"),
+        round(col("s3_mmr"), 6).as("mmr_score")))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v28Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |p AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) rel
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |cand AS (
+      |  SELECT * FROM (SELECT qid, cid, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) rn
+      |  FROM p) WHERE rn <= 10),
+      |sims AS (
+      |  SELECT c1.qid, c1.cid a_id, c2.cid b_id,
+      |    CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+      |           i -> na.q[CAST(i AS INTEGER)] * nb.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) sim
+      |  FROM cand c1
+      |  JOIN cand c2 ON c1.qid = c2.qid AND c1.cid <> c2.cid
+      |  JOIN n na ON na.vec_id = c1.cid
+      |  JOIN n nb ON nb.vec_id = c2.cid),
+      |s1 AS (SELECT qid, cid s1_id, rel s1_rel FROM cand WHERE rn = 1),
+      |sc2 AS (
+      |  SELECT r.qid, r.cid, r.rel,
+      |    CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * s.sim mmr
+      |  FROM cand r JOIN s1 USING (qid)
+      |  JOIN sims s ON s.qid = r.qid AND s.a_id = r.cid AND s.b_id = s1.s1_id
+      |  WHERE r.cid <> s1.s1_id),
+      |s2 AS (SELECT qid, cid s2_id, rel s2_rel, mmr s2_mmr
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) pick
+      |        FROM sc2) WHERE pick = 1),
+      |sc3 AS (
+      |  SELECT r.qid, r.cid, r.rel,
+      |    CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * MAX(s.sim) mmr
+      |  FROM cand r JOIN s1 USING (qid) JOIN s2 USING (qid)
+      |  JOIN sims s ON s.qid = r.qid AND s.a_id = r.cid
+      |    AND (s.b_id = s1.s1_id OR s.b_id = s2.s2_id)
+      |  WHERE r.cid <> s1.s1_id AND r.cid <> s2.s2_id
+      |  GROUP BY r.qid, r.cid, r.rel),
+      |s3 AS (SELECT qid, cid s3_id, rel s3_rel, mmr s3_mmr
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) pick
+      |        FROM sc3) WHERE pick = 1)
+      |SELECT qid, CAST(1 AS INTEGER) rank, s1_id neighbor_id,
+      |  ROUND(s1_rel, 6) relevance, ROUND(s1_rel, 6) mmr_score FROM s1
+      |UNION ALL SELECT qid, 2, s2_id, ROUND(s2_rel, 6), ROUND(s2_mmr, 6) FROM s2
+      |UNION ALL SELECT qid, 3, s3_id, ROUND(s3_rel, 6), ROUND(s3_mmr, 6) FROM s3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v28_mmr_diversify",
+      "MMR diversity re-rank: greedy lambda*rel - (1-lambda)*maxsim picks over the top-10 shortlist",
+      v28MmrDiversify(_, _), Some(v28Sql)),
     QueryDef("v27_rq_topk",
       "residual-quantization ADC top-3: additive two-level codebooks (PQ's orthogonal dual)",
       v27RqTopK(_, _), Some(v27Sql)),

@@ -1364,4 +1364,59 @@ class Round8OpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftSemi"), "expected semi-join reducers")
   }
+
+  test("v28: greedy MMR picks equal a driver replay; guard routes to v18") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.v28MmrDiversify(spark, sf, maxPairs = 10L)
+    }
+    assert(e.getMessage.contains("v28") && e.getMessage.contains("v18"))
+    val out = Similarity.v28MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    // exact replay: same x1000 HALF_UP grid, same IEEE cosine tree
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(x => new java.math.BigDecimal(x.toDouble * 1000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).toArray
+        r.getLong(0) -> q
+      }.toMap
+    def cosine(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      d.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val qids = vecs.keys.filter(_ % 25 == 0)
+    var checkedPicks = 0
+    qids.foreach { qid =>
+      val shortlist = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, cosine(vecs(qid), vecs(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(10)
+      val rels = shortlist.toMap
+      var picked = Vector(shortlist.head._1)
+      var scores = Vector(shortlist.head._2)
+      for (_ <- 2 to 3) {
+        val best = shortlist.filterNot(s => picked.contains(s._1))
+          .map { case (c, rel) =>
+            val maxsim = picked.map(p => cosine(vecs(c), vecs(p))).max
+            (c, 0.7 * rel - 0.3 * maxsim)
+          }.minBy { case (c, m) => (-m, c) }
+        picked :+= best._1
+        scores :+= best._2
+      }
+      (1 to 3).foreach { k =>
+        val (nid, mmr) = out((qid, k))
+        assert(nid == picked(k - 1), s"qid=$qid rank=$k pick differs")
+        // the contract emits ROUND(score, 6) — compare at that grain
+        assert(math.abs(mmr - scores(k - 1)) < 1e-6,
+          s"qid=$qid rank=$k score differs")
+        checkedPicks += 1
+      }
+      // picks are distinct members of the shortlist
+      assert(picked.distinct.length == 3 &&
+        picked.forall(p => rels.contains(p)))
+    }
+    assert(checkedPicks == out.size && checkedPicks >= 3)
+  }
 }
