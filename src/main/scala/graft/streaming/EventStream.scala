@@ -1241,7 +1241,176 @@ object EventStream {
       |  CAST(4 AS BIGINT) n_snapshots
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** st15 — per-entity stateful ledger through Spark 4's
+    * `transformWithState` tier, the arbitrary-stateful API that
+    * supersedes mapGroupsWithState (typed ValueState/ListState/MapState
+    * handles, timers, TTL, RocksDB-backed). The batch contract below is
+    * the ledger's ground truth: per (event_type, user) running
+    * (n, Σcents, max) — folded to a per-type rollup whose bit_xor of
+    * per-user md5 images pins every individual ledger cell, not just
+    * the totals. [[streamingTwsLedger]] is the streaming dual: a
+    * [[SpendLedgerProcessor]] holding ONE ValueState[Ledger] per key,
+    * drained across mtime-ordered micro-batches on the RocksDB store
+    * (transformWithState requires it), asserted cell-identical to the
+    * batch ledger in EventStreamSpec.
+    *
+    * Scale shape (batch): one partial+final hash aggregate to the
+    * (type, user) ledger, one bounded rollup. Streaming: state is one
+    * fixed-size record per live (type, user) key in RocksDB — the
+    * layout that spills to disk instead of OOMing executors when the
+    * key space outgrows memory at 100 TB.
+    */
+  def st15StatefulLedger(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        max(col("cents")).as("mx"))
+      .withColumn("img", expr(
+        "CAST(conv(substring(md5(concat('lg:', event_type, ':', " +
+          "CAST(user_id AS STRING), ':', CAST(n AS STRING), ':', " +
+          "CAST(sc AS STRING), ':', CAST(mx AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        sum(col("sc")).as("sum_cents"), max(col("mx")).as("max_single"),
+        expr("bit_xor(img)").as("ledger_checksum"))
+      .orderBy(col("event_type"))
+
+  private val st15Sql =
+    """WITH l AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) sc,
+      |    CAST(MAX(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) mx
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |i AS (
+      |  SELECT event_type, n, sc, mx,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+      |               concat('lg:', event_type, ':', CAST(user_id AS VARCHAR),
+      |                 ':', CAST(n AS VARCHAR), ':', CAST(sc AS VARCHAR),
+      |                 ':', CAST(mx AS VARCHAR))
+      |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) img
+      |  FROM l)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) n_users,
+      |  CAST(SUM(n) AS BIGINT) n_events, CAST(SUM(sc) AS BIGINT) sum_cents,
+      |  CAST(MAX(mx) AS BIGINT) max_single,
+      |  CAST(bit_xor(img) AS BIGINT) ledger_checksum
+      |FROM i GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  final case class Ledger(n: Long, cents: Long, maxCents: Long)
+  final case class LedgerOut(event_type: String, user_id: Long,
+                             n: Long, cents: Long, max_cents: Long)
+
+  /** The transformWithState processor behind [[streamingTwsLedger]]:
+    * one ValueState[Ledger] per (event_type, user) key, folded over
+    * each micro-batch's rows, re-emitted (update semantics) with every
+    * refresh. No timers — the ledger is a pure running state; TTL NONE
+    * because the batch dual has no horizon either.
+    */
+  final class SpendLedgerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), (String, Long, Long), LedgerOut] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[Ledger] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Ledger]("ledger",
+        org.apache.spark.sql.Encoders.product[Ledger],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LedgerOut] = {
+      val prev = if (state.exists()) state.get() else Ledger(0L, 0L, Long.MinValue)
+      val upd = rows.foldLeft(prev) { (l, r) =>
+        Ledger(l.n + 1, l.cents + r._3, math.max(l.maxCents, r._3))
+      }
+      state.update(upd)
+      Iterator.single(LedgerOut(key._1, key._2, upd.n, upd.cents, upd.maxCents))
+    }
+  }
+
+  /** Streaming dual of [[st15StatefulLedger]]: stages the corpus as
+    * mtime-ordered slices, folds them through [[SpendLedgerProcessor]]
+    * one file per trigger on the RocksDB state store, and returns the
+    * LAST emitted image per (event_type, user) — which EventStreamSpec
+    * asserts cell-identical to the batch ledger. Update-mode memory
+    * sink: every refresh is appended, the final image is the row with
+    * the key's max n.
+    */
+  def streamingTwsLedger(spark: SparkSession, dir: String,
+                         queryName: String = "st_tws_ledger",
+                         slices: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("ts"))
+    // slice by TIME so user histories genuinely span micro-batches and
+    // the ledger fold exercises cross-batch state, not intra-batch math
+    val us = base.select(unix_micros(col("ts")).as("us"),
+      col("event_type"), col("user_id"), col("cents"))
+    val tcuts = us.stat.approxQuantile("us",
+      (1 until slices).map(_.toDouble / slices).toArray, 0.001)
+    val bounds = (Seq(Long.MinValue) ++ tcuts.map(_.toLong) :+ Long.MaxValue)
+      .sliding(2).toSeq
+    val stage = Files.createTempDirectory("graft_tws_src_")
+    bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = Files.createTempDirectory("graft_tws_w_")
+      us.filter(col("us") > lo && col("us") <= hi)
+        .select("event_type", "user_id", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = stage.resolve(f"slice_$i%02d.parquet")
+      Files.move(Paths.get(part), target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read
+        .parquet(stage.resolve("slice_00.parquet").toString).schema
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .as[(String, Long, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .transformWithState(new SpendLedgerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = updates.toDF().writeStream
+        .format("memory").queryName(queryName).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("n").desc)
+      spark.table(queryName)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_type"), col("user_id"), col("n"),
+          col("cents"), col("max_cents"))
+    } finally {
+      prior match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st15_stateful_ledger",
+      "per-(type,user) running ledger: batch ground truth of the transformWithState dual",
+      st15StatefulLedger, Some(st15Sql)),
     QueryDef("st14_manifest_sink",
       "exactly-once streaming lake commit: per-batch manifest flip, snapshot read-back",
       st14ManifestSink, Some(st14Sql)),

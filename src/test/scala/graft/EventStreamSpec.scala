@@ -398,4 +398,34 @@ class EventStreamSpec extends AnyFunSuite {
       .linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!scan.contains("source"), s"scan reads more than needed: $scan")
   }
+
+  test("st15 transformWithState ledger: final streamed images == batch per-user ledger") {
+    import org.apache.spark.sql.functions._
+    // the batch ground truth at the per-(type, user) grain
+    val batch = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        max(col("cents")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = EventStream.streamingTwsLedger(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // cell-identical: every key present, every ledger record equal —
+    // a cross-batch fold error (lost state, double-count on restart of
+    // a key) shows up as a cell diff, not just a total drift
+    assert(streamed.size == batch.size,
+      s"key sets differ: ${streamed.size} streamed vs ${batch.size} batch")
+    batch.foreach { case (k, v) =>
+      assert(streamed.get(k).contains(v), s"ledger differs at $k: " +
+        s"streamed=${streamed.get(k)} batch=$v")
+    }
+    // and the rolled-up contract row set matches the registered query
+    val contract = EventStream.st15StatefulLedger(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(contract.nonEmpty && contract.length == 5)
+  }
 }
