@@ -537,7 +537,58 @@ object Formats {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1 ORDER BY l_linestatus""".stripMargin
 
+  /** io12 — DSv2 AGGREGATE pushdown on the graft-lines source: an
+    * ungrouped COUNT(*) collapses inside the source to one long per
+    * byte-range chunk (LinesCountReader — no path/offset/line value is
+    * ever materialized), and Spark's planner rewrites the final COUNT
+    * into a SUM of those partials. The second probe proves it composes
+    * with the offset-interval filter pushdown: only lines at
+    * offset ≥ 100000 are counted, still without row materialization.
+    * Completes the source's pushdown tier (columns → filters →
+    * aggregates); FormatsSpec pins the behavior by metrics — the scan's
+    * numOutputRows equals the CHUNK count, not the line count.
+    *
+    * At 100 TB this is the difference between shuffling a trillion
+    * (path, offset, line) rows into a count and shipping one long per
+    * split — the same reason parquet footer-count pushdown exists.
+    */
+  def io12AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("graft_lines_agg_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("doc_id").cast("string"),
+        lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .select(col("value"))
+      .write.mode("overwrite").text(scratch)
+    val src = spark.read.format("graft-lines")
+      .option("chunkBytes", 16384).load(scratch)
+    src.agg(expr("count(*)").as("n_lines"))
+      .select(lit("all").as("probe"), col("n_lines"))
+      .unionByName(src.filter(col("offset") >= 100000L)
+        .agg(expr("count(*)").as("n_lines"))
+        .select(lit("offset_tail").as("probe"), col("n_lines")))
+      .orderBy(col("probe"))
+  }
+
+  private val io12Sql =
+    """WITH l AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || chr(9) || text AS line
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(octet_length(encode(line)) + 1)
+      |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS "offset"
+      |  FROM l)
+      |SELECT 'all' probe, CAST(COUNT(*) AS BIGINT) n_lines FROM l
+      |UNION ALL
+      |SELECT 'offset_tail', COUNT(*) FROM o WHERE "offset" >= 100000
+      |ORDER BY probe""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io12_agg_pushdown",
+      "DSv2 COUNT(*) pushdown on graft-lines: one partial per chunk, composes with offset pushdown",
+      io12AggPushdown, Some(io12Sql)),
     QueryDef("io11_partition_pruning",
       "hive-layout static partition pruning: listing-level filter, pruned read checksummed",
       io11PartitionPruning(_, _), Some(io11Sql)),

@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -37,6 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `offset` fold into one byte interval that both PRUNES whole chunks
   *    at planning time and bounds rows inside each reader — resuming a
   *    half-processed shard reads only the tail bytes;
+  *  - AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): an ungrouped
+  *    COUNT(*) collapses to one long per chunk inside the source
+  *    (LinesCountReader), composing with the offset interval;
   *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): a count or an
   *    offset-only projection never materializes line/path strings.
   *
@@ -63,6 +67,11 @@ object LinesSource {
     .add("path", StringType, nullable = false)
     .add("offset", LongType, nullable = false)
     .add("line", StringType, nullable = false)
+  /** Scan output when an ungrouped COUNT(*) is pushed down: one long
+    * per partition (Spark sums the partials).
+    */
+  val countSchema: StructType = new StructType()
+    .add("count(*)", LongType, nullable = false)
 }
 
 final class LinesTable(path: String, declared: StructType)
@@ -88,11 +97,31 @@ final class LinesTable(path: String, declared: StructType)
 }
 
 final class LinesScanBuilder(path: String, chunkBytes: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = LinesSource.fullSchema
   private var lo = 0L              // accepted offset interval, inclusive
   private var hi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): an ungrouped
+    * COUNT(*) collapses each byte-range chunk to ONE long counted
+    * without materializing path/offset/line values — no UTF8String per
+    * row, no per-line allocation, and only per-partition counts cross
+    * the scan boundary (Spark's planner rewrites the final COUNT into a
+    * SUM of the pushed partials — `supportCompletePushDown` stays
+    * false, so multi-partition merging is the engine's job, as it must
+    * be). Composes with the pushed offset interval: the count honors
+    * [lo, hi] exactly like the row path.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
@@ -115,7 +144,10 @@ final class LinesScanBuilder(path: String, chunkBytes: Long)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new LinesScan(path, chunkBytes, required, lo, hi)
+  override def build(): Scan =
+    new LinesScan(path, chunkBytes,
+      if (countPushed) LinesSource.countSchema else required,
+      lo, hi, countPushed)
 }
 
 /** One byte range (start, end] of one file; owns lines whose first byte
@@ -124,12 +156,15 @@ final class LinesScanBuilder(path: String, chunkBytes: Long)
 final case class LinesPartition(file: String, start: Long, end: Long) extends InputPartition
 
 final class LinesScan(path: String, chunkBytes: Long, required: StructType,
-                      lo: Long, hi: Long) extends Scan with Batch {
+                      lo: Long, hi: Long, countMode: Boolean = false)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-lines path=$path chunkBytes=$chunkBytes offsetRange=[$lo, " +
-      (if (hi == Long.MaxValue) "inf" else hi.toString) + s"] columns=${required.fieldNames.mkString(",")}"
+      (if (hi == Long.MaxValue) "inf" else hi.toString) +
+      s"] columns=${required.fieldNames.mkString(",")}" +
+      (if (countMode) " pushedAggregate=COUNT(*)" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active
@@ -167,7 +202,7 @@ final class LinesScan(path: String, chunkBytes: Long, required: StructType,
     // per-session fs.* setting and diverge from planInputPartitions
     new LinesReaderFactory(required.fieldNames, lo, hi,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration))
+        .sparkContext.hadoopConfiguration), countMode)
 }
 
 /** Java-serializable carrier for a Hadoop Configuration (which is
@@ -189,12 +224,65 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 final class LinesReaderFactory(cols: Array[String], lo: Long, hi: Long,
-                               conf: SerializableHadoopConf)
+                               conf: SerializableHadoopConf,
+                               countMode: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LinesPartition]
-    new LinesPartitionReader(p, cols, lo, hi, conf.value)
+    if (countMode) new LinesCountReader(p, lo, hi, conf.value)
+    else new LinesPartitionReader(p, cols, lo, hi, conf.value)
   }
+}
+
+/** Pushed-COUNT(*) reader: one pass over the chunk counting qualifying
+  * line starts — terminators are scanned byte-by-byte like the row
+  * reader (ownership rules identical), but no path/offset/line value is
+  * ever materialized. Emits exactly one row: the partial count Spark's
+  * rewritten final aggregate sums.
+  */
+final class LinesCountReader(part: LinesPartition, lo: Long, hi: Long,
+                             hadoopConf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val hPath = new Path(part.file)
+  private val in = {
+    val stream = hPath.getFileSystem(hadoopConf).open(hPath)
+    stream.seek(part.start)
+    new java.io.BufferedInputStream(stream, 1 << 16)
+  }
+  private var pos = part.start
+  private var emitted = false
+  private var row: InternalRow = _
+
+  // same ownership rule as the row reader: a partial first line belongs
+  // to the previous chunk
+  if (part.start != 0) skipLine()
+
+  /** Advances past one line (terminator consumed); false at EOF. */
+  private def skipLine(): Boolean = {
+    var b = in.read()
+    if (b < 0) return false
+    while (b >= 0 && b != '\n') { pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    var n = 0L
+    var done = false
+    while (!done) {
+      val lineStart = pos
+      if (lineStart > part.end || lineStart > hi) done = true
+      else if (!skipLine()) done = true
+      else if (lineStart >= lo) n += 1
+    }
+    row = new GenericInternalRow(Array[Any](java.lang.Long.valueOf(n)))
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }
 
 final class LinesPartitionReader(part: LinesPartition, cols: Array[String],

@@ -112,6 +112,45 @@ class FormatsSpec extends AnyFunSuite {
       s"scan still reads ${scan.readSchema().fieldNames.mkString(",")}")
   }
 
+  test("graft-lines DSv2: COUNT(*) pushes into the source, one partial per chunk") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions._
+    val scratch = graft.util.Scratch.dir("graft_lines_agg_spec_")
+    val nDocs = Tables.documents(spark, sf).count()
+    Tables.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(scratch)
+    def src = spark.read.format("graft-lines").option("chunkBytes", 16384).load(scratch)
+    val counted = src.agg(expr("count(*)").as("n"))
+    // collect() (not head(), which plans a separate limited query) so
+    // the metrics below come from THIS plan's execution
+    assert(counted.collect().head.getLong(0) == nDocs)
+    // the aggregate must have reached the scan: read schema collapses to
+    // the count column and the scan emits one row PER CHUNK, not per line
+    // (the aggregate plan is adaptive — unwrap AQE/stage nodes to reach
+    // the materialized BatchScanExec and its metrics)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case s: QueryStageExec        => findScan(s.plan)
+      case b: BatchScanExec         => Some(b)
+      case other => other.children.view.flatMap(findScan).headOption
+    }
+    val scanExec = findScan(counted.queryExecution.executedPlan).get
+    assert(scanExec.scan.readSchema().fieldNames.sameElements(Array("count(*)")),
+      s"aggregate not pushed: scan reads ${scanExec.scan.readSchema().fieldNames.mkString(",")}")
+    val chunks = src.select("offset").rdd.getNumPartitions
+    val emitted = scanExec.metrics("numOutputRows").value
+    assert(emitted == chunks && chunks < nDocs,
+      s"expected $chunks partial counts from the scan, saw $emitted (lines: $nDocs)")
+    // and the pushed count honors the pushed offset interval
+    val tailPush = src.filter(col("offset") >= 100000L).agg(expr("count(*)")).head().getLong(0)
+    val tailRows = src.filter(col("offset") >= 100000L).select("offset").count()
+    assert(tailPush == tailRows, "pushed count diverges from the row path under offset pushdown")
+  }
+
   test("graft-lines DSv2: session Hadoop conf survives the executor round-trip") {
     // the reader must open files with the DRIVER's Hadoop conf (S3
     // creds, fs.* options), shipped via Java serialization — a bare
