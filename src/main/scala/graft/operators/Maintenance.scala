@@ -1919,7 +1919,89 @@ object Maintenance {
       |FROM exact JOIN est ON exact.event_type = est.event_type
       |ORDER BY exact.event_type""".stripMargin
 
+  /** a60 — A/B two-proportion z-test readout: the experiment gate every
+    * product analytics stack runs, and a statistic none of the a-family
+    * tests owns (a41/a52 rank, a47 means, a38/a50 distributions — this
+    * is pooled-variance PROPORTIONS). Users are split into cohorts by
+    * the shared md5 image (parity of 'ab:user'), a converter is a user
+    * whose total purchase cents exceed 65000 (the corpus's stable
+    * per-user median across scales, so both verdict branches stay
+    * reachable), and the |p_a − p_b| ≥ 2σ gate is cross-multiplied into
+    * one exact integer inequality:
+    * (x_a·n_b − x_b·n_a)²·N ≥ 4·x·(N−x)·n_a·n_b, computed in
+    * DECIMAL(38,0)/HUGEINT. Headroom: the verdict is exact to
+    * ~3·10⁷ users per cohort (the a33 convention); the four raw
+    * integers are always emitted so consumers can rerun the test in
+    * wider arithmetic past that.
+    *
+    * Scale shape: one partial-agg shuffle to the per-user conversion
+    * frame, then a single global aggregate — the cohort split is a
+    * stateless hash projection, never a join.
+    */
+  def a60AbProportion(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("pc"))
+      .withColumn("is_conv", when(col("pc") > 65000L, 1L).otherwise(0L))
+      .withColumn("cohort", expr(
+        "pmod(CAST(conv(substring(md5(concat('ab:', CAST(user_id AS STRING)))," +
+          " 1, 15), 16, 10) AS BIGINT), 2)"))
+    users.agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0, col("is_conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1, col("is_conv")).otherwise(0L)).as("x_b"))
+      .withColumn("lhs", expr(
+        "CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0)) * (x_a * n_b - x_b * n_a)" +
+          " * (n_a + n_b)").cast(DecimalType(38, 0)))
+      .withColumn("rhs", expr(
+        "CAST(4 AS DECIMAL(38,0)) * (x_a + x_b) * (n_a + n_b - x_a - x_b)" +
+          " * n_a * n_b").cast(DecimalType(38, 0)))
+      .withColumn("significant", expr(
+        "x_a + x_b > 0 AND x_a + x_b < n_a + n_b AND lhs >= rhs"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("lhs"), col("rhs"), col("significant"))
+  }
+
+  private val a60Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' AND "value" IS NOT NULL
+      |      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END) AS BIGINT) pc
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT CASE WHEN pc > 65000 THEN 1 ELSE 0 END is_conv,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+      |               concat('ab:', CAST(user_id AS VARCHAR))
+      |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 2 cohort
+      |  FROM u),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) n_a,
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN is_conv ELSE 0 END) AS BIGINT) x_a,
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) n_b,
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN is_conv ELSE 0 END) AS BIGINT) x_b
+      |  FROM c)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (x_a * n_b - x_b * n_a)
+      |    * (n_a + n_b) lhs,
+      |  CAST(4 AS HUGEINT) * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+      |    * n_a * n_b rhs,
+      |  x_a + x_b > 0 AND x_a + x_b < n_a + n_b AND
+      |    CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (x_a * n_b - x_b * n_a)
+      |      * (n_a + n_b)
+      |    >= CAST(4 AS HUGEINT) * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+      |      * n_a * n_b AS significant
+      |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a60_ab_proportion",
+      "A/B two-proportion z-test: pooled-variance 2-sigma gate as one exact integer inequality",
+      a60AbProportion, Some(a60Sql)),
     QueryDef("a59_ams_f2",
       "AMS sign-sketch F2 estimate vs exact second moment (16 estimators, shared md5 signs)",
       a59AmsF2, Some(a59Sql)),

@@ -78,7 +78,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w31_mann_kendall", "g15_random_walks", "t42_boilerplate_strip",
     "a59_ams_f2", "w32_runs_test", "l08_write_audit_publish",
     "w33_rescaled_range", "s16_universe_sample", "j21_full_reducer",
-    "v28_mmr_diversify", "st15_stateful_ledger", "io12_agg_pushdown")
+    "v28_mmr_diversify", "st15_stateful_ledger", "io12_agg_pushdown",
+    "a60_ab_proportion")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

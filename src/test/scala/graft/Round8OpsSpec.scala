@@ -1419,4 +1419,46 @@ class Round8OpsSpec extends AnyFunSuite {
     }
     assert(checkedPicks == out.size && checkedPicks >= 3)
   }
+
+  test("a60: A/B readout equals a BigInt replay; both verdict branches are exercised") {
+    val r = Maintenance.a60AbProportion(spark, sf).head()
+    val (nA, xA, nB, xB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def img2(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("pc"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val byCohort = perUser.groupBy(u => img2(s"ab:${u._1}"))
+    def stats(c: Long) = {
+      val us = byCohort.getOrElse(c, Array.empty[(Long, Long)])
+      (us.length.toLong, us.count(_._2 > 65000L).toLong)
+    }
+    assert((nA, xA) == stats(0L) && (nB, xB) == stats(1L))
+    // the split is non-degenerate and the conversion threshold bites
+    assert(nA > 0 && nB > 0 && xA + xB > 0 && xA + xB < nA + nB,
+      s"degenerate experiment: n=($nA,$nB) x=($xA,$xB)")
+    val d = BigInt(xA) * nB - BigInt(xB) * nA
+    val lhs = d * d * (nA + nB)
+    val x = BigInt(xA + xB)
+    val rhs = BigInt(4) * x * (BigInt(nA + nB) - x) * nA * nB
+    assert(BigInt(r.getDecimal(4).toBigInteger) == lhs)
+    assert(BigInt(r.getDecimal(5).toBigInteger) == rhs)
+    assert(r.getBoolean(6) == (lhs >= rhs))
+    // branch coverage for the gate itself: a planted uplift must fire,
+    // a null split must not (the arithmetic, not just this corpus)
+    def verdict(xa: Long, na: Long, xb: Long, nb: Long): Boolean = {
+      val dd = BigInt(xa) * nb - BigInt(xb) * na
+      val xx = BigInt(xa + xb)
+      xx > 0 && xx < na + nb &&
+        dd * dd * (na + nb) >= BigInt(4) * xx * (BigInt(na + nb) - xx) * na * nb
+    }
+    assert(verdict(900, 1000, 100, 1000))
+    assert(!verdict(500, 1000, 500, 1000))
+  }
 }
