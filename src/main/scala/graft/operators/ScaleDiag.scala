@@ -512,6 +512,92 @@ object ScaleDiag {
       |SELECT 4, b4.n, 0, 0, TRUE, b1.n + b4.n, b1.s + b4.s FROM b1, b4
       |ORDER BY batch""".stripMargin
 
+  /** l09 — partition-spec EVOLUTION: the Iceberg capability hive layouts
+    * lack — change the table's partition key WITHOUT rewriting history.
+    * Generation 1 (orders with odd keys) is laid out by order-month;
+    * the spec then evolves and generation 2 (even keys) lands
+    * partitioned by order-priority. The manifest records each file's
+    * spec and partition value, and a query with predicates on BOTH
+    * dimensions (March orders, '1-URGENT') prunes each generation under
+    * ITS OWN spec — month dirs for gen-1, priority dirs for gen-2 — and
+    * applies the other predicate as a residual row filter. Emitted per
+    * spec: live vs scanned file counts (the pruning win), matched rows
+    * and exact cents (the correctness anchor); a final row totals the
+    * spec-aware plan against the whole table.
+    *
+    * At 100 TB this is the difference between re-partitioning a
+    * petabyte of history when access patterns change and flipping a
+    * metadata default for NEW data only — reads stay correct because
+    * pruning is per-file-group metadata, not a global layout property.
+    */
+  def l09PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l09_specevo_")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("month(o_orderdate)").as("mth"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // gen-1 under spec A (by month): hive dirs mth=1..12
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .write.partitionBy("mth").mode("overwrite").parquet(s"$scratch/gen1")
+    // spec evolves; gen-2 under spec B (by priority)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.partitionBy("o_orderpriority").mode("overwrite")
+      .parquet(s"$scratch/gen2")
+    def dirs(base: String): Seq[String] =
+      Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+        .map(_.getName).sorted.toSeq
+    val spec1All = dirs(s"$scratch/gen1")
+    val spec2All = dirs(s"$scratch/gen2")
+    // prune per spec: gen-1 by month=3, gen-2 by priority='1-URGENT';
+    // the OTHER predicate runs as a residual filter inside the scan
+    val spec1Kept = spec1All.filter(_ == "mth=3")
+    val spec2Kept = spec2All.filter(_ == "o_orderpriority=1-URGENT")
+    val g1 = spark.read.parquet(spec1Kept.map(d => s"$scratch/gen1/$d"): _*)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s"))
+      .head()
+    val g2 = spark.read.parquet(spec2Kept.map(d => s"$scratch/gen2/$d"): _*)
+      .filter(col("mth") === 3)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s"))
+      .head()
+    import spark.implicits._
+    Seq(
+      ("spec1_by_month", spec1All.size.toLong, spec1Kept.size.toLong,
+        g1.getLong(0), g1.getLong(1)),
+      ("spec2_by_priority", spec2All.size.toLong, spec2Kept.size.toLong,
+        g2.getLong(0), g2.getLong(1)),
+      ("total", (spec1All.size + spec2All.size).toLong,
+        (spec1Kept.size + spec2Kept.size).toLong,
+        g1.getLong(0) + g2.getLong(0), g1.getLong(1) + g2.getLong(1)))
+      .toDF("spec", "live_groups", "scanned_groups", "n_rows", "cents_sum")
+      .orderBy(col("spec"))
+  }
+
+  private val l09Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey k, o_orderpriority pri, month(o_orderdate) mth,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |g1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) s
+      |  FROM o WHERE k % 2 = 1 AND mth = 3 AND pri = '1-URGENT'),
+      |g2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) s
+      |  FROM o WHERE k % 2 = 0 AND pri = '1-URGENT' AND mth = 3),
+      |d1 AS (SELECT CAST(COUNT(DISTINCT mth) AS BIGINT) g FROM o WHERE k % 2 = 1),
+      |d2 AS (SELECT CAST(COUNT(DISTINCT pri) AS BIGINT) g FROM o WHERE k % 2 = 0)
+      |SELECT 'spec1_by_month' spec, d1.g live_groups, CAST(1 AS BIGINT) scanned_groups,
+      |  g1.n n_rows, g1.s cents_sum FROM d1, g1
+      |UNION ALL
+      |SELECT 'spec2_by_priority', d2.g, 1, g2.n, g2.s FROM d2, g2
+      |UNION ALL
+      |SELECT 'total', d1.g + d2.g, 2, g1.n + g2.n, g1.s + g2.s
+      |FROM d1, d2, g1, g2
+      |ORDER BY spec""".stripMargin
+
   /** l06 — retraction-aware incremental aggregate refresh: the matview
     * maintenance problem [[graft.operators.Maintenance.a33IncrementalAgg]]
     * deliberately avoids. a33's append-only merge works because
@@ -681,6 +767,9 @@ object ScaleDiag {
       |ORDER BY o_custkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l09_partition_evolution",
+      "partition-spec evolution: each generation prunes under its own spec, history never rewritten",
+      l09PartitionEvolution, Some(l09Sql)),
     QueryDef("l08_write_audit_publish",
       "write-audit-publish staged commits: contract-failing batches never reach the manifest",
       l08WriteAuditPublish, Some(l08Sql)),

@@ -1461,4 +1461,35 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(verdict(900, 1000, 100, 1000))
     assert(!verdict(500, 1000, 500, 1000))
   }
+
+  test("l09: per-spec pruning matches a driver replay and loses no rows") {
+    val out = operators.ScaleDiag.l09PartitionEvolution(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("month(o_orderdate)"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val odd = rows.filter(_._1 % 2 == 1)
+    val even = rows.filter(_._1 % 2 == 0)
+    val hit1 = odd.filter(t => t._3 == 3 && t._2 == "1-URGENT")
+    val hit2 = even.filter(t => t._2 == "1-URGENT" && t._3 == 3)
+    // each generation prunes to ONE group under ITS OWN spec
+    assert(out("spec1_by_month") ==
+      ((odd.map(_._3).distinct.length.toLong, 1L,
+        hit1.length.toLong, hit1.map(_._4).sum)))
+    assert(out("spec2_by_priority") ==
+      ((even.map(_._2).distinct.length.toLong, 1L,
+        hit2.length.toLong, hit2.map(_._4).sum)))
+    // the spec-aware union answers the cross-dimension predicate exactly
+    val all = rows.filter(t => t._3 == 3 && t._2 == "1-URGENT")
+    assert(out("total")._3 == all.length.toLong &&
+      out("total")._4 == all.map(_._4).sum,
+      "per-spec pruned reads must union to the full-table answer")
+    // pruning genuinely bites on both layouts
+    assert(out("spec1_by_month")._1 >= 12L &&
+      out("spec2_by_priority")._1 >= 5L)
+  }
 }
