@@ -573,8 +573,13 @@ object Sampling {
         .select(lit(name).as("strategy"), col("kept_orders"),
           col("kept_lineitem"), col("joined_rows"),
           (col("joined_rows") * scale).as("est_total"), col("true_total"),
-          expr(s"CAST(abs(joined_rows * $scale - true_total) * 1000000 " +
-            "div true_total AS BIGINT)").as("err_ppm"))
+          // numerator in DECIMAL(38,0) from the first multiply:
+          // joined*scale*1e6 passes int64 near 9e10 joined rows — the
+          // oracle's HUGEINT never wraps, so the Spark side must not
+          // hit ANSI overflow there either
+          expr(s"CAST(abs(CAST(joined_rows AS DECIMAL(38,0)) * $scale " +
+            s"- true_total) * 1000000 div true_total AS BIGINT)")
+            .as("err_ppm"))
     }
     val u = branch("universe",
       orders.filter(expr(img("concat('u:', CAST(o_orderkey AS STRING))")) === 0),
@@ -614,7 +619,8 @@ object Sampling {
        |    (SELECT COUNT(*) FROM io_ JOIN il ON io_.k = il.k), 100)
        |SELECT strategy, kept_orders, kept_lineitem, joined_rows,
        |  joined_rows * scale est_total, t.n true_total,
-       |  CAST(abs(joined_rows * scale - t.n) * 1000000 // t.n AS BIGINT) err_ppm
+       |  CAST(abs(CAST(joined_rows AS HUGEINT) * scale - t.n) * 1000000
+       |    // t.n AS BIGINT) err_ppm
        |FROM rows_, t ORDER BY strategy DESC""".stripMargin
   }
 

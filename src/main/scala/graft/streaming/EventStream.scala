@@ -1342,21 +1342,21 @@ object EventStream {
     * sink: every refresh is appended, the final image is the row with
     * the key's max n.
     */
-  def streamingTwsLedger(spark: SparkSession, dir: String,
-                         queryName: String = "st_tws_ledger",
-                         slices: Int = 4): DataFrame = {
+  /** Stages the (event_type, user_id, cents) frame as `slices`
+    * mtime-ordered time slices for the file stream source — the
+    * StreamRecoverySpec convention: time slicing makes user histories
+    * genuinely span micro-batches so the ledger fold exercises
+    * cross-batch state, not intra-batch math.
+    */
+  private[graft] def stageTwsSlices(spark: SparkSession, dir: String,
+                                    slices: Int): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    import spark.implicits._
-    val base = Tables.events(spark, dir)
+    val us = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("user_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        col("ts"))
-    // slice by TIME so user histories genuinely span micro-batches and
-    // the ledger fold exercises cross-batch state, not intra-batch math
-    val us = base.select(unix_micros(col("ts")).as("us"),
-      col("event_type"), col("user_id"), col("cents"))
+      .select(unix_micros(col("ts")).as("us"),
+        col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val tcuts = us.stat.approxQuantile("us",
       (1 until slices).map(_.toDouble / slices).toArray, 0.001)
     val bounds = (Seq(Long.MinValue) ++ tcuts.map(_.toLong) :+ Long.MaxValue)
@@ -1373,20 +1373,37 @@ object EventStream {
       Files.move(Paths.get(part), target)
       Files.setLastModifiedTime(target, FileTime.fromMillis(1000000L + i * 60000L))
     }
+    stage.toString
+  }
+
+  /** The transformWithState dataflow over a staged slice dir: one file
+    * per trigger → [[SpendLedgerProcessor]] keyed by (event_type, user).
+    * Callers must run it on the RocksDB state store provider (the API
+    * requires it) — see [[streamingTwsLedger]] / StreamRecoverySpec.
+    */
+  private[graft] def twsLedgerUpdates(spark: SparkSession, stageDir: String)
+      : org.apache.spark.sql.Dataset[LedgerOut] = {
+    import spark.implicits._
+    val schema = spark.read
+      .parquet(s"$stageDir/slice_00.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .as[(String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new SpendLedgerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  def streamingTwsLedger(spark: SparkSession, dir: String,
+                         queryName: String = "st_tws_ledger",
+                         slices: Int = 4): DataFrame = {
+    val stage = stageTwsSlices(spark, dir, slices)
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val schema = spark.read
-        .parquet(stage.resolve("slice_00.parquet").toString).schema
-      val updates = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-        .as[(String, Long, Long)]
-        .groupByKey(r => (r._1, r._2))
-        .transformWithState(new SpendLedgerProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          org.apache.spark.sql.streaming.OutputMode.Update())
-      val q = updates.toDF().writeStream
+      val q = twsLedgerUpdates(spark, stage).toDF().writeStream
         .format("memory").queryName(queryName).outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

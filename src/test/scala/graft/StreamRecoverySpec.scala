@@ -169,4 +169,73 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(got.toSet == firsts,
       s"missing: ${(firsts -- got.toSet).take(3)} extra: ${(got.toSet -- firsts).take(3)}")
   }
+
+  test("st15 transformWithState: kill mid-stream, restart from checkpoint == batch ledger") {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    // the TWS API runs only on RocksDB — which also makes this the
+    // suite's recovery proof for the provider+API pair a large cluster
+    // would actually deploy for this operator
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 8 slices so the kill deterministically lands between commits
+      val stage = EventStream.stageTwsSlices(spark, sf, slices = 8)
+      val out = Files.createTempDirectory("graft_twsrec_out_").toString
+      val ckpt = Files.createTempDirectory("graft_twsrec_ck_").toString
+      def start(drain: Boolean) = {
+        val w = EventStream.twsLedgerUpdates(spark, stage).toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }
+        (if (drain) w.trigger(Trigger.AvailableNow()) else w).start()
+      }
+      val q1 = start(drain = false)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+             System.nanoTime < deadline) Thread.sleep(25)
+      q1.stop()
+      q1.awaitTermination()
+      val committedBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+      assert(committedBeforeKill >= 2, "never reached 2 committed batches")
+      assume(committedBeforeKill < 8,
+        "all batches finished before the kill - nothing mid-stream to recover")
+      val q2 = start(drain = true)
+      q2.awaitTermination()
+      // final image per key = the emission with the key's max n (the
+      // ledger count is strictly increasing per refresh)
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("n").desc)
+      val got = s.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_type"), col("user_id"), col("n"),
+          col("cents"), col("max_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = Tables.events(spark, sf).filter(col("value").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          max(col("cents")).as("mx"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // n counts every event exactly once: a RocksDB version not rolled
+      // back across the kill would double-fold the replayed batch and
+      // inflate n; a lost one deflates it — cell equality IS the proof
+      assert(got.size == want.size,
+        s"key sets differ across recovery: ${got.size} vs ${want.size}")
+      want.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"ledger differs at $k after recovery")
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }
