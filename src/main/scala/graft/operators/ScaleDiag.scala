@@ -598,6 +598,97 @@ object ScaleDiag {
       |FROM d1, d2, g1, g2
       |ORDER BY spec""".stripMargin
 
+  /** l10 — DELETION VECTORS (merge-on-read position deletes): the
+    * Delta/Iceberg-v2 mechanism that makes row-level deletes cheap at
+    * 100 TB — instead of rewriting a 1 GB file to drop 100 rows, a
+    * commit appends a tiny (file_id, pos) delete-vector table and every
+    * reader anti-joins it; data files are IMMUTABLE until a compaction
+    * chooses to apply the vectors. Staged here deterministically:
+    * orders land as 4 position-stamped file groups (file_id = key mod
+    * 4, pos = rank within group), a delete commit targets keys ≡ 0
+    * (mod 7) as pure (file_id, pos) pairs — the emitted `files_changed`
+    * row proves ZERO data files were touched — and a partial compaction
+    * then applies group 0's vectors (rewriting exactly that group,
+    * dropping its DV entries) with the merge-on-read read-back
+    * identical before and after: apply is a physical-layout decision,
+    * never a semantic one.
+    *
+    * Scale shape: the DV anti-join is (file_id, pos)-keyed — at cluster
+    * scale the DV side is bloom/broadcast-sized per file group and the
+    * scan pays one hash probe per row; compaction is per-file-group and
+    * embarrassingly parallel.
+    */
+  def l10DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l10_dv_")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file_id")).orderBy(col("k"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("file_id", pmod(col("k"), lit(4)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .write.partitionBy("file_id").mode("overwrite").parquet(s"$scratch/data")
+    def files(): Map[String, Set[String]] =
+      (0 to 3).map { g =>
+        val d = new java.io.File(s"$scratch/data/file_id=$g")
+        s"file_id=$g" -> Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      }.toMap
+    val base = spark.read.parquet(s"$scratch/data")
+    val before = files()
+    // DELETE COMMIT: keys ≡ 0 (mod 7) become (file_id, pos) pairs only
+    base.filter(col("k") % 7 === 0).select(col("file_id"), col("pos"))
+      .write.mode("overwrite").parquet(s"$scratch/dv")
+    val afterDelete = files()
+    def live(dataPath: String, dvLive: DataFrame): DataFrame =
+      spark.read.parquet(dataPath)
+        .join(dvLive, Seq("file_id", "pos"), "left_anti")
+    val dv = spark.read.parquet(s"$scratch/dv")
+    val mor = live(s"$scratch/data", dv)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    // PARTIAL COMPACTION: apply group 0's vectors — rewrite exactly that
+    // group, drop its DV entries; groups 1-3 keep merge-on-read
+    val g0 = live(s"$scratch/data", dv).filter(col("file_id") === 0)
+      .select(col("k"), col("cents"), col("pos"))
+    g0.write.mode("overwrite").parquet(s"$scratch/data2_g0")
+    val dvRest = dv.filter(col("file_id") =!= 0)
+    val compacted = spark.read.parquet(s"$scratch/data2_g0")
+      .select(col("k"), col("cents"))
+      .unionByName(live(s"$scratch/data", dvRest)
+        .filter(col("file_id") =!= 0).select(col("k"), col("cents")))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+    val nBase = base.count()
+    val nDv = dv.count()
+    import spark.implicits._
+    Seq(
+      ("1_delete_commit", nBase, nDv, mor.getLong(0), mor.getLong(1),
+        (0 to 3).count(g => before(s"file_id=$g") != afterDelete(s"file_id=$g")).toLong),
+      ("2_partial_compact", nBase, dvRest.count(), compacted.getLong(0),
+        compacted.getLong(1), 1L))
+      .toDF("step", "n_base", "n_dv", "n_live", "live_cents", "files_changed")
+      .orderBy(col("step"))
+  }
+
+  private val l10Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |liv AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) s
+      |  FROM o WHERE k % 7 <> 0),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM o),
+      |dels AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM o WHERE k % 7 = 0),
+      |dels_rest AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n FROM o
+      |  WHERE k % 7 = 0 AND k % 4 <> 0)
+      |SELECT '1_delete_commit' step, tot.n n_base, dels.n n_dv,
+      |  liv.n n_live, liv.s live_cents, CAST(0 AS BIGINT) files_changed
+      |FROM tot, dels, liv
+      |UNION ALL
+      |SELECT '2_partial_compact', tot.n, dels_rest.n, liv.n, liv.s, 1
+      |FROM tot, dels_rest, liv
+      |ORDER BY step""".stripMargin
+
   /** l06 — retraction-aware incremental aggregate refresh: the matview
     * maintenance problem [[graft.operators.Maintenance.a33IncrementalAgg]]
     * deliberately avoids. a33's append-only merge works because
@@ -767,6 +858,9 @@ object ScaleDiag {
       |ORDER BY o_custkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l10_deletion_vectors",
+      "merge-on-read position deletes: DV commit touches zero data files, partial compaction applies them",
+      l10DeletionVectors, Some(l10Sql)),
     QueryDef("l09_partition_evolution",
       "partition-spec evolution: each generation prunes under its own spec, history never rewritten",
       l09PartitionEvolution, Some(l09Sql)),

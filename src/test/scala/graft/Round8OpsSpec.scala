@@ -1492,4 +1492,31 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out("spec1_by_month")._1 >= 12L &&
       out("spec2_by_priority")._1 >= 5L)
   }
+
+  test("l10: DV commit deletes rows without touching data files; compaction is read-invariant") {
+    val out = operators.ScaleDiag.l10DeletionVectors(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val live = keys.filter(_._1 % 7 != 0)
+    val (n1, dv1, live1, cents1, chg1) = out("1_delete_commit")
+    val (n2, dv2, live2, cents2, chg2) = out("2_partial_compact")
+    assert(n1 == keys.length.toLong && n2 == n1)
+    assert(dv1 == keys.count(_._1 % 7 == 0).toLong && dv1 > 0)
+    // the delete commit is metadata-only: zero data files changed,
+    // yet the merge-on-read scan already excludes every deleted row
+    assert(chg1 == 0L)
+    assert(live1 == live.length.toLong && cents1 == live.map(_._2).sum)
+    // partial compaction rewrites exactly one group, drops its DV
+    // entries, and the read-back is bit-identical — apply is a
+    // physical-layout decision, never a semantic one
+    assert(chg2 == 1L)
+    assert(dv2 == keys.count(k => k._1 % 7 == 0 && k._1 % 4 != 0).toLong)
+    assert(dv2 < dv1, "compaction must retire group 0's vectors")
+    assert(live2 == live1 && cents2 == cents1)
+  }
 }
