@@ -2463,8 +2463,12 @@ object Similarity {
     val sims = cand
       .select(col("qid"), col("cid").as("a_id"), col("cq").as("aq"),
         col("cn").as("an"))
-      .join(cand.select(col("qid"), col("cid").as("b_id"), col("cq").as("bq"),
-        col("cn").as("bn")), Seq("qid"))
+      // every join below pairs bounded shortlist-scale frames: pin the
+      // broadcast side explicitly — near-threshold AQE build choices
+      // are a run-to-run coin flip (the w29 golden-flap class), and the
+      // broadcast IS the correct at-scale plan for k-per-query frames
+      .join(broadcast(cand.select(col("qid"), col("cid").as("b_id"),
+        col("cq").as("bq"), col("cn").as("bn"))), Seq("qid"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("qid"), col("a_id"), col("b_id"),
         expr(cos("aq", "bq", "an", "bn")).as("sim"))
@@ -2475,19 +2479,19 @@ object Similarity {
     val oneMinus = "CAST(0.3 AS DOUBLE)"
     val wPick = Window.partitionBy(col("qid"))
       .orderBy(col("mmr").desc, col("cid").asc)
-    val s2 = lean.join(s1, Seq("qid")).filter(col("cid") =!= col("s1_id"))
-      .join(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
-        col("sim")), Seq("qid", "cid"))
+    val s2 = lean.join(broadcast(s1), Seq("qid")).filter(col("cid") =!= col("s1_id"))
+      .join(broadcast(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
+        col("sim"))), Seq("qid", "cid"))
       .filter(col("b_id") === col("s1_id"))
       .withColumn("mmr", expr(s"$lambda * rel - $oneMinus * sim"))
       .withColumn("pick", row_number().over(wPick))
       .filter(col("pick") === 1)
       .select(col("qid"), col("cid").as("s2_id"), col("rel").as("s2_rel"),
         col("mmr").as("s2_mmr"))
-    val s3 = lean.join(s1, Seq("qid")).join(s2, Seq("qid"))
+    val s3 = lean.join(broadcast(s1), Seq("qid")).join(broadcast(s2), Seq("qid"))
       .filter(col("cid") =!= col("s1_id") && col("cid") =!= col("s2_id"))
-      .join(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
-        col("sim")), Seq("qid", "cid"))
+      .join(broadcast(sims.select(col("qid"), col("a_id").as("cid"), col("b_id"),
+        col("sim"))), Seq("qid", "cid"))
       .filter(col("b_id") === col("s1_id") || col("b_id") === col("s2_id"))
       .groupBy(col("qid"), col("cid"), col("rel"))
       .agg(max(col("sim")).as("maxsim"))
