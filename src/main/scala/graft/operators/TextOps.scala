@@ -2538,7 +2538,105 @@ object TextOps {
       |    (a, b) -> a * 16 + b)) AS BIGINT) cleaned_checksum
       |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** t43 — checksum-validated card-number PII: the curation rule where
+    * a regex alone over-redacts. Card-shaped 16-digit runs are cheap to
+    * match; real detectors validate the Luhn checksum before redacting,
+    * killing the false positives (order ids, timestamps, hashes) that
+    * would otherwise punch [CARD] holes into clean text. Planted
+    * deterministically from doc_id: docs ≡ 0 (mod 9) get a VALID card
+    * (15 payload digits + the computed Luhn check digit), docs ≡ 0
+    * (mod 11) an INVALID one (check digit shifted by 5) — the emitted
+    * per-doc (card_shaped, luhn_valid) counts and the
+    * valid-only-redaction fingerprint show the checksum rejecting every
+    * planted fake while every planted real card is caught and masked.
+    *
+    * Scale shape: pure per-row projection — regex extraction plus a
+    * 16-step integer fold per candidate (bounded: candidates per doc
+    * are rare by construction); no shuffle at all before the ORDER BY.
+    * The Luhn fold and the digit strings are identical integer/string
+    * expression trees on both engines.
+    */
+  def t43LuhnPii(spark: SparkSession, dir: String): DataFrame = {
+    // Luhn sum of a 16-char digit string s (position 16 = check digit):
+    // doubling every second digit from the right
+    def luhnSum(s: String): String =
+      s"""aggregate(sequence(1, 16), 0L, (acc, i) -> acc +
+         |  CAST(CASE WHEN (17 - i) % 2 = 0
+         |    THEN IF(2 * CAST(substring($s, i, 1) AS INT) > 9,
+         |            2 * CAST(substring($s, i, 1) AS INT) - 9,
+         |            2 * CAST(substring($s, i, 1) AS INT))
+         |    ELSE CAST(substring($s, i, 1) AS INT) END AS BIGINT))""".stripMargin
+    // 15 deterministic payload digits from doc_id
+    val payload = "concat(lpad(CAST(doc_id * doc_id % 1000000000 AS STRING), 9, '0'), " +
+      "lpad(CAST(doc_id % 1000000 AS STRING), 6, '0'))"
+    val aug = Tables.documents(spark, dir)
+      .withColumn("pay", expr(payload))
+      // Luhn sum of payload+'0' has the check digit slot zeroed; the
+      // real check digit is its 10-complement
+      .withColumn("chk", expr(
+        s"(10 - ${luhnSum("concat(pay, '0')")} % 10) % 10"))
+      .withColumn("aug",
+        when(col("doc_id") % 9 === 0,
+          expr("concat(text, ' pay ', pay, CAST(chk AS STRING), ' now')"))
+        .when(col("doc_id") % 11 === 0,
+          expr("concat(text, ' ref ', pay, CAST((chk + 5) % 10 AS STRING), ' x')"))
+        .otherwise(col("text")))
+    aug
+      .withColumn("cands", expr("regexp_extract_all(aug, '[0-9]{16}', 0)"))
+      .filter(size(col("cands")) > 0)
+      .withColumn("valid", expr(
+        s"filter(cands, c -> ${luhnSum("c")} % 10 = 0)"))
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("card_shaped"),
+        size(col("valid")).cast("long").as("luhn_valid"),
+        md5(expr("aggregate(valid, aug, (acc, c) -> replace(acc, c, '[CARD]'))"))
+          .as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t43Sql = {
+    def luhnSum(s: String): String =
+      s"""list_sum(list_transform(range(1, 17), i ->
+         |  CAST(CASE WHEN (17 - i) % 2 = 0
+         |    THEN CASE WHEN 2 * CAST(substr($s, CAST(i AS INTEGER), 1) AS INTEGER) > 9
+         |      THEN 2 * CAST(substr($s, CAST(i AS INTEGER), 1) AS INTEGER) - 9
+         |      ELSE 2 * CAST(substr($s, CAST(i AS INTEGER), 1) AS INTEGER) END
+         |    ELSE CAST(substr($s, CAST(i AS INTEGER), 1) AS INTEGER) END AS BIGINT)))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, text,
+       |    lpad(CAST(doc_id * doc_id % 1000000000 AS VARCHAR), 9, '0') ||
+       |    lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') pay
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, pay,
+       |    (10 - ${luhnSum("(pay || '0')")} % 10) % 10 chk
+       |  FROM p),
+       |a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN text || ' pay ' || pay || CAST(chk AS VARCHAR) || ' now'
+       |    WHEN doc_id % 11 = 0
+       |      THEN text || ' ref ' || pay || CAST((chk + 5) % 10 AS VARCHAR) || ' x'
+       |    ELSE text END aug
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id, aug, regexp_extract_all(aug, '[0-9]{16}') cands
+       |  FROM a),
+       |v AS (
+       |  SELECT doc_id, aug, cands,
+       |    list_filter(cands, cd -> ${luhnSum("cd")} % 10 = 0) vv
+       |  FROM e WHERE len(cands) > 0)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) card_shaped,
+       |  CAST(len(vv) AS BIGINT) luhn_valid,
+       |  md5(list_reduce(list_prepend(aug, vv),
+       |    (acc, cd) -> replace(acc, cd, '[CARD]'))) redacted_fp
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t43_luhn_pii",
+      "checksum-validated card PII: Luhn rejects planted fakes the regex alone would redact",
+      t43LuhnPii, Some(t43Sql)),
     QueryDef("t42_boilerplate_strip",
       "C4-style HTML/boilerplate strip proven by planted-template round-trip per lang",
       t42BoilerplateStrip, Some(t42Sql)),

@@ -1519,4 +1519,54 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(dv2 < dv1, "compaction must retire group 0's vectors")
     assert(live2 == live1 && cents2 == cents1)
   }
+
+  test("t43: Luhn gate equals a driver replay; every fake rejected, every real card masked") {
+    val out = operators.TextOps.t43LuhnPii(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def luhn(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, i0) =>
+        val d = ch - '0'
+        if ((17 - (i0 + 1)) % 2 == 0) { val t = 2 * d; if (t > 9) t - 9 else t }
+        else d
+      }.sum
+      sum % 10 == 0
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val re = "[0-9]{16}".r
+    var planted = 0
+    docs.foreach { case (id, text) =>
+      val pay = f"${id * id % 1000000000}%09d${id % 1000000}%06d"
+      val chk = (1 to 16).map { i =>
+        if (i == 16) 0
+        else {
+          val d = pay(i - 1) - '0'
+          if ((17 - i) % 2 == 0) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+        }
+      }.sum match { case s => (10 - s % 10) % 10 }
+      val aug =
+        if (id % 9 == 0) s"$text pay $pay$chk now"
+        else if (id % 11 == 0) s"$text ref $pay${(chk + 5) % 10} x"
+        else text
+      val cands = re.findAllIn(aug).toSeq
+      if (cands.isEmpty) assert(!out.contains(id))
+      else {
+        val valid = cands.filter(luhn)
+        val (shaped, ok, fp) = out(id)
+        assert(shaped == cands.length.toLong && ok == valid.length.toLong,
+          s"doc $id: counts differ")
+        val redacted = valid.foldLeft(aug)((a, c) => a.replace(c, "[CARD]"))
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == md5, s"doc $id: redaction fingerprint differs")
+        if (id % 9 == 0) { assert(luhn(s"$pay$chk") && ok >= 1); planted += 1 }
+        else if (id % 11 == 0) {
+          assert(!luhn(s"$pay${(chk + 5) % 10}")); planted += 1
+        }
+      }
+    }
+    assert(planted >= 10, "plants must fire on this corpus")
+  }
 }
