@@ -1998,7 +1998,68 @@ object Maintenance {
       |      * n_a * n_b AS significant
       |FROM g""".stripMargin
 
+  /** a61 — categorical column-correlation audit: the χ² INDEPENDENCE
+    * test over the (o_orderstatus × o_orderpriority) contingency table,
+    * the statistic a cost-based optimizer consults before trusting the
+    * independence assumption in selectivity estimates (the cross-column
+    * companion to [[a58TableStats]]'s per-column catalog; distinct from
+    * t38's goodness-of-fit χ² against an external blend — here the
+    * expected counts are the table's OWN margins). Each cell emits its
+    * exact components (observed, row/col totals, n) plus
+    * term_ppm = ⌊10⁶·(n·o − rt·ct)² / (n·rt·ct)⌋ — per-cell floored in
+    * DECIMAL(38,0)/HUGEINT on both engines, so the quantization is the
+    * deterministic contract (the a40/g09 pattern: products < 10³⁸,
+    * quotient < int64; exact to ~10⁸ rows, raw components always
+    * emitted for wider recomputation). Σ term_ppm / 10⁶ = χ², and
+    * V² = χ²/(n·min(r−1, c−1)) is the consumer's one division.
+    *
+    * Scale shape: one partial-agg shuffle to the (r×c)-bounded cell
+    * table; margins and n are broadcast-sized re-aggregates of the
+    * cells — the fact table is scanned exactly once.
+    */
+  def a61ColumnCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+    val rt = cells.groupBy(col("status")).agg(sum(col("observed")).as("row_total"))
+    val ct = cells.groupBy(col("priority")).agg(sum(col("observed")).as("col_total"))
+    val n = cells.agg(sum(col("observed")).as("n"))
+    cells.join(broadcast(rt), Seq("status"))
+      .join(broadcast(ct), Seq("priority"))
+      .crossJoin(broadcast(n))
+      .withColumn("term_ppm", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(n AS DECIMAL(38,0)) * observed - CAST(row_total AS DECIMAL(38,0)) * col_total) * " +
+          "(CAST(n AS DECIMAL(38,0)) * observed - CAST(row_total AS DECIMAL(38,0)) * col_total) " +
+          "div (CAST(n AS DECIMAL(38,0)) * row_total * col_total) AS BIGINT)"))
+      .select(col("status"), col("priority"), col("observed"),
+        col("row_total"), col("col_total"), col("n"), col("term_ppm"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val a61Sql =
+    """WITH cells AS (
+      |  SELECT o_orderstatus status, o_orderpriority priority,
+      |    CAST(COUNT(*) AS BIGINT) observed
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT status, CAST(SUM(observed) AS BIGINT) row_total
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT priority, CAST(SUM(observed) AS BIGINT) col_total
+      |       FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(observed) AS BIGINT) n FROM cells)
+      |SELECT status, priority, observed, row_total, col_total, n,
+      |  CAST(CAST(1000000 AS HUGEINT)
+      |    * (CAST(n AS HUGEINT) * observed - CAST(row_total AS HUGEINT) * col_total)
+      |    * (CAST(n AS HUGEINT) * observed - CAST(row_total AS HUGEINT) * col_total)
+      |    // (CAST(n AS HUGEINT) * row_total * col_total) AS BIGINT) term_ppm
+      |FROM cells JOIN rt USING (status) JOIN ct USING (priority), t
+      |ORDER BY status, priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a61_column_correlation",
+      "chi-square independence over the status x priority contingency table: exact per-cell ppm terms",
+      a61ColumnCorrelation, Some(a61Sql)),
     QueryDef("a60_ab_proportion",
       "A/B two-proportion z-test: pooled-variance 2-sigma gate as one exact integer inequality",
       a60AbProportion, Some(a60Sql)),

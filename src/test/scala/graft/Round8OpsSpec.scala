@@ -1569,4 +1569,35 @@ class Round8OpsSpec extends AnyFunSuite {
     }
     assert(planted >= 10, "plants must fire on this corpus")
   }
+
+  test("a61: contingency terms equal a BigInt replay; V^2 respects its bound") {
+    val out = Maintenance.a61ColumnCorrelation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byCell = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    assert(out.size == byCell.size)
+    var chi2Ppm = BigInt(0)
+    byCell.foreach { case (cell @ (s, p), obs) =>
+      val d = BigInt(n) * obs - BigInt(rt(s)) * ct(p)
+      val term = (BigInt(1000000) * d * d) / (BigInt(n) * rt(s) * ct(p))
+      assert(out(cell) == ((obs, rt(s), ct(p), n, term.toLong)),
+        s"cell $cell differs")
+      chi2Ppm += term
+    }
+    // Cramér's bound: chi2 <= n * min(r-1, c-1), so V^2 <= 1 — the
+    // per-cell floors only make the left side smaller
+    val dof = math.min(rt.size - 1, ct.size - 1)
+    assert(chi2Ppm <= BigInt(1000000) * n * dof,
+      "chi-square exceeded its Cramér bound")
+    assert(rt.size >= 2 && ct.size >= 2, "degenerate contingency table")
+    // margins are consistent: cells sum back to n both ways
+    assert(rt.values.sum == n && ct.values.sum == n)
+  }
 }
