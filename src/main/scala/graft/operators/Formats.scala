@@ -585,7 +585,58 @@ object Formats {
       |SELECT 'offset_tail', COUNT(*) FROM o WHERE "offset" >= 100000
       |ORDER BY probe""".stripMargin
 
+  /** io13 — write-side file sizing via `maxRecordsPerFile`: the lever
+    * that prevents the small-file problem AT THE SOURCE instead of
+    * compacting after the fact ([[graft.operators.ScaleDiag.l02CompactionPlan]]'s
+    * cure vs this prevention). Lineitem is bucketed into 4 deterministic
+    * groups (hive `partitionBy`), each group lands in exactly one write
+    * task (a repartition on the group key — one key value can never
+    * split across tasks), and the writer rotates files every 1000 rows,
+    * so the per-group file count is EXACTLY ceil(n/1000) — emitted
+    * alongside the verified per-file max, which is what makes the
+    * contract a sizing AUDIT rather than a write demo. At 100 TB this
+    * is how a 10k-task ingest avoids minting 10M tiny files for the
+    * compactor to mop up.
+    */
+  def io13FileSizing(spark: SparkSession, dir: String,
+                     maxRows: Long = 1000L): DataFrame = {
+    val scratch = graft.util.Scratch.dir("io13_sizing_")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_orderkey"), lit(4)).cast("int").as("grp"))
+      .repartition(col("grp"))
+      .write.partitionBy("grp")
+      .option("maxRecordsPerFile", maxRows)
+      .mode("overwrite").parquet(scratch)
+    // ONE distributed read with per-file provenance — a spark.read per
+    // file would be hundreds of driver round-trips at sf0.1
+    spark.read.parquet(scratch)
+      .groupBy(col("grp"), input_file_name().as("f"))
+      .agg(count(lit(1)).as("file_rows"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("file_rows")).as("n_rows"),
+        max(col("file_rows")).as("max_file_rows"))
+      .withColumn("sized_exactly",
+        col("n_files") === expr(s"CAST(ceil(n_rows / CAST($maxRows AS DOUBLE)) AS BIGINT)") &&
+          col("max_file_rows") <= maxRows)
+      .orderBy(col("grp"))
+  }
+
+  private val io13Sql =
+    """WITH g AS (
+      |  SELECT CAST(l_orderkey % 4 AS INTEGER) grp,
+      |    CAST(COUNT(*) AS BIGINT) n_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT grp, CAST(ceil(n_rows / 1000.0) AS BIGINT) n_files, n_rows,
+      |  CAST(CASE WHEN n_rows % 1000 = 0 OR n_rows > 1000 THEN 1000
+      |       ELSE n_rows END AS BIGINT) max_file_rows,
+      |  TRUE sized_exactly
+      |FROM g ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io13_file_sizing",
+      "write-side maxRecordsPerFile audit: per-group file count == ceil(n/1000), rotation verified",
+      io13FileSizing(_, _), Some(io13Sql)),
     QueryDef("io12_agg_pushdown",
       "DSv2 COUNT(*) pushdown on graft-lines: one partial per chunk, composes with offset pushdown",
       io12AggPushdown, Some(io12Sql)),

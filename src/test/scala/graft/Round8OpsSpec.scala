@@ -1600,4 +1600,23 @@ class Round8OpsSpec extends AnyFunSuite {
     // margins are consistent: cells sum back to n both ways
     assert(rt.values.sum == n && ct.values.sum == n)
   }
+
+  test("io13: rotation produces exactly ceil(n/max) files per group, none oversized") {
+    val maxRows = 100L // small cap so rotation fires even at sf0.001
+    val out = operators.Formats.io13FileSizing(spark, sf, maxRows).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(pmod(col("l_orderkey"), lit(4)).cast("int").as("g")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.keySet == counts.keySet && counts.values.forall(_ > maxRows),
+      "every group must overflow the cap so rotation is exercised")
+    counts.foreach { case (g, n) =>
+      val (files, rows, mx, sized) = out(g)
+      assert(rows == n)
+      assert(files == (n + maxRows - 1) / maxRows,
+        s"group $g: expected ceil($n/$maxRows) files, got $files")
+      assert(mx <= maxRows && sized)
+    }
+  }
 }
