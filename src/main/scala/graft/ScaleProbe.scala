@@ -66,7 +66,9 @@ object ScaleProbe {
     "w33_rescaled_range", "s16_universe_sample", "j21_full_reducer",
     "v28_mmr_diversify", "st15_stateful_ledger", "io12_agg_pushdown",
     "a60_ab_proportion", "l09_partition_evolution", "l10_deletion_vectors",
-    "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing")
+    "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing",
+    // r8 fourth-session additions
+    "d16_prefix_filter_join")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

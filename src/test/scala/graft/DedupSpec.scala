@@ -104,4 +104,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.find(_._1 == "j_ge_080").map(_._2).getOrElse(0L) == d01,
       "audit ground truth disagrees with d01 on the audited slice")
   }
+
+  test("d16: prefix-filter join equals brute-force exact Jaccard>=0.8 (zero false negatives)") {
+    val got = operators.Dedup.d16PrefixFilterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // brute force over the SAME hashed bigram sets, recomputed from text
+    def img(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val sets = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).trim.split("\\s+")
+        val gs = (if (ws.length < 2) Array.empty[String]
+                  else ws.sliding(2).map(_.mkString(" ")).toArray).map(img).toSet
+        (r.getLong(0), gs)
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets
+      if ia < ib
+      inter = (ga & gb).size.toLong
+      if 9 * inter >= 4 * (ga.size + gb.size)
+    } yield (ia, ib, inter, ga.size.toLong, gb.size.toLong)).toSet
+    assert(brute.nonEmpty, "corpus has no >=0.8 bigram pairs; test is vacuous")
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(3)} / extra: ${(got -- brute).take(3)}")
+    // the filter stack must actually prune: candidates strictly below
+    // the all-pairs space (sanity on the join shape, not a perf claim)
+    val plan = operators.Dedup.d16PrefixFilterJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "prefix join degenerated to a cross product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "prefix join degenerated to a nested loop")
+  }
 }

@@ -80,7 +80,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "w33_rescaled_range", "s16_universe_sample", "j21_full_reducer",
     "v28_mmr_diversify", "st15_stateful_ledger", "io12_agg_pushdown",
     "a60_ab_proportion", "l09_partition_evolution", "l10_deletion_vectors",
-    "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing")
+    "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing",
+    "d16_prefix_filter_join")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
