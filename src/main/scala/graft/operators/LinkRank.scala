@@ -444,9 +444,13 @@ object LinkRank {
     * that partial-aggregates map-side; the vote's window runs over the
     * per-(node, label) aggregate, already shrunk to ≤deg rows per node.
     */
-  def g08LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+  /** The g08 label-propagation machinery, shared with g16's modularity
+    * audit: the simple undirected edge rows (symmetric, self-loops and
+    * multiplicity removed) and the round-1/round-2 label tables under
+    * the deterministic majority-vote (count desc, min label) rule.
+    */
+  private def lpaLabelFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val n = docs.agg(count(lit(1)).as("n"))
     val directed = rawLinkEdges(spark, dir)
       .filter(col("src") =!= col("dst"))
     val und = directed.select(col("src").as("a"), col("dst").as("b"))
@@ -467,7 +471,11 @@ object LinkRank {
     }
     val l0 = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
     val l1 = lpaRound(l0)
-    val l2 = lpaRound(l1)
+    (und, l1, lpaRound(l1))
+  }
+
+  def g08LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val (_, l1, l2) = lpaLabelFrames(spark, dir)
     val sizes = l2.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     l1.select(col("node"), col("lbl").as("label_r1"))
       .join(l2.select(col("node"), col("lbl").as("label_r2")), Seq("node"))
@@ -1053,7 +1061,108 @@ object LinkRank {
       |FROM s ORDER BY step""".stripMargin
   }
 
+  /** g16 — Newman modularity audit of g08's LPA partition: per community
+    * Q_c = m_c/m − (D_c/2m)², emitted as exact integer components plus a
+    * sign-aware floored ppm term so Σ q_term_ppm / 10⁶ ≈ Q. Over the
+    * symmetric simple edge rows (|rows| = 2m) the identity used is
+    *
+    *   Q_c = (2m·intra_rows_c − degree_sum_c²) / (2m)²
+    *
+    * with intra_rows_c the SYMMETRIC intra-community row count (= 2·m_c)
+    * and degree_sum_c = Σ_{v∈c} deg(v) — every operand an exact int64
+    * lifted to DECIMAL(38,0) for the ppm quotient (the g09/w16
+    * convention: magnitude-floored, sign reapplied, because Spark `div`
+    * truncates toward zero while DuckDB `//` floors on negatives). This
+    * is the acceptance metric for a community detector: LPA labels with
+    * Q ≈ 0 are noise, Q materially above the null model's 0 means the
+    * near-dup families g08 feeds downstream are real structure.
+    *
+    * Scale shape: degrees and labels key on node (one shuffle each,
+    * shareable), the edge table joins its two endpoint labels (node-keyed
+    * — exchange-free when pre-partitioned by node), and everything
+    * aggregates to the community-bounded table before any arithmetic.
+    * No quadratic step anywhere.
+    */
+  def g16Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (und, _, l2) = lpaLabelFrames(spark, dir)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val twoM = und.agg(count(lit(1)).as("two_m"))
+    val ds = l2.join(deg, Seq("node"), "left")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"),
+        coalesce(sum(col("deg")), lit(0L)).as("degree_sum"))
+    val intra = und
+      .join(l2.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(l2.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_rows"))
+    ds.join(intra, Seq("lbl"), "left")
+      .withColumn("intra_rows", coalesce(col("intra_rows"), lit(0L)))
+      .crossJoin(broadcast(twoM))
+      .withColumn("num",
+        col("two_m").cast(D) * col("intra_rows") - col("degree_sum").cast(D) * col("degree_sum"))
+      .withColumn("q_term_ppm", expr(
+        "CAST(CASE WHEN num >= 0 THEN " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * num) div (CAST(two_m AS DECIMAL(38,0)) * two_m) " +
+          "ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-num)) div (CAST(two_m AS DECIMAL(38,0)) * two_m)) " +
+          "END AS BIGINT)"))
+      .select(col("lbl").as("community"), col("community_size"),
+        col("degree_sum"), col("intra_rows"), col("two_m"), col("q_term_ppm"))
+      .orderBy(col("community"))
+  }
+
+  private val g16Sql =
+    """WITH n AS (SELECT COUNT(*) n FROM documents),
+      |d0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % n.n dst
+      |  FROM documents CROSS JOIN n, (SELECT unnest([1, 2, 3]) k)),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src a, dst b FROM d0 WHERE src <> dst
+      |    UNION ALL SELECT dst a, src b FROM d0 WHERE src <> dst)),
+      |l0 AS (SELECT doc_id node, doc_id lbl FROM documents),
+      |c1 AS (SELECT und.a node, l0.lbl, COUNT(*) c
+      |       FROM und JOIN l0 ON und.b = l0.node GROUP BY und.a, l0.lbl),
+      |w1 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl,
+      |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) rn
+      |         FROM c1) WHERE rn = 1),
+      |l1 AS (SELECT d.doc_id node, COALESCE(w1.lbl, d.doc_id) lbl
+      |       FROM documents d LEFT JOIN w1 ON d.doc_id = w1.node),
+      |c2 AS (SELECT und.a node, l1.lbl, COUNT(*) c
+      |       FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.lbl),
+      |w2 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl,
+      |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) rn
+      |         FROM c2) WHERE rn = 1),
+      |l2 AS (SELECT d.doc_id node, COALESCE(w2.lbl, d.doc_id) lbl
+      |       FROM documents d LEFT JOIN w2 ON d.doc_id = w2.node),
+      |deg AS (SELECT a node, CAST(COUNT(*) AS BIGINT) deg FROM und GROUP BY 1),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) two_m FROM und),
+      |ds AS (SELECT l2.lbl, CAST(COUNT(*) AS BIGINT) community_size,
+      |         CAST(COALESCE(SUM(deg.deg), 0) AS BIGINT) degree_sum
+      |       FROM l2 LEFT JOIN deg ON l2.node = deg.node GROUP BY 1),
+      |intra AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) intra_rows
+      |          FROM und JOIN l2 la ON und.a = la.node
+      |                   JOIN l2 lb ON und.b = lb.node
+      |          WHERE la.lbl = lb.lbl GROUP BY 1),
+      |j AS (SELECT ds.lbl community, ds.community_size, ds.degree_sum,
+      |        CAST(COALESCE(intra.intra_rows, 0) AS BIGINT) intra_rows, m.two_m,
+      |        CAST(m.two_m AS HUGEINT) * COALESCE(intra.intra_rows, 0)
+      |          - CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum num
+      |      FROM ds LEFT JOIN intra ON ds.lbl = intra.lbl, m)
+      |SELECT community, community_size, degree_sum, intra_rows, two_m,
+      |  CAST(CASE WHEN num >= 0 THEN CAST(1000000 AS HUGEINT) * num
+      |              // (CAST(two_m AS HUGEINT) * two_m)
+      |            ELSE -(CAST(1000000 AS HUGEINT) * (-num)
+      |              // (CAST(two_m AS HUGEINT) * two_m)) END AS BIGINT) q_term_ppm
+      |FROM j ORDER BY community""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g16_modularity",
+      "Newman modularity of the LPA partition: exact per-community integer components + sign-aware ppm terms",
+      g16Modularity, Some(g16Sql)),
     QueryDef("g15_random_walks",
       "deterministic DeepWalk sampling: md5-indexed 3-step walks, per-step frontier audit",
       g15RandomWalks, Some(g15Sql)),

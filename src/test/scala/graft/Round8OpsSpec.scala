@@ -1619,4 +1619,43 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(mx <= maxRows && sized)
     }
   }
+
+  test("g16: modularity terms replay from the raw graph; Q is a valid modularity") {
+    val out = operators.LinkRank.g16Modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // rebuild the undirected simple graph + LPA-r2 labels in memory
+    val n = Tables.documents(spark, sf).count()
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val und = (for { s <- ids; k <- 1 to 3 } yield (s, (s * s * 31 + k * 17) % n))
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nbrs = und.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    def round(lbl: Map[Long, Long]): Map[Long, Long] =
+      ids.map { v =>
+        val votes = nbrs.getOrElse(v, Array.empty[Long]).map(lbl)
+        if (votes.isEmpty) v -> lbl(v)
+        else v -> votes.groupBy(identity).map { case (l, c) => (l, c.length) }
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    val l2 = round(round(ids.map(v => v -> v).toMap))
+    val twoM = und.length.toLong
+    val byLbl = ids.groupBy(l2)
+    val expected = byLbl.map { case (lbl, members) =>
+      val degSum = members.map(v => nbrs.getOrElse(v, Array.empty[Long]).length.toLong).sum
+      val intra = und.count { case (a, b) => l2(a) == lbl && l2(b) == lbl }.toLong
+      val num = BigInt(twoM) * intra - BigInt(degSum) * degSum
+      val ppm = (if (num >= 0) BigInt(1000000) * num / (BigInt(twoM) * twoM)
+                 else -(BigInt(1000000) * (-num) / (BigInt(twoM) * twoM))).toLong
+      (lbl, members.length.toLong, degSum, intra, twoM, ppm)
+    }.toSet
+    assert(out.toSet == expected,
+      s"diff: ${(expected -- out.toSet).take(2)} vs ${(out.toSet -- expected).take(2)}")
+    // Q must be a real modularity: in (-1, 1], and the partition must be
+    // non-trivial (more than one community, at least one intra edge)
+    val q = out.map(_._6).sum
+    assert(q > -1000000L && q <= 1000000L, s"Q out of range: $q ppm")
+    assert(out.length > 1 && out.map(_._4).sum > 0)
+    // edge conservation: intra rows across communities never exceed 2m
+    assert(out.map(_._4).sum <= twoM)
+  }
 }
