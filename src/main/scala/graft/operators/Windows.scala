@@ -1705,7 +1705,115 @@ object Windows {
       |FROM z GROUP BY 1, 2, 3
       |ORDER BY event_type, block_m, block_id""".stripMargin
 
+  /** w34 — multi-lag autocorrelation + Ljung–Box portmanteau components
+    * per event type over the 30-day daily series: is the daily signal
+    * white noise, or does it carry structure at ANY of lags 1–5? (w25
+    * answers lag-1 on the raw event stream; w31/w32 test monotone trend
+    * and sign independence — this is the omnibus serial-correlation
+    * gate, the one a forecasting/backfill consumer checks first.)
+    *
+    * Exactness contract: mean-centering is done in SCALED integers —
+    * c_t = T·y_t − Σy (the ×T lift clears the rational mean) — so the
+    * lag-k autocovariance A_k = Σ c_t·c_{t+k} and A_0 = Σ c_t² are
+    * exact, and ρ_k = A_k/A_0 exactly (the T² lift cancels). Emitted:
+    * the raw integers (acov_num, acov_den) plus ρ in sign-aware floored
+    * ppm, and the Ljung–Box term T(T+2)·ρ_k²/(T−k) in micro-units
+    * computed FROM the quantized rho_ppm (both engines square the same
+    * int64, so the quantization point is the deterministic contract —
+    * the a50 convention). Σ lb_term_micro vs the χ²₍₅₎ critical value
+    * is the consumer's verdict; all raw components ride along for full-
+    * precision recomputation.
+    *
+    * Scale shape: one partial-agg shuffle to the (type × day)-bounded
+    * daily table; ONE window exchange on event_type serves the
+    * full-partition T/Σy aggregates and all five leads; the final
+    * stack explodes 5 rows per type over the type-bounded aggregate.
+    */
+  def w34LjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val full = Window.partitionBy(col("event_type"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val centered = daily
+      .withColumn("td", count(lit(1)).over(full))
+      .withColumn("c", col("td").cast(D) * col("y") - sum(col("y")).over(full).cast(D))
+    val led = (1 to 5).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w))
+    }
+    val agg = led.groupBy(col("event_type"))
+      .agg(max(col("td")).as("n_days"),
+        sum(col("c") * col("c")).as("a0"),
+        coalesce(sum(col("c") * col("c1")), lit(0).cast(D)).as("a1"),
+        coalesce(sum(col("c") * col("c2")), lit(0).cast(D)).as("a2"),
+        coalesce(sum(col("c") * col("c3")), lit(0).cast(D)).as("a3"),
+        coalesce(sum(col("c") * col("c4")), lit(0).cast(D)).as("a4"),
+        coalesce(sum(col("c") * col("c5")), lit(0).cast(D)).as("a5"))
+    agg
+      .select(col("event_type"), col("n_days"), col("a0"),
+        expr("stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5)").as(Seq("lag", "acov")))
+      .withColumn("rho_ppm", expr(
+        "CAST(CASE WHEN a0 = 0 THEN 0 WHEN acov >= 0 THEN " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * acov) div a0 " +
+          "ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-acov)) div a0) END AS BIGINT)"))
+      .withColumn("lb_term_micro", expr(
+        "CASE WHEN n_days > lag THEN " +
+          "n_days * (n_days + 2) * rho_ppm * rho_ppm div (CAST(1000000 AS BIGINT) * (n_days - lag)) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        col("n_days"), expr("CAST(acov AS BIGINT)").as("acov_num"),
+        expr("CAST(a0 AS BIGINT)").as("acov_den"),
+        col("rho_ppm"), col("lb_term_micro"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  private val w34Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, "day",
+      |    CAST(COUNT(*) OVER wf AS BIGINT) td,
+      |    CAST(COUNT(*) OVER wf AS HUGEINT) * y - CAST(SUM(y) OVER wf AS HUGEINT) c
+      |  FROM d WINDOW wf AS (PARTITION BY event_type)),
+      |l AS (
+      |  SELECT event_type, td, c,
+      |    LEAD(c, 1) OVER wo c1, LEAD(c, 2) OVER wo c2, LEAD(c, 3) OVER wo c3,
+      |    LEAD(c, 4) OVER wo c4, LEAD(c, 5) OVER wo c5
+      |  FROM c WINDOW wo AS (PARTITION BY event_type ORDER BY "day")),
+      |a AS (
+      |  SELECT event_type, MAX(td) n_days, SUM(c * c) a0,
+      |    COALESCE(SUM(c * c1), 0) a1, COALESCE(SUM(c * c2), 0) a2,
+      |    COALESCE(SUM(c * c3), 0) a3, COALESCE(SUM(c * c4), 0) a4,
+      |    COALESCE(SUM(c * c5), 0) a5
+      |  FROM l GROUP BY 1),
+      |u AS (
+      |  SELECT event_type, n_days, a0, k.lag,
+      |    CASE k.lag WHEN 1 THEN a1 WHEN 2 THEN a2 WHEN 3 THEN a3
+      |         WHEN 4 THEN a4 ELSE a5 END acov
+      |  FROM a, (SELECT unnest([1, 2, 3, 4, 5]) lag) k),
+      |r AS (
+      |  SELECT event_type, lag, n_days, acov, a0,
+      |    CAST(CASE WHEN a0 = 0 THEN 0 WHEN acov >= 0 THEN
+      |        CAST(1000000 AS HUGEINT) * acov // a0
+      |      ELSE -(CAST(1000000 AS HUGEINT) * (-acov) // a0) END AS BIGINT) rho_ppm
+      |  FROM u)
+      |SELECT event_type, CAST(lag AS INTEGER) lag, CAST(n_days AS BIGINT) n_days,
+      |  CAST(acov AS BIGINT) acov_num, CAST(a0 AS BIGINT) acov_den, rho_ppm,
+      |  CASE WHEN n_days > lag THEN
+      |    CAST(n_days * (n_days + 2) * rho_ppm * rho_ppm
+      |      // (CAST(1000000 AS BIGINT) * (n_days - lag)) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END lb_term_micro
+      |FROM r ORDER BY event_type, lag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w34_ljung_box",
+      "Ljung-Box serial-correlation gate: exact lag-1..5 autocovariances + quantized portmanteau terms per type",
+      w34LjungBox, Some(w34Sql)),
     QueryDef("w33_rescaled_range",
       "Hurst R/S components per type: exact per-block m*R and m^2*S^2 over block sizes 5/10/15",
       w33RescaledRange, Some(w33Sql)),

@@ -1658,4 +1658,42 @@ class Round8OpsSpec extends AnyFunSuite {
     // edge conservation: intra rows across communities never exceed 2m
     assert(out.map(_._4).sum <= twoM)
   }
+
+  test("w34: Ljung-Box components replay exactly from the daily series") {
+    val out = operators.Windows.w34LjungBox(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = daily.map(_._1).distinct
+    assert(types.nonEmpty)
+    for (t <- types) {
+      val ys = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val T = ys.length.toLong
+      val s = ys.sum
+      val c = ys.map(y => BigInt(T) * y - s)
+      val a0 = c.map(x => x * x).sum
+      for (k <- 1 to 5) {
+        val ak = if (c.length > k) c.dropRight(k).zip(c.drop(k)).map { case (a, b) => a * b }.sum
+                 else BigInt(0)
+        val rho = if (a0 == 0) BigInt(0)
+                  else if (ak >= 0) BigInt(1000000) * ak / a0
+                  else -(BigInt(1000000) * (-ak) / a0)
+        val lb = if (T > k) BigInt(T) * (T + 2) * rho * rho / (BigInt(1000000) * (T - k))
+                 else BigInt(0)
+        val got = out((t, k))
+        assert(got == (T, ak.toLong, a0.toLong, rho.toLong, lb.toLong),
+          s"$t lag $k: got $got want ${(T, ak, a0, rho, lb)}")
+      }
+      // rho is a correlation: |rho_ppm| <= 10^6 for every lag
+      (1 to 5).foreach(k => assert(math.abs(out((t, k))._4) <= 1000000L))
+    }
+    // one window exchange: the plan must not shuffle the daily frame twice
+    val plan = operators.Windows.w34LjungBox(spark, sf).queryExecution
+      .optimizedPlan.toString
+    assert(plan.split("Window").length - 1 <= 2, "more Window operators than the two spec'd")
+  }
 }
