@@ -857,7 +857,118 @@ object ScaleDiag {
       |FROM affected a LEFT JOIN fin ON a.cust = fin.cust
       |ORDER BY o_custkey""".stripMargin
 
+  /** l11 — snapshot diff / change-data-feed derivation: given two
+    * manifest versions of the same table, reconstruct the row-level
+    * change log (inserts, deletes, update pre/post images) WITHOUT any
+    * change log having been written — the primitive behind Delta/Iceberg
+    * CDF reads, incremental downstream refresh, and replication. The
+    * table: order keys+cents, v1 in two file groups (even keys / odd
+    * keys, 4 files each); v2 REUSES the even-key files untouched and
+    * rewrites only the odd-key group (deletes k≡5 mod 10, bumps cents
+    * +1000 on k≡7 mod 14, appends the odd k≡0 mod 3 keys as inserts).
+    *
+    * The diff is computed from the MANIFEST DELTA ONLY: files present in
+    * both versions contribute identical rows to both sides and are never
+    * opened — the engine reads v1∖v2 and v2∖v1 file sets (8 of 12
+    * distinct files here, and at 100 TB the reused fraction is ~all of
+    * the table), full-outer-joins on the key, and classifies each row:
+    * key only in v1 → delete, only in v2 → insert, both with different
+    * payload → update_pre/update_post, both equal → unchanged_scanned
+    * (rows that share a REWRITTEN file with a change — the accounting
+    * row that proves the scan was complete). File counts ride along as
+    * the metadata-reuse proof: files_shared = 4 even-key files.
+    *
+    * Scale shape: one anti-diff over two manifest string sets (driver,
+    * metadata-only), one full outer join keyed on the pk over only the
+    * rewritten file groups, classification and sums partial-aggregate.
+    */
+  def l11SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l11_cdf_")
+    val data = new java.io.File(s"$scratch/data")
+    def listing(): Set[String] =
+      Option(data.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // v1: even-key group A + odd-key group B (4 files each)
+    base.filter(col("k") % 3 =!= 0 && col("k") % 2 === 0)
+      .repartition(4).write.mode("append").parquet(data.toString)
+    val fA = listing()
+    base.filter(col("k") % 3 =!= 0 && col("k") % 2 === 1)
+      .repartition(4).write.mode("append").parquet(data.toString)
+    val fB = listing() -- fA
+    val manifest1 = fA ++ fB
+    // v2: reuse A verbatim; rewrite B with deletes+updates, plus inserts
+    val bPrime = base
+      .filter(col("k") % 3 =!= 0 && col("k") % 2 === 1 && col("k") % 10 =!= 5)
+      .withColumn("cents",
+        when(col("k") % 14 === 7, col("cents") + 1000L).otherwise(col("cents")))
+      .unionByName(base.filter(col("k") % 3 === 0 && col("k") % 2 === 1))
+    bPrime.repartition(4).write.mode("append").parquet(data.toString)
+    val fB2 = listing() -- manifest1
+    val manifest2 = fA ++ fB2
+    // CDF: open ONLY the manifest delta
+    val v1only = (manifest1 -- manifest2).toSeq.sorted.map(n => s"$data/$n")
+    val v2only = (manifest2 -- manifest1).toSeq.sorted.map(n => s"$data/$n")
+    val pre = spark.read.parquet(v1only: _*)
+      .select(col("k"), col("cents").as("cents_pre"))
+    val post = spark.read.parquet(v2only: _*)
+      .select(col("k"), col("cents").as("cents_post"))
+    val classified = pre.join(post, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("cents_post").isNull, lit("delete"))
+          .when(col("cents_pre").isNull, lit("insert"))
+          .when(col("cents_pre") =!= col("cents_post"), lit("update"))
+          .otherwise(lit("unchanged_scanned")))
+    val images = classified
+      .select(col("k"),
+        when(col("change_type") === "update", lit("update_pre"))
+          .otherwise(col("change_type")).as("change_type"),
+        coalesce(col("cents_pre"), col("cents_post")).as("cents"))
+      .unionByName(classified.filter(col("change_type") === "update")
+        .select(col("k"), lit("update_post").as("change_type"),
+          col("cents_post").as("cents")))
+    images.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+        sum(col("cents")).as("cents_sum"))
+      .select(col("change_type"), col("n_rows"), col("key_sum"), col("cents_sum"),
+        lit(manifest1.size.toLong).as("files_v1"),
+        lit(manifest2.size.toLong).as("files_v2"),
+        lit((manifest1 & manifest2).size.toLong).as("files_shared"),
+        lit((v1only.size + v2only.size).toLong).as("files_scanned"))
+      .orderBy(col("change_type"))
+  }
+
+  private val l11Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |rows_ AS (
+      |  SELECT k, 'delete' change_type, cents
+      |  FROM base WHERE k % 3 <> 0 AND k % 10 = 5
+      |  UNION ALL
+      |  SELECT k, 'insert', cents FROM base WHERE k % 3 = 0 AND k % 2 = 1
+      |  UNION ALL
+      |  SELECT k, 'update_pre', cents
+      |  FROM base WHERE k % 3 <> 0 AND k % 14 = 7 AND k % 10 <> 5
+      |  UNION ALL
+      |  SELECT k, 'update_post', cents + 1000
+      |  FROM base WHERE k % 3 <> 0 AND k % 14 = 7 AND k % 10 <> 5
+      |  UNION ALL
+      |  SELECT k, 'unchanged_scanned', cents
+      |  FROM base WHERE k % 3 <> 0 AND k % 2 = 1 AND k % 10 <> 5 AND k % 14 <> 7)
+      |SELECT change_type, CAST(COUNT(*) AS BIGINT) n_rows,
+      |  CAST(SUM(k) AS BIGINT) key_sum, CAST(SUM(cents) AS BIGINT) cents_sum,
+      |  CAST(8 AS BIGINT) files_v1, CAST(8 AS BIGINT) files_v2,
+      |  CAST(4 AS BIGINT) files_shared, CAST(8 AS BIGINT) files_scanned
+      |FROM rows_ GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l11_snapshot_diff",
+      "change-data-feed from two manifest versions: insert/delete/update images scanned from the manifest delta only",
+      l11SnapshotDiff, Some(l11Sql)),
     QueryDef("l10_deletion_vectors",
       "merge-on-read position deletes: DV commit touches zero data files, partial compaction applies them",
       l10DeletionVectors, Some(l10Sql)),

@@ -1696,4 +1696,35 @@ class Round8OpsSpec extends AnyFunSuite {
       .optimizedPlan.toString
     assert(plan.split("Window").length - 1 <= 2, "more Window operators than the two spec'd")
   }
+
+  test("l11: CDF from the manifest delta replays the planted change set exactly") {
+    val out = operators.ScaleDiag.l11SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def agg(rows: Seq[(Long, Long)]) =
+      (rows.length.toLong, rows.map(_._1).sum, rows.map(_._2).sum)
+    val del = agg(base.filter { case (k, _) => k % 3 != 0 && k % 10 == 5 }.toSeq)
+    val ins = agg(base.filter { case (k, _) => k % 3 == 0 && k % 2 == 1 }.toSeq)
+    val updPre = base.filter { case (k, _) => k % 3 != 0 && k % 14 == 7 && k % 10 != 5 }.toSeq
+    val unch = agg(base.filter { case (k, _) =>
+      k % 3 != 0 && k % 2 == 1 && k % 10 != 5 && k % 14 != 7 }.toSeq)
+    assert(out("delete")._1 == del._1 && out("delete")._2 == del._2 && out("delete")._3 == del._3)
+    assert(out("insert")._1 == ins._1 && out("insert")._2 == ins._2 && out("insert")._3 == ins._3)
+    assert((out("update_pre")._1, out("update_pre")._2, out("update_pre")._3) == agg(updPre))
+    // post image: same keys, +1000 cents each
+    assert(out("update_post")._1 == out("update_pre")._1)
+    assert(out("update_post")._2 == out("update_pre")._2)
+    assert(out("update_post")._3 == out("update_pre")._3 + 1000L * updPre.length)
+    assert((out("unchanged_scanned")._1, out("unchanged_scanned")._2,
+      out("unchanged_scanned")._3) == unch)
+    // metadata-reuse proof: 4 of the 8 v1 files survive into v2 unopened
+    out.values.foreach { v =>
+      assert((v._4, v._5, v._6, v._7) == (8L, 8L, 4L, 8L), s"file accounting: $v")
+    }
+    assert(del._1 > 0 && ins._1 > 0 && updPre.nonEmpty && unch._1 > 0,
+      "a change class is empty; the test corpus no longer exercises all four")
+  }
 }
