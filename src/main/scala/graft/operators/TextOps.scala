@@ -388,6 +388,14 @@ object TextOps {
       |GROUP BY domain
       |ORDER BY domain""".stripMargin
 
+  /** Word 3-grams of the token array `w` as a string array — shared by
+    * t10 (membership) and t44 (span geometry) so both decontamination
+    * layers agree on gram identity to the byte.
+    */
+  private val grams3 = expr(
+    "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
+    "ELSE transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' ')) END")
+
   /** t10 — benchmark decontamination: flag corpus documents sharing any
     * word 3-gram with a held-out eval set (docs with doc_id % 50 == 0).
     * To prove the operator catches verbatim leakage, the corpus is
@@ -408,9 +416,6 @@ object TextOps {
     val planted = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 200001).as("doc_id"), col("text"))
     val corpus = base.unionByName(planted)
-    val grams3 = expr(
-      "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
-      "ELSE transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' ')) END")
     // split eval/corpus BEFORE exploding — the optimizer does not push
     // these filters below the Generate, and at corpus scale generating
     // grams only to discard them is the dominant cost
@@ -2633,7 +2638,105 @@ object TextOps {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** t44 — contaminated-SPAN geometry: where t10 answers *whether* a
+    * document shares eval-set 3-grams, this answers *where and how
+    * much* — the decision input for span-level scrubbing (cut the leaked
+    * passage, keep the document) vs whole-doc drops. Each eval-matching
+    * 3-gram at token position i covers tokens [i, i+2]; overlapping and
+    * token-adjacent covers merge into MAXIMAL spans (gaps-and-islands:
+    * a new island starts when i > prev_max_end + 1, islands numbered by
+    * a running flag sum — the w08/w13 pattern applied WITHIN documents).
+    * Per contaminated doc: span count, longest span, contaminated token
+    * mass (exact union, overlaps never double-counted), doc length, and
+    * the floored contamination share in ppm.
+    *
+    * Scale shape: identical to t10 up to the hit list (eval grams
+    * broadcast, corpus exploded once, hits sparse); the island windows
+    * partition by doc_id over HIT rows only — bounded by contamination,
+    * not corpus size — and everything after is a two-level bounded agg.
+    */
+  def t44ContaminatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200001).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    def toks(df: DataFrame): DataFrame =
+      df.withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+    val evalGrams = toks(corpus.filter(col("doc_id") % 50 === 0))
+      .select(explode(grams3).as("gram")).distinct()
+    val hits = toks(corpus.filter(col("doc_id") % 50 =!= 0))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(grams3).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("n_tokens"), (col("p") + 1).cast("long").as("i"),
+        col("gram"))
+      .join(broadcast(evalGrams), "gram")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = hits
+      .withColumn("prev_end",
+        max(col("i") + 2).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("i")) + 2 - min(col("i")) + 1).as("len"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len")).as("longest_span"),
+        sum(col("len")).as("contaminated_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("longest_span"),
+        col("contaminated_tokens"), col("n_tokens"),
+        expr("1000000 * contaminated_tokens div n_tokens").as("share_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t44Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200001 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+      |pos AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens,
+      |    CAST(unnest(range(1, greatest(1, len(w) - 1))) AS BIGINT) i, w
+      |  FROM toks),
+      |g AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ') gram
+      |  FROM pos),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, g.n_tokens, g.i FROM g JOIN ev USING (gram)
+      |  WHERE g.doc_id % 50 <> 0),
+      |isl AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    MAX(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_end
+      |  FROM hits),
+      |fl AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END flag
+      |  FROM isl),
+      |cs AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, n_tokens, island,
+      |    MAX(i) + 2 - MIN(i) + 1 len
+      |  FROM cs GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_spans,
+      |  CAST(MAX(len) AS BIGINT) longest_span,
+      |  CAST(SUM(len) AS BIGINT) contaminated_tokens, n_tokens,
+      |  CAST(1000000 * SUM(len) // n_tokens AS BIGINT) share_ppm
+      |FROM sp GROUP BY doc_id, n_tokens
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t44_contaminated_spans",
+      "span-level decontamination: eval-gram covers merged into maximal token spans, exact mass + ppm share",
+      t44ContaminatedSpans, Some(t44Sql)),
     QueryDef("t43_luhn_pii",
       "checksum-validated card PII: Luhn rejects planted fakes the regex alone would redact",
       t43LuhnPii, Some(t43Sql)),

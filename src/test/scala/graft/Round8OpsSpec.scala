@@ -1727,4 +1727,47 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(del._1 > 0 && ins._1 > 0 && updPre.nonEmpty && unch._1 > 0,
       "a change class is empty; the test corpus no longer exercises all four")
   }
+
+  test("t44: merged spans replay an in-memory interval union; planted copies are fully covered") {
+    val out = operators.TextOps.t44ContaminatedSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def words(t: String) = t.trim.toLowerCase.split("\\s+")
+    def grams(ws: Array[String]) =
+      if (ws.length < 3) Array.empty[(Int, String)]
+      else (1 to ws.length - 2).map(i => (i, ws.slice(i - 1, i + 2).mkString(" "))).toArray
+    val evalSet = docs.filter(_._1 % 50 == 0).flatMap(d => grams(words(d._2)).map(_._2)).toSet
+    val corpus = docs.filter(_._1 % 50 != 0) ++
+      docs.filter(_._1 % 50 == 0).map { case (id, t) => (id + 200001, t) }
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = words(t)
+      val hitPos = grams(ws).filter(g => evalSet.contains(g._2)).map(_._1.toLong)
+      if (hitPos.isEmpty) None
+      else {
+        // interval union of [i, i+2], merging token-adjacent covers
+        val spans = hitPos.sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, i) => acc match {
+            case (s, e) :: tail if i <= e + 1 => (s, math.max(e, i + 2)) :: tail
+            case _ => (i, i + 2) :: acc
+          }
+        }.reverse
+        val mass = spans.map { case (s, e) => e - s + 1 }.sum
+        Some(id -> (spans.length.toLong, spans.map { case (s, e) => e - s + 1 }.max,
+          mass, ws.length.toLong, 1000000L * mass / ws.length))
+      }
+    }.toMap
+    assert(out == expected,
+      s"first diffs: ${(expected.toSet -- out.toSet).take(2)} vs ${(out.toSet -- expected.toSet).take(2)}")
+    // planted verbatim copies must be contaminated end-to-end: one span
+    // covering the whole doc (share_ppm == 10^6) for every +200001 copy
+    val plants = out.keys.filter(_ > 200001L)
+    assert(plants.nonEmpty)
+    plants.foreach { id =>
+      val (n, longest, mass, ntok, ppm) = out(id)
+      assert(n == 1L && longest == ntok && mass == ntok && ppm == 1000000L,
+        s"planted copy $id not fully covered: ${out(id)}")
+    }
+  }
 }
