@@ -2563,7 +2563,92 @@ object Similarity {
       |UNION ALL SELECT qid, 3, s3_id, ROUND(s3_rel, 6), ROUND(s3_mmr, 6) FROM s3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v29 — farthest-point (Gonzalez k-center) seeding: the deterministic
+    * initialization pass an IVF/k-means index build runs BEFORE v03's
+    * Lloyd iterations. Seed 1 = the lowest vec_id; each later seed is
+    * the corpus point MAXIMIZING its min squared distance to the seeds
+    * chosen so far (tie → lower id) — the classic 2-approximation to the
+    * k-center objective, and the spread-out seeding that makes Lloyd
+    * converge in few rounds. A fifth row reports the RESIDUAL coverage
+    * radius (the distance the next seed would claim) — the stopping
+    * diagnostic an index builder reads to size `nlist`.
+    *
+    * All distances are exact int64 over the ×1000-quantized vectors:
+    * d²(x,s) = ‖x‖² + ‖s‖² − 2⟨x,s⟩ via the native `vec_dot` codegen
+    * expression, so selections (argmax with id tie-break) are
+    * bit-reproducible in any engine — no RNG anywhere, unlike textbook
+    * k-means++ sampling, which this replaces deterministically.
+    *
+    * Scale shape: each round is one corpus scan against a BROADCAST
+    * seed set (≤ k rows) + a TakeOrdered(1) — k fixed rounds, one lazy
+    * plan, no quadratic stage; the d04/v01 pair-guard class does not
+    * apply because the join side is k, never the corpus.
+    */
+  def v29FarthestInit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val s1 = vecs.orderBy(col("vec_id").asc).limit(1)
+    // argmax of min-d² against the current seed set; 1 row out
+    def pick(seeds: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(seeds.select(col("q").as("sq"), col("nrm").as("sn"))))
+        .withColumn("d2", col("nrm") + col("sn") - lit(2L) * expr(dot("q", "sq")))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+    def vecOf(picked: DataFrame): DataFrame =
+      vecs.join(broadcast(picked.select(col("vec_id"))), "vec_id")
+    val p1 = pick(s1)
+    val seeds2 = s1.unionByName(vecOf(p1))
+    val p2 = pick(seeds2)
+    val seeds3 = seeds2.unionByName(vecOf(p2))
+    val p3 = pick(seeds3)
+    val seeds4 = seeds3.unionByName(vecOf(p3))
+    val p4 = pick(seeds4) // residual: what a 5th seed would claim
+    s1.select(lit(1).as("step"), col("vec_id").as("seed_id"), lit(0L).as("dist2"))
+      .unionByName(p1.select(lit(2).as("step"), col("vec_id").as("seed_id"), col("d").as("dist2")))
+      .unionByName(p2.select(lit(3).as("step"), col("vec_id").as("seed_id"), col("d").as("dist2")))
+      .unionByName(p3.select(lit(4).as("step"), col("vec_id").as("seed_id"), col("d").as("dist2")))
+      .unionByName(p4.select(lit(5).as("step"), col("vec_id").as("seed_id"), col("d").as("dist2")))
+      .orderBy(col("step"))
+  }
+
+  private val v29Sql = {
+    def dotq(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a.q) + 1),
+         |      i -> $a.q[CAST(i AS INTEGER)] * $b.q[CAST(i AS INTEGER)]))""".stripMargin
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |s1 AS (SELECT * FROM n WHERE vec_id = (SELECT MIN(vec_id) FROM n)),
+      |d1 AS (SELECT x.vec_id, MIN(x.nrm + s.nrm - 2 * ${dotq("x", "s")}) d
+      |       FROM n x, s1 s GROUP BY x.vec_id),
+      |m1 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id ASC LIMIT 1),
+      |s2 AS (SELECT * FROM s1 UNION ALL SELECT n.* FROM n JOIN m1 USING (vec_id)),
+      |d2 AS (SELECT x.vec_id, MIN(x.nrm + s.nrm - 2 * ${dotq("x", "s")}) d
+      |       FROM n x, s2 s GROUP BY x.vec_id),
+      |m2 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id ASC LIMIT 1),
+      |s3 AS (SELECT * FROM s2 UNION ALL SELECT n.* FROM n JOIN m2 USING (vec_id)),
+      |d3 AS (SELECT x.vec_id, MIN(x.nrm + s.nrm - 2 * ${dotq("x", "s")}) d
+      |       FROM n x, s3 s GROUP BY x.vec_id),
+      |m3 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id ASC LIMIT 1),
+      |s4 AS (SELECT * FROM s3 UNION ALL SELECT n.* FROM n JOIN m3 USING (vec_id)),
+      |d4 AS (SELECT x.vec_id, MIN(x.nrm + s.nrm - 2 * ${dotq("x", "s")}) d
+      |       FROM n x, s4 s GROUP BY x.vec_id),
+      |m4 AS (SELECT vec_id, d FROM d4 ORDER BY d DESC, vec_id ASC LIMIT 1)
+      |SELECT CAST(1 AS INTEGER) step, vec_id seed_id, CAST(0 AS BIGINT) dist2 FROM s1
+      |UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM m1
+      |UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM m2
+      |UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM m3
+      |UNION ALL SELECT 5, vec_id, CAST(d AS BIGINT) FROM m4
+      |ORDER BY step""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v29_farthest_init",
+      "Gonzalez farthest-point k-center seeding: 4 deterministic seeds + residual coverage radius, exact int64",
+      v29FarthestInit, Some(v29Sql)),
     QueryDef("v28_mmr_diversify",
       "MMR diversity re-rank: greedy lambda*rel - (1-lambda)*maxsim picks over the top-10 shortlist",
       v28MmrDiversify(_, _), Some(v28Sql)),

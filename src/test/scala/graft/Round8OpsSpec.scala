@@ -1770,4 +1770,32 @@ class Round8OpsSpec extends AnyFunSuite {
         s"planted copy $id not fully covered: ${out(id)}")
     }
   }
+
+  test("v29: farthest-point seeds replay the greedy selection; radii are non-increasing") {
+    val out = Similarity.v29FarthestInit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (1 to 5))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var seeds = List(vecs.minBy(_._1))
+    val expect = scala.collection.mutable.ListBuffer((1, seeds.head._1, 0L))
+    for (step <- 2 to 5) {
+      val (id, v, d) = vecs.map { case (id, v) =>
+        (id, v, seeds.map(s => d2(v, s._2)).min)
+      }.minBy { case (id, _, d) => (-d, id) }
+      expect += ((step, id, d))
+      seeds = seeds :+ ((id, v))
+    }
+    assert(out.toSeq == expect.toSeq,
+      s"greedy replay mismatch: ${out.toSeq} vs ${expect.toSeq}")
+    // k-center property: each claimed distance bounds the next (the
+    // residual radius never grows as seeds are added)
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(radii.head > 0, "degenerate corpus: every vector identical")
+  }
 }
