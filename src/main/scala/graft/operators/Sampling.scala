@@ -624,7 +624,68 @@ object Sampling {
        |FROM rows_, t ORDER BY strategy DESC""".stripMargin
   }
 
+  /** s17 — weight-proportional SYSTEMATIC resampling: place n = 100
+    * equally-spaced points on the cumulative-weight axis (midpoint rule:
+    * point j sits at (2j+1)·W / 2n) and give each document one copy per
+    * point falling in its weight interval — the importance-resampling
+    * step that turns per-doc weights (t41's DSIR weights, quality
+    * scores, here n_chars) into an actual training mix. Systematic
+    * selection dominates multinomial draws for this: copies_d is always
+    * ⌊n·w_d/W⌋ or ⌈n·w_d/W⌉ (variance < 1, asserted in spec), totals
+    * are EXACTLY n, and with the deterministic midpoint offset there is
+    * no RNG — both engines enumerate the same sample.
+    *
+    * Exact form: with inclusive cumulative weight C_d, copies_d =
+    * f(C_d) − f(C_d − w_d) where f(c) = min(n, ⌈(2nc − W)/2W⌉) counts
+    * the sample points below c — evaluated as (2nc + W − 1) div 2W in
+    * DECIMAL(38,0)/HUGEINT on both engines (exact to W ~ 10³⁵).
+    *
+    * Scale shape: the cumulative weights come from the distributed
+    * two-pass [[ScaleOps.prefixSum]] (range partition + per-partition
+    * offsets, no single-partition window); everything after is per-row
+    * arithmetic against one broadcast total. The output is the SELECTED
+    * docs only (≤ n rows when weights are heavy-tailed, ≤ corpus always).
+    */
+  def s17SystematicResample(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+    val cum = graft.operators.ScaleOps.prefixSum(docs, Seq("doc_id"), "weight", "cw")
+    val tot = docs.agg(sum(col("weight")).as("w_total"))
+    def f(c: String): String =
+      s"least(CAST($n AS DECIMAL(38,0)), greatest(CAST(0 AS DECIMAL(38,0)), " +
+        s"(CAST(2 AS DECIMAL(38,0)) * $n * ($c) + w_total - 1) div (CAST(2 AS DECIMAL(38,0)) * w_total)))"
+    cum.crossJoin(broadcast(tot))
+      .withColumn("copies", expr(
+        s"CAST(${f("cw")} - ${f("cw - weight")} AS BIGINT)"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("weight"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s17Sql =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) weight FROM documents),
+      |c AS (
+      |  SELECT doc_id, weight,
+      |    SUM(weight) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) cw,
+      |    SUM(weight) OVER () w_total
+      |  FROM d),
+      |k AS (
+      |  SELECT doc_id, weight,
+      |    least(CAST(100 AS HUGEINT), greatest(CAST(0 AS HUGEINT),
+      |      (CAST(200 AS HUGEINT) * cw + w_total - 1) // (CAST(2 AS HUGEINT) * w_total)))
+      |    - least(CAST(100 AS HUGEINT), greatest(CAST(0 AS HUGEINT),
+      |      (CAST(200 AS HUGEINT) * (cw - weight) + w_total - 1) // (CAST(2 AS HUGEINT) * w_total)))
+      |    copies
+      |  FROM c)
+      |SELECT doc_id, weight, CAST(copies AS BIGINT) copies
+      |FROM k WHERE copies > 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s17_systematic_resample",
+      "weight-proportional systematic resampling: exact n=100 copies via midpoint points on the cumulative axis",
+      s17SystematicResample(_, _), Some(s17Sql)),
     QueryDef("s16_universe_sample",
       "universe (join-key-consistent) sampling vs independent Bernoulli: the correlated-sampling lemma measured",
       s16UniverseSample, Some(s16Sql)),

@@ -1798,4 +1798,30 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
     assert(radii.head > 0, "degenerate corpus: every vector identical")
   }
+
+  test("s17: systematic copies total exactly n and replay the midpoint enumeration") {
+    val out = operators.Sampling.s17SystematicResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val W = docs.map(_._2).sum
+    val n = 100
+    // direct enumeration: point j at (2j+1)W/2n lands in the doc whose
+    // cumulative interval contains it
+    val cum = docs.scanLeft(0L) { case (c, (_, w)) => c + w }.tail
+    val expected = (0 until n).map { j =>
+      val idx = cum.indexWhere(c => BigInt(2 * j + 1) * W < BigInt(2 * n) * c)
+      docs(idx)._1
+    }.groupBy(identity).map { case (id, v) => (id, v.size.toLong) }
+    assert(out.map(t => (t._1, t._3)).toMap == expected,
+      "copies disagree with the direct point enumeration")
+    assert(out.map(_._3).sum == n.toLong, "copies must total exactly n")
+    // systematic property: every doc's copies within 1 of its expectation
+    docs.foreach { case (id, w) =>
+      val copies = out.find(_._1 == id).map(_._3).getOrElse(0L)
+      val lo = BigInt(n) * w / W
+      assert(copies >= lo.toLong - 1 && copies <= lo.toLong + 1,
+        s"doc $id copies $copies vs expectation ${lo.toLong} +- 1")
+    }
+  }
 }
