@@ -1810,7 +1810,89 @@ object Windows {
       |  ELSE CAST(0 AS BIGINT) END lb_term_micro
       |FROM r ORDER BY event_type, lag""".stripMargin
 
+  /** w35 — Theil–Sen robust trend per event type: the MEDIAN of all
+    * pairwise daily slopes (y_j − y_i)/(day_j − day_i) — w30's OLS dual
+    * with a 29.3% breakdown point, the estimator that shrugs off the
+    * outlier days that drag a least-squares slope. The daily rollup
+    * bounds the pair space to C(30,2) = 435 pairs per type (pairs are
+    * generated from the AGGREGATED frame, never the event table), so
+    * "all pairs" is a bounded-table operation at any corpus size.
+    *
+    * Exact median selection over RATIONAL slopes without floats: each
+    * slope dy/dx is ranked by the integer image dy·(L div dx) with
+    * L = lcm(1..29) = 2329089562800 — day gaps within the 30-day corpus
+    * window always divide L, so the image is the slope scaled by a
+    * common constant and the ORDER BY is an exact rational order
+    * (ties broken by the pair's day coordinates, identically in both
+    * engines). The emitted slope is the median pair's raw (dy, dx) plus
+    * a sign-aware floored milli-slope.
+    *
+    * Scale shape: one partial-agg shuffle to the daily table, a
+    * type-keyed self-join over 30-row groups, one window on the
+    * 435-row-per-type pair table. Nothing touches the raw events twice.
+    */
+  def w35TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val L = 2329089562800L // lcm(1..29)
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.day") > col("a.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("da"), col("b.day").as("db"),
+        (col("b.y") - col("a.y")).as("dy"), (col("b.day") - col("a.day")).as("dx"))
+      .withColumn("scaled", expr(
+        s"CAST(dy AS DECIMAL(38,0)) * (CAST($L AS DECIMAL(38,0)) div dx)"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("scaled"), col("da"), col("db"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"),
+        expr("CAST((1 + sqrt(1 + 8 * CAST(n_pairs AS DOUBLE))) / 2 AS BIGINT)").as("n_days"),
+        col("n_pairs"), col("dy").as("med_dy_cents"), col("dx").as("med_dx_days"),
+        expr("CASE WHEN dy >= 0 THEN (1000 * dy) div dx " +
+          "ELSE -((1000 * -dy) div dx) END").as("slope_milli"),
+        when(col("dy") > 0, "up").when(col("dy") < 0, "down")
+          .otherwise("flat").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w35Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, a."day" da, b."day" db,
+      |    b.y - a.y dy, b."day" - a."day" dx,
+      |    CAST(b.y - a.y AS HUGEINT)
+      |      * (CAST(2329089562800 AS HUGEINT) // (b."day" - a."day")) scaled
+      |  FROM d a JOIN d b
+      |    ON a.event_type = b.event_type AND b."day" > a."day"),
+      |r AS (
+      |  SELECT event_type, da, db, dy, dx,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY scaled, da, db) rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) n_pairs
+      |  FROM p)
+      |SELECT event_type,
+      |  CAST((1 + sqrt(1 + 8 * CAST(n_pairs AS DOUBLE))) / 2 AS BIGINT) n_days,
+      |  CAST(n_pairs AS BIGINT) n_pairs,
+      |  dy med_dy_cents, dx med_dx_days,
+      |  CAST(CASE WHEN dy >= 0 THEN (1000 * dy) // dx
+      |       ELSE -((1000 * -dy) // dx) END AS BIGINT) slope_milli,
+      |  CASE WHEN dy > 0 THEN 'up' WHEN dy < 0 THEN 'down' ELSE 'flat' END direction
+      |FROM r WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w35_theil_sen",
+      "Theil-Sen robust trend: exact rational median of the 435 daily pairwise slopes per type",
+      w35TheilSen, Some(w35Sql)),
     QueryDef("w34_ljung_box",
       "Ljung-Box serial-correlation gate: exact lag-1..5 autocovariances + quantized portmanteau terms per type",
       w34LjungBox, Some(w34Sql)),

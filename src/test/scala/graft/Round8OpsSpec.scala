@@ -1824,4 +1824,36 @@ class Round8OpsSpec extends AnyFunSuite {
         s"doc $id copies $copies vs expectation ${lo.toLong} +- 1")
     }
   }
+
+  test("w35: the median pair replays an exact rational slope sort; robustness holds") {
+    val out = operators.Windows.w35TheilSen(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (t <- daily.map(_._1).distinct) {
+      val ds = daily.filter(_._1 == t).map(x => (x._2, x._3)).sortBy(_._1)
+      val pairs = for {
+        (da, ya) <- ds; (db, yb) <- ds; if db > da
+      } yield (da, db, yb - ya, db - da)
+      // exact rational sort: dy1/dx1 < dy2/dx2 <=> dy1*dx2 < dy2*dx1 (dx > 0)
+      val sorted = pairs.sortWith { case ((da1, db1, dy1, dx1), (da2, db2, dy2, dx2)) =>
+        val l = BigInt(dy1) * dx2; val r = BigInt(dy2) * dx1
+        if (l != r) l < r else if (da1 != da2) da1 < da2 else db1 < db2
+      }
+      val med = sorted((pairs.length + 1) / 2 - 1)
+      val (nDays, nPairs, dy, dx, milli, dir) = out(t)
+      assert(nDays == ds.length.toLong && nPairs == pairs.length.toLong)
+      assert((dy, dx) == (med._3, med._4), s"$t median pair: got ($dy,$dx) want (${med._3},${med._4})")
+      val expMilli = if (dy >= 0) 1000 * dy / dx else -((1000 * -dy) / dx)
+      assert(milli == expMilli)
+      assert(dir == (if (dy > 0) "up" else if (dy < 0) "down" else "flat"))
+      // the scaled image respects the rational order: lcm(1..29) divides
+      // evenly for every in-window gap
+      pairs.foreach { case (_, _, _, g) => assert(2329089562800L % g == 0L) }
+    }
+  }
 }
