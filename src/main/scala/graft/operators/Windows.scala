@@ -1889,7 +1889,119 @@ object Windows {
       |FROM r WHERE rn = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** w36 — one-sided CUSUM drift ALARM per event type: the ONLINE
+    * sequential detector (first day the cumulative positive excursion
+    * exceeds λ) where w24 is the offline retrospective argmax. The
+    * recursive S_t = max(0, S_{t−1} + e_t) is rewritten on the window
+    * identity S_t = P_t − min_{j≤t} P_j (prefix sum minus running min),
+    * so the whole detector is two stacked running frames on ONE ordered
+    * exchange — no driver loop, no UDAF.
+    *
+    * Integer contract (all quantities scaled ×5): reference = the first
+    * 5 days; e_t = 5·x_t − R5 (5× the deviation from the reference
+    * mean), λ = 10·max_{t<5}|e_t|, alarms evaluated from day index 5.
+    * Each type also runs a PLANTED drift twin (+R5 cents/day from day
+    * index 20 — a five-reference-mean-days step, sized to clear any
+    * reference-noise λ within days; the m12/t42 planted-fault convention) so both verdict branches are exercised
+    * deterministically: twins must alarm at/after day 20, and alarm-free
+    * raw series report −1.
+    *
+    * Scale shape: everything after the daily rollup runs on the
+    * (type × 30)-bounded frame; the peak/argmax resolution is a
+    * bounded self-join on the per-type aggregate, never the events.
+    */
+  def w36CusumAlarm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("series"), col("event_type")).orderBy(col("day"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))) - 1)
+    val ref = daily.filter(col("i") < 5)
+      .groupBy(col("event_type")).agg(sum(col("x")).as("r5"))
+    val both = daily.join(ref, "event_type")
+      .select(lit("raw").as("series"), col("event_type"), col("day"), col("i"),
+        col("x"), col("r5"))
+      .unionByName(daily.join(ref, "event_type")
+        .select(lit("drift").as("series"), col("event_type"), col("day"), col("i"),
+          (col("x") + when(col("i") >= 20, expr("greatest(1L, r5)"))
+            .otherwise(0L)).as("x"),
+          col("r5")))
+    val s = both
+      .withColumn("e", lit(5L) * col("x") - col("r5"))
+      .withColumn("p", sum(col("e")).over(run))
+      // the running min must include the EMPTY prefix (P_0 = 0), or the
+      // recursive max(0, S+e) identity breaks on all-positive prefixes
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(run)))
+    val lam = s.filter(col("i") < 5)
+      .groupBy(col("series"), col("event_type"))
+      .agg((lit(10L) * max(abs(col("e")))).as("lambda"))
+    val scored = s.join(lam, Seq("series", "event_type"))
+    val agg = scored.groupBy(col("series"), col("event_type"), col("lambda"))
+      .agg(coalesce(min(when(col("i") >= 5 && col("s") > col("lambda"), col("i"))),
+        lit(-1L)).as("alarm_day"), max(col("s")).as("s_peak"))
+    agg.join(scored.select(col("series"), col("event_type"),
+        col("i").as("pi"), col("s").as("ps")), Seq("series", "event_type"))
+      .filter(col("ps") === col("s_peak"))
+      .groupBy(col("series"), col("event_type"), col("lambda"),
+        col("alarm_day"), col("s_peak"))
+      .agg(min(col("pi")).cast("long").as("peak_day"))
+      .select(col("series"), col("event_type"), col("lambda"),
+        col("alarm_day").cast("long").as("alarm_day"), col("s_peak"), col("peak_day"))
+      .orderBy(col("series"), col("event_type"))
+  }
+
+  private val w36Sql =
+    """WITH d0 AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) x
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, "day", x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "day") - 1 i
+      |  FROM d0),
+      |ref AS (SELECT event_type, CAST(SUM(x) AS BIGINT) r5 FROM d WHERE i < 5 GROUP BY 1),
+      |b AS (
+      |  SELECT 'raw' series, d.event_type, "day", i, x, r5
+      |  FROM d JOIN ref USING (event_type)
+      |  UNION ALL
+      |  SELECT 'drift', d.event_type, "day", i,
+      |    x + CASE WHEN i >= 20 THEN greatest(1, r5) ELSE 0 END, r5
+      |  FROM d JOIN ref USING (event_type)),
+      |pp AS (
+      |  SELECT series, event_type, "day", i, 5 * x - r5 e,
+      |    SUM(5 * x - r5) OVER (PARTITION BY series, event_type ORDER BY "day"
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p
+      |  FROM b),
+      |s AS (
+      |  SELECT series, event_type, i, e,
+      |    p - least(0, MIN(p) OVER (PARTITION BY series, event_type ORDER BY "day"
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) s
+      |  FROM pp),
+      |lam AS (
+      |  SELECT series, event_type, CAST(10 * MAX(abs(e)) AS BIGINT) lambda
+      |  FROM s WHERE i < 5 GROUP BY 1, 2),
+      |sc AS (SELECT s.*, lam.lambda FROM s JOIN lam USING (series, event_type)),
+      |a AS (
+      |  SELECT series, event_type, lambda,
+      |    COALESCE(MIN(CASE WHEN i >= 5 AND s > lambda THEN i END), -1) alarm_day,
+      |    MAX(s) s_peak
+      |  FROM sc GROUP BY 1, 2, 3)
+      |SELECT a.series, a.event_type, a.lambda,
+      |  CAST(a.alarm_day AS BIGINT) alarm_day, CAST(a.s_peak AS BIGINT) s_peak,
+      |  CAST(MIN(sc.i) AS BIGINT) peak_day
+      |FROM a JOIN sc ON a.series = sc.series AND a.event_type = sc.event_type
+      |  AND sc.s = a.s_peak
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY a.series, a.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w36_cusum_alarm",
+      "online CUSUM drift alarm per type (prefix-sum-minus-running-min identity) with a planted drift twin",
+      w36CusumAlarm, Some(w36Sql)),
     QueryDef("w35_theil_sen",
       "Theil-Sen robust trend: exact rational median of the 435 daily pairwise slopes per type",
       w35TheilSen, Some(w35Sql)),

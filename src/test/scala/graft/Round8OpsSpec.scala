@@ -1856,4 +1856,33 @@ class Round8OpsSpec extends AnyFunSuite {
       pairs.foreach { case (_, _, _, g) => assert(2329089562800L % g == 0L) }
     }
   }
+
+  test("w36: window identity equals the recursive CUSUM; planted twins alarm, at/after day 20") {
+    val out = operators.Windows.w36CusumAlarm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (t <- daily.map(_._1).distinct; series <- Seq("raw", "drift")) {
+      val xs0 = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val r5 = xs0.take(5).sum
+      val xs = if (series == "raw") xs0
+               else xs0.zipWithIndex.map { case (x, i) =>
+                 if (i >= 20) x + math.max(1L, r5) else x }
+      val es = xs.map(x => 5 * x - r5)
+      // recursive ground truth: S_t = max(0, S_{t-1} + e_t)
+      val ss = es.scanLeft(0L) { case (s, e) => math.max(0L, s + e) }.tail
+      val lambda = 10 * es.take(5).map(math.abs).max
+      val alarm = ss.zipWithIndex.collectFirst {
+        case (s, i) if i >= 5 && s > lambda => i.toLong }.getOrElse(-1L)
+      val peak = ss.max
+      val peakDay = ss.indexOf(peak).toLong
+      assert(out((series, t)) == (lambda, alarm, peak, peakDay),
+        s"$series/$t: got ${out((series, t))} want ${(lambda, alarm, peak, peakDay)}")
+      if (series == "drift") assert(alarm >= 20L, s"planted twin $t failed to alarm: $alarm")
+    }
+  }
 }
