@@ -723,7 +723,99 @@ object Multimodal {
       |  CAST(bit_xor(h) AS BIGINT) AS checksum
       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  final case class RepairRow(doc_id: Long, n_bytes: Long, p1: Long, p2: Long,
+                             p3: Long, repaired_ok: Boolean)
+
+  /** The m14 per-payload kernel, static so both the typed Dataset path
+    * and any future codegen wrapper share one implementation: derive the
+    * three replicas (single-bit XOR flips at md5-derived byte positions,
+    * replica 2 COLLIDING with replica 1 on every 17th doc), repair by
+    * bitwise 2-of-3 majority ((a&b)|(a&c)|(b&c) per byte), and compare
+    * against the original.
+    */
+  def repairKernel(docId: Long, payload: Array[Byte]): RepairRow = {
+    val L = payload.length
+    def pos(rep: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"m14:$docId:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % L).toInt
+    }
+    val p1 = pos(1)
+    val p2 = if (docId % 17 == 0) p1 else pos(2)
+    val p3 = pos(3)
+    def replica(p: Int): Array[Byte] = {
+      val c = payload.clone(); c(p) = (c(p) ^ 0x01).toByte; c
+    }
+    val (a, b, c) = (replica(p1), replica(p2), replica(p3))
+    var ok = true
+    var i = 0
+    while (i < L) {
+      val m = ((a(i) & b(i)) | (a(i) & c(i)) | (b(i) & c(i))).toByte
+      if (m != payload(i)) ok = false
+      i += 1
+    }
+    RepairRow(docId, L.toLong, p1.toLong, p2.toLong, p3.toLong, ok)
+  }
+
+  /** m14 — replicated-payload REPAIR audit: the storage-layer primitive
+    * for opaque media at 100 TB — three replicas of each payload carry
+    * independent single-bit corruptions (XOR 0x01 at an md5-derived byte
+    * position per replica), and bitwise 2-of-3 majority voting must heal
+    * every byte where at most one replica is wrong. Every 17th document
+    * plants the UNREPAIRABLE case (two replicas corrupted at the SAME
+    * position — majority keeps the flipped bit), so both verdicts are
+    * exercised; natural position collisions on short payloads fail the
+    * same honest way. The engine does the real byte work in a
+    * partition-batched kernel (the m07 convention — measured 15–25×
+    * faster than expression trees for byte loops); the oracle PREDICTS
+    * each verdict from the position combinatorics alone (repaired_ok ⟺
+    * all three flip positions distinct), so the cross-engine check is a
+    * genuine independent derivation, not a replay.
+    *
+    * Scale shape: pure map-side — no shuffle, no state; replicas live
+    * only inside the kernel (a real deployment reads them from three
+    * stores; the synthesis is the deterministic stand-in).
+    */
+  def m14ReplicaRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(concat('IMG0', text) AS BINARY)").as("payload"),
+        lit("img/fake").as("format"),
+        (length(col("text")) + 4).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+    media.mapPartitions(_.map(r => repairKernel(r.doc_id, r.payload)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val m14Sql = {
+    def h(s: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef', substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, CAST(length(text) + 4 AS BIGINT) L FROM documents),
+      |p AS (
+      |  SELECT doc_id, L,
+      |    ${h("'m14:' || doc_id || ':1'")} % L p1,
+      |    ${h("'m14:' || doc_id || ':2'")} % L p2raw,
+      |    ${h("'m14:' || doc_id || ':3'")} % L p3
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, L, p1,
+      |    CASE WHEN doc_id % 17 = 0 THEN p1 ELSE p2raw END p2, p3
+      |  FROM p)
+      |SELECT doc_id, L n_bytes, p1, p2, p3,
+      |  NOT (p1 = p2 OR p1 = p3 OR p2 = p3) repaired_ok
+      |FROM q ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m14_replica_repair",
+      "3-replica bitwise-majority payload repair: planted bit flips healed, colliding flips caught (oracle predicts from position combinatorics)",
+      m14ReplicaRepair, Some(m14Sql)),
     QueryDef("m13_shard_manifest",
       "byte-offset shard manifest over the payload stream + xor checksums",
       m13ShardManifest(_, _), Some(m13Sql)),

@@ -1885,4 +1885,34 @@ class Round8OpsSpec extends AnyFunSuite {
       if (series == "drift") assert(alarm >= 20L, s"planted twin $t failed to alarm: $alarm")
     }
   }
+
+  test("m14: majority repair heals distinct flips and only distinct flips") {
+    val out = operators.Multimodal.m14ReplicaRepair(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def pos(id: Long, rep: Int, len: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"m14:$id:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % len
+    }
+    docs.foreach { case (id, text) =>
+      val len = text.length.toLong + 4
+      val p1 = pos(id, 1, len)
+      val p2 = if (id % 17 == 0) p1 else pos(id, 2, len)
+      val p3 = pos(id, 3, len)
+      val expectOk = p1 != p2 && p1 != p3 && p2 != p3
+      assert(out(id) == (len, p1, p2, p3, expectOk), s"doc $id: ${out(id)}")
+    }
+    // both verdicts must be exercised: every 17th doc is unrepairable
+    assert(out.exists(!_._2._5) && out.exists(_._2._5))
+    docs.filter(_._1 % 17 == 0).foreach { case (id, _) =>
+      assert(!out(id)._5, s"planted collision on doc $id was 'repaired'")
+    }
+    // the kernel's byte-level verdict and the combinatorial prediction
+    // agree on EVERY doc (the assert above) — i.e. majority voting fixed
+    // exactly the set of single-replica corruptions
+  }
 }
