@@ -633,7 +633,66 @@ object Formats {
       |  TRUE sized_exactly
       |FROM g ORDER BY grp""".stripMargin
 
+  /** io14 — DSv2 RUNTIME filtering (dynamic pruning) on graft-lines:
+    * the secondary-index lookup shape. The corpus is staged once as a
+    * single sorted text shard plus an (offset, doc_id) index parquet —
+    * the index a curation pipeline keeps so it can point back into raw
+    * shards. The measured query joins the RAW SHARD against a
+    * selectively-filtered index slice (doc_id % 200 == 150) on `offset`:
+    * Spark's dynamic-pruning rule broadcasts the index side first, hands
+    * the actual offset values to the scan through
+    * `SupportsRuntimeFiltering.filter`, and the scan re-plans its chunk
+    * partitions against the tightened [min, max] interval BEFORE any
+    * shard byte is read — partition-granularity pruning decided at
+    * runtime, the DPP mechanism (j16) extended to a custom source.
+    *
+    * Correctness does not depend on the pruning (readers keep plan-time
+    * semantics; the join enforces exact membership — FormatsSpec pins
+    * the pruning itself by partition counts and the runtimeFilters
+    * node), so the oracle simply replays the index join arithmetic over
+    * the documents table's cumulative byte offsets.
+    */
+  def io14RuntimePruning(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft_io14_rtf_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("doc_id").cast("string"),
+        lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+      .select(col("value"))
+      .write.mode("overwrite").text(s"$base/lines")
+    val lines = spark.read.format("graft-lines")
+      .option("chunkBytes", 16384).load(s"$base/lines")
+    lines.select(col("offset"),
+        split(col("line"), "\t").getItem(0).cast(LongType).as("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/idx")
+    val idx = spark.read.parquet(s"$base/idx")
+      .filter(col("doc_id") % 200 === 150)
+    lines.join(idx, Seq("offset"))
+      .select(col("doc_id"), col("offset"),
+        length(col("line")).cast(LongType).as("n_chars"),
+        md5(col("line")).as("line_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val io14Sql =
+    """WITH l AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || chr(9) || text AS line
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, line,
+      |    CAST(COALESCE(SUM(octet_length(encode(line)) + 1)
+      |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS "offset"
+      |  FROM l)
+      |SELECT doc_id, "offset",
+      |  CAST(length(line) AS BIGINT) AS n_chars, md5(line) AS line_md5
+      |FROM o WHERE doc_id % 200 = 150
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io14_runtime_pruning",
+      "DSv2 runtime filtering on graft-lines: index-join offsets prune shard chunks at runtime (custom-source DPP)",
+      io14RuntimePruning, Some(io14Sql)),
     QueryDef("io13_file_sizing",
       "write-side maxRecordsPerFile audit: per-group file count == ceil(n/1000), rotation verified",
       io13FileSizing(_, _), Some(io13Sql)),

@@ -11,11 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
-  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -157,7 +158,31 @@ final case class LinesPartition(file: String, start: Long, end: Long) extends In
 
 final class LinesScan(path: String, chunkBytes: Long, required: StructType,
                       lo: Long, hi: Long, countMode: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // RUNTIME FILTERING (`SupportsRuntimeFiltering`): when this scan is
+  // the probe side of a broadcast join on `offset` (the secondary-index
+  // lookup shape: a small filtered index table of offsets joining back
+  // into the raw shards), Spark's dynamic-pruning rule delivers the
+  // build side's actual offset values here BEFORE partitions are
+  // planned. The scan tightens its owned interval to [min, max] of the
+  // delivered set and chunk pruning does the rest — a best-effort
+  // PARTITION-granularity optimization: readers keep the planning-time
+  // [lo, hi] semantics and the join itself stays responsible for exact
+  // row membership, so an ignored or partial runtime filter can never
+  // change results, only costs.
+  private var rLo: Long = lo
+  private var rHi: Long = hi
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("offset"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("offset", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val longs = vs.map(_.asInstanceOf[Long])
+      rLo = math.max(rLo, longs.min)
+      rHi = math.min(rHi, longs.max)
+    case EqualTo("offset", v: Long) =>
+      rLo = math.max(rLo, v); rHi = math.min(rHi, v)
+    case _ => () // unsupported shapes are legitimately ignorable
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -184,9 +209,10 @@ final class LinesScan(path: String, chunkBytes: Long, required: StructType,
       while (s < size) {
         val e = math.min(s + chunkBytes, size)
         // chunk (s, e] owns offsets in [max(s+1, s==0 ? 0 : s+1), e] —
-        // prune it when the pushed interval can't intersect
+        // prune it when the pushed OR runtime-filtered interval can't
+        // intersect (rLo/rHi == lo/hi unless a runtime filter arrived)
         val minOwned = if (s == 0) 0L else s + 1
-        if (e >= lo && minOwned <= hi) {
+        if (e >= rLo && minOwned <= rHi) {
           parts += LinesPartition(st.getPath.toString, s, e)
         }
         s = e

@@ -166,4 +166,47 @@ class FormatsSpec extends AnyFunSuite {
       .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
     assert(back.value.get("graft.test.sentinel") == "through-the-wire")
   }
+
+  test("io14: runtime filter reaches the lines scan and prunes chunks; results DPP-invariant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scratch = graft.util.Scratch.dir("graft_io14_spec_")
+    Tables.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .repartition(1).sortWithinPartitions(col("value"))
+      .write.mode("overwrite").text(s"$scratch/lines")
+    def lines = spark.read.format("graft-lines")
+      .option("chunkBytes", 4096).load(s"$scratch/lines")
+    lines.select(col("offset"),
+        split(col("line"), "\t").getItem(0).cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$scratch/idx")
+    // mid-corpus slice so pruning bites from BOTH ends of the shard
+    def idx = spark.read.parquet(s"$scratch/idx").filter(col("doc_id") % 200 === 150)
+    def q = lines.join(idx, Seq("offset"))
+      .select(col("doc_id"), md5(col("line")).as("m"))
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // ground truth with dynamic pruning OFF: same rows, unpruned scan
+    val off = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    spark.conf.set(off, "false")
+    val want = try q.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+               finally spark.conf.set(off, "true")
+    assert(got.sameElements(want) && got.nonEmpty, "results changed under runtime filtering")
+    // the executed plan carries a runtime filter on the lines scan, and
+    // the scan planned FEWER chunk partitions than the unfiltered read
+    def findLines(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findLines(a.executedPlan)
+      case s: QueryStageExec        => findLines(s.plan)
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.LinesScan] => Seq(b)
+      case other => other.children.flatMap(findLines)
+    }
+    val ran = q
+    ran.collect()
+    val scanExec = findLines(ran.queryExecution.executedPlan).head
+    assert(scanExec.runtimeFilters.nonEmpty, "no runtime filter delivered to the scan")
+    val pruned = scanExec.inputRDD.getNumPartitions
+    val full = lines.select("offset").rdd.getNumPartitions
+    assert(pruned < full, s"runtime filter pruned nothing: $pruned of $full chunks")
+  }
 }
