@@ -68,7 +68,7 @@ object ScaleProbe {
     "a60_ab_proportion", "l09_partition_evolution", "l10_deletion_vectors",
     "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing",
     // r8 fourth-session additions
-    "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box", "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init", "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm", "m14_replica_repair", "io14_runtime_pruning")
+    "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box", "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init", "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm", "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

