@@ -81,7 +81,10 @@ class PlanGoldenSpec extends AnyFunSuite {
     "v28_mmr_diversify", "st15_stateful_ledger", "io12_agg_pushdown",
     "a60_ab_proportion", "l09_partition_evolution", "l10_deletion_vectors",
     "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing",
-    "d16_prefix_filter_join")
+    "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box",
+    "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init",
+    "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm",
+    "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
