@@ -68,7 +68,8 @@ object ScaleProbe {
     "a60_ab_proportion", "l09_partition_evolution", "l10_deletion_vectors",
     "t43_luhn_pii", "a61_column_correlation", "io13_file_sizing",
     // r8 fourth-session additions
-    "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box", "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init", "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm", "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval")
+    "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box", "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init", "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm", "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval",
+    "l12_atomic_multi_table", "v31_adaptive_probe", "w37_kendall_tau")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -216,7 +217,14 @@ object ScaleProbe {
         try d.fn(spark, baseDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }))
 
-    val rows = probes.map { name =>
+    // optional scoped re-run (env GRAFT_PROBE_FILTER = regex): probe only
+    // matching queries — used to extend an existing artifact with freshly
+    // added ops without re-timing the whole standing list
+    val keep: String => Boolean = sys.env.get("GRAFT_PROBE_FILTER") match {
+      case Some(re) => val r = re.r; (n: String) => r.findFirstIn(n).isDefined
+      case None => _ => true
+    }
+    val rows = probes.filter(keep).map { name =>
       val (base, baseBytes) = timeAt(name, baseDir)
       val (scaled, scaledBytes) = timeAt(name, outDir)
       val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
@@ -240,7 +248,7 @@ object ScaleProbe {
       System.err.println(f"[probe] $label%-28s ${factor}x $s%7.1f s (forced past pair bound)")
       f"""\"$label\":{\"scaled_s\":$s%.2f}"""
     }
-    val routed = Seq(
+    val routed = if (sys.env.contains("GRAFT_PROBE_FILTER")) Seq.empty else Seq(
       timeRouted("v09_pq_rerank_routed",
         graft.operators.Similarity.v09PqRerank(spark, outDir, maxPairs = 1L)),
       timeRouted("v12_binary_topk_routed",

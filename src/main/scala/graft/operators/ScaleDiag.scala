@@ -965,7 +965,112 @@ object ScaleDiag {
       |FROM rows_ GROUP BY change_type
       |ORDER BY change_type""".stripMargin
 
+  /** l12 — ATOMIC multi-table commit: a fact table and its derived
+    * summary published under ONE manifest flip, so no reader can ever
+    * observe the fact side updated without its summary (the
+    * multi-table-transaction guarantee Iceberg/Nessie catalogs exist
+    * for; l07/l08 are the single-table forms). Three attempted commits:
+    * v1 stages batch-1 fact + its true summary — audits clean,
+    * publishes BOTH; v2 stages batch-2 fact with a PLANTED corrupt
+    * summary (one status row's cents off by 1) — the cross-table audit
+    * (summary == re-aggregated staged∪published facts) fails and
+    * NEITHER table advances, the staged files of BOTH tables stay
+    * orphans; v3 re-stages batch-2 with the correct summary and
+    * publishes. Each emitted row reads the table THROUGH the manifest
+    * after the attempt: v2's row equals v1's row on every fact AND
+    * summary column — that equality is the atomicity proof.
+    *
+    * Scale shape: audits read only staged files plus the
+    * status-bounded published summary; publishes are metadata-only
+    * (two manifest sections flipped in one file write); the
+    * consistency re-check per version is one bounded aggregate join.
+    */
+  def l12AtomicMultiTable(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val scratch = graft.util.Scratch.dir("l12_txn_")
+    val factDir = new java.io.File(s"$scratch/fact")
+    val sumDir = new java.io.File(s"$scratch/summary")
+    def listing(d: java.io.File): Set[String] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val batch1 = base.filter(col("k") % 2 === 0)
+    val batch2 = base.filter(col("k") % 2 === 1)
+    var factManifest = Vector.empty[String]
+    var sumManifest = Vector.empty[String]
+    def readTable(d: java.io.File, names: Seq[String]): DataFrame =
+      if (names.isEmpty)
+        spark.range(0).select(col("id").as("status").cast("string"),
+          col("id").as("cents"))
+      else spark.read.parquet(names.map(n => s"$d/$n"): _*)
+    def attempt(v: Int, fact: DataFrame, corruptSummary: Boolean): (Int, Long, Long, Long, Boolean, Long) = {
+      val beforeF = listing(factDir); val beforeS = listing(sumDir)
+      fact.repartition(2).write.mode("append").parquet(factDir.toString)
+      val summary = fact.groupBy(col("status"))
+        .agg(sum(col("cents")).as("cents"))
+        .withColumn("cents",
+          if (corruptSummary) col("cents") + when(col("status") === "F", 1L).otherwise(0L)
+          else col("cents"))
+      summary.coalesce(1).write.mode("append").parquet(sumDir.toString)
+      val stagedF = (listing(factDir) -- beforeF).toSeq.sorted
+      val stagedS = (listing(sumDir) -- beforeS).toSeq.sorted
+      // cross-table audit: staged summary must equal the re-aggregated
+      // union of published+staged facts MINUS the published summary
+      val factAll = readTable(factDir, factManifest ++ stagedF)
+        .groupBy(col("status")).agg(sum(col("cents")).as("expect"))
+      val sumAll = readTable(sumDir, sumManifest ++ stagedS)
+        .groupBy(col("status")).agg(sum(col("cents")).as("got"))
+      val bad = factAll.join(sumAll, Seq("status"), "full_outer")
+        .filter(coalesce(col("expect"), lit(0L)) =!= coalesce(col("got"), lit(0L)))
+        .count()
+      val publish = bad == 0
+      if (publish) { factManifest ++= stagedF; sumManifest ++= stagedS }
+      Files.write(Paths.get(s"$scratch/manifest-v$v.txt"),
+        (factManifest.sorted.map("fact|" + _) ++ sumManifest.sorted.map("summary|" + _))
+          .mkString("\n").getBytes("UTF-8"))
+      // read back THROUGH the manifest
+      val f = readTable(factDir, factManifest)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s")).head()
+      val s = readTable(sumDir, sumManifest)
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("s")).head()
+      (v, f.getLong(0), f.getLong(1), s.getLong(0), publish,
+        (factManifest.size + sumManifest.size).toLong)
+    }
+    val out = Seq(
+      attempt(1, batch1, corruptSummary = false),
+      attempt(2, batch2, corruptSummary = true),
+      attempt(3, batch2, corruptSummary = false))
+    import spark.implicits._
+    out.toDF("version", "n_fact", "fact_cents", "summary_cents",
+        "published", "n_files")
+      .select(col("version").cast("int").as("version"), col("n_fact"),
+        col("fact_cents"), col("summary_cents"), col("published"),
+        (col("fact_cents") === col("summary_cents")).as("consistent"))
+      .orderBy(col("version"))
+  }
+
+  private val l12Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |b1 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) s
+      |       FROM base WHERE k % 2 = 0),
+      |ball AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(cents) AS BIGINT) s
+      |         FROM base)
+      |SELECT CAST(1 AS INTEGER) "version", b1.n n_fact, b1.s fact_cents,
+      |  b1.s summary_cents, TRUE published, TRUE consistent FROM b1
+      |UNION ALL
+      |SELECT 2, b1.n, b1.s, b1.s, FALSE, TRUE FROM b1
+      |UNION ALL
+      |SELECT 3, ball.n, ball.s, ball.s, TRUE, TRUE FROM ball
+      |ORDER BY "version"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l12_atomic_multi_table",
+      "atomic two-table commit under one manifest: corrupt-summary batch leaves BOTH tables unchanged (read-back proof)",
+      l12AtomicMultiTable, Some(l12Sql)),
     QueryDef("l11_snapshot_diff",
       "change-data-feed from two manifest versions: insert/delete/update images scanned from the manifest delta only",
       l11SnapshotDiff, Some(l11Sql)),

@@ -2590,12 +2590,17 @@ object Similarity {
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
     val s1 = vecs.orderBy(col("vec_id").asc).limit(1)
-    // argmax of min-d² against the current seed set; 1 row out
+    // argmax of min-d² against the current seed set; 1 row out. The
+    // result is localCheckpoint'd (it IS one row): without it, pick k's
+    // seed-set lineage re-executes every earlier pick's full-corpus
+    // argmax as a subtree — fixed-k linear work inflated to ~k²/2
+    // corpus scans (measured 5.0× at the 10× probe before the cut).
     def pick(seeds: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(seeds.select(col("q").as("sq"), col("nrm").as("sn"))))
         .withColumn("d2", col("nrm") + col("sn") - lit(2L) * expr(dot("q", "sq")))
         .groupBy(col("vec_id")).agg(min(col("d2")).as("d"))
         .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint()
     def vecOf(picked: DataFrame): DataFrame =
       vecs.join(broadcast(picked.select(col("vec_id"))), "vec_id")
     val p1 = pick(s1)
@@ -2734,7 +2739,105 @@ object Similarity {
       |    ELSE (1000000 * dcg_micro) // idcg_micro END AS BIGINT) ndcg_ppm
       |FROM j ORDER BY qid""".stripMargin
 
+  /** v31 — ADAPTIVE nprobe: per-query probe depth decided by the cell
+    * distance margin instead of a fixed constant (v02 pins nprobe=2;
+    * v23 sweeps a constant — this is the serving-side rule that spends
+    * probes only where the coarse quantizer is ambiguous). Cells = the
+    * v02 deterministic coarse quantizer (first 16 vectors); distances
+    * are exact int64 squared L2 (‖q−c‖² = qn + cn − 2⟨q,c⟩). A query
+    * probes its best cell plus every cell with d² ≤ 2·d²_best, capped
+    * at 4 — a pure-integer margin rule, so probe depths are
+    * bit-reproducible. Top-3 within the probed cells by exact d²
+    * (asc, id tie-break), with the probe depth emitted per row: the
+    * consumer reads AVG(probe_depth) as the cost and the funnel as the
+    * quality.
+    *
+    * Scale shape: centroids broadcast twice (assignment and probe
+    * pricing are the same bounded 16-row table), members shuffle once
+    * on cell, and the probed-cell join is cell-key equality — the v02
+    * funnel with a data-dependent probe set, never a flat scan.
+    */
+  def v31AdaptiveProbe(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val cents = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("nrm").as("cn"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nrm") + col("cn") - lit(2L) * expr(dot("q", "cq")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val ranked = scored.withColumn("crank", row_number().over(wAssign))
+      .withColumn("dbest", min(col("d2")).over(Window.partitionBy(col("vec_id"))))
+    val members = ranked.filter(col("crank") === 1)
+      .select(col("cell"), col("vec_id").as("cid"), col("q").as("cq2"),
+        col("nrm").as("cn2"))
+    // adaptive probe set: best cell + every cell within the 2x margin, cap 4
+    val probes = ranked.filter(col("vec_id") % 25 === 0)
+      .filter(col("crank") <= 4 && (col("crank") === 1 || col("d2") <= lit(2L) * col("dbest")))
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"),
+        col("cell"))
+      .withColumn("probe_depth",
+        count(lit(1)).over(Window.partitionBy(col("qid"))).cast("int"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("nd2").asc, col("cid").asc)
+    probes.join(members, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("nd2", col("qn") + col("cn2") - lit(2L) * expr(dot("qq", "cq2")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("probe_depth"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), col("nd2").as("dist2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v31Sql = {
+    def dotq(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |        i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)]))""".stripMargin
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |c AS (SELECT vec_id cell, q cq, nrm cn FROM n WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT n.vec_id, n.q, n.nrm, c.cell,
+      |    n.nrm + c.cn - 2 * ${dotq("n.q", "c.cq")} d2
+      |  FROM n, c),
+      |r AS (
+      |  SELECT vec_id, q, nrm, cell, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) crank,
+      |    MIN(d2) OVER (PARTITION BY vec_id) dbest
+      |  FROM sc),
+      |members AS (SELECT cell, vec_id cid, q cq2, nrm cn2 FROM r WHERE crank = 1),
+      |pr AS (
+      |  SELECT vec_id qid, q qq, nrm qn, cell
+      |  FROM r WHERE vec_id % 25 = 0 AND crank <= 4
+      |    AND (crank = 1 OR d2 <= 2 * dbest)),
+      |pd AS (
+      |  SELECT qid, qq, qn, cell,
+      |    CAST(COUNT(*) OVER (PARTITION BY qid) AS INTEGER) probe_depth
+      |  FROM pr),
+      |top AS (
+      |  SELECT pd.qid, pd.probe_depth, m.cid,
+      |    pd.qn + m.cn2 - 2 * ${dotq("pd.qq", "m.cq2")} nd2
+      |  FROM pd JOIN members m USING (cell)
+      |  WHERE pd.qid <> m.cid),
+      |rk AS (
+      |  SELECT qid, probe_depth, cid, nd2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nd2 ASC, cid ASC) rank
+      |  FROM top)
+      |SELECT qid, probe_depth, CAST(rank AS INTEGER) rank, cid neighbor_id,
+      |  CAST(nd2 AS BIGINT) dist2
+      |FROM rk WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v31_adaptive_probe",
+      "adaptive nprobe IVF: integer margin rule (d2 <= 2*best, cap 4) sets per-query probe depth, exact L2 funnel",
+      v31AdaptiveProbe(_, _), Some(v31Sql)),
     QueryDef("v30_ndcg_eval",
       "nDCG@10 retrieval eval: pinned integer log2 discounts, exact DCG/IDCG micro-units + floored ppm",
       v30NdcgEval(_, _), Some(v30Sql)),

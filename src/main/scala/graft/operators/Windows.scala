@@ -1998,7 +1998,85 @@ object Windows {
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY a.series, a.event_type""".stripMargin
 
+  /** w37 — Kendall τ concordance between event types: for every type
+    * PAIR, do the daily series co-move? The rank-based dependence dual
+    * of w28's value correlation — robust to any monotone transform of
+    * either series, and exact: every quantity is a pair COUNT. Both
+    * joins are over the (type × 30)-bounded daily table (w35's
+    * bounded-pair convention): align the two series on day, then
+    * enumerate the 435 day pairs per type pair and classify
+    * sign((x_j−x_i)·(y_j−y_i)) into concordant / discordant / x-tie /
+    * y-tie / both-tie. Emitted raw: S = C − D is the test statistic,
+    * and the tie counts let the consumer form τ-b's denominator — the
+    * one square root this contract correctly refuses to take.
+    *
+    * Scale shape: one partial-agg shuffle to the daily table; the
+    * day-align join and the day-pair join are bounded self-joins (10
+    * type pairs × 435 rows); nothing touches raw events twice.
+    */
+  def w37KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val aligned = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.day").as("day"), col("a.y").as("x"), col("b.y").as("y"))
+    val pairs = aligned.as("p").join(aligned.as("q"),
+        col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb") &&
+          col("q.day") > col("p.day"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        (col("q.x") - col("p.x")).as("dx"), (col("q.y") - col("p.y")).as("dy"))
+    pairs.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ties_y"),
+        sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L)).as("ties_both"))
+      .withColumn("s_stat", col("concordant") - col("discordant"))
+      .withColumn("direction",
+        when(col("s_stat") > 0, "concordant")
+          .when(col("s_stat") < 0, "discordant").otherwise("independent"))
+      .select(col("ta"), col("tb"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"), col("ties_both"),
+        col("s_stat"), col("direction"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val w37Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 "day",
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |al AS (
+      |  SELECT a.event_type ta, b.event_type tb, a."day" "day", a.y x, b.y y
+      |  FROM d a JOIN d b ON a."day" = b."day" AND a.event_type < b.event_type),
+      |p AS (
+      |  SELECT p.ta, p.tb, q.x - p.x dx, q.y - p.y dy
+      |  FROM al p JOIN al q
+      |    ON p.ta = q.ta AND p.tb = q.tb AND q."day" > p."day"),
+      |g AS (
+      |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) n_pairs,
+      |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) concordant,
+      |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) discordant,
+      |    CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) ties_x,
+      |    CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) ties_y,
+      |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) ties_both
+      |  FROM p GROUP BY 1, 2)
+      |SELECT ta, tb, n_pairs, concordant, discordant, ties_x, ties_y, ties_both,
+      |  concordant - discordant s_stat,
+      |  CASE WHEN concordant > discordant THEN 'concordant'
+      |       WHEN concordant < discordant THEN 'discordant'
+      |       ELSE 'independent' END direction
+      |FROM g ORDER BY ta, tb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w37_kendall_tau",
+      "Kendall tau concordance per type pair: exact C/D/tie pair counts over the aligned daily series",
+      w37KendallTau, Some(w37Sql)),
     QueryDef("w36_cusum_alarm",
       "online CUSUM drift alarm per type (prefix-sum-minus-running-min identity) with a planted drift twin",
       w36CusumAlarm, Some(w36Sql)),

@@ -84,7 +84,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box",
     "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init",
     "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm",
-    "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval")
+    "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval",
+    "l12_atomic_multi_table", "v31_adaptive_probe", "w37_kendall_tau")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
