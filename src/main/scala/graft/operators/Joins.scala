@@ -398,6 +398,74 @@ object Joins {
       |FROM e LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (event_id)
       |ORDER BY e.event_id""".stripMargin
 
+  /** j22 — the native as-of join's DIRECTION × TOLERANCE surface
+    * ([[graft.plans.AsOfJoin]], extended): every purchase enriched with
+    * (a) the user's latest click STRICTLY before it and at most 1 h old
+    * — `direction=backward, tolerance=1h`, the attribution shape where
+    * stale clicks must NOT claim credit — and (b) the user's next view
+    * STRICTLY after it within 2 h — `direction=forward, tolerance=2h`,
+    * the post-purchase-engagement shape. Two chained native merges:
+    * each is the same two-exchange + one-pass-per-partition plan as
+    * j15, with the tolerance applied as a constant-time gate on the
+    * single buffered candidate (never a pair scan). Tie rules are part
+    * of the contract: backward breaks equal click times by LAST
+    * event_id, forward by FIRST — both totalized by the exec's
+    * (key, time, tie) child ordering.
+    */
+  def j22AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("click_us"),
+        col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("view_us"),
+        col("event_id").as("view_id"))
+    val withClick = graft.plans.AsOfJoin.asof(
+      purchases, clicks,
+      leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+      leftTimeCol = "us", rightTimeCol = "click_us",
+      rightTieBreak = Seq("click_id"),
+      direction = "backward", toleranceUs = Some(3600000000L))
+    graft.plans.AsOfJoin.asof(
+        withClick, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("v_user"),
+        leftTimeCol = "us", rightTimeCol = "view_us",
+        rightTieBreak = Seq("view_id"),
+        direction = "forward", toleranceUs = Some(7200000000L))
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"),
+        col("click_us"), col("click_id"), col("view_us"), col("view_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j22Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events),
+      |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id cu, us cus, event_id cid FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id vu, us vus, event_id vid FROM e WHERE event_type = 'view'),
+      |cb AS (
+      |  SELECT p.event_id, c.cus, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.cus DESC, c.cid DESC) rn
+      |  FROM p JOIN c ON p.user_id = c.cu AND c.cus < p.us
+      |    AND p.us - c.cus <= 3600000000),
+      |vf AS (
+      |  SELECT p.event_id, v.vus, v.vid,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY v.vus ASC, v.vid ASC) rn
+      |  FROM p JOIN v ON p.user_id = v.vu AND v.vus > p.us
+      |    AND v.vus - p.us <= 7200000000)
+      |SELECT p.event_id, p.user_id, p.us p_us, cb.cus click_us, cb.cid click_id,
+      |  vf.vus view_us, vf.vid view_id
+      |FROM p
+      |LEFT JOIN (SELECT event_id, cus, cid FROM cb WHERE rn = 1) cb USING (event_id)
+      |LEFT JOIN (SELECT event_id, vus, vid FROM vf WHERE rn = 1) vf USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** j17 — interval join with NO equi key, binned: per purchase, count
     * corpus-wide view events inside ±30 min (and how many were the
     * buyer's own). The naive form is a pure inequality theta-join —
@@ -711,6 +779,9 @@ object Joins {
       "no-equi-key interval join via time binning (both sides fact-scale)",
       j17IntervalBinJoin, Some(j17Sql)),
     QueryDef("j01_broadcast_star", "broadcast star join, revenue per region", j01BroadcastStar, Some(j01Sql)),
+    QueryDef("j22_asof_tolerance",
+      "native as-of join direction x tolerance: backward 1h attribution + forward 2h engagement, chained merges",
+      j22AsofTolerance, Some(j22Sql)),
     QueryDef("j15_asof_join", "NATIVE as-of join (custom plan + strategy + merge exec)",
       j15AsOfJoin, Some(j15Sql)),
     QueryDef("j02_fact_fact_revenue", "fact-fact shuffle join w/ pre-join partial agg", j02FactFactRevenue, Some(j02Sql)),

@@ -49,7 +49,9 @@ final case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -60,8 +62,8 @@ final case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; a no-op on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +75,9 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryExecNode {
+    rightTieBreak: Seq[Expression],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -104,6 +108,8 @@ final case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
     val nRight = rightOut.size
+    val fwd = direction == "forward"
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
@@ -115,9 +121,10 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val rBuf = rIter.buffered
       // the operator's whole per-partition state: the best match so far
-      // for the key currently being merged
+      // for the key currently being merged (backward mode only)
       var bestRow: InternalRow = null
       var bestKey: UnsafeRow = null
+      var bestTime: Long = Long.MinValue
       lIter.map { lrow =>
         val lkey = lKeyProj(lrow)
         val ltRow = lTimeProj(lrow)
@@ -125,28 +132,64 @@ final case class AsOfJoinExec(
           resultProj(joined(lrow, nullRight))
         } else {
           val lt = ltRow.getLong(0)
-          var scan = true
-          while (scan && rBuf.hasNext) {
-            val rk = rKeyProj(rBuf.head)
-            if (rk.anyNull) { rBuf.next() } // null key never matches
-            else {
-              val c = keyOrd.compare(rk, lkey)
-              if (c < 0) rBuf.next()        // keys already merged past
-              else if (c > 0) scan = false  // right is ahead: no more candidates
+          if (fwd) {
+            // FORWARD: answer = first right row (in (key, time, tie)
+            // order) with rt STRICTLY after lt. Rows at rt <= lt are
+            // unmatchable for every later left row too (left is sorted
+            // by (key, time)), so consuming them is safe; the answer row
+            // itself is only PEEKED — the next left row with the same
+            // key may share it.
+            var scan = true
+            while (scan && rBuf.hasNext) {
+              val rk = rKeyProj(rBuf.head)
+              if (rk.anyNull) { rBuf.next() }
               else {
-                val rtRow = rTimeProj(rBuf.head)
-                if (rtRow.isNullAt(0)) rBuf.next() // null time never matches
-                else if (rtRow.getLong(0) < lt) {
-                  // still strictly before the left row: the sort order
-                  // makes each later candidate the better one
-                  bestKey = rk.copy()
-                  bestRow = rBuf.next().copy()
-                } else scan = false
+                val c = keyOrd.compare(rk, lkey)
+                if (c < 0) rBuf.next()
+                else if (c > 0) scan = false
+                else {
+                  val rtRow = rTimeProj(rBuf.head)
+                  if (rtRow.isNullAt(0)) rBuf.next()
+                  else if (rtRow.getLong(0) <= lt) rBuf.next()
+                  else scan = false // head IS the forward candidate
+                }
               }
             }
+            val cand =
+              if (rBuf.hasNext) {
+                val rk = rKeyProj(rBuf.head)
+                if (!rk.anyNull && keyOrd.compare(rk, lkey) == 0) {
+                  val rt = rTimeProj(rBuf.head).getLong(0)
+                  if (tol.forall(t => rt - lt <= t)) rBuf.head else null
+                } else null
+              } else null
+            resultProj(joined(lrow, if (cand != null) cand else nullRight))
+          } else {
+            var scan = true
+            while (scan && rBuf.hasNext) {
+              val rk = rKeyProj(rBuf.head)
+              if (rk.anyNull) { rBuf.next() } // null key never matches
+              else {
+                val c = keyOrd.compare(rk, lkey)
+                if (c < 0) rBuf.next()        // keys already merged past
+                else if (c > 0) scan = false  // right is ahead: no more candidates
+                else {
+                  val rtRow = rTimeProj(rBuf.head)
+                  if (rtRow.isNullAt(0)) rBuf.next() // null time never matches
+                  else if (rtRow.getLong(0) < lt) {
+                    // still strictly before the left row: the sort order
+                    // makes each later candidate the better one
+                    bestKey = rk.copy()
+                    bestTime = rtRow.getLong(0)
+                    bestRow = rBuf.next().copy()
+                  } else scan = false
+                }
+              }
+            }
+            val matched = bestRow != null && keyOrd.compare(bestKey, lkey) == 0 &&
+              tol.forall(t => lt - bestTime <= t)
+            resultProj(joined(lrow, if (matched) bestRow else nullRight))
           }
-          val matched = bestRow != null && keyOrd.compare(bestKey, lkey) == 0
-          resultProj(joined(lrow, if (matched) bestRow else nullRight))
         }
       }
     }
@@ -169,18 +212,31 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
 
-  /** Left-outer as-of join of `right` onto `left`: latest right row per
-    * key strictly before each left row's time. Time columns must be
+  /** Left-outer as-of join of `right` onto `left`. Time columns must be
     * LongType (epoch micros). `rightTieBreak` totalizes the order among
     * right rows sharing (key, time) — required for determinism.
+    *
+    * `direction = "backward"` (default): latest right row per key
+    * STRICTLY before each left row's time — with the tie-break sort,
+    * the LAST row at the matched instant wins. `direction = "forward"`:
+    * earliest right row STRICTLY after — the FIRST row at the matched
+    * instant wins. `toleranceUs` bounds the |time gap|: a candidate
+    * farther than the tolerance yields a null match instead (pandas
+    * merge_asof's `tolerance`). Both variants keep the one-buffered-row
+    * merge: O(|L|+|R|) per co-partition, no pair blow-up.
     */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightTieBreak: Seq[String]): DataFrame = {
+      rightTieBreak: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of join needs one or more equi-keys, matched pairwise")
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
+    require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0 micros")
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -205,6 +261,6 @@ object AsOfJoin {
     GraftPlanBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       leftKeys.map(resolveL), rightKeys.map(resolveR),
-      lt, rt, rightTieBreak.map(resolveR)))
+      lt, rt, rightTieBreak.map(resolveR), direction, toleranceUs))
   }
 }

@@ -106,4 +106,70 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "as-of fell back to a pair-building join")
   }
+
+  test("forward direction picks the strictly-later earliest row; first tie wins") {
+    val left = tiny(Seq((L(1), L(100), "l"), (L(1), L(200), "l"), (L(2), L(50), "l")))
+    val right = tiny(Seq(
+      (L(1), L(100), "at100"), (L(1), L(150), "a150"), (L(1), L(150), "b150"),
+      (L(1), L(500), "late"), (L(2), L(10), "early")))
+    val got = AsOfJoin.asof(
+        left, right.toDF("rk", "rt", "rtag"),
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rtag"), direction = "forward")
+      .select(col("k"), col("t"), col("rtag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sortBy(x => (x._1, x._2))
+    // t=100: rt=100 excluded (strict); earliest after = 150, FIRST tie = a150
+    // t=200: earliest after = 500; k=2 t=50: nothing after 50? rt=10 is before -> null
+    assert(got.toSeq == Seq((1L, 100L, Some("a150")), (1L, 200L, Some("late")),
+      (2L, 50L, None)))
+  }
+
+  test("tolerance nulls out matches beyond the bound, both directions") {
+    val left = tiny(Seq((L(1), L(1000), "l"), (L(1), L(5000), "l")))
+    val right = tiny(Seq((L(1), L(900), "b900"), (L(1), L(5900), "f5900")))
+    val back = AsOfJoin.asof(left, right.toDF("rk", "rt", "rtag"),
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rtag"),
+        direction = "backward", toleranceUs = Some(200L))
+      .select(col("t"), col("rtag")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    // t=1000: b900 is 100 old -> within 200; t=5000: b900 is 4100 old -> null
+    assert(back.toSeq == Seq((1000L, Some("b900")), (5000L, None)))
+    val fwd = AsOfJoin.asof(left, right.toDF("rk", "rt", "rtag"),
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rtag"),
+        direction = "forward", toleranceUs = Some(1000L))
+      .select(col("t"), col("rtag")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    // t=1000: next is 5900, gap 4900 > 1000 -> null; t=5000: 5900 gap 900 -> match
+    assert(fwd.toSeq == Seq((1000L, None), (5000L, Some("f5900"))))
+  }
+
+  test("j22 equals the inequality-join + rank encoding; two native merges in the plan") {
+    val df = operators.Joins.j22AsofTolerance(spark, sf001)
+    val got = df.collect().map(r => (r.getLong(0),
+      Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long]),
+      Option(r.get(5)).map(_.asInstanceOf[Long]), Option(r.get(6)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    // relational truth on the driver
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val p = ev.filter(_._3 == "purchase")
+    val c = ev.filter(_._3 == "click")
+    val v = ev.filter(_._3 == "view")
+    val truth = p.map { case (eid, u, _, us) =>
+      val click = c.filter(x => x._2 == u && x._4 < us && us - x._4 <= 3600000000L)
+        .sortBy(x => (-x._4, -x._1)).headOption
+      val view = v.filter(x => x._2 == u && x._4 > us && x._4 - us <= 7200000000L)
+        .sortBy(x => (x._4, x._1)).headOption
+      (eid, click.map(_._4), click.map(_._1), view.map(_._4), view.map(_._1))
+    }.sortBy(_._1)
+    assert(got.length == truth.length && got.sameElements(truth),
+      s"first diff: ${got.zip(truth).find(x => x._1 != x._2)}")
+    // both verdict classes are live: some purchases matched, some nulled by tolerance
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.split("AsOfJoin").length - 1 >= 2, "expected two native merge execs")
+  }
 }
