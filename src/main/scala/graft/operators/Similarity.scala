@@ -2834,7 +2834,105 @@ object Similarity {
       |ORDER BY qid, rank""".stripMargin
   }
 
+  /** v32 — MULTI-PROBE hyperplane LSH: instead of buying recall with
+    * more hash tables (v25 runs 4), run HALF the tables and probe each
+    * query's Hamming-1 bucket neighborhood — the multi-probe LSH trick
+    * (Lv et al.): a near neighbor that lands one sign-bit away is
+    * recovered by flipping that bit, so b extra O(1) bucket lookups
+    * substitute for a whole extra table's storage. Candidates =
+    * exact bucket ∪ {bucket ⊕ 2^j, j < b} per table, then the v25 exact
+    * re-rank; `n_cand` rides along per query so the instrument shows
+    * the recall/candidate trade directly against v25's row.
+    *
+    * Scale shape: the probe expansion is a bounded explode (b+1 ≤ ~40
+    * rows per query-table) on the QUERY side only; the candidate join
+    * stays an equality join on (table, bucket) — index storage is
+    * HALVED relative to v25 while the probe count per query grows
+    * additively, which is the whole economic point at 100 TB.
+    */
+  def v32MultiprobeLsh(spark: SparkSession, dir: String, tables: Int = 2): DataFrame = {
+    val (vecs, buckets) = lshSignature(spark, dir, tables)
+    val n = Tables.footerRowCount(spark, dir, "embeddings")
+    val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val qb = buckets.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+      .select(col("qid"), col("t"), col("bucket"),
+        expr(s"explode(sequence(0, $b))").as("j"))
+      .select(col("qid"), col("t"),
+        expr("CASE WHEN j = 0 THEN bucket " +
+          "ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(j - 1 AS INT)) END").as("bucket"))
+    val cand = qb.join(buckets.select(col("vec_id").as("cid"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy(col("qid"))).cast("long"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")), "cid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("n_cand"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v32Sql =
+    """WITH nn AS (
+      |  SELECT CAST(GREATEST(6, LENGTH(BIN(GREATEST(1, COUNT(*) - 1)))) AS BIGINT) b
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |hyper AS (
+      |  SELECT vec_id - 16 hp, q hq FROM v, nn
+      |  WHERE vec_id >= 16 AND vec_id < 16 + 2 * nn.b),
+      |bits AS (
+      |  SELECT v.vec_id, hyper.hp // nn.b t,
+      |    CASE WHEN CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+      |           i -> v.q[CAST(i AS INTEGER)] * hyper.hq[CAST(i AS INTEGER)])) AS BIGINT) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(hyper.hp % nn.b AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END bitval
+      |  FROM v, hyper, nn),
+      |buckets AS (
+      |  SELECT vec_id, t, CAST(SUM(bitval) AS BIGINT) bucket
+      |  FROM bits GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT vec_id qid, t,
+      |    CASE WHEN j = 0 THEN bucket
+      |         ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER)) END bucket
+      |  FROM buckets, nn, (SELECT unnest(range(0, 64)) j)
+      |  WHERE vec_id % 25 = 0 AND j <= nn.b),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, c.vec_id cid
+      |  FROM probes p JOIN buckets c ON p.t = c.t AND p.bucket = c.bucket
+      |  WHERE p.qid <> c.vec_id),
+      |cn AS (
+      |  SELECT qid, cid, CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) n_cand
+      |  FROM cand),
+      |r AS (
+      |  SELECT cn.qid, cn.n_cand, cn.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * d.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(d.nrm AS DOUBLE)) cos
+      |  FROM cn JOIN n a ON cn.qid = a.vec_id
+      |          JOIN n d ON cn.cid = d.vec_id),
+      |rk AS (
+      |  SELECT qid, n_cand, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |  FROM r)
+      |SELECT qid, n_cand, CAST(rank AS INTEGER) rank, cid neighbor_id,
+      |  ROUND(cos, 6) cosine
+      |FROM rk WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v32_multiprobe_lsh",
+      "multi-probe hyperplane LSH: Hamming-1 bucket neighborhood probing halves the table count, exact re-rank",
+      v32MultiprobeLsh(_, _), Some(v32Sql)),
     QueryDef("v31_adaptive_probe",
       "adaptive nprobe IVF: integer margin rule (d2 <= 2*best, cap 4) sets per-query probe depth, exact L2 funnel",
       v31AdaptiveProbe(_, _), Some(v31Sql)),

@@ -2022,4 +2022,54 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(got._8 == (if (c > d) "concordant" else if (c < d) "discordant" else "independent"))
     }
   }
+
+  test("v32: multiprobe funnel replays driver-side; neighborhood covers the exact bucket") {
+    val out = Similarity.v32MultiprobeLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val n = vecs.length.toLong
+    val b = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    val hyper = vecs.filter(v => v._1 >= 16 && v._1 < 16 + 2 * b)
+    def dotp(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => x * y }.sum
+    def buckets(q: Array[Long]): Map[Long, Long] =
+      hyper.groupBy(h => (h._1 - 16) / b).map { case (t, hs) =>
+        t -> hs.map { case (hid, hq) =>
+          if (dotp(q, hq) > 0) 1L << ((hid - 16) % b) else 0L
+        }.sum
+      }
+    val all = vecs.map { case (id, q) => (id, buckets(q)) }
+    val expect = vecs.filter(_._1 % 25 == 0).flatMap { case (qid, qq) =>
+      val qbkt = all.find(_._1 == qid).get._2
+      // toSeq first: flatMap on a Map producing (t, bucket) pairs would
+      // collapse back INTO a Map and keep one probe per table
+      val probeSet = qbkt.toSeq.flatMap { case (t, bk) =>
+        (0L to b.toLong).map(j => (t, if (j == 0) bk else bk ^ (1L << (j - 1).toInt)))
+      }.toSet
+      val cands = all.filter { case (cid, cb) =>
+        cid != qid && cb.exists { case (t, bk) => probeSet.contains((t, bk)) }
+      }.map(_._1).toSet
+      if (cands.isEmpty) Seq.empty
+      else {
+        val nrm = vecs.toMap
+        def cosv(a: Long, c: Long): Double = {
+          val (qa, qc) = (nrm(a), nrm(c))
+          dotp(qa, qc).toDouble / math.sqrt(dotp(qa, qa).toDouble * dotp(qc, qc).toDouble)
+        }
+        cands.toSeq.map(c => (c, cosv(qid, c))).sortBy { case (c, s) => (-s, c) }
+          .take(3).zipWithIndex.map { case ((c, s), i) =>
+            (qid, cands.size.toLong, i + 1, c,
+             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }
+    }
+    assert(out.toSeq.sortBy(x => (x._1, x._3)) == expect.toSeq.sortBy(x => (x._1, x._3)),
+      "multiprobe funnel diverges from the driver replay")
+    // Hamming-1 probing strictly contains the exact-bucket candidate set
+    // (j=0 IS the exact bucket), so candidates >= the 2-table v25 form
+    assert(out.nonEmpty)
+  }
 }
