@@ -2073,7 +2073,91 @@ object Windows {
       |       ELSE 'independent' END direction
       |FROM g ORDER BY ta, tb""".stripMargin
 
+  /** w38 — MASE forecast backtest per event type: is there exploitable
+    * daily seasonality in the hourly signal, measured the way a
+    * forecaster would — by BACKTEST error, not by fit statistics
+    * (a51/w16 ask whether the hour-of-week profile is real; this asks
+    * whether USING it beats the naive carry-forward). Model = seasonal
+    * naive (ŷ_t = y_{t−24h}); baseline = naive (ŷ_t = y_{t−1h});
+    * MASE = MAE_model / MAE_naive, emitted as exact integer components
+    * (term counts + absolute-error cents sums) plus the floored ppm
+    * ratio mase_ppm = ⌊10⁶·s_sum·n_n / (s_n·n_sum)⌋ — < 10⁶ means the
+    * seasonal model wins. Gap-safe: naive terms pair STRICTLY
+    * consecutive hours (lag + hour-delta check), seasonal terms join on
+    * h−24 existence — both rules identical in both engines.
+    *
+    * Scale shape: one partial-agg shuffle to the (type × hour) table;
+    * one window (lag) and one self-join on the 720-row-per-type hourly
+    * frame; a bounded final aggregate. Raw events scanned once.
+    */
+  def w38Mase(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val hourly = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val naive = hourly
+      .withColumn("py", lag(col("y"), 1).over(w))
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .filter(col("py").isNotNull && col("h") - col("ph") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_naive"), sum(abs(col("y") - col("py"))).as("naive_abs_cents"))
+    val seasonal = hourly.as("a").join(hourly.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.h") === col("a.h") - 24)
+      .select(col("a.event_type").as("event_type"),
+        abs(col("a.y") - col("b.y")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seasonal"), sum(col("e")).as("seasonal_abs_cents"))
+    naive.join(seasonal, "event_type")
+      .withColumn("mase_ppm", expr(
+        "CAST(CASE WHEN seasonal_abs_cents = 0 OR naive_abs_cents = 0 THEN 0 ELSE " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * seasonal_abs_cents * n_naive) div " +
+          "(CAST(n_seasonal AS DECIMAL(38,0)) * naive_abs_cents) END AS BIGINT)"))
+      .withColumn("seasonal_wins", col("mase_ppm") < 1000000L && col("mase_ppm") > 0L)
+      .select(col("event_type"), col("n_naive"), col("naive_abs_cents"),
+        col("n_seasonal"), col("seasonal_abs_cents"), col("mase_ppm"),
+        col("seasonal_wins"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w38Sql =
+    """WITH hr AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 h,
+      |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) y
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      |nv AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n_naive,
+      |    CAST(SUM(ABS(y - py)) AS BIGINT) naive_abs_cents
+      |  FROM (
+      |    SELECT event_type, h, y,
+      |      LAG(y) OVER (PARTITION BY event_type ORDER BY h) py,
+      |      LAG(h) OVER (PARTITION BY event_type ORDER BY h) ph
+      |    FROM hr)
+      |  WHERE py IS NOT NULL AND h - ph = 1 GROUP BY 1),
+      |sn AS (
+      |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) n_seasonal,
+      |    CAST(SUM(ABS(a.y - b.y)) AS BIGINT) seasonal_abs_cents
+      |  FROM hr a JOIN hr b
+      |    ON a.event_type = b.event_type AND b.h = a.h - 24
+      |  GROUP BY 1)
+      |SELECT nv.event_type, n_naive, naive_abs_cents, n_seasonal,
+      |  seasonal_abs_cents,
+      |  CAST(CASE WHEN seasonal_abs_cents = 0 OR naive_abs_cents = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * seasonal_abs_cents * n_naive)
+      |      // (CAST(n_seasonal AS HUGEINT) * naive_abs_cents) END AS BIGINT) mase_ppm,
+      |  CAST(CASE WHEN seasonal_abs_cents = 0 OR naive_abs_cents = 0 THEN 0 ELSE
+      |    (CAST(1000000 AS HUGEINT) * seasonal_abs_cents * n_naive)
+      |      // (CAST(n_seasonal AS HUGEINT) * naive_abs_cents) END AS BIGINT)
+      |    BETWEEN 1 AND 999999 seasonal_wins
+      |FROM nv JOIN sn ON nv.event_type = sn.event_type
+      |ORDER BY nv.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w38_mase",
+      "MASE seasonal-naive backtest per type: exact abs-error components + floored ppm ratio vs the naive baseline",
+      w38Mase, Some(w38Sql)),
     QueryDef("w37_kendall_tau",
       "Kendall tau concordance per type pair: exact C/D/tie pair counts over the aligned daily series",
       w37KendallTau, Some(w37Sql)),

@@ -2072,4 +2072,31 @@ class Round8OpsSpec extends AnyFunSuite {
     // (j=0 IS the exact bucket), so candidates >= the 2-table v25 form
     assert(out.nonEmpty)
   }
+
+  test("w38: MASE components replay from the hourly series; ratio quantized exactly") {
+    val out = operators.Windows.w38Mase(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    val hourly = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (t <- hourly.map(_._1).distinct) {
+      val hs = hourly.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val sorted = hs.keys.toSeq.sorted
+      val naive = sorted.sliding(2).collect {
+        case Seq(a, b) if b - a == 1 => math.abs(hs(b) - hs(a)) }.toSeq
+      val seas = sorted.collect { case h if hs.contains(h - 24) =>
+        math.abs(hs(h) - hs(h - 24)) }
+      val (nN, nS) = (naive.length.toLong, seas.length.toLong)
+      val (sumN, sumS) = (naive.sum, seas.sum)
+      val ppm = if (sumS == 0 || sumN == 0) 0L
+                else (BigInt(1000000) * sumS * nN / (BigInt(nS) * sumN)).toLong
+      assert(out(t) == (nN, sumN, nS, sumS, ppm, ppm >= 1 && ppm <= 999999L),
+        s"$t: got ${out(t)} want ${(nN, sumN, nS, sumS, ppm)}")
+      // enough terms for the backtest to mean something
+      assert(nN > 20 && nS > 20)
+    }
+  }
 }
