@@ -1389,13 +1389,14 @@ object Dedup {
   def d16PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: the hashed set rows feed THREE consumers (token
-    // document frequencies, the per-doc prefix ranking, and the verify
-    // sets) — without the cut, each re-runs the text shingle explode +
-    // per-shingle md5, the build's dominant cost, from scratch
+    // the hashed set rows feed THREE consumers (token document
+    // frequencies, the per-doc prefix ranking, and the verify sets) —
+    // left UNCHECKPOINTED deliberately: AQE's exchange reuse already
+    // serves all three from one materialized shuffle, and an eager
+    // localCheckpoint was MEASURED slower (bench 7.0 s -> 11.4 s at
+    // sf0.1: it pays a serialize+rescan the reused exchange avoids)
     val rows = wordBigramRows(Tables.documents(spark, dir))
       .select(col("doc_id"), expr(md5ShingleImage).as("h")).distinct()
-      .localCheckpoint()
     val tdf = rows.groupBy(col("h")).agg(count(lit(1)).as("tdf"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val sized = rows.join(tdf, "h")
