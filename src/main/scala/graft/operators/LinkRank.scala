@@ -911,7 +911,11 @@ object LinkRank {
         sum(expr("CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))")).as("sum_pow"),
         expr("bit_or(m)").as("or_all"))
       .select(lit(depth).as("depth"), col("k"), col("n_nodes"),
-        col("sum_pow").cast(DecimalType(38, 0)).as("sum_pow"), col("or_all"))
+        // STRING output: each FM term can be as large as 2⁶², so the
+        // sum exceeds int64 on adversarial masks — the decimal is the
+        // point — and decimal output columns hash-diverge across the
+        // two engines' client layers (the r8 class).
+        col("sum_pow").cast("string").as("sum_pow"), col("or_all"))
     summary(m0, 0).unionByName(summary(m1, 1)).unionByName(summary(m2, 2))
       .orderBy(col("depth"), col("k"))
   }
@@ -956,7 +960,8 @@ object LinkRank {
       |    SUM(CAST(((-m - 1) & (m + 1)) AS DECIMAL(38,0))), bit_or(m) FROM m2 GROUP BY k)
       |SELECT CAST(depth AS INTEGER) depth, CAST(k AS INTEGER) k,
       |  CAST(n_nodes AS BIGINT) n_nodes,
-      |  CAST(sum_pow AS DECIMAL(38,0)) sum_pow, CAST(or_all AS BIGINT) or_all
+      |  CAST(CAST(sum_pow AS DECIMAL(38,0)) AS VARCHAR) sum_pow,
+      |  CAST(or_all AS BIGINT) or_all
       |FROM s ORDER BY depth, k""".stripMargin
   }
 

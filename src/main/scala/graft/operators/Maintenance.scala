@@ -1657,7 +1657,12 @@ object Maintenance {
       .withColumn("ess_share_ppm",
         expr("CAST(round(1000000 * ess / n) AS BIGINT)"))
       .select(col("event_type"), col("n"), col("sum_w"),
-              col("sum_w2").cast(DecimalType(38, 0)).as("sum_w2"),
+              // emitted as STRING: >int64 headroom IS the contract here
+              // (cents² crosses int64 near 10⁹ rows/type), and a decimal
+              // output column round-trips differently through the two
+              // engines' client layers (Decimal vs float64) — the r8
+              // hash-mismatch class. String carries the exact integer.
+              col("sum_w2").cast("string").as("sum_w2"),
               col("ess"), col("ess_share_ppm"))
       .orderBy(col("event_type"))
 
@@ -1670,7 +1675,7 @@ object Maintenance {
       |    CAST(SUM(w) AS BIGINT) sum_w,
       |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) sum_w2
       |  FROM e GROUP BY 1)
-      |SELECT event_type, n, sum_w, sum_w2,
+      |SELECT event_type, n, sum_w, CAST(sum_w2 AS VARCHAR) AS sum_w2,
       |  ROUND(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
       |    / CAST(sum_w2 AS DOUBLE), 3) AS ess,
       |  CAST(round(1000000 * ROUND(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
@@ -1735,8 +1740,12 @@ object Maintenance {
       .withColumn("emd_den",
         col("n_rows").cast(DecimalType(38, 0)) * col("n_total") * (col("m") - 1))
       .select(col("c_mktsegment"), col("c_nationkey"), col("n_rows"),
-        col("emd_num").cast(DecimalType(38, 0)).as("emd_num"),
-        col("emd_den").cast(DecimalType(38, 0)).as("emd_den"),
+        // STRING output: the cross-multiplied prefix terms exceed int64
+        // by construction (cum·n products), and decimal output columns
+        // hash-diverge across the two engines' client layers (the r8
+        // lesson). The breach bit is still compared in exact decimal.
+        col("emd_num").cast("string").as("emd_num"),
+        col("emd_den").cast("string").as("emd_den"),
         (col("emd_num") * 5 > col("emd_den")).as("breach"))
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
@@ -1766,9 +1775,9 @@ object Maintenance {
       |    - CAST(cum_g AS DECIMAL(38,0)) * n_rows) AS DECIMAL(38,0))) emd_num
       |  FROM cum GROUP BY 1,2,3)
       |SELECT seg AS c_mktsegment, nat AS c_nationkey, n_rows,
-      |  CAST(emd_num AS DECIMAL(38,0)) AS emd_num,
-      |  CAST(CAST(n_rows AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
-      |    * ((SELECT m FROM tot) - 1) AS DECIMAL(38,0)) AS emd_den,
+      |  CAST(CAST(emd_num AS DECIMAL(38,0)) AS VARCHAR) AS emd_num,
+      |  CAST(CAST(CAST(n_rows AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
+      |    * ((SELECT m FROM tot) - 1) AS DECIMAL(38,0)) AS VARCHAR) AS emd_den,
       |  emd_num * 5 > CAST(n_rows AS DECIMAL(38,0)) * (SELECT n_total FROM tot)
       |    * ((SELECT m FROM tot) - 1) AS breach
       |FROM t ORDER BY c_mktsegment, c_nationkey""".stripMargin
@@ -1960,8 +1969,14 @@ object Maintenance {
           " * n_a * n_b").cast(DecimalType(38, 0)))
       .withColumn("significant", expr(
         "x_a + x_b > 0 AND x_a + x_b < n_a + n_b AND lhs >= rhs"))
+      // lhs/rhs emitted as STRING: past ~3·10⁷ users/cohort these
+      // products exceed int64 — the whole reason they're carried in
+      // DECIMAL(38,0) — and decimal output columns hash-diverge across
+      // the engines' client layers (the r8 class). The verdict still
+      // compares the exact decimals.
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-        col("lhs"), col("rhs"), col("significant"))
+        col("lhs").cast("string").as("lhs"),
+        col("rhs").cast("string").as("rhs"), col("significant"))
   }
 
   private val a60Sql =
@@ -1987,10 +2002,10 @@ object Maintenance {
       |    CAST(SUM(CASE WHEN cohort = 1 THEN is_conv ELSE 0 END) AS BIGINT) x_b
       |  FROM c)
       |SELECT n_a, x_a, n_b, x_b,
-      |  CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (x_a * n_b - x_b * n_a)
-      |    * (n_a + n_b) lhs,
-      |  CAST(4 AS HUGEINT) * (x_a + x_b) * (n_a + n_b - x_a - x_b)
-      |    * n_a * n_b rhs,
+      |  CAST(CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (x_a * n_b - x_b * n_a)
+      |    * (n_a + n_b) AS VARCHAR) lhs,
+      |  CAST(CAST(4 AS HUGEINT) * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+      |    * n_a * n_b AS VARCHAR) rhs,
       |  x_a + x_b > 0 AND x_a + x_b < n_a + n_b AND
       |    CAST(x_a * n_b - x_b * n_a AS HUGEINT) * (x_a * n_b - x_b * n_a)
       |      * (n_a + n_b)

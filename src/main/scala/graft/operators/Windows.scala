@@ -1667,9 +1667,13 @@ object Windows {
       .withColumn("z", expr("block_m * (cum - c0) - i * t"))
       .groupBy(col("event_type"), col("block_m"), col("block_id"))
       .agg((max(col("z")) - min(col("z"))).as("r_scaled"),
+        // STRING output: m²S² needs DECIMAL(38,0) once daily sums pass
+        // ~3·10⁹ cents (Σy² beyond int64 is the point), and decimal
+        // output columns hash-diverge across the two engines' client
+        // layers (the r8 class). Consumers parse the exact integer.
         (max(col("block_m")) * max(col("yy")) -
           expr("CAST(max(t) AS DECIMAL(38,0)) * max(t)"))
-          .cast(DecimalType(38, 0)).as("s2_scaled"))
+          .cast(DecimalType(38, 0)).cast("string").as("s2_scaled"))
       .orderBy(col("event_type"), col("block_m"), col("block_id"))
   }
 
@@ -1701,7 +1705,8 @@ object Windows {
       |  WHERE blk.nd = e.block_m)
       |SELECT event_type, block_m, block_id,
       |  CAST(MAX(zz) - MIN(zz) AS BIGINT) r_scaled,
-      |  MAX(block_m) * MAX(yy) - CAST(MAX(t) AS HUGEINT) * MAX(t) s2_scaled
+      |  CAST(MAX(block_m) * MAX(yy) - CAST(MAX(t) AS HUGEINT) * MAX(t)
+      |    AS VARCHAR) s2_scaled
       |FROM z GROUP BY 1, 2, 3
       |ORDER BY event_type, block_m, block_id""".stripMargin
 

@@ -32,6 +32,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query emits a DecimalType output column") {
+    // The r3 (t08) and r8 (a56/a57/a60/g14/w33) escapes were the same
+    // class: a decimal output column round-trips as Python Decimal from
+    // Spark parquet but float64 from DuckDB, so the driver's str(value)
+    // hash diverges even when every value is numerically identical.
+    // DECIMAL(38,0) is welcome INSIDE a plan (exact integer algebra);
+    // the emitted schema must carry it as BIGINT (when the contract
+    // scale provably fits) or STRING (when >int64 headroom is the
+    // point). Structs/arrays/maps are walked too.
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType => s.fields.flatMap(f => decimals(f.dataType, s"$path.${f.name}")).toSeq
+      case a: ArrayType => decimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        decimals(m.keyType, s"$path<key>") ++ decimals(m.valueType, s"$path<value>")
+      case _ => Nil
+    }
+    val offenders = Registry.all.flatMap { d =>
+      decimals(d.fn(spark, sf).schema, d.name)
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns leak the driver-hash divergence class: ${offenders.mkString(", ")}")
+  }
+
   test("registry names are unique and oracle columns are aliased") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)

@@ -31,6 +31,16 @@ def canon(df):
 
 
 def compare(name, got, want):
+    """Mirror the driver's hash basis EXACTLY: the driver sorts columns
+    by name and hashes str(value) per cell, so the only comparison that
+    predicts the remote gate is exact str(value) equality — any dtype
+    that round-trips differently through the two client layers (numpy
+    int vs float repr, Python Decimal vs float64, None vs nan) fails
+    HERE the way it fails THERE. The r8 escape (DECIMAL(38,0) output
+    read as Decimal on the Spark side, float64 from DuckDB) slipped a
+    tolerance-based float path; there is no tolerance path anymore —
+    numeric diffs are reported as diagnostics only, after the str gate
+    has already failed the query."""
     problems = []
     if sorted(got.columns) != sorted(want.columns):
         return [f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
@@ -38,46 +48,34 @@ def compare(name, got, want):
     if len(got) != len(want):
         return [f"row count differs: spark={len(got)} oracle={len(want)}"]
     for c in got.columns:
-        g, w = got[c].to_numpy(), want[c].to_numpy()
-        # The driver hashes str(value), so an int64 Spark column vs a
-        # float64/object oracle column (e.g. DuckDB SUM(BIGINT) -> HUGEINT
-        # -> float) mismatches REMOTELY even when values are numerically
-        # equal — caught this with t08's uncast pack_id in r03. Fail here.
-        g_int = np.issubdtype(got[c].dtype, np.integer)
-        w_int = np.issubdtype(want[c].dtype, np.integer)
-        g_f = np.issubdtype(got[c].dtype, np.floating)
-        w_f = np.issubdtype(want[c].dtype, np.floating)
-        if (g_int and (w_f or want[c].dtype == object)) or \
-           (w_int and (g_f or got[c].dtype == object)):
+        g = np.array([str(v) for v in got[c].tolist()], dtype=object)
+        w = np.array([str(v) for v in want[c].tolist()], dtype=object)
+        neq = g != w
+        if neq.any():
+            i = int(np.argmax(neq))
+            msg = (f"col {c}: {int(neq.sum())}/{len(g)} str(value) cells differ "
+                   f"(driver hash basis), first at row {i}: "
+                   f"spark={g[i]!r} ({type(got[c].iloc[i]).__name__}/{got[c].dtype}) "
+                   f"oracle={w[i]!r} ({type(want[c].iloc[i]).__name__}/{want[c].dtype})")
+            # numeric diagnostic: are the differing cells at least close?
+            try:
+                gf = got[c].astype(float).to_numpy()
+                wf = want[c].astype(float).to_numpy()
+                diff = np.abs(gf[neq] - wf[neq])
+                msg += f"; numeric max abs diff {np.nanmax(diff):.3e}"
+            except (ValueError, TypeError):
+                pass
+            problems.append(msg)
+        # dtype-kind early warning even when str matches (belt+braces:
+        # identical str with differing kinds is near-impossible, but a
+        # kind gap on an all-null column would hide until data arrives)
+        g_num = got[c].dtype != object
+        w_num = want[c].dtype != object
+        if g_num != w_num and not neq.any():
             problems.append(
-                f"col {c}: dtype KIND mismatch spark={got[c].dtype} oracle={want[c].dtype} "
-                f"(driver hashes these differently — cast the oracle SQL)")
-            continue
-        if g_f or w_f:
-            g = got[c].astype(float).to_numpy()
-            w = want[c].astype(float).to_numpy()
-            both_nan = np.isnan(g) & np.isnan(w)
-            neq = ~both_nan & (g != w)
-            if neq.any():
-                diff = np.abs(g[neq] - w[neq])
-                problems.append(
-                    f"col {c}: {neq.sum()}/{len(g)} float cells differ bitwise; max abs diff {np.nanmax(diff):.3e}")
-        else:
-            if got[c].dtype != want[c].dtype:
-                # tolerate int32 vs int64 style gaps but report
-                try:
-                    g = got[c].astype("object").to_numpy()
-                    w = want[c].astype("object").to_numpy()
-                except Exception:
-                    problems.append(f"col {c}: dtype {got[c].dtype} vs {want[c].dtype}")
-                    continue
-            neq = pd.Series(g).ne(pd.Series(w)) & ~(pd.Series(g).isna() & pd.Series(w).isna())
-            if neq.any():
-                i = int(np.argmax(neq.to_numpy()))
-                problems.append(
-                    f"col {c}: {int(neq.sum())}/{len(g)} cells differ, first at row {i}: spark={g[i]!r} oracle={w[i]!r}")
-            if got[c].dtype != want[c].dtype:
-                problems.append(f"col {c}: dtype note {got[c].dtype} vs {want[c].dtype} (values match)")
+                f"col {c}: dtype KIND mismatch spark={got[c].dtype} "
+                f"oracle={want[c].dtype} (str matches NOW, but the kinds "
+                f"render nulls/values differently — cast one side)")
     return problems
 
 
