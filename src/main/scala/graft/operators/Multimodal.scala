@@ -796,7 +796,11 @@ object Multimodal {
          |      list_transform(range(1, 16),
          |        i -> CAST(strpos('0123456789abcdef', substr(md5($s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
          |      (a, b) -> a * 16 + b)""".stripMargin
-    s"""WITH d AS (SELECT doc_id, CAST(length(text) + 4 AS BIGINT) L FROM documents),
+    s"""WITH d AS (SELECT doc_id,
+      |    -- UTF-8 BYTES, not characters: the Spark kernel's L is
+      |    -- payload.length and a non-ASCII document would shift the
+      |    -- md5-derived flip positions (the io14 octet convention)
+      |    CAST(octet_length(encode(text)) + 4 AS BIGINT) L FROM documents),
       |p AS (
       |  SELECT doc_id, L,
       |    ${h("'m14:' || doc_id || ':1'")} % L p1,

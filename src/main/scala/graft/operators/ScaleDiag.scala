@@ -908,6 +908,14 @@ object ScaleDiag {
     bPrime.repartition(4).write.mode("append").parquet(data.toString)
     val fB2 = listing() -- manifest1
     val manifest2 = fA ++ fB2
+    // The oracle pins files_v1/v2/shared/scanned to the 8/8/4/8 layout;
+    // Spark writes NO file for an empty partition, so a scale factor
+    // where a repartition(4) group has <4 rows would silently diverge
+    // from those constants — fail loudly instead.
+    require(fA.size == 4 && fB.size == 4 && fB2.size == 4,
+      s"l11 file layout drifted from the oracle's 4+4+4 contract: " +
+        s"|A|=${fA.size} |B|=${fB.size} |B'|=${fB2.size} — a " +
+        s"repartition(4) group wrote fewer files (empty partitions?)")
     // CDF: open ONLY the manifest delta
     val v1only = (manifest1 -- manifest2).toSeq.sorted.map(n => s"$data/$n")
     val v2only = (manifest2 -- manifest1).toSeq.sorted.map(n => s"$data/$n")

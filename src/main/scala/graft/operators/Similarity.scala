@@ -2595,12 +2595,17 @@ object Similarity {
     // seed-set lineage re-executes every earlier pick's full-corpus
     // argmax as a subtree — fixed-k linear work inflated to ~k²/2
     // corpus scans (measured 5.0× at the 10× probe before the cut).
+    // eager = false: the default eager checkpoint materializes on
+    // CONSTRUCTION, so merely building this DataFrame (QueryDef
+    // listing, plan fingerprinting, bench setup) would run four
+    // full-corpus argmax jobs and later bench runs would reuse the
+    // picks, under-reporting the operator's true cost.
     def pick(seeds: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(seeds.select(col("q").as("sq"), col("nrm").as("sn"))))
         .withColumn("d2", col("nrm") + col("sn") - lit(2L) * expr(dot("q", "sq")))
         .groupBy(col("vec_id")).agg(min(col("d2")).as("d"))
         .orderBy(col("d").desc, col("vec_id").asc).limit(1)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     def vecOf(picked: DataFrame): DataFrame =
       vecs.join(broadcast(picked.select(col("vec_id"))), "vec_id")
     val p1 = pick(s1)

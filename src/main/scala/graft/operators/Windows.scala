@@ -2034,10 +2034,16 @@ object Windows {
           col("q.day") > col("p.day"))
       .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
         (col("q.x") - col("p.x")).as("dx"), (col("q.y") - col("p.y")).as("dy"))
+    // classify by signum(dx)·signum(dy), never the raw product: dx/dy
+    // are differences of daily cent sums, so dx*dy can overflow int64
+    // at large scale factors — Spark (non-ANSI) wraps silently and
+    // misclassifies while DuckDB raises. Only the sign matters.
     pairs.groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("concordant"),
-        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(signum(col("dx")) * signum(col("dy")) > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(signum(col("dx")) * signum(col("dy")) < 0, 1L).otherwise(0L))
+          .as("discordant"),
         sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("ties_x"),
         sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ties_y"),
         sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L)).as("ties_both"))
@@ -2065,8 +2071,10 @@ object Windows {
       |    ON p.ta = q.ta AND p.tb = q.tb AND q."day" > p."day"),
       |g AS (
       |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) n_pairs,
-      |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) concordant,
-      |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) discordant,
+      |    CAST(SUM(CASE WHEN sign(dx) * sign(dy) > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) concordant,
+      |    CAST(SUM(CASE WHEN sign(dx) * sign(dy) < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) discordant,
       |    CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) ties_x,
       |    CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) ties_y,
       |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) ties_both

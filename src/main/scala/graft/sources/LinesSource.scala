@@ -172,8 +172,16 @@ final class LinesScan(path: String, chunkBytes: Long, required: StructType,
   // change results, only costs.
   private var rLo: Long = lo
   private var rHi: Long = hi
+  // Advertise `offset` only while the pruned read schema still carries
+  // it: Spark's PartitionPruning rule resolves filterAttributes against
+  // the scan relation's OUTPUT, so advertising a pruned-away column
+  // makes resolveRefs throw at planning time for any join whose key
+  // lineage reaches this scan (e.g. a query projecting only `line`
+  // joined on a line-derived key).
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("offset"))
+    if (!countMode && required.fieldNames.contains("offset"))
+      Array(Expressions.column("offset"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("offset", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
       val longs = vs.map(_.asInstanceOf[Long])

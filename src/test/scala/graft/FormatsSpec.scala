@@ -112,6 +112,36 @@ class FormatsSpec extends AnyFunSuite {
       s"scan still reads ${scan.readSchema().fieldNames.mkString(",")}")
   }
 
+  test("graft-lines DSv2: runtime filtering only advertised while offset survives pruning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions._
+    val scratch = graft.util.Scratch.dir("graft_lines_spec_rf_")
+    Tables.documents(spark, sf).limit(200)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .repartition(1).write.mode("overwrite").text(scratch)
+    def src = spark.read.format("graft-lines").option("chunkBytes", 16384).load(scratch)
+    // REGRESSION (ADVICE r8): a query projecting only `line`, joined on a
+    // line-derived key, reaches PartitionPruning's resolveRefs with the
+    // scan's OUTPUT lacking offset — an unconditionally-advertised
+    // filterAttributes threw AnalysisException at planning time.
+    val keyed = src.select(col("line"))
+      .withColumn("k", pmod(length(col("line")), lit(7)))
+    val dim = spark.range(7).select(col("id").cast("int").as("k"), lit(1).as("tag"))
+    val joined = keyed.join(dim, Seq("k")).agg(count(lit(1)))
+    assert(joined.collect().head.getLong(0) > 0L)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.connector.read
+            .SupportsRuntimeFiltering] }.get
+    val pruned = src.select(col("line")); pruned.collect()
+    assert(scanOf(pruned).filterAttributes().isEmpty,
+      "offset pruned from the read schema but still advertised for runtime filtering")
+    val kept = src.select(col("offset"), col("line")); kept.collect()
+    assert(scanOf(kept).filterAttributes().map(_.toString).sameElements(Array("offset")),
+      "offset present in the read schema must stay advertised (io14 depends on it)")
+  }
+
   test("graft-lines DSv2: COUNT(*) pushes into the source, one partial per chunk") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.functions._
