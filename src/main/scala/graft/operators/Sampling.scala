@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -556,39 +556,62 @@ object Sampling {
     * both engines; estimates and err_ppm are exact integer arithmetic.
     */
   def s16UniverseSample(spark: SparkSession, dir: String): DataFrame = {
+    // PLAN SHAPE (the r8 scale-probe finding): the first cut ran one
+    // aggregate per count — 4 orders scans + 5 lineitem scans and TWO
+    // shuffle joins — and its 10× probe walls (24.4×/9.1× on linear
+    // bytes) were the serialized scans stacking up. This form reads
+    // each table TWICE (one wide conditional aggregate for every kept/
+    // total count; one scan feeding the single join) and runs ONE join
+    // whose sides are pre-filtered to the UNION of the two samples
+    // (~11–19% of rows), counting both strategies' joined rows from
+    // flags carried through the join. Same emitted values, 9 scans → 4,
+    // 2 joins → 1.
     def img(s: String) =
       s"pmod(CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT), 10)"
-    val orders = Tables.orders(spark, dir).select(col("o_orderkey"))
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"))
-    val t = li.agg(count(lit(1)).as("true_total"))
-    def branch(name: String, ko: DataFrame, kl: DataFrame,
-               scale: Long): DataFrame = {
-      val j = ko.join(kl, col("o_orderkey") === col("l_orderkey"))
-        .agg(count(lit(1)).as("joined_rows"))
-      ko.agg(count(lit(1)).as("kept_orders"))
-        .crossJoin(broadcast(kl.agg(count(lit(1)).as("kept_lineitem"))))
-        .crossJoin(broadcast(j))
-        .crossJoin(broadcast(t))
-        .select(lit(name).as("strategy"), col("kept_orders"),
-          col("kept_lineitem"), col("joined_rows"),
-          (col("joined_rows") * scale).as("est_total"), col("true_total"),
-          // numerator in DECIMAL(38,0) from the first multiply:
-          // joined*scale*1e6 passes int64 near 9e10 joined rows — the
-          // oracle's HUGEINT never wraps, so the Spark side must not
-          // hit ANSI overflow there either
-          expr(s"CAST(abs(CAST(joined_rows AS DECIMAL(38,0)) * $scale " +
-            s"- true_total) * 1000000 div true_total AS BIGINT)")
-            .as("err_ppm"))
-    }
-    val u = branch("universe",
-      orders.filter(expr(img("concat('u:', CAST(o_orderkey AS STRING))")) === 0),
-      li.filter(expr(img("concat('u:', CAST(l_orderkey AS STRING))")) === 0), 10L)
-    val i = branch("independent",
-      orders.filter(expr(img("concat('o:', CAST(o_orderkey AS STRING))")) === 0),
-      li.filter(expr(img("concat('l:', CAST(l_orderkey AS STRING), ':', " +
-        "CAST(l_linenumber AS STRING))")) === 0), 100L)
-    u.unionByName(i).orderBy(col("strategy").desc)
+    val uO = img("concat('u:', CAST(o_orderkey AS STRING))") + " = 0"
+    val iO = img("concat('o:', CAST(o_orderkey AS STRING))") + " = 0"
+    val uL = img("concat('u:', CAST(l_orderkey AS STRING))") + " = 0"
+    val iL = img("concat('l:', CAST(l_orderkey AS STRING), ':', " +
+      "CAST(l_linenumber AS STRING))") + " = 0"
+    val oFlags = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr(uO).as("u_o"), expr(iO).as("i_o"))
+    val lFlags = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), expr(uL).as("u_l"), expr(iL).as("i_l"))
+    // one wide aggregate per table: every side count in a single scan
+    val oCounts = oFlags.agg(
+      sum(when(col("u_o"), 1L).otherwise(0L)).as("kept_orders_u"),
+      sum(when(col("i_o"), 1L).otherwise(0L)).as("kept_orders_i"))
+    val lCounts = lFlags.agg(count(lit(1)).as("true_total"),
+      sum(when(col("u_l"), 1L).otherwise(0L)).as("kept_lineitem_u"),
+      sum(when(col("i_l"), 1L).otherwise(0L)).as("kept_lineitem_i"))
+    // ONE join, sides filtered to the union of both samples; a pair is
+    // a universe join row iff both u-flags hold (they agree by
+    // construction — same key, same hash) and an independent join row
+    // iff both per-row i-flags hold
+    val joined = oFlags.filter(col("u_o") || col("i_o"))
+      .join(lFlags.filter(col("u_l") || col("i_l")),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(sum(when(col("u_o") && col("u_l"), 1L).otherwise(0L)).as("joined_u"),
+        sum(when(col("i_o") && col("i_l"), 1L).otherwise(0L)).as("joined_i"))
+    def emit(name: String, ko: String, kl: String, j: String,
+             scale: Long): Column = struct(
+      lit(name).as("strategy"), col(ko).as("kept_orders"),
+      col(kl).as("kept_lineitem"),
+      col(j).as("joined_rows"), (col(j) * scale).as("est_total"),
+      col("true_total"),
+      // numerator in DECIMAL(38,0) from the first multiply:
+      // joined*scale*1e6 passes int64 near 9e10 joined rows — the
+      // oracle's HUGEINT never wraps, so the Spark side must not
+      // hit ANSI overflow there either
+      expr(s"CAST(abs(CAST($j AS DECIMAL(38,0)) * $scale " +
+        s"- true_total) * 1000000 div true_total AS BIGINT)").as("err_ppm"))
+    oCounts.crossJoin(broadcast(lCounts)).crossJoin(broadcast(joined))
+      .select(explode(array(
+        emit("universe", "kept_orders_u", "kept_lineitem_u", "joined_u", 10L),
+        emit("independent", "kept_orders_i", "kept_lineitem_i", "joined_i",
+          100L))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("strategy").desc)
   }
 
   private val s16Sql = {
