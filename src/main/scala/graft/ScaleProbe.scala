@@ -249,11 +249,15 @@ object ScaleProbe {
       System.err.println(f"[probe] $label%-28s ${factor}x $s%7.1f s (forced past pair bound)")
       f"""\"$label\":{\"scaled_s\":$s%.2f}"""
     }
-    val routed = if (sys.env.contains("GRAFT_PROBE_FILTER")) Seq.empty else Seq(
-      timeRouted("v09_pq_rerank_routed",
-        graft.operators.Similarity.v09PqRerank(spark, outDir, maxPairs = 1L)),
-      timeRouted("v12_binary_topk_routed",
-        graft.operators.Similarity.v12BinaryTopK(spark, outDir, maxPairs = 1L)))
+    val routedDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("v09_pq_rerank_routed",
+        () => graft.operators.Similarity.v09PqRerank(spark, outDir, maxPairs = 1L)),
+      ("v12_binary_topk_routed",
+        () => graft.operators.Similarity.v12BinaryTopK(spark, outDir, maxPairs = 1L)),
+      ("v20_rrf_fusion_routed",
+        () => graft.operators.Similarity.v20RrfFusion(spark, outDir, maxPairs = 1L)))
+    val routed = routedDefs.filter { case (n, _) => keep(n) }
+      .map { case (n, f) => timeRouted(n, f()) }
     println(s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}},"routed":{${routed.mkString(",")}}}""")
     spark.stop()
   }

@@ -1664,17 +1664,38 @@ object Similarity {
   def v20RrfFusion(spark: SparkSession, dir: String,
                    maxPairs: Long = 1L << 28): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    requirePairsBounded(spark, dir, "v20", maxPairs)
-    // dense: v01's exact quantized cosine, top-10
+    // dense arm: under the pair bound, v01's exact quantized cosine
+    // top-10 — the recall baseline the sf0.01 oracle prices. Past the
+    // bound the arm ROUTES through the shared IVF assignment (the
+    // v09/v12 convention): the exact cosine runs only over each query's
+    // probed-cell members, fusion arithmetic unchanged. The flat form
+    // is NOT silently approximated under the bound — it stays the
+    // contract; only past-the-bound corpora get the funnel.
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
-    val dq = vecs.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
     val wd = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    val dense = dq.join(
-        vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")),
-        col("qid") =!= col("cid"))
+    val densePairs =
+      if (pairsWithinBound(spark, dir, maxPairs)) {
+        val dq = vecs.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+        dq.join(
+          vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn")),
+          col("qid") =!= col("cid"))
+      } else {
+        System.err.println(s"[v20] pair bound $maxPairs exceeded - dense arm " +
+          "routes through the IVF probed-cell restriction (the v18 assignment)")
+        val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+        val (homes, probes) = ivfAssignment(vecs, nl, nprobe = 2)
+        homes.join(probes, "cell")
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"))
+          .join(vecs.select(col("vec_id").as("qid"),
+            col("q").as("qq"), col("nrm").as("qn")), "qid")
+          .join(vecs.select(col("vec_id").as("cid"),
+            col("q").as("cq"), col("nrm").as("cn")), "cid")
+      }
+    val dense = densePairs
       .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
       .withColumn("rank_d", row_number().over(wd))
       .filter(col("rank_d") <= 10)

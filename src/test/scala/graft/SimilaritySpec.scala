@@ -89,6 +89,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap > 0.05, s"cell-restricted Hamming overlap $overlap ~ random")
   }
 
+  test("v20: past the pair bound the dense arm routes through the IVF restriction") {
+    val flat = Similarity.v20RrfFusion(spark, sf)
+    val routed = Similarity.v20RrfFusion(spark, sf, maxPairs = 1L)
+    assert(routed.schema == flat.schema, "v20 routed arm changed the output schema")
+    val rows = routed.collect()
+    assert(rows.nonEmpty)
+    // fused ranks stay dense 1..k per query in the routed form
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        s"fused ranks for $qid")
+    }
+    // the lexical arm is untouched by the routing: every routed row that
+    // carries a lex_rank must appear with the SAME lex_rank in the flat
+    // form (dense ranks legitimately differ — IVF coarse misses)
+    val flatLex = flat.collect()
+      .filter(_.getLong(5) != -1L)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(5)).toMap
+    rows.filter(_.getLong(5) != -1L).foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      flatLex.get(k).foreach(lr =>
+        assert(lr == r.getLong(5), s"lex_rank drifted for $k"))
+    }
+    // overlap with the flat fusion must be far from random
+    val flatSets = flat.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlap = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      val s = rs.map(_.getLong(2)).toSet
+      (s & flatSets.getOrElse(q, Set.empty[Long])).size.toDouble / math.max(s.size, 1)
+    }.sum / flatSets.size
+    info(s"v20 routed overlap with flat fused top-5: $overlap")
+    assert(overlap > 0.2, s"routed fusion overlap $overlap ~ random")
+  }
+
   test("v05: stored-index probe == in-plan v02, and the probe prunes on cell") {
     val fromIndex = Similarity.v05IvfIndexLifecycle(spark, sf)
     val got = fromIndex.collect().map(_.toString)
