@@ -225,6 +225,14 @@ object ScaleProbe {
       case Some(re) => val r = re.r; (n: String) => r.findFirstIn(n).isDefined
       case None => _ => true
     }
+    // Ops that RE-STAGE their corpus inside the query by design (their
+    // wall at k× is dominated by the k×-bigger staging write, not the
+    // measured read path): tagged so the artifact separates "slow plan"
+    // from "the demo IS the write". io12/io13 mint text/parquet layouts;
+    // l08/l09/l10/l11/l12 run multi-version write+audit lifecycles.
+    val stagingOps = Set("io12_agg_pushdown", "io13_file_sizing",
+      "l08_write_audit_publish", "l09_partition_evolution",
+      "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table")
     val rows = probes.filter(keep).map { name =>
       val (base, baseBytes) = timeAt(name, baseDir)
       val (scaled, scaledBytes) = timeAt(name, outDir)
@@ -232,8 +240,9 @@ object ScaleProbe {
       val bytesRatio =
         if (baseBytes > 0 && scaledBytes >= 0) scaledBytes.toDouble / baseBytes
         else -1.0
-      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f  shuffleMB ${baseBytes / 1e6}%8.1f -> ${scaledBytes / 1e6}%8.1f (x$bytesRatio%.1f)")
-      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f,\"shuffle_mb_base\":${baseBytes / 1e6}%.1f,\"shuffle_mb_scaled\":${scaledBytes / 1e6}%.1f,\"shuffle_ratio\":$bytesRatio%.2f}"""
+      val tag = if (stagingOps(name)) ",\"tag\":\"staging\"" else ""
+      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f  shuffleMB ${baseBytes / 1e6}%8.1f -> ${scaledBytes / 1e6}%8.1f (x$bytesRatio%.1f)${if (stagingOps(name)) "  [staging]" else ""}")
+      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f,\"shuffle_mb_base\":${baseBytes / 1e6}%.1f,\"shuffle_mb_scaled\":${scaledBytes / 1e6}%.1f,\"shuffle_ratio\":$bytesRatio%.2f$tag}"""
     }
     // Routed-fallback evidence: the registered v09/v12 pair bounds trip
     // near sf≈30 for this corpus, far past the probe scale — force the
