@@ -70,7 +70,10 @@ object ScaleProbe {
     // r8 fourth-session additions
     "d16_prefix_filter_join", "g16_modularity", "w34_ljung_box", "l11_snapshot_diff", "t44_contaminated_spans", "v29_farthest_init", "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm", "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval",
     "l12_atomic_multi_table", "v31_adaptive_probe", "w37_kendall_tau",
-    "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase")
+    "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase",
+    // r9 additions
+    "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
+    "l13_manifest_pruning", "d17_bbit_minhash")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -1438,7 +1438,137 @@ object Dedup {
       |  AND 9 * len(list_intersect(a.g, b.g)) >= 4 * (len(a.g) + len(b.g))
       |ORDER BY ida, idb""".stripMargin
 
+  /** d17 — b-bit MinHash (Li & König, WWW'10): store only the lowest
+    * 2 BITS of each of the 60 MinHash values — a 32× signature
+    * compression (60×64 bits → 60×2) — and recover Jaccard through the
+    * collision-floor correction Ĵ = (A − C)/(1 − C), where A is the
+    * observed b-bit agreement fraction and C = 2⁻ᵇ = 1/4 is the rate at
+    * which UNRELATED minhashes collide in 2 bits. At 100 TB the
+    * signature store is the dedup system's largest artifact; this is
+    * the standard way to shrink it without re-shingling, and the audit
+    * every adopter runs first: full-width vs b-bit estimates vs exact
+    * Jaccard, per candidate pair. Distinct from [[d01MinHashLsh]]
+    * (banding for candidate RECALL) and [[d13ThresholdSweep]]
+    * (threshold choice): this op owns the estimator-width tradeoff.
+    *
+    * Exactness contract: candidates are the stored index's band-equality
+    * pairs (replayed by the oracle from the same (a·h+b) mod P family);
+    * k_full / k_2bit are integer agreement counts over the 60 shared
+    * mins; estimates are floored ppm — est_2bit via the corrected form
+    * (10⁶·(4·k₂ − 60)) div 180, sign-aware because chance-level
+    * agreement makes the numerator negative (the g09 rule); exact
+    * Jaccard ppm rides along from the stored sorted sets (native
+    * two-pointer intersect).
+    *
+    * Scale shape: one stored-index probe for candidates, one
+    * signature aggregate (60 map-side partial mins, one shuffle), the
+    * estimator arithmetic on the bounded pair frame. The 60-element
+    * zip_with runs on candidate pairs only — never corpus-scale.
+    */
+  def d17BbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = neutralLshIndex(spark, dir)
+    val bands = spark.read.parquet(s"$idx/bands")
+    val sets = spark.read.parquet(s"$idx/sets")
+    val pairs = bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
+      .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
+            Seq("bucket", "bk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val mins = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      min(pmod(lit(a) * col("hx") + lit(b), lit(minhashP))).as(s"h$k")
+    }
+    val sig = neutralShingleRows(Tables.documents(spark, dir))
+      .withColumn("hx", pmod(col("h"), lit(minhashP)))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until minhashK).map(k => col(s"h$k")): _*).as("sig"))
+    pairs
+      .join(sig.select(col("doc_id").as("ida"), col("sig").as("sa")), "ida")
+      .join(sig.select(col("doc_id").as("idb"), col("sig").as("sb")), "idb")
+      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("k_full", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("k_2bit", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(pmod(x, 4) = pmod(y, 4), 1, 0)), " +
+          "0, (acc, v) -> acc + v)"))
+      .withColumn("inter", expr("sorted_intersect_count(ha, hb)"))
+      .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
+      .select(col("ida"), col("idb"),
+        col("k_full").cast("long").as("k_full"),
+        col("k_2bit").cast("long").as("k_2bit"),
+        expr("CAST((1000000 * inter) div uni AS BIGINT)").as("exact_jac_ppm"),
+        expr(s"CAST((1000000 * CAST(k_full AS BIGINT)) div $minhashK AS BIGINT)")
+          .as("est_full_ppm"),
+        expr(s"CASE WHEN 4 * k_2bit - $minhashK >= 0 " +
+          s"THEN CAST((1000000 * (4 * CAST(k_2bit AS BIGINT) - $minhashK)) div ${3 * minhashK} AS BIGINT) " +
+          s"ELSE -CAST((1000000 * ($minhashK - 4 * CAST(k_2bit AS BIGINT))) div ${3 * minhashK} AS BIGINT) END")
+          .as("est_2bit_ppm"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  private val d17Sql = {
+    val coefRows = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      s"($k, CAST($a AS BIGINT), CAST($b AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(2, length(text) - 3)),
+       |           i -> substr(text, CAST(i AS INTEGER), 5)))) s
+       |  FROM documents),
+       |hx AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, 16),
+       |             i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+       |           (a, b) -> a * 16 + b) h
+       |  FROM sh),
+       |coef(k, a, b) AS (VALUES $coefRows),
+       |mins AS (
+       |  SELECT doc_id, k, MIN((a * (h % $minhashP) + b) % $minhashP) m
+       |  FROM hx, coef GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id,
+       |    CAST(k // 5 AS VARCHAR) || ',' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) bk
+       |  FROM mins GROUP BY doc_id, k // 5),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id ida, c.doc_id idb
+       |  FROM bands p JOIN bands c ON p.bk = c.bk AND p.doc_id < c.doc_id),
+       |agree AS (
+       |  SELECT cand.ida, cand.idb,
+       |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) k_full,
+       |    CAST(SUM(CASE WHEN ma.m % 4 = mb.m % 4 THEN 1 ELSE 0 END) AS BIGINT) k_2bit
+       |  FROM cand JOIN mins ma ON cand.ida = ma.doc_id
+       |            JOIN mins mb ON cand.idb = mb.doc_id AND ma.k = mb.k
+       |  GROUP BY 1, 2),
+       |g AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(
+       |        range(1, greatest(2, length(text) - 3)),
+       |        i -> substr(text, CAST(i AS INTEGER), 5))),
+       |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, 16),
+       |            i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+       |          (a, b) -> a * 16 + b))) g
+       |      FROM documents),
+       |ex AS (
+       |  SELECT agree.ida, agree.idb, agree.k_full, agree.k_2bit,
+       |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) inter,
+       |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) uni
+       |  FROM agree JOIN g a ON agree.ida = a.doc_id JOIN g b ON agree.idb = b.doc_id)
+       |SELECT ida, idb, k_full, k_2bit,
+       |  CAST((1000000 * inter) // uni AS BIGINT) exact_jac_ppm,
+       |  CAST((1000000 * k_full) // $minhashK AS BIGINT) est_full_ppm,
+       |  CASE WHEN 4 * k_2bit - $minhashK >= 0
+       |    THEN CAST((1000000 * (4 * k_2bit - $minhashK)) // ${3 * minhashK} AS BIGINT)
+       |    ELSE -CAST((1000000 * ($minhashK - 4 * k_2bit)) // ${3 * minhashK} AS BIGINT) END est_2bit_ppm
+       |FROM ex ORDER BY ida, idb""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d17_bbit_minhash",
+      "b-bit MinHash estimator audit: 2-bit collision-corrected vs full-width vs exact Jaccard per LSH candidate pair",
+      d17BbitMinhash, Some(d17Sql)),
     QueryDef("d16_prefix_filter_join",
       "EXACT Jaccard>=0.8 similarity self-join via prefix+length+positional filters (AllPairs/PPJoin), zero false negatives",
       d16PrefixFilterJoin, Some(d16Sql)),

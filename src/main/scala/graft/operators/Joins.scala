@@ -762,7 +762,118 @@ object Joins {
       |SELECT step, relation, n_rows, cents_sum
       |FROM rows_ ORDER BY step, relation""".stripMargin
 
+  /** j23 — AMS sign-sketch JOIN-SIZE estimation: the CBO primitive that
+    * prices an equi-join BEFORE running it. [[j19FanoutAudit]] computes
+    * the exact answer from the per-key count table — fine when the key
+    * domain is small enough to aggregate; the AGMS estimator (Alon–
+    * Gibbons–Matias–Szegedy) answers the same question from two
+    * CONSTANT-SIZE sketches: with s_j(u) ∈ {±1} a shared 4-wise-ish
+    * hash sign, X_j = Σ_u s_j(u)·n_A(u) and Y_j = Σ_u s_j(u)·n_B(u),
+    * each X_j·Y_j is an unbiased estimate of |A ⋈_u B| = Σ_u n_A·n_B
+    * (cross terms cancel in expectation), averaged over 16 estimators.
+    * Distinct from [[Maintenance.a59AmsF2]], which owns the SELF-join
+    * second moment: this is the CROSS inner product of two different
+    * frequency vectors — the join-cardinality use of the same sketch
+    * family, and the reason a query planner can carry one sketch per
+    * table per key and price any pairwise equi-join from metadata.
+    *
+    * Contract: every unordered event-type pair (10 rows), exact join
+    * size, the AMS estimate (estimators can be individually negative —
+    * the mean is sign-aware magnitude-floored, the g09 rule), and the
+    * signed error in ppm of exact. Sign images use the 'jsz:' prefix so
+    * they are independent of a59's signs.
+    *
+    * Scale shape: ONE aggregate to the (type, user) count table; the
+    * sketch is a ×16 explode partial-aggregated to 5×16 = 80 rows; the
+    * exact reference is a self-join of the bounded count table. At
+    * 100 TB the exact side is the expensive audit; the sketches are the
+    * metadata-plane answer.
+    */
+  def j23JoinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cu = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val exact = cu.as("a").join(cu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(col("a.c").cast(D) * col("b.c")).cast(D).as("exact_rows"))
+    val sk = cu
+      .withColumn("j", explode(expr("sequence(0, 15)")))
+      .withColumn("sgn", expr("1 - 2 * CAST(pmod(CAST(conv(substring(md5(" +
+        "concat('jsz:', CAST(user_id AS STRING), ':', CAST(j AS STRING))" +
+        "), 1, 15), 16, 10) AS BIGINT), 2) AS INT)"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(sum(col("sgn") * col("c")).as("x"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.j") === col("b.j") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(expr("CAST(a.x AS DECIMAL(19,0)) * b.x")).cast(D).as("xy"))
+      .withColumn("est_rows", expr(
+        "CASE WHEN xy >= 0 THEN CAST(xy div 16 AS BIGINT) " +
+          "ELSE -CAST((-xy) div 16 AS BIGINT) END"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("exact_rows").cast("long").as("exact_rows"), col("est_rows"),
+        expr("CASE WHEN CAST(est_rows AS DECIMAL(38,0)) >= exact_rows " +
+          "THEN CAST((CAST(est_rows AS DECIMAL(38,0)) - exact_rows) * 1000000 " +
+          "div exact_rows AS BIGINT) " +
+          "ELSE -CAST((exact_rows - CAST(est_rows AS DECIMAL(38,0))) * 1000000 " +
+          "div exact_rows AS BIGINT) END").as("err_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val j23Sql = {
+    val sgn =
+      """1 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+        |               concat('jsz:', CAST(user_id AS VARCHAR), ':', CAST(j AS VARCHAR))
+        |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, h) -> a * 16 + h) % 2 AS BIGINT)""".stripMargin
+    s"""WITH cu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) c
+      |  FROM events GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT a.event_type type_a, b.event_type type_b,
+      |    CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) exact_rows
+      |  FROM cu a JOIN cu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |sg AS (
+      |  SELECT event_type, j, c, $sgn sgn
+      |  FROM cu, (SELECT unnest(range(0, 16)) AS j)),
+      |sk AS (
+      |  SELECT event_type, j, CAST(SUM(sgn * c) AS BIGINT) x
+      |  FROM sg GROUP BY 1, 2),
+      |est AS (
+      |  SELECT a.event_type type_a, b.event_type type_b,
+      |    SUM(CAST(a.x AS HUGEINT) * b.x) xy
+      |  FROM sk a JOIN sk b
+      |    ON a.j = b.j AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |er AS (
+      |  SELECT type_a, type_b,
+      |    CASE WHEN xy >= 0 THEN CAST(xy // 16 AS BIGINT)
+      |         ELSE -CAST((-xy) // 16 AS BIGINT) END est_rows
+      |  FROM est)
+      |SELECT exact.type_a, exact.type_b,
+      |  CAST(exact_rows AS BIGINT) exact_rows, est_rows,
+      |  CASE WHEN CAST(est_rows AS HUGEINT) >= exact_rows
+      |    THEN CAST((CAST(est_rows AS HUGEINT) - exact_rows) * 1000000
+      |      // exact_rows AS BIGINT)
+      |    ELSE -CAST((exact_rows - CAST(est_rows AS HUGEINT)) * 1000000
+      |      // exact_rows AS BIGINT) END err_ppm
+      |FROM exact JOIN er ON exact.type_a = er.type_a AND exact.type_b = er.type_b
+      |ORDER BY exact.type_a, exact.type_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j23_join_size_sketch",
+      "AGMS sign-sketch join-cardinality estimate per type pair vs the exact count-table answer",
+      j23JoinSizeSketch, Some(j23Sql)),
     QueryDef("j21_full_reducer",
       "Yannakakis full reducer: bottom-up/top-down semi-join sweeps, per-stage counts + dangling-free join",
       j21FullReducer, Some(j21Sql)),

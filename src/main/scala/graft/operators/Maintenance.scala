@@ -2071,7 +2071,108 @@ object Maintenance {
       |FROM cells JOIN rt USING (status) JOIN ct USING (priority), t
       |ORDER BY status, priority""".stripMargin
 
+  /** a62 — one-pass deterministic Poisson bootstrap: the RESAMPLING
+    * machinery none of the a-family hypothesis tests own (a38/a41/a47/
+    * a50/a52 test fixed nulls; a56 audits weights) — "what is the
+    * sampling variability of this mean?" answered without any null
+    * model, the way every large-scale metrics platform ships CIs. The
+    * classic bootstrap resamples rows WITH replacement B times — a
+    * non-starter at 100 TB (B shuffles of the full table, plus a global
+    * row count to draw indexes). The Poisson bootstrap (Chamandy et al.,
+    * Google) replaces the multinomial with per-row INDEPENDENT
+    * Poisson(1) replica counts: one linear scan computes all B
+    * resamples simultaneously, no coordination, exactly the shape that
+    * survives a 1000-executor cluster.
+    *
+    * Determinism contract: replica counts come from the shared md5
+    * image u = md5('bs:'+b+':'+key) mod 10⁶ against the PINNED
+    * cumulative thresholds 367879 / 735759 / 919699 (Poisson(1) pmf at
+    * 10⁻⁶ grain, tail truncated at 3 — a documented approximation of
+    * the pmf, identical in both engines, NOT sampled noise). Per
+    * resample b: n_b = Σw, sum_cents_b = Σ w·cents, and the signed
+    * deviation of the resample mean from the full mean in ppm —
+    * magnitude-floored, sign reapplied (the g09 rule). Headroom:
+    * w ≤ 3, so sum_cents_b wraps int64 only past ~5·10¹⁰ rows at
+    * max-price cents; the ppm numerator is held in DECIMAL(38,0).
+    *
+    * Scale shape: one scan exploded ×16 into the partial aggregate
+    * (map-side combine reduces to 16 rows per partition before the
+    * shuffle); the totals ride along as a 1-row broadcast.
+    */
+  def a62PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val tot = base.agg(count(lit(1)).as("n_total"),
+      sum(col("cents")).as("sum_cents_total"))
+    val res = base
+      .select(col("o_orderkey"), col("cents"),
+        explode(expr("sequence(0, 15)")).as("b"))
+      .withColumn("u", expr(
+        "pmod(CAST(conv(substring(md5(concat('bs:', CAST(b AS STRING), ':', " +
+          "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT), 1000000)"))
+      .withColumn("w", expr(
+        "CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 " +
+          "WHEN u < 919699 THEN 2 ELSE 3 END"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_b"), sum(col("w") * col("cents")).as("sum_cents_b"))
+    res.crossJoin(broadcast(tot))
+      .withColumn("dnum",
+        (col("sum_cents_b").cast(D) * col("n_total") -
+          col("sum_cents_total").cast(D) * col("n_b")).cast(D))
+      .withColumn("dden", (col("sum_cents_total").cast(D) * col("n_b")).cast(D))
+      .withColumn("dev_ppm", expr(
+        "CASE WHEN dden = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN dnum >= 0 THEN CAST((1000000 * dnum) div dden AS BIGINT) " +
+          "ELSE -CAST((1000000 * (-dnum)) div dden AS BIGINT) END"))
+      .select(col("b").cast("int").as("b"), col("n_b"), col("sum_cents_b"),
+        col("n_total"), col("sum_cents_total"), col("dev_ppm"))
+      .orderBy(col("b"))
+  }
+
+  private val a62Sql = {
+    val img =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+        |               concat('bs:', CAST(b AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))
+        |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+        |      (a, h) -> a * 16 + h) % 1000000""".stripMargin
+    s"""WITH o AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) n_total,
+      |        CAST(SUM(cents) AS BIGINT) sum_cents_total FROM o),
+      |e AS (
+      |  SELECT b, cents, $img u
+      |  FROM o, (SELECT unnest(range(0, 16)) AS b)),
+      |w AS (
+      |  SELECT b, cents,
+      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |         WHEN u < 919699 THEN 2 ELSE 3 END w
+      |  FROM e),
+      |g AS (
+      |  SELECT b, CAST(SUM(w) AS BIGINT) n_b,
+      |    CAST(SUM(w * cents) AS BIGINT) sum_cents_b
+      |  FROM w GROUP BY 1)
+      |SELECT CAST(b AS INTEGER) b, n_b, sum_cents_b, n_total, sum_cents_total,
+      |  CASE WHEN CAST(sum_cents_total AS HUGEINT) * n_b = 0 THEN CAST(0 AS BIGINT)
+      |    WHEN CAST(sum_cents_b AS HUGEINT) * n_total
+      |         - CAST(sum_cents_total AS HUGEINT) * n_b >= 0
+      |    THEN CAST((1000000 * (CAST(sum_cents_b AS HUGEINT) * n_total
+      |         - CAST(sum_cents_total AS HUGEINT) * n_b))
+      |      // (CAST(sum_cents_total AS HUGEINT) * n_b) AS BIGINT)
+      |    ELSE -CAST((1000000 * (CAST(sum_cents_total AS HUGEINT) * n_b
+      |         - CAST(sum_cents_b AS HUGEINT) * n_total))
+      |      // (CAST(sum_cents_total AS HUGEINT) * n_b) AS BIGINT) END dev_ppm
+      |FROM g, t ORDER BY b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a62_poisson_bootstrap",
+      "one-pass deterministic Poisson bootstrap: 16 resample means from per-row md5 Poisson(1) counts",
+      a62PoissonBootstrap, Some(a62Sql)),
     QueryDef("a61_column_correlation",
       "chi-square independence over the status x priority contingency table: exact per-cell ppm terms",
       a61ColumnCorrelation, Some(a61Sql)),

@@ -816,7 +816,142 @@ object Multimodal {
       |FROM q ORDER BY doc_id""".stripMargin
   }
 
+  /** m15 — Merkle-tree payload verification: the content-addressable
+    * integrity primitive under every chunked object store / dataset
+    * registry — a per-payload Merkle root over fixed 128-char blocks
+    * (padded to 8 leaves, depth-3 md5 tree), plus the property the tree
+    * exists FOR: when one replica carries a single corrupted block, the
+    * divergence is LOCALIZED by comparing O(log n) node hashes instead
+    * of re-reading the payload — here surfaced as the first divergent
+    * leaf index, which must equal the planted bad block. Distinct from
+    * [[m05PayloadDedup]] (whole-payload hash: detects, cannot localize)
+    * and [[m13ShardManifest]] (byte accounting across the stream).
+    *
+    * Cross-engine exactness: the tree is built over CHARACTER blocks of
+    * p = 'IMG0' || text (both engines' substring/md5 operate on the
+    * same char sequence and its UTF-8 bytes), the corrupted position is
+    * the shared md5 image mod min(len, 1024), and every node is an md5
+    * hex STRING — bit-identical everywhere, no floats, no bytes-vs-
+    * chars divergence even off-ASCII (the m14 lesson, designed out).
+    *
+    * Scale shape: pure per-row projection (one scan, zero shuffles
+    * before the contract ORDER BY); at 100 TB roots pipeline inside
+    * whole-stage codegen and the tree constants (8 leaves) keep the
+    * expression tree fixed-size.
+    */
+  def m15MerkleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val B = 128
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(lit("IMG0"), col("text")).as("p"))
+      .withColumn("len", length(col("p")).cast(LongType))
+      .withColumn("pos", expr(
+        "pmod(CAST(conv(substring(md5(concat('m15:', CAST(doc_id AS STRING)))," +
+          s" 1, 15), 16, 10) AS BIGINT), least(len, ${8 * B}))"))
+      .withColumn("bad_block", expr(s"CAST(pos div $B AS INT)"))
+      .withColumn("q", expr(s"CAST(pos % $B + 1 AS INT)"))
+    val withBlocks = (0 until 8).foldLeft(base) { (d, i) =>
+      d.withColumn(s"blk$i", expr(s"substring(p, ${i * B + 1}, $B)"))
+    }
+    val withCorrupt = (0 until 8).foldLeft(withBlocks) { (d, i) =>
+      d.withColumn(s"cblk$i", expr(
+        s"IF(bad_block = $i, concat(substring(blk$i, 1, q - 1), " +
+          s"IF(substring(blk$i, q, 1) = 'X', 'Y', 'X'), " +
+          s"substring(blk$i, q + 1)), blk$i)"))
+    }
+    def tree(leafPrefix: String, out: String)(d: DataFrame): DataFrame = {
+      val leaves = (0 until 8).foldLeft(d) { (dd, i) =>
+        dd.withColumn(s"${out}_l$i", md5(col(s"$leafPrefix$i")))
+      }
+      val lvl1 = (0 until 4).foldLeft(leaves) { (dd, i) =>
+        dd.withColumn(s"${out}_n$i",
+          md5(concat(col(s"${out}_l${2 * i}"), col(s"${out}_l${2 * i + 1}"))))
+      }
+      val lvl2 = (0 until 2).foldLeft(lvl1) { (dd, i) =>
+        dd.withColumn(s"${out}_m$i",
+          md5(concat(col(s"${out}_n${2 * i}"), col(s"${out}_n${2 * i + 1}"))))
+      }
+      lvl2.withColumn(out, md5(concat(col(s"${out}_m0"), col(s"${out}_m1"))))
+    }
+    val both = tree("cblk", "replica_root")(tree("blk", "root")(withCorrupt))
+    val firstDiff = (0 until 8).reverse.foldLeft(lit(-1): org.apache.spark.sql.Column) {
+      (acc, i) => when(col(s"root_l$i") =!= col(s"replica_root_l$i"), lit(i)).otherwise(acc)
+    }
+    both
+      .withColumn("bad_leaf", firstDiff.cast(IntegerType))
+      .select(col("doc_id"), col("len").as("n_chars"),
+        expr(s"CAST((len + ${B - 1}) div $B AS INT)").as("n_blocks"),
+        col("bad_block"), col("bad_leaf"), col("root"), col("replica_root"),
+        (col("root") =!= col("replica_root")).as("detected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m15Sql = {
+    val B = 128
+    val blks = (0 until 8).map(i => s"substr(p, ${i * B + 1}, $B) blk$i").mkString(",\n      |    ")
+    val cblks = (0 until 8).map(i =>
+      s"CASE WHEN bad_block = $i THEN concat(substr(blk$i, 1, q - 1), " +
+        s"CASE WHEN substr(blk$i, q, 1) = 'X' THEN 'Y' ELSE 'X' END, " +
+        s"substr(blk$i, q + 1)) ELSE blk$i END cblk$i").mkString(",\n      |    ")
+    val leaves = (0 until 8).map(i => s"md5(blk$i) gl$i, md5(cblk$i) rl$i").mkString(",\n      |    ")
+    def lvl(pfx: String) =
+      (0 until 4).map(i => s"md5(concat(${pfx}l${2 * i}, ${pfx}l${2 * i + 1})) ${pfx}n$i").mkString(",\n      |    ")
+    def lvl2(pfx: String) =
+      (0 until 2).map(i => s"md5(concat(${pfx}n${2 * i}, ${pfx}n${2 * i + 1})) ${pfx}m$i").mkString(",\n      |    ")
+    val badLeaf = (0 until 8).reverse.foldLeft("-1") {
+      (acc, i) => s"CASE WHEN gl$i <> rl$i THEN $i ELSE $acc END"
+    }
+    s"""WITH d AS (
+      |  SELECT doc_id, concat('IMG0', text) p,
+      |    CAST(length(concat('IMG0', text)) AS BIGINT) len
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, p, len,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(
+      |               concat('m15:', CAST(doc_id AS VARCHAR))
+      |             ), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % least(len, ${8 * B}) pos
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, p, len, pos,
+      |    CAST(pos // $B AS INTEGER) bad_block,
+      |    CAST(pos % $B + 1 AS INTEGER) q
+      |  FROM h),
+      |b AS (
+      |  SELECT doc_id, len, bad_block, q,
+      |    $blks
+      |  FROM g),
+      |c AS (
+      |  SELECT *,
+      |    $cblks
+      |  FROM b),
+      |lv AS (
+      |  SELECT *,
+      |    $leaves
+      |  FROM c),
+      |n1 AS (
+      |  SELECT *,
+      |    ${lvl("g")},
+      |    ${lvl("r")}
+      |  FROM lv),
+      |n2 AS (
+      |  SELECT *,
+      |    ${lvl2("g")},
+      |    ${lvl2("r")}
+      |  FROM n1)
+      |SELECT doc_id, len n_chars,
+      |  CAST((len + ${B - 1}) // $B AS INTEGER) n_blocks,
+      |  bad_block, CAST($badLeaf AS INTEGER) bad_leaf,
+      |  md5(concat(gm0, gm1)) root, md5(concat(rm0, rm1)) replica_root,
+      |  md5(concat(gm0, gm1)) <> md5(concat(rm0, rm1)) detected
+      |FROM n2 ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m15_merkle_audit",
+      "per-payload depth-3 Merkle root over 128-char blocks + single-block corruption localized to its leaf",
+      m15MerkleAudit, Some(m15Sql)),
     QueryDef("m14_replica_repair",
       "3-replica bitwise-majority payload repair: planted bit flips healed, colliding flips caught (oracle predicts from position combinatorics)",
       m14ReplicaRepair, Some(m14Sql)),

@@ -1075,7 +1075,110 @@ object ScaleDiag {
       |SELECT 3, ball.n, ball.s, ball.s, TRUE, TRUE FROM ball
       |ORDER BY "version"""".stripMargin
 
+  /** l13 — manifest zone-map pruning on a NON-partition key: the
+    * Iceberg/Delta file-skipping story end to end, materialized.
+    * [[l03SkippingAudit]] SIMULATES envelope tightness and [[Formats]]'
+    * io11 prunes on the PARTITION column via directory names; this op
+    * prunes on a key the directory layout never encodes — per-file
+    * min/max of price CENTS recorded in a manifest table — and actually
+    * reads only the surviving files.
+    *
+    * Lifecycle: orders are clustered into 8 equal-width cents bins
+    * (extent-derived, the a31 broadcast rule) and staged one file per
+    * bin; a manifest parquet records (bin, min_cents, max_cents, rows);
+    * a band predicate [A, B) (the 40%–55% slice of the extent, exact
+    * integer arithmetic) is planned AGAINST THE MANIFEST ONLY — files
+    * whose envelope misses the band are never opened — and the
+    * surviving files are read with the residual filter. Emitted: files
+    * in the table vs files read (the skip ratio), rows scanned vs rows
+    * matched (residual selectivity), and the matched sum — which must
+    * equal the full-scan answer, the correctness half of skipping.
+    *
+    * Scale shape: the manifest is metadata-plane (8 rows here; one row
+    * per file at 100 TB — millions of rows, still a broadcast-scale
+    * table that never touches the data plane); the data read is
+    * partition-pruned by the hive layout, residual-filtered at the
+    * scan. The bounded manifest collect mirrors a table format's
+    * planning step, not a data-plane action.
+    */
+  def l13ManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("l13_zonemap_")
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val ext = cents.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val binned = cents.crossJoin(broadcast(ext))
+      .withColumn("g", expr(
+        "CAST(least(CAST(7 AS BIGINT), ((cents - lo) * 8) div (hi - lo + 1)) AS INT)"))
+      .select(col("k"), col("cents"), col("g"))
+    binned.repartition(8, col("g"))
+      .write.mode("overwrite").partitionBy("g").parquet(s"$scratch/data")
+    // manifest build: one row per bin file (metadata plane)
+    spark.read.parquet(s"$scratch/data")
+      .groupBy(col("g"))
+      .agg(min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$scratch/manifest")
+    // band predicate: [lo + range*8 div 20, lo + range*11 div 20)
+    val extRow = ext
+      .select(expr("lo + ((hi - lo + 1) * 8) div 20"),
+        expr("lo + ((hi - lo + 1) * 11) div 20")).head()
+    val (a, b) = (extRow.getLong(0), extRow.getLong(1))
+    val manifest = spark.read.parquet(s"$scratch/manifest")
+    val planned = manifest
+      .filter(col("min_cents") < b && col("max_cents") >= a)
+      .select(col("g"), col("n_rows")).collect()
+    val selected = planned.map(_.getInt(0)).toSeq
+    val rowsScanned = planned.map(_.getLong(1)).sum
+    val filesTotal = manifest.count()
+    val matched = spark.read.parquet(s"$scratch/data")
+      .filter(col("g").isin(selected: _*))
+      .filter(col("cents") >= a && col("cents") < b)
+      .agg(count(lit(1)).as("rows_matched"), sum(col("cents")).as("sum_cents"))
+    matched.select(
+      lit(filesTotal).as("files_total"),
+      lit(selected.size.toLong).as("files_read"),
+      lit(rowsScanned).as("rows_scanned"),
+      col("rows_matched"), col("sum_cents"))
+  }
+
+  private val l13Sql =
+    """WITH c AS (
+      |  SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) cents
+      |  FROM orders),
+      |e AS (SELECT CAST(MIN(cents) AS BIGINT) lo, CAST(MAX(cents) AS BIGINT) hi
+      |      FROM c),
+      |g AS (
+      |  SELECT k, cents,
+      |    CAST(least(7, ((cents - e.lo) * 8) // (e.hi - e.lo + 1)) AS INTEGER) g
+      |  FROM c, e),
+      |band AS (
+      |  SELECT e.lo + ((e.hi - e.lo + 1) * 8) // 20 a,
+      |         e.lo + ((e.hi - e.lo + 1) * 11) // 20 b
+      |  FROM e),
+      |m AS (
+      |  SELECT g, CAST(MIN(cents) AS BIGINT) min_cents,
+      |    CAST(MAX(cents) AS BIGINT) max_cents,
+      |    CAST(COUNT(*) AS BIGINT) n_rows
+      |  FROM g GROUP BY 1),
+      |sel AS (
+      |  SELECT m.g, m.n_rows FROM m, band
+      |  WHERE m.min_cents < band.b AND m.max_cents >= band.a)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m) files_total,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sel) files_read,
+      |  (SELECT CAST(SUM(n_rows) AS BIGINT) FROM sel) rows_scanned,
+      |  CAST(COUNT(*) AS BIGINT) rows_matched,
+      |  CAST(SUM(cents) AS BIGINT) sum_cents
+      |FROM g, band
+      |WHERE g.g IN (SELECT g FROM sel) AND cents >= band.a AND cents < band.b
+      |""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("l13_manifest_pruning",
+      "manifest zone-map file skipping on a non-partition key: plan from metadata, read only surviving files, full-scan-equal answer",
+      l13ManifestPruning, Some(l13Sql)),
     QueryDef("l12_atomic_multi_table",
       "atomic two-table commit under one manifest: corrupt-summary batch leaves BOTH tables unchanged (read-back proof)",
       l12AtomicMultiTable, Some(l12Sql)),

@@ -86,7 +86,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "s17_systematic_resample", "w35_theil_sen", "w36_cusum_alarm",
     "m14_replica_repair", "io14_runtime_pruning", "v30_ndcg_eval",
     "l12_atomic_multi_table", "v31_adaptive_probe", "w37_kendall_tau",
-    "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase")
+    "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase",
+    "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
+    "l13_manifest_pruning", "d17_bbit_minhash")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node
