@@ -73,7 +73,9 @@ object ScaleProbe {
     "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase",
     // r9 additions
     "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
-    "l13_manifest_pruning", "d17_bbit_minhash")
+    "l13_manifest_pruning", "d17_bbit_minhash",
+    "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
+    "t45_textrank_keywords", "v33_nndescent")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -235,7 +237,8 @@ object ScaleProbe {
     // l08/l09/l10/l11/l12 run multi-version write+audit lifecycles.
     val stagingOps = Set("io12_agg_pushdown", "io13_file_sizing",
       "l08_write_audit_publish", "l09_partition_evolution",
-      "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table")
+      "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
+      "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning")
     val rows = probes.filter(keep).map { name =>
       val (base, baseBytes) = timeAt(name, baseDir)
       val (scaled, scaledBytes) = timeAt(name, outDir)

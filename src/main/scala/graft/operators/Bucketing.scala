@@ -181,7 +181,53 @@ object Bucketing {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** io16 — bucket PRUNING: the read-side payoff of a bucketed layout
+    * that [[j14BucketedLifecycle]]'s exchange-free join doesn't show. A
+    * point/IN predicate on the bucket column hashes each literal to its
+    * bucket at PLANNING time and the scan opens only those bucket
+    * files — `SelectedBucketsCount: k out of 8` in the executed plan,
+    * asserted in Round9OpsSpec (with ≤ 5 literals, k ≤ 5 < 8), result
+    * equal to the unbucketed filter. At 100 TB a keyed lookup into a
+    * bucketed fact table reads 1/N of the files with zero index
+    * structures — the poor man's primary key, and the reason bucketed
+    * layouts earn their write cost even without joins.
+    *
+    * The staging write is part of the query (the io13/l08 staging
+    * class — the demo IS the lifecycle); the oracle answers from raw
+    * orders, so staging can never bend correctness.
+    */
+  def io16BucketPruning(spark: SparkSession, dir: String): DataFrame = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_prune")
+    val p = new org.apache.hadoop.fs.Path(s"$warehouse/b_prune")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_prune")
+    // group BY the bucket column: the planner keeps the bucketed scan
+    // only when the layout buys something (auto-bucketed-scan disables
+    // it otherwise, and bucket PRUNING goes with it) — here the grouping
+    // is exchange-free on the bucketed layout AND the IN-literals prune
+    // to their hashed buckets.
+    spark.table("b_prune")
+      .filter(col("o_orderkey").isin(1L, 7L, 19L, 403L, 977L))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val io16Sql =
+    """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) n_rows,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+      |FROM orders WHERE o_orderkey IN (1, 7, 19, 403, 977)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io16_bucket_pruning",
+      "bucket pruning: IN-literal lookup opens only the hashed buckets (SelectedBucketsCount), full-scan-equal answer",
+      io16BucketPruning, Some(io16Sql)),
     QueryDef("j09_salted_agg", "skew-safe two-stage salted aggregation", j09SaltedAgg, Some(j09Sql)),
     QueryDef("j16_dynamic_pruning", "runtime DPP over a month-partitioned layout",
       j16DynamicPruning, Some(j16Sql)),

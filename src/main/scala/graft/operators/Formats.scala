@@ -689,7 +689,50 @@ object Formats {
       |FROM o WHERE doc_id % 200 = 150
       |ORDER BY doc_id""".stripMargin
 
+  /** io15 — NESTED schema pruning + nested predicate pushdown: the scan
+    * efficiency story for struct-typed lakehouse tables (every telemetry
+    * / API-log schema nests). orders are staged with two struct columns
+    * — price{cents, tax_cents} and meta{priority, status} — and the
+    * contract query touches ONE leaf of each: it filters on
+    * meta.priority and sums price.cents. A flat-column engine reads the
+    * whole structs (p01's pruning stops at top-level columns); Spark's
+    * nested schema pruning must push the ReadSchema down to exactly the
+    * two leaves and the priority predicate into the parquet scan —
+    * asserted against the executed plan in Round9OpsSpec (leaf-level
+    * ReadSchema, no tax_cents/status), not just eyeballed. At 100 TB the
+    * difference is reading 2 of 4 leaf column chunks.
+    *
+    * The oracle recomputes from raw orders — staging adds structure,
+    * never rows — so correctness and the plan shape are checked
+    * independently.
+    */
+  def io15NestedPruning(spark: SparkSession, dir: String): DataFrame = {
+    val dirOut = scratch("io15_nested_")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        struct(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(round(o_totalprice * 7) AS BIGINT)").as("tax_cents")).as("price"),
+        struct(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status")).as("meta"))
+      .write.mode("overwrite").parquet(s"$dirOut/data")
+    spark.read.parquet(s"$dirOut/data")
+      .filter(col("meta.priority") === "1-URGENT")
+      .groupBy(col("meta.priority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price.cents")).as("sum_cents"))
+      .orderBy(col("priority"))
+  }
+
+  private val io15Sql =
+    """SELECT o_orderpriority priority, CAST(COUNT(*) AS BIGINT) n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io15_nested_pruning",
+      "nested schema pruning: struct-typed staging, leaf-level ReadSchema + nested predicate pushdown, full-scan-equal answer",
+      io15NestedPruning, Some(io15Sql)),
     QueryDef("io14_runtime_pruning",
       "DSv2 runtime filtering on graft-lines: index-join offsets prune shard chunks at runtime (custom-source DPP)",
       io14RuntimePruning, Some(io14Sql)),

@@ -1164,7 +1164,80 @@ object LinkRank {
       |              // (CAST(two_m AS HUGEINT) * two_m)) END AS BIGINT) q_term_ppm
       |FROM j ORDER BY community""".stripMargin
 
+  /** g17 — Katz centrality, EXACT bounded-walk form: x(v) = Σ_k β^k ·
+    * (# directed walks of length k ending at v), truncated at k = 3
+    * with β = 1/4, so the whole statistic is integer algebra —
+    * katz_scaled64 = 16·w₁ + 4·w₂ + w₃ (the β^k weights cleared by
+    * 4³ = 64). Distinct from [[g01LinkRank]] (damped FIXED-POINT with
+    * per-step quantization — convergence semantics) and [[g05Hits]]
+    * (mutually-recursive hub/authority): Katz counts bounded walks
+    * exactly, the form a curation pipeline uses when it needs a
+    * centrality that is reproducible to the last bit across engines
+    * and runs (no iteration-order or quantization variance at all).
+    *
+    * Recursion: w₀ ≡ 1, w_k(v) = Σ_{u→v} w_{k−1}(u) over the DISTINCT
+    * loop-free edge set (the g09/g14 graph convention). Walk counts
+    * stay tiny (avg out-degree ~3 ⇒ w₃ ~ 27), far inside int64.
+    *
+    * Scale shape: three hash joins co-partitioned on the node key +
+    * one left join back to documents — exactly one [[g01LinkRank]]
+    * iteration's cost per depth, never a transitive closure.
+    */
+  def g17KatzCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = rawLinkEdges(spark, dir)
+      .filter(col("src") =!= col("dst")).distinct()
+    // walks ENDING at v: propagate along reversed edges — equivalently
+    // join on src and credit dst
+    def stepIn(w: DataFrame): DataFrame =
+      edges.join(w, edges("src") === w("node"))
+        .groupBy(col("dst")).agg(sum(col("wk")).as("s"))
+        .select(col("dst").as("node"), col("s").as("wk"))
+    val w0 = docs.select(col("doc_id").as("node"), lit(1L).as("wk"))
+    val w1 = stepIn(w0)
+    val w2 = stepIn(w1)
+    val w3 = stepIn(w2)
+    docs
+      .join(w1.select(col("node"), col("wk").as("w1")),
+        docs("doc_id") === col("node"), "left").drop("node")
+      .join(w2.select(col("node"), col("wk").as("w2")),
+        docs("doc_id") === col("node"), "left").drop("node")
+      .join(w3.select(col("node"), col("wk").as("w3")),
+        docs("doc_id") === col("node"), "left").drop("node")
+      .select(col("doc_id"),
+        coalesce(col("w1"), lit(0L)).as("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+      .withColumn("katz_scaled64",
+        lit(16L) * col("w1") + lit(4L) * col("w2") + col("w3"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g17Sql =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id src, (doc_id * doc_id * 31 + k * 17) % nn.n dst
+      |  FROM documents CROSS JOIN nn, (SELECT unnest([1, 2, 3]) k)),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |w1 AS (SELECT dst node, CAST(COUNT(*) AS BIGINT) wk FROM e GROUP BY 1),
+      |w2 AS (SELECT e.dst node, CAST(SUM(w1.wk) AS BIGINT) wk
+      |       FROM e JOIN w1 ON e.src = w1.node GROUP BY 1),
+      |w3 AS (SELECT e.dst node, CAST(SUM(w2.wk) AS BIGINT) wk
+      |       FROM e JOIN w2 ON e.src = w2.node GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(w1.wk, 0) w1, COALESCE(w2.wk, 0) w2, COALESCE(w3.wk, 0) w3,
+      |  16 * COALESCE(w1.wk, 0) + 4 * COALESCE(w2.wk, 0)
+      |    + COALESCE(w3.wk, 0) katz_scaled64
+      |FROM documents d
+      |LEFT JOIN w1 ON d.doc_id = w1.node
+      |LEFT JOIN w2 ON d.doc_id = w2.node
+      |LEFT JOIN w3 ON d.doc_id = w3.node
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("g17_katz_centrality",
+      "exact truncated Katz centrality: bounded-walk counts w1-w3 with dyadic beta=1/4, bit-reproducible",
+      g17KatzCentrality, Some(g17Sql)),
     QueryDef("g16_modularity",
       "Newman modularity of the LPA partition: exact per-community integer components + sign-aware ppm terms",
       g16Modularity, Some(g16Sql)),

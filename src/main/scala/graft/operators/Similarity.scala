@@ -2955,7 +2955,119 @@ object Similarity {
       |FROM rk WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** v33 — one NN-descent round over an LSH-seeded k-NN graph (Dong et
+    * al., WWW'11): the GRAPH-CONSTRUCTION primitive under every
+    * HNSW/NSG-style ANN index, and the one member of the v-family that
+    * builds corpus→corpus structure rather than answering queries —
+    * "a neighbor of my neighbor is probably my neighbor". Seed: every
+    * node's top-5 by exact cosine over its v25 LSH-bucket candidates
+    * (recall-bounded, like every LSH seed). Descent: each query node
+    * additionally scores its neighbors' neighbors — two graph hops, an
+    * equi-join of the bounded seed graph with itself — and the final
+    * top-3 re-ranks seed ∪ two-hop exactly. `seed_rank` = −1 marks
+    * neighbors only the descent round could reach: the measured recall
+    * the hop buys over the raw bucket seed.
+    *
+    * Scale shape: the seed graph is one bucket self-join + a per-node
+    * window (k = 5 rows per node out); the descent join runs on the
+    * k-bounded graph (≤ k² two-hop rows per query), never the corpus
+    * square — the defining property that makes NN-descent THE way
+    * billion-vector k-NN graphs get built.
+    */
+  def v33NnDescent(spark: SparkSession, dir: String, tables: Int = 4): DataFrame = {
+    val (vecs, buckets) = lshSignature(spark, dir, tables)
+    val cand = buckets.select(col("vec_id").as("v"), col("t"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("u"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("v") =!= col("u"))
+      .select(col("v"), col("u")).distinct()
+    val vside = vecs.select(col("vec_id").as("v"), col("q").as("qv"), col("nrm").as("nv"))
+    val uside = vecs.select(col("vec_id").as("u"), col("q").as("qu"), col("nrm").as("nu"))
+    val wSeed = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u").asc)
+    val g0 = cand.join(vside, "v").join(uside, "u")
+      .withColumn("cos", expr(cos("qv", "qu", "nv", "nu")))
+      .withColumn("srank", row_number().over(wSeed))
+      .filter(col("srank") <= 5)
+      .select(col("v"), col("u"), col("srank"))
+    val twoHop = g0.filter(col("v") % 25 === 0).select(col("v"), col("u").as("m"))
+      .join(g0.select(col("v").as("m"), col("u").as("w")), "m")
+      .filter(col("v") =!= col("w"))
+      .select(col("v"), col("w").as("u"))
+    val pool = g0.filter(col("v") % 25 === 0).select(col("v"), col("u"))
+      .unionByName(twoHop).distinct()
+    val wTop = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u").asc)
+    pool.join(vside, "v").join(uside, "u")
+      .withColumn("cos", expr(cos("qv", "qu", "nv", "nu")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .join(g0.select(col("v"), col("u"), col("srank")), Seq("v", "u"), "left")
+      .select(col("v").as("qid"), col("rank").cast("int").as("rank"),
+        col("u").as("neighbor_id"), round(col("cos"), 6).as("cosine"),
+        coalesce(col("srank"), lit(-1L)).cast("long").as("seed_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v33Sql =
+    """WITH nn AS (
+      |  SELECT CAST(GREATEST(6, LENGTH(BIN(GREATEST(1, COUNT(*) - 1)))) AS BIGINT) b
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |hyper AS (
+      |  SELECT vec_id - 16 hp, q hq FROM v, nn
+      |  WHERE vec_id >= 16 AND vec_id < 16 + 4 * nn.b),
+      |bits AS (
+      |  SELECT v.vec_id, hyper.hp // nn.b t,
+      |    CASE WHEN CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+      |           i -> v.q[CAST(i AS INTEGER)] * hyper.hq[CAST(i AS INTEGER)])) AS BIGINT) > 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(hyper.hp % nn.b AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END bitval
+      |  FROM v, hyper, nn),
+      |buckets AS (
+      |  SELECT vec_id, t, CAST(SUM(bitval) AS BIGINT) bucket
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id v, b.vec_id u
+      |  FROM buckets a JOIN buckets b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |sc0 AS (
+      |  SELECT cand.v, cand.u,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM cand JOIN n a ON cand.v = a.vec_id JOIN n b ON cand.u = b.vec_id),
+      |g0 AS (
+      |  SELECT v, u, srank FROM (
+      |    SELECT v, u, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cos DESC, u ASC) srank
+      |    FROM sc0) WHERE srank <= 5),
+      |two AS (
+      |  SELECT a.v, b.u FROM g0 a JOIN g0 b ON a.u = b.v
+      |  WHERE a.v % 25 = 0 AND a.v <> b.u),
+      |pool AS (
+      |  SELECT DISTINCT v, u FROM (
+      |    SELECT v, u FROM g0 WHERE v % 25 = 0 UNION ALL SELECT v, u FROM two)),
+      |sc1 AS (
+      |  SELECT pool.v, pool.u,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM pool JOIN n a ON pool.v = a.vec_id JOIN n b ON pool.u = b.vec_id),
+      |r AS (
+      |  SELECT v, u, cos, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cos DESC, u ASC) rank
+      |  FROM sc1)
+      |SELECT r.v qid, CAST(r.rank AS INTEGER) rank, r.u neighbor_id,
+      |  ROUND(r.cos, 6) cosine,
+      |  CAST(COALESCE(g0.srank, -1) AS BIGINT) seed_rank
+      |FROM r LEFT JOIN g0 ON r.v = g0.v AND r.u = g0.u
+      |WHERE r.rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v33_nndescent",
+      "NN-descent round over the LSH-seeded k-NN graph: neighbors-of-neighbors re-rank, seed_rank=-1 marks descent-only finds",
+      v33NnDescent(_, _), Some(v33Sql)),
     QueryDef("v32_multiprobe_lsh",
       "multi-probe hyperplane LSH: Hamming-1 bucket neighborhood probing halves the table count, exact re-rank",
       v32MultiprobeLsh(_, _), Some(v32Sql)),

@@ -2733,7 +2733,102 @@ object TextOps {
       |FROM sp GROUP BY doc_id, n_tokens
       |ORDER BY doc_id""".stripMargin
 
+  /** t45 — TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    * PageRank over the word CO-OCCURRENCE graph — adjacent-token pairs
+    * across the corpus become weighted undirected edges, and two damped
+    * power iterations in the [[LinkRank]] g01 micro-integer convention
+    * (r₀ = 10⁶, per-edge contribution (r·e) div wdeg, damp
+    * 150000 + (850·s) div 1000 — every quantization deterministic and
+    * engine-replayable) rank words by graph centrality rather than raw
+    * frequency. Distinct from [[t28RakeKeywords]] (degree/frequency
+    * scoring inside stopword-delimited phrases) and from
+    * [[t12Tfidf]] (document-relative term weighting): TextRank is the
+    * corpus-global, recursive-importance member of the keyword family —
+    * a word ranks high because it neighbors words that rank high.
+    *
+    * Scale shape: tokenization explodes once; the pair frame is one
+    * lead() window partitioned by doc (shuffle on doc_id); edges and
+    * degrees aggregate to VOCABULARY scale, and both iterations run on
+    * the bounded vocab graph — fact-scale data is touched exactly once.
+    */
+  def t45TextrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+    val nxt = tok
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+    val edges = nxt
+      .select(least(col("w"), col("w2")).as("u"),
+        greatest(col("w"), col("w2")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("e"))
+    val directed = edges.select(col("u"), col("v"), col("e"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"), col("e")))
+    val wdeg = directed.groupBy(col("u")).agg(sum(col("e")).as("wdeg"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    def step(r: DataFrame): DataFrame = {
+      val s = directed
+        .join(r.select(col("w").as("u"), col("r")), "u")
+        .join(wdeg, "u")
+        .select(col("v"), expr("(r * e) div wdeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      vocab.join(s, vocab("w") === s("v"), "left")
+        .select(col("w"), col("freq"),
+          (lit(150000L) + expr("coalesce((850 * s) div 1000, CAST(0 AS BIGINT))")).as("r"))
+    }
+    val r0 = vocab.select(col("w"), col("freq"), lit(1000000L).as("r"))
+    step(step(r0))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("w").asc)))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("int").as("rank"), col("w").as("word"),
+        col("freq").as("corpus_freq"), col("r").as("rank_micro"))
+      .orderBy(col("rank"))
+  }
+
+  private val t45Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, i AS pos, a[i] AS w
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') a
+      |        FROM documents),
+      |       LATERAL unnest(range(1, len(a) + 1)) AS u(i)),
+      |nxt AS (
+      |  SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) w2
+      |  FROM tok),
+      |ed AS (
+      |  SELECT least(w, w2) u, greatest(w, w2) v, CAST(COUNT(*) AS BIGINT) e
+      |  FROM nxt WHERE w2 IS NOT NULL AND w <> w2 GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT u, v, e FROM ed UNION ALL SELECT v, u, e FROM ed),
+      |wd AS (SELECT u, CAST(SUM(e) AS BIGINT) wdeg FROM dir GROUP BY 1),
+      |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) freq FROM tok GROUP BY 1),
+      |r0 AS (SELECT w, CAST(1000000 AS BIGINT) r FROM vocab),
+      |s1 AS (
+      |  SELECT dir.v, SUM((r0.r * dir.e) // wd.wdeg) s
+      |  FROM dir JOIN r0 ON dir.u = r0.w JOIN wd ON dir.u = wd.u
+      |  GROUP BY 1),
+      |r1 AS (
+      |  SELECT vocab.w, 150000 + COALESCE((850 * s1.s) // 1000, 0) r
+      |  FROM vocab LEFT JOIN s1 ON vocab.w = s1.v),
+      |s2 AS (
+      |  SELECT dir.v, SUM((r1.r * dir.e) // wd.wdeg) s
+      |  FROM dir JOIN r1 ON dir.u = r1.w JOIN wd ON dir.u = wd.u
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT vocab.w, vocab.freq, 150000 + COALESCE((850 * s2.s) // 1000, 0) r
+      |  FROM vocab LEFT JOIN s2 ON vocab.w = s2.v),
+      |rk AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY r DESC, w ASC) rank, w, freq, r
+      |  FROM r2)
+      |SELECT CAST(rank AS INTEGER) rank, w word, freq corpus_freq,
+      |  CAST(r AS BIGINT) rank_micro
+      |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t45_textrank_keywords",
+      "TextRank keywords: damped power iteration over the word co-occurrence graph, g01 micro-integer convention",
+      t45TextrankKeywords, Some(t45Sql)),
     QueryDef("t44_contaminated_spans",
       "span-level decontamination: eval-gram covers merged into maximal token spans, exact mass + ppm share",
       t44ContaminatedSpans, Some(t44Sql)),

@@ -88,7 +88,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "l12_atomic_multi_table", "v31_adaptive_probe", "w37_kendall_tau",
     "j22_asof_tolerance", "v32_multiprobe_lsh", "w38_mase",
     "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
-    "l13_manifest_pruning", "d17_bbit_minhash")
+    "l13_manifest_pruning", "d17_bbit_minhash",
+    "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
+    "t45_textrank_keywords", "v33_nndescent")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

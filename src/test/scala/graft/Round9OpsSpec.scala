@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Joins, Maintenance, Multimodal, ScaleDiag}
+import graft.operators.{Bucketing, Dedup, Formats, Joins, LinkRank, Maintenance, Multimodal, ScaleDiag, Similarity, TextOps}
 
 /** Round-9 additions: a62 Poisson bootstrap, j23 AGMS join-size sketch,
   * m15 Merkle payload audit, l13 manifest zone-map pruning, d17 b-bit
@@ -113,6 +113,110 @@ class Round9OpsSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("cents"))).head()
     assert(rowsMatched == full.getLong(0), "pruned read lost rows")
     assert(sumCents == full.getLong(1), "pruned read changed the aggregate")
+  }
+
+  test("io15: nested pruning reaches the leaf level; nested predicate pushes down") {
+    val df = Formats.io15NestedPruning(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scanLine.contains("cents") && scanLine.contains("priority"),
+      s"needed leaves missing from ReadSchema: $scanLine")
+    assert(!scanLine.contains("tax_cents"),
+      s"untouched struct leaf read - nested pruning off: $scanLine")
+    assert(!scanLine.contains("status"),
+      s"untouched struct leaf read - nested pruning off: $scanLine")
+    assert(plan.contains("PushedFilters") && plan.contains("priority"),
+      s"nested predicate not pushed: $plan")
+  }
+
+  test("g17: walk counts match an in-memory BFS recompute") {
+    val rows = LinkRank.g17KatzCentrality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent edge set from the documented generator rule
+    val n = rows.length.toLong
+    val edges = rows.map(_.getLong(0)).flatMap { id =>
+      (1 to 3).map(k => (id, (id * id * 31 + k * 17) % n))
+    }.filter { case (s, d) => s != d }.distinct
+    val in: Map[Long, Seq[Long]] =
+      edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val w1: Map[Long, Long] = rows.map(r => r.getLong(0) ->
+      in.getOrElse(r.getLong(0), Seq.empty[Long]).size.toLong).toMap
+    def next(w: Map[Long, Long]): Map[Long, Long] =
+      rows.map { r =>
+        val v = r.getLong(0)
+        v -> in.getOrElse(v, Seq.empty[Long]).map(u => w.getOrElse(u, 0L)).sum
+      }.toMap
+    val (w2, w3) = (next(w1), next(next(w1)))
+    rows.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) == w1(v) && r.getLong(2) == w2(v) && r.getLong(3) == w3(v),
+        s"walk counts diverge at node $v")
+      assert(r.getLong(4) == 16 * w1(v) + 4 * w2(v) + w3(v))
+    }
+  }
+
+  test("t45: TextRank top-20 matches an in-memory power-iteration recompute") {
+    val got = TextOps.t45TextrankKeywords(spark, sf).collect()
+    assert(got.length == 20)
+    assert(got.map(_.getInt(0)).toSeq == (1 to 20).toSeq)
+    // independent recompute with plain Scala maps over the same corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val tokens = docs.map(d => d.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val freq = tokens.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = tokens.flatMap(ws => ws.zip(ws.drop(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = edges.toSeq.flatMap { case ((u, v), e) => Seq((u, v, e), (v, u, e)) }
+    val wdeg = adj.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def step(r: Map[String, Long]): Map[String, Long] = {
+      val s = adj.groupBy(_._2).view.mapValues(_.map { case (u, _, e) =>
+        r(u) * e / wdeg(u) }.sum).toMap
+      freq.keys.map(w => w -> (150000L + 850L * s.getOrElse(w, 0L) / 1000L)).toMap
+    }
+    val r2 = step(step(freq.keys.map(_ -> 1000000L).toMap))
+    val expected = r2.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+    got.zip(expected).foreach { case (row, (w, r)) =>
+      assert(row.getString(1) == w && row.getLong(3) == r,
+        s"rank ${row.getInt(0)}: got (${row.getString(1)},${row.getLong(3)}) want ($w,$r)")
+    }
+  }
+
+  test("v33: descent pool dominates the seed shortlist; ranks dense") {
+    val rows = Similarity.v33NnDescent(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length).toSeq, s"ranks for $qid")
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"cosine order for $qid")
+    }
+    // the two-hop round must surface at least one neighbor the LSH seed
+    // missed somewhere in the corpus (else the descent is wired wrong)
+    val newFinds = rows.count(_.getLong(4) == -1L)
+    info(s"v33 descent-only neighbors in final top-3: $newFinds/${rows.length}")
+    assert(newFinds > 0, "no descent-only finds - two-hop join suspect")
+  }
+
+  test("io16: bucket pruning opens only the hashed buckets; answer matches full scan") {
+    val df = Bucketing.io16BucketPruning(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sel = plan.linesIterator.filter(_.contains("SelectedBucketsCount")).mkString
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(sel).get
+    assert(m.group(1).toInt <= 5 && m.group(2).toInt == 8,
+      s"expected <=5 of 8 buckets, got $sel")
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isin(1L, 7L, 19L, 403L, 977L))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)), sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .orderBy(col("o_orderkey")).collect()
+    assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
   }
 
   test("d17: 2-bit agreement dominates full agreement; estimators track exact Jaccard") {
