@@ -75,7 +75,7 @@ object ScaleProbe {
     "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
     "l13_manifest_pruning", "d17_bbit_minhash",
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
-    "t45_textrank_keywords", "v33_nndescent")
+    "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -238,7 +238,8 @@ object ScaleProbe {
     val stagingOps = Set("io12_agg_pushdown", "io13_file_sizing",
       "l08_write_audit_publish", "l09_partition_evolution",
       "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
-      "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning")
+      "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",
+      "st16_atomic_dual_sink")
     val rows = probes.filter(keep).map { name =>
       val (base, baseBytes) = timeAt(name, baseDir)
       val (scaled, scaledBytes) = timeAt(name, outDir)

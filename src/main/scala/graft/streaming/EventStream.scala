@@ -1241,6 +1241,111 @@ object EventStream {
       |  CAST(4 AS BIGINT) n_snapshots
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** One dual-table manifest-flip commit: batch bid writes its raw rows
+    * AND its per-type summary to per-batch directories, then publishes
+    * ONE manifest listing both tables' surviving files (tagged lines,
+    * the l12 convention) via atomic rename. Replay-idempotent like
+    * [[st14Commit]]: a recovered batch rewrites the same directories
+    * and the same manifest version.
+    */
+  private[graft] def st16Commit(table: String, batch: DataFrame, bid: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def files(rel: String): Seq[String] =
+      new java.io.File(s"$table/$rel").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}")
+        .sorted.toSeq
+    val rawRel = s"raw/b$bid"
+    val sumRel = s"sum/b$bid"
+    batch.write.mode("overwrite").parquet(s"$table/$rawRel")
+    batch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/$sumRel")
+    val prev = st14Versions(table).filter(_ < bid).sorted.lastOption
+      .map(v => st14Manifest(table, v)).getOrElse(Seq.empty)
+    val lines = prev ++ files(rawRel).map("raw|" + _) ++ files(sumRel).map("sum|" + _)
+    val tmp = Paths.get(s"$table/.manifest-v$bid.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$table/manifest-v$bid.txt"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read ONE side ("raw" or "sum") of a dual-sink snapshot v. */
+  private[graft] def st16Side(spark: SparkSession, table: String, v: Long,
+                              side: String): DataFrame = {
+    val files = st14Manifest(table, v)
+      .filter(_.startsWith(side + "|")).map(l => s"$table/${l.split("\\|")(1)}")
+    spark.read.parquet(files: _*)
+  }
+
+  private[graft] def st16Stage(spark: SparkSession, dir: String,
+                               nFiles: Int): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_dual_src_").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartition(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  private[graft] def st16Run(spark: SparkSession, dir: String,
+                             nFiles: Int = 4): String = {
+    val stage = st16Stage(spark, dir, nFiles)
+    val table = graft.util.Scratch.dir("graft_dual_tbl_")
+    val q = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) => st16Commit(table, b, bid); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table
+  }
+
+  /** st16 — ATOMIC dual-table commit from a stream: one micro-batch
+    * updates a raw table AND its per-type summary under a SINGLE
+    * manifest flip, so no reader can ever observe the raw table at
+    * batch N with the summary at batch N−1 — the streaming form of
+    * [[graft.operators.ScaleDiag.l12AtomicMultiTable]]'s transaction,
+    * and the property every medallion (bronze+silver) pipeline needs
+    * when downstream joins both layers. [[st14ManifestSink]] owns the
+    * single-table exactly-once protocol; this op owns CROSS-TABLE
+    * snapshot consistency: the contract reads both sides through the
+    * final manifest and emits their per-type agreement alongside the
+    * rollup. StreamRecoverySpec kills the stream between commits,
+    * restarts it, and asserts the invariant held at EVERY published
+    * version, not just the last.
+    *
+    * Scale shape: per-batch appends + an O(files) manifest write per
+    * commit; the read is manifest-pruned like every lakehouse scan.
+    */
+  def st16AtomicDualSink(spark: SparkSession, dir: String): DataFrame = {
+    val table = st16Run(spark, dir)
+    val vMax = st14Versions(table).max
+    val raw = st16Side(spark, table, vMax, "raw")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("raw_cents"))
+    val sum2 = st16Side(spark, table, vMax, "sum")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("sum_n"), sum(col("sum_cents")).as("summary_cents"))
+    raw.join(sum2, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("raw_cents"), lit(0L)).as("raw_cents"),
+        coalesce(col("summary_cents"), lit(0L)).as("summary_cents"),
+        (col("n_events") === col("sum_n") &&
+          coalesce(col("raw_cents"), lit(0L)) ===
+            coalesce(col("summary_cents"), lit(0L))).as("consistent"),
+        lit(st14Versions(table).size.toLong).as("n_snapshots"))
+      .orderBy(col("event_type"))
+  }
+
+  private val st16Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n_events,
+      |  CAST(COALESCE(SUM(CAST(round("value" * 100) AS BIGINT)), 0) AS BIGINT) raw_cents,
+      |  CAST(COALESCE(SUM(CAST(round("value" * 100) AS BIGINT)), 0) AS BIGINT) summary_cents,
+      |  TRUE AS consistent, CAST(4 AS BIGINT) n_snapshots
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** st15 — per-entity stateful ledger through Spark 4's
     * `transformWithState` tier, the arbitrary-stateful API that
     * supersedes mapGroupsWithState (typed ValueState/ListState/MapState
@@ -1425,6 +1530,9 @@ object EventStream {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st16_atomic_dual_sink",
+      "streaming dual-table atomic commit: raw + summary under one manifest flip, cross-table snapshot consistency",
+      st16AtomicDualSink, Some(st16Sql)),
     QueryDef("st15_stateful_ledger",
       "per-(type,user) running ledger: batch ground truth of the transformWithState dual",
       st15StatefulLedger, Some(st15Sql)),

@@ -238,4 +238,62 @@ class StreamRecoverySpec extends AnyFunSuite {
       case None => s.conf.unset(key)
     }
   }
+
+  test("st16 dual sink: kill mid-stream; EVERY published snapshot is cross-table consistent") {
+    val s = spark
+    import s.implicits._
+    val stage = EventStream.st16Stage(spark, sf, nFiles = 8)
+    val table = Files.createTempDirectory("graft_dualrec_tbl_").toString
+    val ckpt = Files.createTempDirectory("graft_dualrec_ck_").toString
+    def start(drain: Boolean) = {
+      val w = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          EventStream.st16Commit(table, b, bid); ()
+        }
+      (if (drain) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    val q1 = start(drain = false)
+    val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime < deadline) Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination()
+    val committedBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+    assert(committedBeforeKill >= 2, "never reached 2 committed batches")
+    assume(committedBeforeKill < 8,
+      "all batches finished before the kill - nothing mid-stream to recover")
+    val q2 = start(drain = true)
+    q2.awaitTermination()
+    // (1) the cross-table invariant held at EVERY published version —
+    // including any version rewritten by a replayed batch across the
+    // kill: raw re-aggregation == stored summary, per type, per snapshot
+    val versions = EventStream.st14Versions(table).sorted
+    assert(versions.size >= 8, s"expected >=8 snapshots, got $versions")
+    versions.foreach { v =>
+      val raw = EventStream.st16Side(spark, table, v, "raw")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sm = EventStream.st16Side(spark, table, v, "sum")
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n"), coalesce(sum(col("sum_cents")), lit(0L)).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(raw == sm, s"snapshot v$v: raw and summary diverge - atomicity broken")
+    }
+    // (2) exactly-once across the kill: the final snapshot equals the
+    // batch ground truth of the staged corpus
+    val fin = EventStream.st16Side(spark, table, versions.max, "raw")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("c"))
+      .orderBy(col("event_type")).collect().map(_.toString).toSeq
+    val want = spark.read.parquet(stage)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("c"))
+      .orderBy(col("event_type")).collect().map(_.toString).toSeq
+    assert(fin == want, "final snapshot != batch ground truth across the kill")
+  }
 }
