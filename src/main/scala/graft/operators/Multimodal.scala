@@ -948,7 +948,83 @@ object Multimodal {
       |FROM n2 ORDER BY doc_id""".stripMargin
   }
 
+  /** m16 — content-addressable-store dedup ratio: what a chunked blob
+    * store (restic/borg/Iceberg-manifest-of-chunks shape) actually SAVES
+    * on this corpus. [[m07CdcChunks]] audits sharing per document; this
+    * op owns the STORE's accounting — group the same CDC chunks by
+    * content hash and ask, per sharing-degree class: how many distinct
+    * chunks, how many logical occurrences, logical vs stored bytes
+    * (stored = each distinct chunk once), and the corpus savings in ppm
+    * of logical bytes. The `1`-occurrence class is the incompressible
+    * mass; the high classes are boilerplate/template chunks — exactly
+    * the histogram that decides whether chunk-level dedup pays for a
+    * corpus before anyone builds the store.
+    *
+    * Scale shape: the chunk kernel is the measured m07 mapPartitions
+    * pass; everything after is one groupBy(chunk_md5) (map-side
+    * partials) and a bounded per-class rollup.
+    */
+  def m16CdcDedupRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => cdcChunks(id, text) }
+      .toDF()
+    val byHash = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("occ"), max(col("n_bytes")).as("bytes"))
+    byHash.groupBy(col("occ"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum(col("bytes") * col("occ")).as("logical_bytes"),
+        sum(col("bytes")).as("stored_bytes"))
+      .withColumn("savings_ppm", expr(
+        "CAST((1000000 * (logical_bytes - stored_bytes)) div logical_bytes AS BIGINT)"))
+      .select(col("occ").as("sharing_degree"), col("n_distinct_chunks"),
+        col("logical_bytes"), col("stored_bytes"), col("savings_ppm"))
+      .orderBy(col("sharing_degree"))
+  }
+
+  private val m16Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |hits AS (
+      |  SELECT doc_id, text, i
+      |  FROM (
+      |    SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+      |    FROM d)
+      |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(0, 7),
+      |            j -> CAST(ascii(substr(text, CAST(i - 8 + 1 + j AS INTEGER), 1)) AS BIGINT))),
+      |          (acc, b) -> (acc * 31 + b) % 1000000007) % 64 = 0),
+      |bounds AS (
+      |  SELECT doc_id, text, i FROM hits
+      |  UNION
+      |  SELECT doc_id, text, 0 FROM d
+      |  UNION
+      |  SELECT doc_id, text, length(text) FROM d),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, CAST(prev + 1 AS INTEGER), CAST(i - prev AS INTEGER))) AS chunk_md5,
+      |    CAST(i - prev AS BIGINT) AS n_bytes
+      |  FROM (
+      |    SELECT doc_id, text, i,
+      |      LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |    FROM bounds)
+      |  WHERE prev IS NOT NULL AND i > prev),
+      |byhash AS (
+      |  SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) occ,
+      |    CAST(MAX(n_bytes) AS BIGINT) bytes
+      |  FROM chunks GROUP BY 1)
+      |SELECT occ sharing_degree,
+      |  CAST(COUNT(*) AS BIGINT) n_distinct_chunks,
+      |  CAST(SUM(bytes * occ) AS BIGINT) logical_bytes,
+      |  CAST(SUM(bytes) AS BIGINT) stored_bytes,
+      |  CAST((1000000 * (SUM(bytes * occ) - SUM(bytes))) // SUM(bytes * occ)
+      |    AS BIGINT) savings_ppm
+      |FROM byhash GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m16_cdc_dedup_ratio",
+      "content-addressable store accounting: CDC chunks by sharing degree, logical vs stored bytes, savings ppm",
+      m16CdcDedupRatio, Some(m16Sql)),
     QueryDef("m15_merkle_audit",
       "per-payload depth-3 Merkle root over 128-char blocks + single-block corruption localized to its leaf",
       m15MerkleAudit, Some(m15Sql)),

@@ -90,7 +90,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "a62_poisson_bootstrap", "j23_join_size_sketch", "m15_merkle_audit",
     "l13_manifest_pruning", "d17_bbit_minhash",
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
-    "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink")
+    "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
+    "m16_cdc_dedup_ratio")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

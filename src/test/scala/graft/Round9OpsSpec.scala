@@ -219,6 +219,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
   }
 
+  test("m16: store accounting is conservative - class sums tie out to the chunk stream") {
+    val rows = Multimodal.m16CdcDedupRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the degree-1 class saves nothing by definition
+    rows.find(_.getLong(0) == 1L).foreach(r =>
+      assert(r.getLong(4) == 0L, "unshared chunks cannot save bytes"))
+    rows.foreach { r =>
+      val (deg, n, logical, stored) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(logical == {
+        // logical = stored * degree only when every chunk in the class
+        // has one byte size — not guaranteed; the conservative identity
+        // is logical >= stored and logical <= stored * degree
+        logical
+      } && logical >= stored && logical <= stored * deg, s"class $deg inconsistent")
+      assert(n > 0)
+    }
+    // total logical bytes across classes == every chunk occurrence's bytes,
+    // recomputed independently from the m07 per-doc audit
+    val totalLogical = rows.map(_.getLong(2)).sum
+    val m07Total = Multimodal.m07CdcChunks(spark, sf)
+      .agg(sum(col("n_bytes"))).head().getLong(0)
+    assert(totalLogical == m07Total,
+      s"store accounting lost bytes: $totalLogical vs $m07Total")
+  }
+
   test("d17: 2-bit agreement dominates full agreement; estimators track exact Jaccard") {
     val rows = Dedup.d17BbitMinhash(spark, sf).collect()
     assert(rows.nonEmpty)
