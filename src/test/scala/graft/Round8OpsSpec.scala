@@ -423,7 +423,7 @@ class Round8OpsSpec extends AnyFunSuite {
       val (n, sw) = (ws.length.toLong, ws.sum)
       val sw2 = ws.map(w => BigInt(w) * w).sum
       assert(r.getLong(1) == n && r.getLong(2) == sw)
-      assert(r.getDecimal(3).toBigInteger == sw2.bigInteger)
+      assert(BigInt(r.getString(3)) == sw2)
       val ess = sw.toDouble * sw.toDouble / sw2.toDouble
       // Cauchy-Schwarz: (Sum w)^2 <= n * Sum w^2, so ESS <= n
       assert(ess <= n + 1e-9 && r.getDouble(4) <= n + 1e-9)
@@ -1070,8 +1070,8 @@ class Round8OpsSpec extends AnyFunSuite {
         (BigInt(g.count(_._3 <= b)) * n - BigInt(banded.count(_._3 <= b)) * ng).abs
       }.sum
       val den = ng * n * (m - 1)
-      assert(BigInt(r.getDecimal(3).toBigInteger) == num, s"num mismatch at $r")
-      assert(BigInt(r.getDecimal(4).toBigInteger) == den, s"den mismatch at $r")
+      assert(BigInt(r.getString(3)) == num, s"num mismatch at $r")
+      assert(BigInt(r.getString(4)) == den, s"den mismatch at $r")
       assert(r.getBoolean(5) == (num * 5 > den))
       assert(num <= den, "ordered-EMD is normalized: num <= den")
     }
@@ -1086,7 +1086,7 @@ class Round8OpsSpec extends AnyFunSuite {
   test("g14: sketch summaries equal an exact driver-side ball simulation") {
     val out = operators.LinkRank.g14NeighborhoodFunction(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
-        (r.getLong(2), r.getDecimal(3).toBigInteger, r.getLong(4))).toMap
+        (r.getLong(2), BigInt(r.getString(3)).bigInteger, r.getLong(4))).toMap
     // exact replay: same graph, same md5 images, literal ball OR-propagation
     val ids = Tables.documents(spark, sf).select(col("doc_id"))
       .collect().map(_.getLong(0)).sorted
@@ -1248,7 +1248,7 @@ class Round8OpsSpec extends AnyFunSuite {
   test("w33: per-block R/S components equal a BigInt driver replay; R is translation-invariant") {
     val out = operators.Windows.w33RescaledRange(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
-        (r.getLong(3), BigInt(r.getDecimal(4).toBigInteger))).toMap
+        (r.getLong(3), BigInt(r.getString(4)))).toMap
     val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
         expr("CAST(round(value * 100) AS BIGINT)"))
@@ -1447,8 +1447,8 @@ class Round8OpsSpec extends AnyFunSuite {
     val lhs = d * d * (nA + nB)
     val x = BigInt(xA + xB)
     val rhs = BigInt(4) * x * (BigInt(nA + nB) - x) * nA * nB
-    assert(BigInt(r.getDecimal(4).toBigInteger) == lhs)
-    assert(BigInt(r.getDecimal(5).toBigInteger) == rhs)
+    assert(BigInt(r.getString(4)) == lhs)
+    assert(BigInt(r.getString(5)) == rhs)
     assert(r.getBoolean(6) == (lhs >= rhs))
     // branch coverage for the gate itself: a planted uplift must fire,
     // a null split must not (the arithmetic, not just this corpus)
