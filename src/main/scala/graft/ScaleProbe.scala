@@ -237,6 +237,7 @@ object ScaleProbe {
     // from "the demo IS the write". io12/io13 mint text/parquet layouts;
     // l08/l09/l10/l11/l12 run multi-version write+audit lifecycles.
     val stagingOps = Set("io12_agg_pushdown", "io13_file_sizing",
+      "io14_runtime_pruning",
       "l08_write_audit_publish", "l09_partition_evolution",
       "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
       "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",
