@@ -76,7 +76,8 @@ object ScaleProbe {
     "l13_manifest_pruning", "d17_bbit_minhash",
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
-    "m16_cdc_dedup_ratio")
+    "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
+    "d18_incremental_components")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -350,7 +350,131 @@ object Components {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** d18 — INCREMENTAL connected-component maintenance: merge a new
+    * batch (doc_id % 10 == 7, the d08 continuous-ingest convention)
+    * into an existing cluster assignment WITHOUT re-propagating over
+    * the old graph. The old assignment contracts to one node per old
+    * component; the batch's incident pairs (batch↔batch, batch↔old,
+    * old endpoints mapped through their old labels) form a CONTRACTED
+    * graph bounded by batch-incident structure, and min-label
+    * propagation runs only there — the l06 retractable-matview trick
+    * applied to graphs, and the only shape that survives continuous
+    * ingest at 100 TB (the old corpus is never re-walked; old
+    * component ids ARE their min doc ids, so contracted labels equal
+    * the from-scratch labels by construction — asserted in
+    * Round9OpsSpec against a full recompute).
+    *
+    * Contract: one row per final component TOUCHED by the batch —
+    * component id, new/old member counts, how many previously-separate
+    * old components the batch bridged (the metric that decides whether
+    * an ingest batch is "gluing" the corpus), and the final size.
+    * Isolated batch docs appear as their own singleton components.
+    */
+  def d18IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val isB = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 7
+    val pairs = Dedup.d03NgramJaccard(spark, dir).select(col("ida"), col("idb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oldPairs = pairs.filter(!isB(col("ida")) && !isB(col("idb")))
+    val newPairs = pairs.filter(isB(col("ida")) || isB(col("idb")))
+    // old state: labels over the old-only graph (the stored artifact's
+    // role); old docs without old pairs are their own singleton comp
+    val oldLab = connectedComponents(oldPairs)
+      .select(col("doc_id"), col("component_id"))
+    def contractEnd(e: String): DataFrame = newPairs
+      .join(oldLab.withColumnRenamed("doc_id", e), Seq(e), "left")
+      .withColumn(s"c_$e",
+        when(isB(col(e)), col(e)) // batch node: itself
+          .otherwise(coalesce(col("component_id"), col(e))))
+      .drop("component_id")
+    val contracted = contractEnd("idb")
+      .select(col("ida"), col("c_idb"))
+      .join(oldLab.withColumnRenamed("doc_id", "ida"), Seq("ida"), "left")
+      .withColumn("c_ida",
+        when(isB(col("ida")), col("ida"))
+          .otherwise(coalesce(col("component_id"), col("ida"))))
+      .select(col("c_ida"), col("c_idb"))
+      .filter(col("c_ida") =!= col("c_idb"))
+    val merged = connectedComponents(contracted)
+      .select(col("doc_id").as("cnode"), col("component_id").as("final_comp"))
+    // membership of touched components: old members come from their old
+    // comp's contracted node; batch members from their own node
+    val batchDocs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(isB(col("doc_id")))
+    val oldMembers = oldLab
+      .unionByName( // singleton old docs touched directly by a new pair
+        contracted.select(col("c_ida").as("component_id"))
+          .unionByName(contracted.select(col("c_idb").as("component_id")))
+          .filter(!isB(col("component_id"))).distinct()
+          .join(oldLab.select(col("component_id")).distinct(),
+            Seq("component_id"), "left_anti")
+          .select(col("component_id").as("doc_id"), col("component_id")))
+      .join(merged, col("component_id") === col("cnode"))
+      .select(col("doc_id"), col("final_comp"), col("component_id").as("old_comp"))
+    val batchMembers = batchDocs
+      .join(merged, col("doc_id") === col("cnode"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final_comp"), col("doc_id")).as("final_comp"))
+    val audit = batchMembers
+      .groupBy(col("final_comp"))
+      .agg(count(lit(1)).as("n_new"))
+      .join(oldMembers.groupBy(col("final_comp"))
+        .agg(count(lit(1)).as("n_old"),
+          countDistinct(col("old_comp")).as("old_comps_merged")),
+        Seq("final_comp"), "left")
+    val out = audit
+      .select(col("final_comp").as("component_id"), col("n_new"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("old_comps_merged"), lit(0L)).as("old_comps_merged"),
+        (col("n_new") + coalesce(col("n_old"), lit(0L))).as("size_final"))
+      .orderBy(col("component_id"))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  private val d18Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(2, len(ws))),
+      |         i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) g FROM w),
+      |p AS (
+      |  SELECT a.doc_id ida, b.doc_id idb
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+      |e AS (SELECT ida a, idb b FROM p UNION SELECT idb, ida FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a),
+      |full_lab AS (
+      |  SELECT d.doc_id, COALESCE(lab.component_id, d.doc_id) comp
+      |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      |eo AS (SELECT a, b FROM e WHERE a % 10 <> 7 AND b % 10 <> 7),
+      |reach_o(a, b) AS (
+      |  SELECT a, b FROM eo
+      |  UNION
+      |  SELECT r.a, eo.b FROM reach_o r JOIN eo ON r.b = eo.a),
+      |lab_o AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id FROM reach_o GROUP BY a),
+      |old_lab AS (
+      |  SELECT d.doc_id, COALESCE(lab_o.component_id, d.doc_id) old_comp
+      |  FROM documents d LEFT JOIN lab_o ON d.doc_id = lab_o.doc_id
+      |  WHERE d.doc_id % 10 <> 7),
+      |touched AS (
+      |  SELECT comp FROM full_lab WHERE doc_id % 10 = 7 GROUP BY 1)
+      |SELECT f.comp component_id,
+      |  CAST(SUM(CASE WHEN f.doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) n_new,
+      |  CAST(SUM(CASE WHEN f.doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) n_old,
+      |  CAST(COUNT(DISTINCT o.old_comp) AS BIGINT) old_comps_merged,
+      |  CAST(COUNT(*) AS BIGINT) size_final
+      |FROM full_lab f
+      |JOIN touched t ON f.comp = t.comp
+      |LEFT JOIN old_lab o ON f.doc_id = o.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d18_incremental_components",
+      "incremental CC maintenance: batch merges through a contracted old-component graph, bridged-component audit",
+      d18IncrementalComponents, Some(d18Sql)),
     QueryDef("d11_source_dedup_mix",
       "per-source dedup survival: docs/token mass kept after near-dedup",
       d11SourceDedupMix, Some(d11Sql)),

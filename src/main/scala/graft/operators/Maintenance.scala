@@ -2169,7 +2169,91 @@ object Maintenance {
       |FROM g, t ORDER BY b""".stripMargin
   }
 
+  /** a63 — survival lifetable (the Kaplan–Meier sufficient statistics):
+    * time-to-conversion with RIGHT CENSORING — the analysis none of the
+    * a-family owns (a60 compares endpoint proportions; w11 retention
+    * conditions on survival implicitly; neither handles users whose
+    * window simply hasn't elapsed, the bias censoring exists to fix).
+    * Cohort = signup users; event = first purchase on/after the signup
+    * day; users without one are censored at the corpus horizon. Per
+    * observed day t the lifetable emits the at-risk count n_t (everyone
+    * whose event/censor time ≥ t — the suffix sum over the bounded day
+    * table), events d_t, censored c_t, and the exact discrete hazard
+    * ⌊10⁶·d_t/n_t⌋. The KM curve is Π(1 − d/n) over these rows — a
+    * product the consumer forms (the w25 division rule: the contract
+    * carries the exact integer components, never the float fold).
+    *
+    * Scale shape: one signup aggregate, one purchase aggregate joined
+    * on user (both partial-aggregated), a 1-row horizon broadcast, and
+    * windows over the calendar-bounded lifetable — the fact table is
+    * scanned twice and never windowed.
+    */
+  def a63SurvivalLifetable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("s_day"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("day") >= col("s_day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("p_day"))
+    val horizon = ev.agg(max(col("day")).as("h_day"))
+    val obs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .withColumn("t_obs",
+        coalesce(col("p_day") - col("s_day"), col("h_day") - col("s_day")))
+      .withColumn("is_event", col("p_day").isNotNull)
+    val table = obs.groupBy(col("t_obs").as("t"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c_censored"))
+    val wSuffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table
+      .withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(wSuffix))
+      .withColumn("hazard_ppm",
+        expr("CAST((1000000 * d_events) div n_risk AS BIGINT)"))
+      .select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
+        col("hazard_ppm"))
+      .orderBy(col("t"))
+  }
+
+  private val a63Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 "day"
+      |  FROM events),
+      |su AS (SELECT user_id, CAST(MIN("day") AS BIGINT) s_day
+      |       FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT ev.user_id, CAST(MIN(ev."day") AS BIGINT) p_day
+      |       FROM ev JOIN su ON ev.user_id = su.user_id
+      |       WHERE ev.event_type = 'purchase' AND ev."day" >= su.s_day
+      |       GROUP BY 1),
+      |h AS (SELECT CAST(MAX("day") AS BIGINT) h_day FROM ev),
+      |obs AS (
+      |  SELECT su.user_id,
+      |    COALESCE(pu.p_day - su.s_day, h.h_day - su.s_day) t_obs,
+      |    pu.p_day IS NOT NULL is_event
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id, h),
+      |lt AS (
+      |  SELECT t_obs t,
+      |    CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) d_events,
+      |    CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) c_censored
+      |  FROM obs GROUP BY 1)
+      |SELECT t,
+      |  CAST(SUM(d_events + c_censored) OVER (ORDER BY t DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) n_risk,
+      |  d_events, c_censored,
+      |  CAST((1000000 * d_events) //
+      |    SUM(d_events + c_censored) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) hazard_ppm
+      |FROM lt ORDER BY t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a63_survival_lifetable",
+      "Kaplan-Meier lifetable: signup-to-conversion with right censoring at the horizon, exact at-risk/event/hazard components",
+      a63SurvivalLifetable, Some(a63Sql)),
     QueryDef("a62_poisson_bootstrap",
       "one-pass deterministic Poisson bootstrap: 16 resample means from per-row md5 Poisson(1) counts",
       a62PoissonBootstrap, Some(a62Sql)),

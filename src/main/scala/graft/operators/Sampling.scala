@@ -705,7 +705,132 @@ object Sampling {
       |FROM k WHERE copies > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** s18 — Neyman (variance-optimal) stratified allocation: how many of
+    * a 1000-row sample budget each stratum DESERVES — n_h ∝ N_h·σ_h, the
+    * allocation that minimizes the stratified mean's variance (Neyman
+    * 1934), versus the proportional allocation [[s05StratifiedSample]]
+    * implements. High-variance strata are oversampled; near-constant
+    * strata need almost nothing — the budget decision every
+    * stratified-sampling pipeline makes before s05 draws a single row.
+    *
+    * Exactness: N_h·σ_h = √(D_h) with D_h = n_h·Σx² − (Σx)² (the n²·
+    * variance integer, exact in DECIMAL(38,0), emitted as STRING since
+    * cents² crosses int64 — the a56 rule). The square root is an exact
+    * INTEGER floor-sqrt: IEEE double sqrt seed (correctly rounded in
+    * both engines), one integer Newton step r₁ = (r₀ + D div r₀) div 2
+    * (seed error ≤ ~2⁹ at D near 10³⁸ collapses below 1), then a ±1
+    * clamp — bit-identical across engines, valid to D < 8.5·10³⁷
+    * (r < int64). Seats are assigned by largest remainder (the s06
+    * apportionment convention): Σ alloc = 1000 exactly, ties broken by
+    * stratum key.
+    *
+    * Scale shape: ONE wide conditional aggregate per stratum (map-side
+    * partials), everything after runs on the |strata|-row frame.
+    */
+  def s18NeymanAllocation(spark: SparkSession, dir: String,
+                          budget: Long = 1000L): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val strata = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_cents"),
+        sum(col("x").cast(D) * col("x")).cast(D).as("sxx"))
+      .withColumn("d_h", (col("n_rows") * col("sxx") -
+        col("sum_cents").cast(D) * col("sum_cents")).cast(D))
+      // exact integer floor-sqrt: IEEE seed, one Newton step, ±1 clamp
+      .withColumn("r0", expr("CAST(sqrt(CAST(d_h AS DOUBLE)) AS BIGINT)"))
+      .withColumn("r1", expr(
+        "CASE WHEN r0 <= 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((r0 + CAST(d_h div r0 AS BIGINT)) div 2 AS BIGINT) END"))
+      .withColumn("sd_scaled", expr(
+        "CASE WHEN CAST(r1 + 1 AS DECIMAL(38,0)) * (r1 + 1) <= d_h THEN r1 + 1 " +
+          "WHEN CAST(r1 AS DECIMAL(38,0)) * r1 > d_h THEN r1 - 1 ELSE r1 END"))
+    def largestRemainder(df: DataFrame, weight: String, out: String): DataFrame = {
+      // budget·weight lifts to DECIMAL(38,0): sd_scaled can sit near
+      // int64, so the seat arithmetic must not wrap at the headroom edge
+      val withTotal = df
+        .crossJoin(broadcast(
+          df.agg(sum(col(weight).cast(D)).cast(D).as("w_total"))))
+        .withColumn("floor_seats", expr(
+          s"CAST((CAST($budget AS DECIMAL(38,0)) * $weight) div w_total AS BIGINT)"))
+        .withColumn("rem", expr(
+          s"CAST(CAST($budget AS DECIMAL(38,0)) * $weight AS DECIMAL(38,0)) % w_total"))
+      val leftOver = withTotal
+        .agg((lit(budget) - sum(col("floor_seats"))).as("left_over"))
+      val wRank = Window.orderBy(col("rem").desc, col("priority").asc)
+      withTotal.crossJoin(broadcast(leftOver))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn(out,
+          (col("floor_seats") + when(col("rk") <= col("left_over"), 1L)
+            .otherwise(0L)).cast("long"))
+        .drop("w_total", "floor_seats", "rem", "left_over", "rk")
+    }
+    val withNeyman = largestRemainder(strata, "sd_scaled", "alloc_neyman")
+    val withBoth = largestRemainder(withNeyman, "n_rows", "alloc_proportional")
+    withBoth.select(col("priority"), col("n_rows"), col("sum_cents"),
+        col("d_h").cast("string").as("d_h"), col("sd_scaled"),
+        col("alloc_neyman"), col("alloc_proportional"))
+      .orderBy(col("priority"))
+  }
+
+  private val s18Sql =
+    """WITH s AS (
+      |  SELECT o_orderpriority priority, CAST(COUNT(*) AS BIGINT) n_rows,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) sxx
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT priority, n_rows, sum_cents,
+      |    n_rows * sxx - CAST(sum_cents AS HUGEINT) * sum_cents d_h
+      |  FROM s),
+      |r AS (
+      |  SELECT *, CAST(sqrt(CAST(d_h AS DOUBLE)) AS BIGINT) r0 FROM d),
+      |r1 AS (
+      |  SELECT *, CASE WHEN r0 <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((r0 + CAST(d_h // r0 AS BIGINT)) // 2 AS BIGINT) END r1
+      |  FROM r),
+      |sd AS (
+      |  SELECT priority, n_rows, sum_cents, d_h,
+      |    CASE WHEN CAST(r1 + 1 AS HUGEINT) * (r1 + 1) <= d_h THEN r1 + 1
+      |         WHEN CAST(r1 AS HUGEINT) * r1 > d_h THEN r1 - 1 ELSE r1 END sd_scaled
+      |  FROM r1),
+      |ney AS (
+      |  SELECT priority, n_rows, sum_cents, d_h, sd_scaled,
+      |    CAST((CAST(1000 AS HUGEINT) * sd_scaled)
+      |      // (SELECT SUM(CAST(sd_scaled AS HUGEINT)) FROM sd) AS BIGINT) fl,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      (CAST(1000 AS HUGEINT) * sd_scaled)
+      |        % (SELECT SUM(CAST(sd_scaled AS HUGEINT)) FROM sd) DESC,
+      |      priority ASC) rk
+      |  FROM sd),
+      |ney2 AS (
+      |  SELECT *, CAST(fl + CASE WHEN rk <= 1000 - (SELECT SUM(fl) FROM ney)
+      |    THEN 1 ELSE 0 END AS BIGINT) alloc_neyman
+      |  FROM ney),
+      |pro AS (
+      |  SELECT priority,
+      |    CAST((CAST(1000 AS HUGEINT) * n_rows)
+      |      // (SELECT SUM(CAST(n_rows AS HUGEINT)) FROM sd) AS BIGINT) fl2,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      (CAST(1000 AS HUGEINT) * n_rows)
+      |        % (SELECT SUM(CAST(n_rows AS HUGEINT)) FROM sd) DESC,
+      |      priority ASC) rk2
+      |  FROM sd),
+      |pro2 AS (
+      |  SELECT priority, CAST(fl2 + CASE WHEN rk2 <= 1000 - (SELECT SUM(fl2) FROM pro)
+      |    THEN 1 ELSE 0 END AS BIGINT) alloc_proportional
+      |  FROM pro)
+      |SELECT ney2.priority, n_rows, sum_cents, CAST(d_h AS VARCHAR) d_h,
+      |  sd_scaled, alloc_neyman, alloc_proportional
+      |FROM ney2 JOIN pro2 ON ney2.priority = pro2.priority
+      |ORDER BY ney2.priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s18_neyman_allocation",
+      "Neyman variance-optimal stratified allocation: exact integer floor-sqrt of n^2-variance, largest-remainder seats vs proportional",
+      s18NeymanAllocation(_, _), Some(s18Sql)),
     QueryDef("s17_systematic_resample",
       "weight-proportional systematic resampling: exact n=100 copies via midpoint points on the cumulative axis",
       s17SystematicResample(_, _), Some(s17Sql)),

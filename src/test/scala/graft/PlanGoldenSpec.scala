@@ -91,7 +91,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "l13_manifest_pruning", "d17_bbit_minhash",
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
-    "m16_cdc_dedup_ratio")
+    "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
+    "d18_incremental_components")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

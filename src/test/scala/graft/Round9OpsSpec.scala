@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bucketing, Dedup, Formats, Joins, LinkRank, Maintenance, Multimodal, ScaleDiag, Similarity, TextOps}
+import graft.operators.{Bucketing, Components, Dedup, Formats, Joins, LinkRank, Maintenance, Multimodal, Sampling, ScaleDiag, Similarity, TextOps}
 
 /** Round-9 additions: a62 Poisson bootstrap, j23 AGMS join-size sketch,
   * m15 Merkle payload audit, l13 manifest zone-map pruning, d17 b-bit
@@ -217,6 +217,93 @@ class Round9OpsSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
       .orderBy(col("o_orderkey")).collect()
     assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
+  test("a63: lifetable ties out to a driver-side censoring replay") {
+    val rows = Maintenance.a63SurvivalLifetable(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent replay: per user, first purchase >= signup day, censor
+    // at the global horizon
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val horizon = ev.map(_._3).max
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val obs = su.toSeq.map { case (u, s) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s)
+        .map(_._3).sorted.headOption
+      (p.map(_ - s).getOrElse(horizon - s), p.isDefined)
+    }
+    val table = obs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toMap
+    assert(rows.length == table.size)
+    var atRisk = obs.size.toLong
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val t = r.getLong(0)
+      val (d, c) = table(t)
+      assert(r.getLong(1) == atRisk, s"n_risk at t=$t")
+      assert(r.getLong(2) == d && r.getLong(3) == c, s"d/c at t=$t")
+      assert(r.getLong(4) == 1000000L * d / atRisk, s"hazard at t=$t")
+      atRisk -= (d + c)
+    }
+    assert(atRisk == 0, "lifetable lost observations")
+  }
+
+  test("s18: floor-sqrt is exact; both allocations are valid apportionments") {
+    val rows = Sampling.s18NeymanAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = BigInt(r.getString(3))
+      val sd = BigInt(r.getLong(4))
+      assert(sd * sd <= d && (sd + 1) * (sd + 1) > d,
+        s"isqrt wrong for stratum ${r.getString(0)}: sd=$sd d=$d")
+    }
+    assert(rows.map(_.getLong(5)).sum == 1000L, "Neyman seats must sum to the budget")
+    assert(rows.map(_.getLong(6)).sum == 1000L, "proportional seats must sum to the budget")
+    // the two policies genuinely differ on this corpus (variance is not
+    // uniform across priorities)
+    assert(rows.exists(r => r.getLong(5) != r.getLong(6)),
+      "Neyman == proportional everywhere - variance weighting inert")
+  }
+
+  test("d18: incremental merge equals a from-scratch component audit") {
+    val got = Components.d18IncrementalComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // from-scratch: full-graph CC + old-only CC, replayed driver-side
+    val pairs = Dedup.d03NgramJaccard(spark, sf)
+      .select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    def cc(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      docs.map(d => d -> find(d)).toMap
+    }
+    val full = cc(pairs.toSeq)
+    val old = cc(pairs.filter { case (a, b) => a % 10 != 7 && b % 10 != 7 }.toSeq)
+    val touched = docs.filter(_ % 10 == 7).map(full).distinct
+    val want = touched.map { comp =>
+      val members = docs.filter(full(_) == comp)
+      val nNew = members.count(_ % 10 == 7).toLong
+      val olds = members.filter(_ % 10 != 7)
+      (comp, nNew, olds.length.toLong,
+        olds.map(old).distinct.length.toLong, members.length.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"incremental audit diverges from from-scratch: first diff ${
+        got.toSeq.zipAll(want.toSeq, null, null).find { case (a, b) => a != b }}")
   }
 
   test("m16: store accounting is conservative - class sums tie out to the chunk stream") {
