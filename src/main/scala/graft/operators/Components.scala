@@ -372,8 +372,14 @@ object Components {
     */
   def d18IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
     val isB = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 7
+    // localCheckpoint, not persist: the pair frame feeds old/new splits
+    // and the audit, and leaving the d03 subtree in the plan duplicates
+    // it per consumer — whichever copy AQE materializes first becomes a
+    // ReusedExchange pointer for the others, a thread race that flapped
+    // this op's plan golden (the w29/v23 class). Checkpointing pins one
+    // stable LogicalRDD scan for every consumer (the g04 convention).
     val pairs = Dedup.d03NgramJaccard(spark, dir).select(col("ida"), col("idb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val oldPairs = pairs.filter(!isB(col("ida")) && !isB(col("idb")))
     val newPairs = pairs.filter(isB(col("ida")) || isB(col("idb")))
     // old state: labels over the old-only graph (the stored artifact's
@@ -408,18 +414,18 @@ object Components {
           .join(oldLab.select(col("component_id")).distinct(),
             Seq("component_id"), "left_anti")
           .select(col("component_id").as("doc_id"), col("component_id")))
-      .join(merged, col("component_id") === col("cnode"))
+      .join(broadcast(merged), col("component_id") === col("cnode"))
       .select(col("doc_id"), col("final_comp"), col("component_id").as("old_comp"))
     val batchMembers = batchDocs
-      .join(merged, col("doc_id") === col("cnode"), "left")
+      .join(broadcast(merged), col("doc_id") === col("cnode"), "left")
       .select(col("doc_id"),
         coalesce(col("final_comp"), col("doc_id")).as("final_comp"))
     val audit = batchMembers
       .groupBy(col("final_comp"))
       .agg(count(lit(1)).as("n_new"))
-      .join(oldMembers.groupBy(col("final_comp"))
+      .join(broadcast(oldMembers.groupBy(col("final_comp"))
         .agg(count(lit(1)).as("n_old"),
-          countDistinct(col("old_comp")).as("old_comps_merged")),
+          countDistinct(col("old_comp")).as("old_comps_merged"))),
         Seq("final_comp"), "left")
     val out = audit
       .select(col("final_comp").as("component_id"), col("n_new"),
@@ -427,7 +433,6 @@ object Components {
         coalesce(col("old_comps_merged"), lit(0L)).as("old_comps_merged"),
         (col("n_new") + coalesce(col("n_old"), lit(0L))).as("size_final"))
       .orderBy(col("component_id"))
-    pairs.unpersist(blocking = false)
     out
   }
 
