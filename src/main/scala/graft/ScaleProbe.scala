@@ -77,7 +77,7 @@ object ScaleProbe {
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
-    "d18_incremental_components")
+    "d18_incremental_components", "io17_footer_stats")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -238,7 +238,7 @@ object ScaleProbe {
     // from "the demo IS the write". io12/io13 mint text/parquet layouts;
     // l08/l09/l10/l11/l12 run multi-version write+audit lifecycles.
     val stagingOps = Set("io12_agg_pushdown", "io13_file_sizing",
-      "io14_runtime_pruning",
+      "io14_runtime_pruning", "io17_footer_stats",
       "l08_write_audit_publish", "l09_partition_evolution",
       "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
       "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",

@@ -729,7 +729,88 @@ object Formats {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** io17 — METADATA-PLANE query answering from parquet footers: the
+    * table-stats questions (file count, row count, per-column min/max,
+    * clustering tightness) answered by reading ONLY footer metadata —
+    * zero data pages opened — via `ParquetFileReader` over the staged
+    * 8-bin cents-clustered layout (the l13 layout). This is the
+    * catalog-refresh path every lakehouse runs after a write: at 100 TB
+    * the footers are kilobytes per file while the data is terabytes,
+    * and the emitted `envelope_width_sum` (Σ per-file max−min) is the
+    * clustering-quality number a table service tracks to decide when to
+    * re-cluster ([[graft.operators.ScaleDiag.l03SkippingAudit]]
+    * SIMULATES envelopes from data reads; this op reads the real ones
+    * from metadata). The driver-side footer loop is bounded by the file
+    * count — the l11 listing convention, metadata-plane by definition.
+    *
+    * The oracle derives the identical numbers from the raw rows + the
+    * bin rule, so a footer-stats lie (or a stats-dropping writer) fails
+    * the hash.
+    */
+  def io17FooterStats(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = scratch("io17_footer_")
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val ext = cents.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    cents.crossJoin(broadcast(ext))
+      .withColumn("g", expr(
+        "CAST(least(CAST(7 AS BIGINT), ((cents - lo) * 8) div (hi - lo + 1)) AS INT)"))
+      .select(col("k"), col("cents"), col("g"))
+      .repartition(8, col("g"))
+      .write.mode("overwrite").partitionBy("g").parquet(s"$out/data")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$out/data")
+    val fs = root.getFileSystem(conf)
+    val leaves = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val perFile = leaves.map { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val centsStats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == "cents").map(_.getStatistics))
+        val mn = centsStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+        val mx = centsStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max
+        (rows, mn, mx)
+      } finally rd.close()
+    }
+    spark.range(1).select(
+      lit(perFile.length.toLong).as("n_files"),
+      lit(perFile.map(_._1).sum).as("total_rows"),
+      lit(perFile.map(_._2).min).as("min_cents"),
+      lit(perFile.map(_._3).max).as("max_cents"),
+      lit(perFile.map(f => f._3 - f._2).sum).as("envelope_width_sum"))
+  }
+
+  private val io17Sql =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders),
+      |e AS (SELECT CAST(MIN(cents) AS BIGINT) lo, CAST(MAX(cents) AS BIGINT) hi
+      |      FROM c),
+      |g AS (
+      |  SELECT cents,
+      |    least(7, ((cents - e.lo) * 8) // (e.hi - e.lo + 1)) g
+      |  FROM c, e),
+      |per AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(MIN(cents) AS BIGINT) mn, CAST(MAX(cents) AS BIGINT) mx
+      |  FROM g GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) n_files,
+      |  CAST(SUM(n) AS BIGINT) total_rows,
+      |  CAST(MIN(mn) AS BIGINT) min_cents, CAST(MAX(mx) AS BIGINT) max_cents,
+      |  CAST(SUM(mx - mn) AS BIGINT) envelope_width_sum
+      |FROM per""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("io17_footer_stats",
+      "metadata-plane table stats: parquet footers only (rows, min/max, clustering envelope width), zero data pages read",
+      io17FooterStats, Some(io17Sql)),
     QueryDef("io15_nested_pruning",
       "nested schema pruning: struct-typed staging, leaf-level ReadSchema + nested predicate pushdown, full-scan-equal answer",
       io15NestedPruning, Some(io15Sql)),

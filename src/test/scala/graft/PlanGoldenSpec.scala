@@ -92,7 +92,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
-    "d18_incremental_components")
+    "d18_incremental_components", "io17_footer_stats")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -306,6 +306,24 @@ class Round9OpsSpec extends AnyFunSuite {
         got.toSeq.zipAll(want.toSeq, null, null).find { case (a, b) => a != b }}")
   }
 
+  test("io17: footer-derived stats equal the data-derived truth") {
+    val r = Formats.io17FooterStats(spark, sf).head()
+    val cents = Tables.orders(spark, sf)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val extRow = cents.agg(min(col("cents")), max(col("cents")), count(lit(1))).head()
+    val (lo, hi, n) = (extRow.getLong(0), extRow.getLong(1), extRow.getLong(2))
+    assert(r.getLong(0) == 8L, s"expected the 8-bin layout, got ${r.getLong(0)} files")
+    assert(r.getLong(1) == n, "footer row counts lost rows")
+    assert(r.getLong(2) == lo && r.getLong(3) == hi, "footer min/max diverge from data")
+    // per-file envelopes from the bin rule, independently
+    val widths = cents
+      .withColumn("g", expr(
+        s"least(CAST(7 AS BIGINT), ((cents - $lo) * 8) div (${hi} - $lo + 1))"))
+      .groupBy(col("g")).agg((max(col("cents")) - min(col("cents"))).as("w"))
+      .agg(sum(col("w"))).head().getLong(0)
+    assert(r.getLong(4) == widths, "envelope widths diverge from data")
+  }
+
   test("m16: store accounting is conservative - class sums tie out to the chunk stream") {
     val rows = Multimodal.m16CdcDedupRatio(spark, sf).collect()
     assert(rows.nonEmpty)
