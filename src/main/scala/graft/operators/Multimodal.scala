@@ -976,8 +976,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_distinct_chunks"),
         sum(col("bytes") * col("occ")).as("logical_bytes"),
         sum(col("bytes")).as("stored_bytes"))
+      // numerator in DECIMAL(38,0) from the first multiply (the a62/s16
+      // rule): int64 wraps past ~9.2e12 logical bytes per sharing class,
+      // and the DuckDB oracle computes the same product in HUGEINT.
       .withColumn("savings_ppm", expr(
-        "CAST((1000000 * (logical_bytes - stored_bytes)) div logical_bytes AS BIGINT)"))
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (logical_bytes - stored_bytes)) " +
+          "div logical_bytes AS BIGINT)"))
       .select(col("occ").as("sharing_degree"), col("n_distinct_chunks"),
         col("logical_bytes"), col("stored_bytes"), col("savings_ppm"))
       .orderBy(col("sharing_degree"))

@@ -1245,8 +1245,14 @@ object EventStream {
     * AND its per-type summary to per-batch directories, then publishes
     * ONE manifest listing both tables' surviving files (tagged lines,
     * the l12 convention) via atomic rename. Replay-idempotent like
-    * [[st14Commit]]: a recovered batch rewrites the same directories
-    * and the same manifest version.
+    * [[st14Commit]] — and replay-SAFE for concurrent readers: a
+    * recovered batch writes to a FRESH attempt-numbered directory
+    * (`raw/b<bid>-a<n>`), so the files a previously-published
+    * `manifest-v<bid>` references are never deleted out from under a
+    * reader mid-recovery; the manifest rename atomically switches to
+    * the new attempt's paths, and the superseded attempt's files become
+    * unreferenced orphans reclaimed by the l05-style vacuum (exactly
+    * the fate of a crash's half-written data under st14).
     */
   private[graft] def st16Commit(table: String, batch: DataFrame, bid: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -1254,8 +1260,12 @@ object EventStream {
       new java.io.File(s"$table/$rel").listFiles
         .filter(_.getName.endsWith(".parquet")).map(f => s"$rel/${f.getName}")
         .sorted.toSeq
-    val rawRel = s"raw/b$bid"
-    val sumRel = s"sum/b$bid"
+    // first attempt lands at b<bid>-a0; a replay of the same batch id
+    // picks the next free slot rather than overwriting published files
+    val attempt = Iterator.from(0)
+      .find(n => !Files.exists(Paths.get(s"$table/raw/b$bid-a$n"))).get
+    val rawRel = s"raw/b$bid-a$attempt"
+    val sumRel = s"sum/b$bid-a$attempt"
     batch.write.mode("overwrite").parquet(s"$table/$rawRel")
     batch.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))

@@ -147,9 +147,8 @@ class PlanGoldenSpec extends AnyFunSuite {
 
   flagships.foreach { name =>
     test(s"$name plan shape matches golden") {
-      val d = Registry.all.find(_.name == name)
-        .getOrElse(fail(s"unknown query $name"))
-      val fp = fingerprint(d.fn(spark, sf))
+      val df = frames.getOrElse(name, fail(s"unknown query $name"))
+      val fp = fingerprint(df)
       val file = goldenDir.resolve(s"$name.txt")
       if (regen) {
         Files.createDirectories(goldenDir)

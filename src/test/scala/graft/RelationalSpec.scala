@@ -20,15 +20,27 @@ object SparkTestSession {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Every registered query's DataFrame, constructed ONCE per JVM and
+    * shared across suites. Several queries run heavy construction-time
+    * side effects (st16 executes a complete streaming pipeline, io16
+    * drops/recreates the shared metastore table, io17/l13/d18 stage data
+    * and run jobs), so any suite that needs "all registered frames" —
+    * RelationalSpec's registry-wide checks, PlanGoldenSpec — must reuse
+    * this cache rather than re-constructing per test (ADVICE r9). lazy
+    * val = thread-safe once-only even if suites ever run in parallel.
+    */
+  lazy val frames: Map[String, org.apache.spark.sql.DataFrame] =
+    Registry.all.map(d => d.name -> d.fn(spark, sf)).toMap
 }
 
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("every registered query returns rows at sf0.001") {
-    Registry.all.foreach { d =>
-      val n = d.fn(spark, sf).count()
-      assert(n > 0, s"${d.name} returned no rows")
+    frames.foreach { case (name, df) =>
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
     }
   }
 
@@ -51,7 +63,7 @@ class RelationalSpec extends AnyFunSuite {
       case _ => Nil
     }
     val offenders = Registry.all.flatMap { d =>
-      decimals(d.fn(spark, sf).schema, d.name)
+      decimals(frames(d.name).schema, d.name)
     }
     assert(offenders.isEmpty,
       s"decimal output columns leak the driver-hash divergence class: ${offenders.mkString(", ")}")

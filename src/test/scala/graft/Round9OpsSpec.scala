@@ -333,12 +333,9 @@ class Round9OpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (deg, n, logical, stored) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(logical == {
-        // logical = stored * degree only when every chunk in the class
-        // has one byte size — not guaranteed; the conservative identity
-        // is logical >= stored and logical <= stored * degree
-        logical
-      } && logical >= stored && logical <= stored * deg, s"class $deg inconsistent")
+      // every chunk in the degree-d class has occ == d, so the class
+      // identity is EXACT: logical = sum(bytes*occ) = d * sum(bytes)
+      assert(logical == stored * deg, s"class $deg: logical $logical != stored $stored * $deg")
       assert(n > 0)
     }
     // total logical bytes across classes == every chunk occurrence's bytes,
