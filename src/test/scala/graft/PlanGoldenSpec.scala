@@ -147,8 +147,15 @@ class PlanGoldenSpec extends AnyFunSuite {
 
   flagships.foreach { name =>
     test(s"$name plan shape matches golden") {
-      val df = frames.getOrElse(name, fail(s"unknown query $name"))
-      val fp = fingerprint(df)
+      // FRESH construction per test, never the shared memo: goldens are
+      // pinned against freshly-built plans. localCheckpoint()-based
+      // frames (d18, g04 convention) carry runtime size stats collected
+      // at construction time; built inside a bulk pass those stats
+      // differ and can flip join strategies (ADVICE r10: d18
+      // BroadcastHashJoin → SortMergeJoin under the r10 eager cache).
+      val d = Registry.all.find(_.name == name)
+        .getOrElse(fail(s"unknown query $name"))
+      val fp = fingerprint(d.fn(spark, sf))
       val file = goldenDir.resolve(s"$name.txt")
       if (regen) {
         Files.createDirectories(goldenDir)

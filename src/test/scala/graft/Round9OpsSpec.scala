@@ -324,7 +324,7 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == widths, "envelope widths diverge from data")
   }
 
-  test("m16: store accounting is conservative - class sums tie out to the chunk stream") {
+  test("m16: class identity is exact - logical == stored * degree and classes tie out to the chunk stream") {
     val rows = Multimodal.m16CdcDedupRatio(spark, sf).collect()
     assert(rows.nonEmpty)
     // the degree-1 class saves nothing by definition
