@@ -23,6 +23,7 @@ object Registry {
       operators.ScaleOps.defs ++
       operators.Maintenance.defs ++
       operators.ScaleDiag.defs ++
+      operators.CorpusBuild.defs ++
       streaming.EventStream.defs ++
       health.HealthQueries.defs
 

@@ -77,7 +77,9 @@ object ScaleProbe {
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
-    "d18_incremental_components", "io17_footer_stats")
+    "d18_incremental_components", "io17_footer_stats",
+    // r11 additions
+    "ep01_corpus_build", "d19_lsh_retune")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -206,7 +208,39 @@ object ScaleProbe {
       walk(df.queryExecution.executedPlan)
     }
 
-    def timeAt(name: String, dir: String): (Double, Long) = {
+    /** Listener-level shuffle-write bytes: sums EVERY completed stage
+      * while a query constructs and runs — including construction-time
+      * jobs (localCheckpoint materialization, prefix-sum offset
+      * collects, staged index builds) and RDD-level jobs that the
+      * executed-plan metric walk above cannot see. This closes the g04
+      * blind spot (its recursive-CTE work runs against a checkpointed
+      * RDD, so the final plan reported shuffle 0 for two rounds). The
+      * listener bus is async; [[settled]] polls until the stage counter
+      * stops moving before reading the total.
+      */
+    final class StageByteListener extends org.apache.spark.scheduler.SparkListener {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stages = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        stages.incrementAndGet()
+      }
+      def settled(): Long = {
+        var prev = -1L
+        var cur = stages.get()
+        var spins = 0
+        while (cur != prev && spins < 50) {
+          Thread.sleep(100); prev = cur; cur = stages.get(); spins += 1
+        }
+        bytes.get()
+      }
+    }
+
+    def timeAt(name: String, dir: String): (Double, Long, Long) = {
+      val lst = new StageByteListener
+      spark.sparkContext.addSparkListener(lst)
       val t = System.nanoTime()
       val df = try {
         val d = Registry.byName(name).fn(spark, dir)
@@ -214,10 +248,13 @@ object ScaleProbe {
         d
       } catch { case e: Throwable =>
         System.err.println(s"[probe] $name at $dir FAILED: ${e.getMessage}")
-        return (-1.0, -1L)
+        spark.sparkContext.removeSparkListener(lst)
+        return (-1.0, -1L, -1L)
       }
       val secs = (System.nanoTime() - t) / 1e9
-      (secs, try shuffleBytes(df) catch { case _: Throwable => -1L })
+      val jobBytes = try lst.settled() catch { case _: Throwable => -1L }
+      spark.sparkContext.removeSparkListener(lst)
+      (secs, try shuffleBytes(df) catch { case _: Throwable => -1L }, jobBytes)
     }
     // JIT/codegen warmup, untimed
     Seq("j01_broadcast_star", "w01_topn_per_group", "t01_token_stats")
@@ -244,15 +281,18 @@ object ScaleProbe {
       "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",
       "st16_atomic_dual_sink")
     val rows = probes.filter(keep).map { name =>
-      val (base, baseBytes) = timeAt(name, baseDir)
-      val (scaled, scaledBytes) = timeAt(name, outDir)
+      val (base, baseBytes, baseJob) = timeAt(name, baseDir)
+      val (scaled, scaledBytes, scaledJob) = timeAt(name, outDir)
       val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
       val bytesRatio =
         if (baseBytes > 0 && scaledBytes >= 0) scaledBytes.toDouble / baseBytes
         else -1.0
+      val jobRatio =
+        if (baseJob > 0 && scaledJob >= 0) scaledJob.toDouble / baseJob
+        else -1.0
       val tag = if (stagingOps(name)) ",\"tag\":\"staging\"" else ""
-      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f  shuffleMB ${baseBytes / 1e6}%8.1f -> ${scaledBytes / 1e6}%8.1f (x$bytesRatio%.1f)${if (stagingOps(name)) "  [staging]" else ""}")
-      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f,\"shuffle_mb_base\":${baseBytes / 1e6}%.1f,\"shuffle_mb_scaled\":${scaledBytes / 1e6}%.1f,\"shuffle_ratio\":$bytesRatio%.2f$tag}"""
+      System.err.println(f"[probe] $name%-28s base $base%6.1f s  ${factor}x $scaled%7.1f s  ratio ${ratio}%5.1f  shuffleMB ${baseBytes / 1e6}%8.1f -> ${scaledBytes / 1e6}%8.1f (x$bytesRatio%.1f)  jobMB ${baseJob / 1e6}%8.1f -> ${scaledJob / 1e6}%8.1f (x$jobRatio%.1f)${if (stagingOps(name)) "  [staging]" else ""}")
+      f"""\"$name\":{\"base_s\":$base%.2f,\"scaled_s\":$scaled%.2f,\"ratio\":$ratio%.2f,\"shuffle_mb_base\":${baseBytes / 1e6}%.1f,\"shuffle_mb_scaled\":${scaledBytes / 1e6}%.1f,\"shuffle_ratio\":$bytesRatio%.2f,\"job_mb_base\":${baseJob / 1e6}%.1f,\"job_mb_scaled\":${scaledJob / 1e6}%.1f,\"job_ratio\":$jobRatio%.2f$tag}"""
     }
     // Routed-fallback evidence: the registered v09/v12 pair bounds trip
     // near sf≈30 for this corpus, far past the probe scale — force the
@@ -274,7 +314,18 @@ object ScaleProbe {
       ("v12_binary_topk_routed",
         () => graft.operators.Similarity.v12BinaryTopK(spark, outDir, maxPairs = 1L)),
       ("v20_rrf_fusion_routed",
-        () => graft.operators.Similarity.v20RrfFusion(spark, outDir, maxPairs = 1L)))
+        () => graft.operators.Similarity.v20RrfFusion(spark, outDir, maxPairs = 1L)),
+      // the d19 chooser driving d01's re-banded candidate route at the
+      // scaled corpus: the evidence that a data-driven (r,b) keeps
+      // candidate volume ~linear where the fixed 12x5 layout measured
+      // 20.7x candidate growth at 10x (d17, r9 artifact)
+      ("d01_minhash_lsh_retuned",
+        () => {
+          val chosen = graft.operators.Dedup.d19LshRetune(spark, outDir)
+            .collect().find(_.getBoolean(5)).map(_.getInt(0)).getOrElse(5)
+          System.err.println(s"[probe] d19 chooser picked r=$chosen at ${factor}x")
+          graft.operators.Dedup.d01MinHashLsh(spark, outDir, rowsPerBand = chosen)
+        }))
     val routed = routedDefs.filter { case (n, _) => keep(n) }
       .map { case (n, f) => timeRouted(n, f()) }
     println(s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}},"routed":{${routed.mkString(",")}}}""")

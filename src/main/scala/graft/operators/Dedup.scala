@@ -59,7 +59,7 @@ object Dedup {
     * digits, collisions deduped after (outer list_distinct). Identical
     * to the d10/d12 oracle construction.
     */
-  private def oracleHashedSet(rawList: String): String =
+  private[operators] def oracleHashedSet(rawList: String): String =
     s"""list_distinct(list_transform(list_distinct($rawList),
        |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
        |          list_transform(range(1, 16),
@@ -177,16 +177,32 @@ object Dedup {
     * checks ALL pairs, so a band-layer miss would fail the contract
     * rather than hide (tuning rationale on [[lshVerifiedPairs]]).
     */
-  def d01MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def d01MinHashLsh(spark: SparkSession, dir: String,
+                    rowsPerBand: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = neutralLshIndex(spark, dir)
-    val bands = spark.read.parquet(s"$idx/bands")
     val sets = spark.read.parquet(s"$idx/sets")
-    val pairs = bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
-      .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
-            Seq("bucket", "bk"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb")).distinct()
+    // rowsPerBand == 5 is the stored layout; any other r routes candidate
+    // generation through [[sigBandsAt]] (the d19 chooser's re-tune path —
+    // re-banded from the stored signatures, no re-shingling). The verify
+    // layer below is IDENTICAL either way: values cannot change as long
+    // as the layout's measured recall at 0.8 holds, which is exactly the
+    // condition d19LshRetune checks before choosing an r.
+    val pairs = if (rowsPerBand == 5) {
+      val bands = spark.read.parquet(s"$idx/bands")
+      bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
+        .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
+              Seq("bucket", "bk"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb")).distinct()
+    } else {
+      val banded = sigBandsAt(spark, dir, rowsPerBand)
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      banded.select(col("doc_id").as("ida"), col("bk"))
+        .join(banded.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb")).distinct()
+    }
     pairs
       .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
       .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
@@ -758,6 +774,169 @@ object Dedup {
       sh.unpersist()
       idx
     })
+
+  /** Re-band the corpus at `rowsPerBand` from the STORED hash sets: the
+    * 60-wide signature is recomputed with one explode + one codegen'd
+    * 60-min aggregate (no re-shingling — [[neutralLshIndex]]'s sets/ are
+    * the signature source of truth), then folded into 60/rowsPerBand
+    * band keys in [[neutralBanded]]'s exact key format. This is the d19
+    * chooser's re-tune path and d01's `rowsPerBand != 5` route.
+    */
+  private[operators] def sigBandsAt(spark: SparkSession, dir: String,
+                                    rowsPerBand: Int): DataFrame = {
+    require(minhashK % rowsPerBand == 0, s"r=$rowsPerBand must divide $minhashK")
+    val idx = neutralLshIndex(spark, dir)
+    val sets = spark.read.parquet(s"$idx/sets")
+    val P = minhashP
+    val mins = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      min(pmod(lit(a) * pmod(col("h"), lit(P)) + lit(b), lit(P))).as(s"h$k")
+    }
+    val bandCols = (0 until minhashK / rowsPerBand).map { bi =>
+      concat_ws(",", lit(bi) +:
+        (0 until rowsPerBand).map(j => col(s"h${bi * rowsPerBand + j}")): _*)
+    }
+    sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array(bandCols: _*).as("bands"))
+  }
+
+  /** d19 — the data-driven LSH layout chooser (VERDICT r9 #4): for every
+    * (r, b = 60/r) banding of the SAME stored 60-hash MinHash family,
+    * measure on the d10 sample probe surface (docs ≡ 0 mod 10, < 500 —
+    * bounded at every corpus size) (a) how many of the sample's EXACT
+    * Jaccard ≥ 0.8 true pairs the layout's bands catch and (b) how many
+    * candidate pairs the layout generates. The chosen layout is the
+    * LARGEST fully-covering r — the most selective banding that still
+    * has full measured recall on the sampled truth, i.e. the cheapest
+    * candidate volume the corpus's actual similarity structure permits.
+    * On a tiny-vocab corpus whose random pairs sit at j≈0.18 (this one —
+    * where d17 measured 20.7× candidate growth at 10× under r=5), the
+    * chooser moves r UP as baseline similarity inflates candidates;
+    * every number is an integer, so the contract is hash-exact.
+    *
+    * Scale shape: signatures recomputed once from the stored index (one
+    * explode + one codegen'd 60-min aggregate, checkpointed for the six
+    * layout consumers); the exact truth layer is d10's one linear pass
+    * with a bounded-sample broadcast; each layout adds one bounded
+    * probe-side band join. Driver state: six layout rows.
+    */
+  def d19LshRetune(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = neutralLshIndex(spark, dir)
+    val sets = spark.read.parquet(s"$idx/sets")
+    val P = minhashP
+    val mins = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      min(pmod(lit(a) * pmod(col("h"), lit(P)) + lit(b), lit(P))).as(s"h$k")
+    }
+    val sig = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint(false)
+    def inSample(c: Column): Column = c % 10 === 0 && c < 500
+    // exact ground truth on the sample surface (the d10 scorer, truth
+    // side only): sample-corpus pairs once each by construction
+    val sampleSets = sets.filter(inSample(col("doc_id")))
+      .select(col("doc_id").as("sid"), col("hs").as("gs"))
+    val truePairs = sets
+      .join(broadcast(sampleSets),
+        col("doc_id") =!= col("sid") &&
+          (!inSample(col("doc_id")) || col("doc_id") > col("sid")))
+      .select(least(col("sid"), col("doc_id")).as("ida"),
+        greatest(col("sid"), col("doc_id")).as("idb"),
+        expr("sorted_intersect_count(hs, gs)").as("inter"),
+        (size(col("hs")) + size(col("gs"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("ida"), col("idb"))
+      .localCheckpoint(false)
+    val layouts = Seq(3, 4, 5, 6, 10, 12)
+    val perLayout = layouts.map { r =>
+      val bandCols = (0 until minhashK / r).map { bi =>
+        concat_ws(",", lit(bi) +:
+          (0 until r).map(j => col(s"h${bi * r + j}")): _*)
+      }
+      val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      val cands = banded.filter(inSample(col("doc_id")))
+        .select(col("doc_id").as("sid"), col("bk"))
+        .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
+        .select(least(col("sid"), col("doc_id")).as("ida"),
+          greatest(col("sid"), col("doc_id")).as("idb"))
+        .distinct()
+        .localCheckpoint(false) // two consumers: volume count + recall semi-join
+      val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+      val nCaught = truePairs.join(cands, Seq("ida", "idb"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+      nTrue.crossJoin(nCaught).crossJoin(nCand)
+        .select(lit(r).as("r"), lit(minhashK / r).as("b"),
+          col("n_true"), col("n_caught"), col("n_candidates"))
+    }.reduce(_ unionByName _)
+    val best = perLayout
+      .agg(max(when(col("n_caught") === col("n_true"), col("r"))).as("best_r"))
+    perLayout.crossJoin(broadcast(best))
+      .withColumn("chosen", col("r") === col("best_r"))
+      .select(col("r"), col("b"), col("n_true"), col("n_caught"),
+        col("n_candidates"), col("chosen"))
+      .orderBy(col("r"))
+  }
+
+  private val d19Sql = {
+    val P = minhashP
+    val coefRows = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      s"($k, CAST($a AS BIGINT), CAST($b AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(2, length(text) - 3)),
+       |           i -> substr(text, CAST(i AS INTEGER), 5)))) s
+       |  FROM documents),
+       |hx AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, 16),
+       |             i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+       |           (a, b) -> a * 16 + b) h
+       |  FROM sh),
+       |coef(k, a, b) AS (VALUES $coefRows),
+       |mins AS (
+       |  SELECT doc_id, k, MIN((a * (h % $P) + b) % $P) m
+       |  FROM hx, coef GROUP BY 1, 2),
+       |lay(r) AS (VALUES (3), (4), (5), (6), (10), (12)),
+       |bands AS (
+       |  SELECT lay.r, doc_id,
+       |    CAST(k // lay.r AS VARCHAR) || ',' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) bk
+       |  FROM mins, lay GROUP BY lay.r, doc_id, k // lay.r),
+       |cand AS (
+       |  SELECT DISTINCT x.r, least(x.doc_id, y.doc_id) ida, greatest(x.doc_id, y.doc_id) idb
+       |  FROM bands x JOIN bands y ON x.r = y.r AND x.bk = y.bk AND x.doc_id <> y.doc_id
+       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < 500),
+       |g AS (SELECT doc_id, ${oracleHashedSet(
+      """list_transform(range(1, greatest(2, length(text) - 3)),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))""".stripMargin)} g
+       |      FROM documents),
+       |tp AS (
+       |  SELECT DISTINCT least(s.doc_id, o.doc_id) ida, greatest(s.doc_id, o.doc_id) idb
+       |  FROM g s, g o
+       |  WHERE s.doc_id % 10 = 0 AND s.doc_id < 500 AND s.doc_id <> o.doc_id
+       |    AND len(list_intersect(s.g, o.g)) * 5 >=
+       |        (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) * 4),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true FROM tp),
+       |nc AS (SELECT r, CAST(COUNT(*) AS BIGINT) n_candidates FROM cand GROUP BY r),
+       |ng AS (SELECT c.r, CAST(COUNT(*) AS BIGINT) n_caught
+       |       FROM cand c JOIN tp ON c.ida = tp.ida AND c.idb = tp.idb GROUP BY c.r),
+       |j AS (
+       |  SELECT lay.r, CAST(60 // lay.r AS INTEGER) b, nt.n_true,
+       |    CAST(COALESCE(ng.n_caught, 0) AS BIGINT) n_caught,
+       |    CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) n_candidates
+       |  FROM lay CROSS JOIN nt
+       |  LEFT JOIN ng ON lay.r = ng.r
+       |  LEFT JOIN nc ON lay.r = nc.r),
+       |best AS (SELECT MAX(CASE WHEN n_caught = n_true THEN r END) best_r FROM j)
+       |SELECT j.r, j.b, j.n_true, j.n_caught, j.n_candidates,
+       |  j.r = best.best_r AS chosen
+       |FROM j, best ORDER BY j.r""".stripMargin
+  }
 
   def d10LshAudit(spark: SparkSession, dir: String, sampleEvery: Int = 10,
                   sampleBound: Int = 500): DataFrame = {
@@ -1587,7 +1766,11 @@ object Dedup {
     QueryDef("d12_lsh_index",
       "stored LSH band index + bucket-pruned probe == direct pairs",
       d12LshIndexProbe, Some(d12Sql)),
-    QueryDef("d01_minhash_lsh", "MinHash/LSH near-dup, exact-Jaccard verified", d01MinHashLsh, Some(d01Sql)),
+    QueryDef("d01_minhash_lsh", "MinHash/LSH near-dup, exact-Jaccard verified",
+      d01MinHashLsh(_, _), Some(d01Sql)),
+    QueryDef("d19_lsh_retune",
+      "data-driven LSH (r,b) chooser: per-layout measured recall + candidate volume on the sampled truth, largest fully-covering r chosen",
+      d19LshRetune, Some(d19Sql)),
     QueryDef("d10_lsh_audit", "measured LSH recall/false-positive audit vs exact Jaccard",
       d10LshAudit(_, _), Some(d10Sql)),
     QueryDef("d09_fuzzy_pairs", "exact lev<=1 pairing via deletion-key blocking (FastSS)",

@@ -964,6 +964,13 @@ object Multimodal {
     * pass; everything after is one groupBy(chunk_md5) (map-side
     * partials) and a bounded per-class rollup.
     */
+  /** The m16 savings expression over (logical_bytes, stored_bytes) —
+    * extracted so the overflow-regression spec drives the EXACT
+    * production expression past the int64 wrap region. */
+  private[graft] val m16SavingsPpm: String =
+    "CAST((CAST(1000000 AS DECIMAL(38,0)) * (logical_bytes - stored_bytes)) " +
+      "div logical_bytes AS BIGINT)"
+
   def m16CdcDedupRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val chunks = Tables.documents(spark, dir)
@@ -979,9 +986,7 @@ object Multimodal {
       // numerator in DECIMAL(38,0) from the first multiply (the a62/s16
       // rule): int64 wraps past ~9.2e12 logical bytes per sharing class,
       // and the DuckDB oracle computes the same product in HUGEINT.
-      .withColumn("savings_ppm", expr(
-        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (logical_bytes - stored_bytes)) " +
-          "div logical_bytes AS BIGINT)"))
+      .withColumn("savings_ppm", expr(m16SavingsPpm))
       .select(col("occ").as("sharing_degree"), col("n_distinct_chunks"),
         col("logical_bytes"), col("stored_bytes"), col("savings_ppm"))
       .orderBy(col("sharing_degree"))

@@ -2490,11 +2490,17 @@ object TextOps {
        |  '\\\\s+', ' '))""".stripMargin
   }
 
+  /** The synthetic HTML wrapper t42 and ep01 plant around every 5th
+    * document — script/style/comment/tag/entity material [[stripExpr]]
+    * must remove exactly. */
+  private[graft] val templateOpen: String = "<html><head><title></title>" +
+    "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+    "<style>p { color: red; }</style></head><body><div class=\"content\">&nbsp;"
+  private[graft] val templateClose: String = "&nbsp;</div><!-- footer --></body></html>"
+
   def t42BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
-    val template_open = "<html><head><title></title>" +
-      "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
-      "<style>p { color: red; }</style></head><body><div class=\"content\">&nbsp;"
-    val template_close = "&nbsp;</div><!-- footer --></body></html>"
+    val template_open = templateOpen
+    val template_close = templateClose
     val cleaned = stripExpr("raw")
     Tables.documents(spark, dir)
       .withColumn("is_wrapped", col("doc_id") % 5 === 0)

@@ -92,7 +92,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     "io15_nested_pruning", "io16_bucket_pruning", "g17_katz_centrality",
     "t45_textrank_keywords", "v33_nndescent", "st16_atomic_dual_sink",
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
-    "d18_incremental_components", "io17_footer_stats")
+    "d18_incremental_components", "io17_footer_stats",
+    // the composed capstone: its golden pins that the final plan reads
+    // each stage as ONE materialized RDD scan — zero parquet re-scans of
+    // the corpus across the ten accounting branches
+    "ep01_corpus_build", "d19_lsh_retune")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -324,6 +324,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == widths, "envelope widths diverge from data")
   }
 
+  test("m16: savings_ppm survives the int64 wrap region (DECIMAL(38,0) numerator)") {
+    // sf test data never enters the wrap region (~9.2e12 logical bytes
+    // per sharing class); drive the EXACT production expression with a
+    // synthetic class well past it. 1e6 * (2e13 - 1e12) = 1.9e19 > 2^63:
+    // an int64 numerator wraps (or throws under ANSI); the DECIMAL(38,0)
+    // lift must yield the exact quotient.
+    val df = spark.range(1).selectExpr(
+      "CAST(20000000000000 AS BIGINT) AS logical_bytes",
+      "CAST(1000000000000 AS BIGINT) AS stored_bytes")
+    val ppm = df.selectExpr(s"${Multimodal.m16SavingsPpm} AS p").head().getLong(0)
+    assert(ppm == 950000L, s"overflow-region savings_ppm wrong: $ppm")
+    // a second point at the extreme: a full-dedup class of 9e15 logical
+    // bytes (the 100 TB corpus scale) with 1 byte stored
+    val df2 = spark.range(1).selectExpr(
+      "CAST(9000000000000000 AS BIGINT) AS logical_bytes",
+      "CAST(1 AS BIGINT) AS stored_bytes")
+    val ppm2 = df2.selectExpr(s"${Multimodal.m16SavingsPpm} AS p").head().getLong(0)
+    assert(ppm2 == 999999L, s"extreme-region savings_ppm wrong: $ppm2")
+  }
+
   test("m16: class identity is exact - logical == stored * degree and classes tie out to the chunk stream") {
     val rows = Multimodal.m16CdcDedupRatio(spark, sf).collect()
     assert(rows.nonEmpty)

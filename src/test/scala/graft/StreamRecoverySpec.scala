@@ -239,6 +239,47 @@ class StreamRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("st16 replay safety: a replayed batch never deletes files a published manifest references") {
+    // The exact claim the attempt-numbered recovery path makes
+    // (EventStream.st16Commit): a replay of an already-committed batch id
+    // (driver died after publishing, checkpoint lost the offset commit)
+    // writes to a FRESH attempt directory and atomically re-points the
+    // manifest — it never unlinks the superseded attempt's files, so a
+    // reader that resolved the earlier manifest keeps reading valid data.
+    val table = Files.createTempDirectory("graft_dualreplay_tbl_").toString
+    val b0 = Tables.events(spark, sf)
+      .filter(col("event_id") < 50)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    EventStream.st16Commit(table, b0, 0L)
+    val before = EventStream.st14Manifest(table, 0L)
+    assert(before.nonEmpty && before.forall(_.contains("b0-a0/")),
+      s"first commit must land at attempt 0: $before")
+    // simulate the recovery replay of the SAME batch id
+    EventStream.st16Commit(table, b0, 0L)
+    val after = EventStream.st14Manifest(table, 0L)
+    // (1) every file the superseded manifest referenced still exists
+    before.foreach { l =>
+      val p = l.split("\\|")(1)
+      assert(Files.exists(Paths.get(s"$table/$p")),
+        s"replay deleted $p out from under a reader of the superseded manifest")
+    }
+    // (2) the published manifest resolves WHOLLY to the new attempt
+    assert(after.nonEmpty && after.forall(_.contains("b0-a1/")),
+      s"manifest after replay must reference only attempt 1: $after")
+    after.foreach { l =>
+      val p = l.split("\\|")(1)
+      assert(Files.exists(Paths.get(s"$table/$p")), s"missing $p")
+    }
+    // (3) both attempts carry identical data (replay idempotence)
+    def side(v: Seq[String], s: String): Seq[String] =
+      spark.read.parquet(v.filter(_.startsWith(s + "|"))
+          .map(l => s"$table/${l.split("\\|")(1)}"): _*)
+        .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(side(before, "raw") == side(after, "raw"),
+      "replayed raw data diverges from the superseded attempt")
+  }
+
   test("st16 dual sink: kill mid-stream; EVERY published snapshot is cross-table consistent") {
     val s = spark
     import s.implicits._
