@@ -315,6 +315,14 @@ object ScaleProbe {
         () => graft.operators.Similarity.v12BinaryTopK(spark, outDir, maxPairs = 1L)),
       ("v20_rrf_fusion_routed",
         () => graft.operators.Similarity.v20RrfFusion(spark, outDir, maxPairs = 1L)),
+      // the r9-flagged exact-family walls, forced onto their at-scale
+      // paths: v28's shortlist routed through the IVF assignment; v30
+      // explicitly evaluating the IVF retriever's NDCG (an eval metric
+      // never routes silently — the caller names the retriever)
+      ("v28_mmr_diversify_routed",
+        () => graft.operators.Similarity.v28MmrDiversify(spark, outDir, maxPairs = 1L)),
+      ("v30_ndcg_eval_routed",
+        () => graft.operators.Similarity.v30NdcgEval(spark, outDir, evalIvfFunnel = true)),
       // the d19 chooser driving d01's re-banded candidate route at the
       // scaled corpus: the evidence that a data-driven (r,b) keeps
       // candidate volume ~linear where the fixed 12x5 layout measured
