@@ -142,15 +142,25 @@ object CorpusBuild {
       .select(col("doc_id"), col("cleaned"), col("n_tok"))
       .localCheckpoint(false)
 
-    // ---- stage 5: near dedup from the stored LSH index ----
+    // ---- stage 5: near dedup from the stored LSH index, at the
+    // d19-CHOSEN band layout ----
+    // The chooser's decision (largest fully-covering r, measured on the
+    // sampled exact-Jaccard truth — cached per corpus per JVM) drives
+    // candidate generation: on this tiny-vocab corpus the fixed 12×5
+    // layout's candidates grow super-linearly (d17 measured 20.7× at
+    // 10×, and the first ep01 probe attributed ~150 MB of its 10× bytes
+    // to the band self-join), while the tuned layout keeps them ~linear
+    // with zero measured recall loss (Round11OpsSpec proves value
+    // equality with the stored layout).
     val idx = Dedup.neutralLshIndex(spark, dir)
-    val bands = spark.read.parquet(s"$idx/bands")
     val sets = spark.read.parquet(s"$idx/sets")
-    val survivorBands = bands.join(s4.select(col("doc_id")), "doc_id")
+    val chosenR = Dedup.chosenRowsPerBand(spark, dir)
+    val banded = Dedup.sigBandsAt(spark, dir, chosenR)
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+    val survivorBands = banded.join(s4.select(col("doc_id")), "doc_id")
     val pairs = survivorBands
-      .select(col("doc_id").as("ida"), col("bk"), col("bucket"))
-      .join(survivorBands.select(col("doc_id").as("idb"), col("bk"),
-        col("bucket")), Seq("bucket", "bk"))
+      .select(col("doc_id").as("ida"), col("bk"))
+      .join(survivorBands.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
     val drops = pairs

@@ -938,6 +938,23 @@ object Dedup {
        |FROM j, best ORDER BY j.r""".stripMargin
   }
 
+  /** The d19 chooser's decision, computed once per corpus per JVM (keyed
+    * on the corpus fingerprint like [[neutralLshIndex]]) — consumers
+    * (ep01's near-dedup stage, re-tuned d01 runs) read the tuned layout
+    * without re-measuring. This is the production cadence: the index
+    * pipeline re-tunes its band layout from measured coverage when the
+    * corpus changes; build jobs consume the stored decision.
+    */
+  private val chosenRCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def chosenRowsPerBand(spark: SparkSession, dir: String): Int =
+    chosenRCache.computeIfAbsent(Tables.artifactKey(dir, "documents"), _ => {
+      val r = d19LshRetune(spark, dir).collect()
+        .find(_.getBoolean(5)).map(_.getInt(0)).getOrElse(5)
+      System.err.println(s"[d19] chooser picked rowsPerBand=$r for $dir")
+      Integer.valueOf(r)
+    }).intValue
+
   def d10LshAudit(spark: SparkSession, dir: String, sampleEvery: Int = 10,
                   sampleBound: Int = 500): DataFrame = {
     val idx = neutralLshIndex(spark, dir)
