@@ -761,7 +761,7 @@ object Dedup {
     neutralIdxCache.computeIfAbsent(Tables.artifactKey(dir, "documents"), _ => {
       val idx = graft.util.Scratch.dir("graft_lsh_idx_")
       // the shingle explode + per-shingle md5 dominates the build; pay it
-      // ONCE — both aggregates below read the materialized rows
+      // ONCE — all three aggregates below read the materialized rows
       val sh = neutralShingleRows(Tables.documents(spark, dir)).localCheckpoint()
       // sorted ascending: set semantics make the order free to impose,
       // and the audit's native two-pointer intersect requires it
@@ -771,6 +771,17 @@ object Dedup {
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_no", "bk")))
         .withColumn("bucket", pmod(xxhash64(col("bk")), lit(64)))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$idx/bands")
+      // the full 60-wide signature, stored once: re-banding at ANY (r,b)
+      // — the d19 chooser, ep01's tuned near-dedup, re-tuned d01 runs —
+      // becomes a shuffle-free per-row concat over this table instead of
+      // an explode + 60-min aggregate per consumer
+      val sigMins = (0 until minhashK).map { k =>
+        val (a, b) = minhashCoeffs(k)
+        min(pmod(lit(a) * pmod(col("h"), lit(minhashP)) + lit(b),
+          lit(minhashP))).as(s"h$k")
+      }
+      sh.groupBy(col("doc_id")).agg(sigMins.head, sigMins.tail: _*)
+        .write.mode("overwrite").parquet(s"$idx/sig")
       sh.unpersist()
       idx
     })
@@ -786,18 +797,11 @@ object Dedup {
                                     rowsPerBand: Int): DataFrame = {
     require(minhashK % rowsPerBand == 0, s"r=$rowsPerBand must divide $minhashK")
     val idx = neutralLshIndex(spark, dir)
-    val sets = spark.read.parquet(s"$idx/sets")
-    val P = minhashP
-    val mins = (0 until minhashK).map { k =>
-      val (a, b) = minhashCoeffs(k)
-      min(pmod(lit(a) * pmod(col("h"), lit(P)) + lit(b), lit(P))).as(s"h$k")
-    }
     val bandCols = (0 until minhashK / rowsPerBand).map { bi =>
       concat_ws(",", lit(bi) +:
         (0 until rowsPerBand).map(j => col(s"h${bi * rowsPerBand + j}")): _*)
     }
-    sets.select(col("doc_id"), explode(col("hs")).as("h"))
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    spark.read.parquet(s"$idx/sig")
       .select(col("doc_id"), array(bandCols: _*).as("bands"))
   }
 
@@ -825,14 +829,9 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val idx = neutralLshIndex(spark, dir)
     val sets = spark.read.parquet(s"$idx/sets")
-    val P = minhashP
-    val mins = (0 until minhashK).map { k =>
-      val (a, b) = minhashCoeffs(k)
-      min(pmod(lit(a) * pmod(col("h"), lit(P)) + lit(b), lit(P))).as(s"h$k")
-    }
-    val sig = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .localCheckpoint(false)
+    // the stored 60-wide signature table — measurement is band
+    // arithmetic over it, never a signature recompute
+    val sig = spark.read.parquet(s"$idx/sig").localCheckpoint(false)
     def inSample(c: Column): Column = c % 10 === 0 && c < 500
     // exact ground truth on the sample surface (the d10 scorer, truth
     // side only): sample-corpus pairs once each by construction
