@@ -163,9 +163,17 @@ object CorpusBuild {
       .join(survivorBands.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
+    // verify only the PAIR PARTICIPANTS' shingle sets: the tuned layout
+    // bounds candidate volume, so the participant id-list broadcasts and
+    // the big sets table is filtered MAP-SIDE instead of shuffled — at
+    // 100x the unfiltered form shipped the full 1.3 GB sets table
+    // through the exchange; this form ships only |participants| rows
+    val members = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id"))).distinct()
+    val slim = sets.join(broadcast(members), "doc_id")
     val drops = pairs
-      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
-      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
       .withColumn("inter",
         expr("CAST(sorted_intersect_count(ha, hb) AS DOUBLE)"))
       .filter(col("inter") /
