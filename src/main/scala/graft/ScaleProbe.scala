@@ -79,7 +79,7 @@ object ScaleProbe {
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
     "d18_incremental_components", "io17_footer_stats",
     // r11 additions
-    "ep01_corpus_build", "d19_lsh_retune")
+    "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -707,7 +707,7 @@ object Dedup {
     * (xxhash64 exists only on the Spark side). Shingle generation is
     * the codegen'd explode(sequence)+substring shape from d01.
     */
-  private def neutralShingleRows(docs: DataFrame): DataFrame =
+  private[operators] def neutralShingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(expr("sequence(1, greatest(1, length(text) - 4))")).as("i"),
         col("text"))
@@ -810,18 +810,24 @@ object Dedup {
     * measure on the d10 sample probe surface (docs ≡ 0 mod 10, < 500 —
     * bounded at every corpus size) (a) how many of the sample's EXACT
     * Jaccard ≥ 0.8 true pairs the layout's bands catch and (b) how many
-    * candidate pairs the layout generates. The chosen layout is the
-    * LARGEST fully-covering r — the most selective banding that still
-    * has full measured recall on the sampled truth, i.e. the cheapest
-    * candidate volume the corpus's actual similarity structure permits.
-    * On a tiny-vocab corpus whose random pairs sit at j≈0.18 (this one —
-    * where d17 measured 20.7× candidate growth at 10× under r=5), the
-    * chooser moves r UP as baseline similarity inflates candidates;
-    * every number is an integer, so the contract is hash-exact.
+    * candidate pairs the layout generates. Eligibility is TWO-layered:
+    * full measured recall on the sampled truth AND an analytic miss
+    * bound ≤ 1e-3 at the OBSERVED true-pair similarity floor —
+    * (1 − floor^r)^b, the S-curve extrapolating to same-population
+    * pairs the sample didn't contain (sample coverage alone is
+    * statistically thin: 6 caught pairs cannot rule out a 7% per-pair
+    * miss rate). Chosen = the LARGEST eligible r — the most selective
+    * banding the corpus's actual similarity structure permits; with no
+    * observed dups the stored 12×5 default is kept. On a tiny-vocab
+    * corpus whose random pairs sit at j≈0.18 (this one — where d17
+    * measured 20.7× candidate growth at 10× under r=5) and whose
+    * near-dups floor at j≈0.93, the chooser lands on r=6 (~5× fewer
+    * candidates at full analytic safety). Counts are integers; the one
+    * float comparison (pow vs 1e-3) sits ≥ 1 order of magnitude from
+    * the boundary for every layout on this corpus on both engines.
     *
-    * Scale shape: signatures recomputed once from the stored index (one
-    * explode + one codegen'd 60-min aggregate, checkpointed for the six
-    * layout consumers); the exact truth layer is d10's one linear pass
+    * Scale shape: signatures read from the stored index (sig/ — built
+    * once per corpus); the exact truth layer is d10's one linear pass
     * with a bounded-sample broadcast; each layout adds one bounded
     * probe-side band join. Driver state: six layout rows.
     */
@@ -834,7 +840,10 @@ object Dedup {
     val sig = spark.read.parquet(s"$idx/sig").localCheckpoint(false)
     def inSample(c: Column): Column = c % 10 === 0 && c < 500
     // exact ground truth on the sample surface (the d10 scorer, truth
-    // side only): sample-corpus pairs once each by construction
+    // side only): sample-corpus pairs once each by construction. The
+    // exact Jaccard is kept per pair — the MINIMUM observed true-pair
+    // similarity (the corpus's near-dup FLOOR) feeds the analytic
+    // eligibility rule below.
     val sampleSets = sets.filter(inSample(col("doc_id")))
       .select(col("doc_id").as("sid"), col("hs").as("gs"))
     val truePairs = sets
@@ -847,8 +856,11 @@ object Dedup {
         (size(col("hs")) + size(col("gs"))).cast("long").as("szsum"))
       .withColumn("uni", col("szsum") - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 4)
-      .select(col("ida"), col("idb"))
+      .select(col("ida"), col("idb"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jac"))
       .localCheckpoint(false)
+    val truthStats = truePairs
+      .agg(count(lit(1)).as("n_true_s"), min(col("jac")).as("floor_jac"))
     val layouts = Seq(3, 4, 5, 6, 10, 12)
     val perLayout = layouts.map { r =>
       val bandCols = (0 until minhashK / r).map { bi =>
@@ -872,10 +884,31 @@ object Dedup {
         .select(lit(r).as("r"), lit(minhashK / r).as("b"),
           col("n_true"), col("n_caught"), col("n_candidates"))
     }.reduce(_ unionByName _)
-    val best = perLayout
-      .agg(max(when(col("n_caught") === col("n_true"), col("r"))).as("best_r"))
-    perLayout.crossJoin(broadcast(best))
-      .withColumn("chosen", col("r") === col("best_r"))
+    // Eligibility is TWO-layered (measured + analytic): a layout must
+    // (a) catch every sampled true pair, AND (b) have analytic miss
+    // probability ≤ 1e-3 for a pair sitting AT the observed similarity
+    // floor — (1 − floor^r)^b, the S-curve the sample cannot test
+    // because it only contains the pairs that exist. Sample coverage
+    // alone is statistically thin (6 pairs say nothing about a 7%
+    // per-pair miss rate); the floor extrapolates to the unseen pairs
+    // of the same population. With NO observed true pairs the floor is
+    // unknowable and the stored 12×5 default (r=5) is kept.
+    // floor_jac × 0.95: a finite-sample shrinkage margin — the sample's
+    // minimum overestimates the population floor (the sf0.01 sample
+    // floors at 0.963 while the full corpus has a 0.929 pair), and the
+    // 5% haircut prices exactly that spread before the S-curve is read
+    val eligible = (col("n_caught") === col("n_true")) &&
+      ((col("n_true") > 0 &&
+        expr("power(1.0 - power(floor_jac * 0.95, r), b) <= 0.001")) ||
+       (col("n_true") === 0 && col("r") === 5))
+    // 6-row frame, two consumers (best-r aggregate + final output):
+    // checkpoint so the layout subtrees aren't duplicated per consumer
+    val withStats = perLayout.crossJoin(broadcast(truthStats))
+      .localCheckpoint(false)
+    val best = withStats
+      .agg(max(when(eligible, col("r"))).as("best_r"))
+    withStats.crossJoin(broadcast(best))
+      .withColumn("chosen", col("r") === coalesce(col("best_r"), lit(5)))
       .select(col("r"), col("b"), col("n_true"), col("n_caught"),
         col("n_candidates"), col("chosen"))
       .orderBy(col("r"))
@@ -915,26 +948,57 @@ object Dedup {
         |           i -> substr(text, CAST(i AS INTEGER), 5))""".stripMargin)} g
        |      FROM documents),
        |tp AS (
-       |  SELECT DISTINCT least(s.doc_id, o.doc_id) ida, greatest(s.doc_id, o.doc_id) idb
+       |  SELECT DISTINCT least(s.doc_id, o.doc_id) ida, greatest(s.doc_id, o.doc_id) idb,
+       |    CAST(len(list_intersect(s.g, o.g)) AS DOUBLE)
+       |      / (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) jac
        |  FROM g s, g o
        |  WHERE s.doc_id % 10 = 0 AND s.doc_id < 500 AND s.doc_id <> o.doc_id
        |    AND len(list_intersect(s.g, o.g)) * 5 >=
        |        (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) * 4),
-       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true FROM tp),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true, MIN(jac) floor_jac FROM tp),
        |nc AS (SELECT r, CAST(COUNT(*) AS BIGINT) n_candidates FROM cand GROUP BY r),
        |ng AS (SELECT c.r, CAST(COUNT(*) AS BIGINT) n_caught
        |       FROM cand c JOIN tp ON c.ida = tp.ida AND c.idb = tp.idb GROUP BY c.r),
        |j AS (
-       |  SELECT lay.r, CAST(60 // lay.r AS INTEGER) b, nt.n_true,
+       |  SELECT lay.r, CAST(60 // lay.r AS INTEGER) b, nt.n_true, nt.floor_jac,
        |    CAST(COALESCE(ng.n_caught, 0) AS BIGINT) n_caught,
        |    CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) n_candidates
        |  FROM lay CROSS JOIN nt
        |  LEFT JOIN ng ON lay.r = ng.r
        |  LEFT JOIN nc ON lay.r = nc.r),
-       |best AS (SELECT MAX(CASE WHEN n_caught = n_true THEN r END) best_r FROM j)
+       |best AS (
+       |  SELECT MAX(CASE WHEN n_caught = n_true AND (
+       |           (n_true > 0 AND POWER(1.0 - POWER(floor_jac * 0.95, r), b) <= 0.001)
+       |           OR (n_true = 0 AND r = 5)) THEN r END) best_r
+       |  FROM j)
        |SELECT j.r, j.b, j.n_true, j.n_caught, j.n_candidates,
-       |  j.r = best.best_r AS chosen
+       |  j.r = COALESCE(best.best_r, 5) AS chosen
        |FROM j, best ORDER BY j.r""".stripMargin
+  }
+
+  /** In-plan signature + verify-set computation for docs NOT yet in the
+    * stored index — the arrival-batch side of incremental dedup (ep02):
+    * one shingle explode + one codegen'd aggregate produces, per doc,
+    * the band keys at `rowsPerBand` (exact [[sigBandsAt]] key format, so
+    * batch bands join stored-index bands directly) and the sorted hash
+    * set the exact-Jaccard layer verifies against stored `sets/`.
+    */
+  private[operators] def inPlanSigAndSets(docs: DataFrame,
+                                          rowsPerBand: Int): DataFrame = {
+    require(minhashK % rowsPerBand == 0, s"r=$rowsPerBand must divide $minhashK")
+    val P = minhashP
+    val mins = (0 until minhashK).map { k =>
+      val (a, b) = minhashCoeffs(k)
+      min(pmod(lit(a) * pmod(col("h"), lit(P)) + lit(b), lit(P))).as(s"h$k")
+    }
+    val aggs = mins :+ array_sort(collect_set(col("h"))).as("hs")
+    val bandCols = (0 until minhashK / rowsPerBand).map { bi =>
+      concat_ws(",", lit(bi) +:
+        (0 until rowsPerBand).map(j => col(s"h${bi * rowsPerBand + j}")): _*)
+    }
+    neutralShingleRows(docs)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array(bandCols: _*).as("bands"), col("hs"))
   }
 
   /** The d19 chooser's decision, computed once per corpus per JVM (keyed

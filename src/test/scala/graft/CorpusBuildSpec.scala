@@ -133,4 +133,105 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(s6.size > s7.size, "repetitive plant not removed")
     assert(s7.nonEmpty && packs.distinct.nonEmpty)
   }
+
+  private def shingleSet(text: String): Set[Long] = {
+    val n = math.max(1, text.length - 4)
+    (1 to n).map { i =>
+      java.lang.Long.parseLong(
+        md5Hex(text.substring(i - 1, math.min(i - 1 + 5, text.length))).take(15),
+        16)
+    }.toSet
+  }
+
+  test("ep02: every incremental funnel row matches a pure-JVM replay") {
+    val got = operators.CorpusBuild.ep02IncrementalBuild(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tOpen = operators.TextOps.templateOpen
+    val tClose = operators.TextOps.templateClose
+
+    // the existing corpus: cleaned, fingerprinted, token-massed
+    val existing = base
+      .filter(d => d._1 % 10 != 7 && d._1 % 50 != 0)
+      .map { case (id, t, l) => (id, t, clean(t), l) }
+    val cfp = existing.map(e => md5Hex(e._3.toLowerCase)).toSet
+    val off = existing
+      .filter(e => e._4 == "en" && toks(e._3).length >= 50)
+      .map(e => toks(e._3).length.toLong).sum
+
+    case class A(id: Long, lang: String, nTok0: Long, cleaned: String, nTok: Long)
+    val arr0 =
+      base.filter(_._1 % 10 == 7) ++
+        base.filter(_._1 % 100 == 1).map { case (id, t, l) => (id + 300001, t, l) } ++
+        base.filter(_._1 % 100 == 7).map { case (id, t, l) => (id + 500001, t, l) } ++
+        base.filter(_._1 % 100 == 2).map { case (id, t, _) => (id + 400001, t + " qzx", "en") } ++
+        base.filter(_._1 % 50 == 0).map { case (id, t, _) => (id + 200001, t, "en") }
+    val batch = arr0.map { case (id, t, l) =>
+      val raw = if (id % 3 == 0) tOpen + t + tClose else t
+      val c = clean(raw)
+      A(id, l, toks(raw).length.toLong, c, toks(c).length.toLong)
+    }
+    val s2 = batch.filter(_.lang == "en")
+    val s3 = s2.filter(_.nTok >= 50)
+    val s4 = s3.groupBy(d => md5Hex(d.cleaned.toLowerCase)).toSeq
+      .map { case (fp, ds) => fp -> ds.minBy(_.id) }
+    val s5 = s4.collect { case (fp, d) if !cfp(fp) => d }.sortBy(_.id)
+    // incremental near-dup: batch CLEANED text vs existing RAW text,
+    // exact all-pairs at >= 0.8 (the recall the index probe must equal)
+    val exSets = existing.map(e => e._1 -> shingleSet(e._2)).toMap
+    val s6 = s5.filter { d =>
+      val bs = shingleSet(d.cleaned)
+      !exSets.values.exists { cs =>
+        val inter = (bs & cs).size.toDouble
+        inter / (bs.size + cs.size - inter) >= 0.8
+      }
+    }
+    def grams(ws: Array[String]): Set[String] =
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    val evalGrams = base.filter(_._1 % 50 == 0)
+      .flatMap(d => grams(toks(d._2))).toSet
+    val s7 = s6.filter { d =>
+      val own = grams(toks(d.cleaned))
+      own.nonEmpty && (own & evalGrams).size * 2 < own.size
+    }
+    val s8 = s7.filter { d =>
+      val tf = toks(d.cleaned).groupBy(identity).map(_._2.length.toLong)
+      !(tf.sum < 10) && !(tf.max * 5 > tf.sum)
+    }
+    val ordered = s8.sortBy(_.id)
+    val cums = ordered.map(_.nTok).scanLeft(off)(_ + _).init
+    val packs = cums.map(_ / 512L)
+
+    def dt(ds: Seq[A]) = (ds.size.toLong, ds.map(_.nTok).sum)
+    val want = Map(
+      "0_arrivals" -> ((batch.size.toLong, batch.map(_.nTok0).sum)),
+      "1_clean" -> ((batch.size.toLong, batch.map(_.nTok).sum)),
+      "2_langid" -> dt(s2), "3_length" -> dt(s3),
+      "4_dedup_batch" -> dt(s4.map(_._2).toSeq),
+      "5_dedup_corpus" -> dt(s5), "6_neardup_corpus" -> dt(s6),
+      "7_decontam" -> dt(s7), "8_quality" -> dt(s8),
+      "9_appended" -> ((packs.distinct.size.toLong, s8.map(_.nTok).sum)))
+    assert(got.keySet == want.keySet, s"stage sets differ: ${got.keySet}")
+    want.foreach { case (stage, w) =>
+      assert(got(stage) == w, s"$stage: spark=${got(stage)} replay=$w")
+    }
+    // each batch-specific stage drops EXACTLY when its target class
+    // reached it (whether a plant survives the upstream gates is
+    // sf-dependent: at sf0.001 no %100==7 plant is en+long; at sf0.01 —
+    // the oracle-gate scale — every stage drops, funnel 23→22→19→15→12)
+    assert(s4.size >= s5.size && s5.size >= s6.size && s6.size >= s7.size)
+    // the near-dup plants (+400001, forced 'en') that reach s5 must ALL
+    // be dropped by the near-dup stage — none may survive into s6
+    val nearPlantsIn = s5.map(_.id).filter(id => id > 400000 && id < 500000)
+    val nearPlantsOut = s6.map(_.id).filter(id => id > 400000 && id < 500000)
+    assert(nearPlantsIn.nonEmpty && nearPlantsOut.isEmpty,
+      s"near-dup plants: reached=$nearPlantsIn survived=$nearPlantsOut")
+    // append continuity: the first new pack continues the store's
+    // numbering from its packable token mass
+    assert(s8.isEmpty || packs.min == off / 512L,
+      s"append must continue pack numbering: first=${packs.min} off=$off")
+  }
 }

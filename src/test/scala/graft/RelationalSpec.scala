@@ -39,10 +39,22 @@ object SparkTestSession {
     */
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  def frame(name: String): org.apache.spark.sql.DataFrame =
-    frameCache.getOrElseUpdate(name,
-      Registry.all.find(_.name == name)
-        .getOrElse(sys.error(s"unknown query $name")).fn(spark, sf))
+  /** Queries whose CONSTRUCTION clobbers a SHARED location (metastore
+    * tables dropped + physically purged, then recreated): a memoized
+    * frame from an earlier construction points at files a later fresh
+    * construction (e.g. PlanGoldenSpec's) has deleted — FILE_NOT_EXIST
+    * at read time. Always construct these fresh. Every other staging
+    * query mints a NEW scratch dir per construction, so its memoized
+    * frame stays valid.
+    */
+  private val constructionImpure =
+    Set("io16_bucket_pruning", "j14_bucketed_join")
+  def frame(name: String): org.apache.spark.sql.DataFrame = {
+    def build = Registry.all.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name")).fn(spark, sf)
+    if (constructionImpure(name)) build
+    else frameCache.getOrElseUpdate(name, build)
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {

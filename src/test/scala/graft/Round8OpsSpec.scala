@@ -1366,10 +1366,16 @@ class Round8OpsSpec extends AnyFunSuite {
   }
 
   test("v28: greedy MMR picks equal a driver replay; guard routes to v18") {
-    val e = intercept[IllegalArgumentException] {
-      Similarity.v28MmrDiversify(spark, sf, maxPairs = 10L)
+    // past the pair bound the shortlist ROUTES through the shared IVF
+    // assignment (r11: the hard refusal became the v20-style route) —
+    // same output contract: 3 ranked picks per query, schema unchanged
+    val routed = Similarity.v28MmrDiversify(spark, sf, maxPairs = 10L)
+      .collect().groupBy(_.getLong(0))
+    assert(routed.nonEmpty, "routed MMR returned no queries")
+    routed.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)),
+        "routed MMR must still emit ranks 1..3 per query")
     }
-    assert(e.getMessage.contains("v28") && e.getMessage.contains("v18"))
     val out = Similarity.v28MmrDiversify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(4)))
       .toMap
