@@ -1054,10 +1054,20 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
+    // EAGER localCheckpoint: `ranked` feeds BOTH homes and probes — the
+    // d18/w29 multi-consumer class. Left inline, the crossJoin+Window
+    // subtree duplicates per consumer and which copy's exchange AQE
+    // materializes vs reuses is a run-to-run race that flapped v22's
+    // plan golden (suite r11 run 2). Eager (the d18/g04 convention, not
+    // the lazy form): with a lazy checkpoint the two consumers
+    // materialize at different times and AQE's post-materialization
+    // stats still differ run-to-run — eager pins one materialized RDD
+    // with known stats before either consumer plans.
     val ranked = vecs.select(col("vec_id"), col("q"), col("nrm"))
       .crossJoin(broadcast(cen))
       .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
       .withColumn("crank", row_number().over(wAssign))
+      .localCheckpoint()
     val homes = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
     val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
