@@ -1063,10 +1063,19 @@ object Similarity {
     // materialize at different times and AQE's post-materialization
     // stats still differ run-to-run — eager pins one materialized RDD
     // with known stats before either consumer plans.
+    // CRITICAL: rank-filter + column-prune BEFORE the checkpoint. The
+    // checkpoint is a pushdown barrier — placed above the raw window it
+    // materialized ALL n×nlist ranked rows with the vector arrays
+    // (probe-measured 0.7 MB → 735 MB at 10×, because the inline form's
+    // crank filters reach WindowGroupLimit and only top rows ever
+    // shuffle). Filtering to crank ≤ nprobe first keeps the WGL
+    // pushdown AND bounds the checkpointed RDD to n×nprobe skinny rows.
     val ranked = vecs.select(col("vec_id"), col("q"), col("nrm"))
       .crossJoin(broadcast(cen))
       .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
       .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= math.max(nprobe, 1))
+      .select(col("vec_id"), col("centroid_id"), col("crank"))
       .localCheckpoint()
     val homes = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
