@@ -79,15 +79,37 @@ object ScaleProbe {
     "m16_cdc_dedup_ratio", "a63_survival_lifetable", "s18_neyman_allocation",
     "d18_incremental_components", "io17_footer_stats",
     // r11 additions
-    "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build")
+    "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
+    // r12 additions
+    "st17_incremental_stream")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
 
-  private def rotAlphabet(i: Int): String = {
-    val a = "etaoinshrd"
-    val k = i % a.length
-    a.substring(k) + a.substring(0, k)
+  /** Injective per-copy character substitution for the replicator:
+    * independent AFFINE maps on the lowercase, uppercase and digit
+    * rings (σ(p) = a·p + b mod |ring|, a coprime to the ring size) —
+    * 312 distinct letter maps and 40 digit maps, identity at i = 0.
+    * Cross-copy shingle sets must be DISJOINT (modulo punctuation-only
+    * shingles) or replication inflates every duplicate family instead
+    * of scaling the corpus. The r11 generator rotated only
+    * 'etaoinshrd': shingles made of digits or rare letters were SHARED
+    * across copies — at 10× that inflated band-collision candidates
+    * ~2× over linear, and at 100× (where the 10-rotation cycle also
+    * repeated EXACTLY, duplicating every doc's full text ten times) it
+    * produced the measured d01 "phase transition" — largely a
+    * replication artifact, not a property of the plan.
+    */
+  private def substFor(i: Int): (String, String) = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val up = lo.map(_.toUpper)
+    val dg = "0123456789"
+    def affine(ring: String, a: Int, b: Int): String =
+      ring.indices.map(p => ring((a * p + b) % ring.length)).mkString
+    val la = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)((i / 26) % 12)
+    val da = Seq(1, 3, 7, 9)((i / 10) % 4)
+    (lo + up + dg,
+      affine(lo, la, i % 26) + affine(up, la, i % 26) + affine(dg, da, i % 10))
   }
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
@@ -95,7 +117,7 @@ object ScaleProbe {
     // generator (e.g. pre-r8, when events was copied verbatim instead of
     // scaled) must NOT be silently reused — it would quietly measure the
     // new probes against stale data. Bump the suffix on any layout change.
-    val ready = java.nio.file.Paths.get(outDir, "_READY_v2")
+    val ready = java.nio.file.Paths.get(outDir, "_READY_v3")
     if (java.nio.file.Files.exists(ready)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
@@ -103,11 +125,17 @@ object ScaleProbe {
       df.agg(max(col(c))).head().getLong(0) + 1
 
     val docs = Tables.documents(spark, baseDir)
-    val nDoc = maxOf(docs, "doc_id")
+    // stride ≥ 1M: the d/ep plant conventions add fixed offsets up to
+    // +500001 to doc ids — with an nDoc-sized stride those planted ids
+    // ALIAS real ids of higher copies once k·nDoc passes the offsets
+    // (at 100× from sf0.1 they landed inside copies 20-100), quietly
+    // corrupting the scaled-corpus semantics the probe times
+    val nDoc = math.max(maxOf(docs, "doc_id"), 1000000L)
     (0 until k).map { i =>
+      val (src, dst) = substFor(i)
       docs.select(
         (col("doc_id") + lit(i * nDoc)).as("doc_id"),
-        expr(s"translate(text, 'etaoinshrd', '${rotAlphabet(i)}')").as("text"),
+        expr(s"translate(text, '$src', '$dst')").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -234,6 +262,13 @@ object ScaleProbe {
         while (cur != prev && spins < 50) {
           Thread.sleep(100); prev = cur; cur = stages.get(); spins += 1
         }
+        // a spin-cap exit means stages were STILL completing when we gave
+        // up — the total below may be partial; say so instead of silently
+        // recording a low number (ADVICE r11)
+        if (cur != prev)
+          System.err.println(s"[probe] WARNING settled() exited on the " +
+            s"spin cap with the stage counter still moving ($prev -> $cur)" +
+            " — job_mb may be partial")
         bytes.get()
       }
     }
@@ -261,6 +296,23 @@ object ScaleProbe {
       .foreach(n => Registry.byName.get(n).foreach(d =>
         try d.fn(spark, baseDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }))
+    // Warm the once-per-JVM shared artifact caches (stored LSH index,
+    // d19 chooser decision, IVF assignment memo) for BOTH dirs BEFORE
+    // any listener attaches: otherwise whichever probed query first
+    // touches a cache absorbs the build's stages into its job_mb and
+    // skews that row's base->scaled ratio (ADVICE r11). The builds are
+    // probe-visible on their own terms via d12/d19's rows.
+    Seq(baseDir, outDir).foreach { d =>
+      try {
+        graft.operators.Dedup.chosenRowsPerBand(spark, d) // builds the index too
+        // construction alone populates the memoized IVF assignment
+        // (its checkpoint is eager)
+        Registry.byName.get("v18_ivf_pq_rerank").foreach(q => q.fn(spark, d))
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] cache warm at $d failed: ${e.getMessage}")
+      }
+    }
 
     // optional scoped re-run (env GRAFT_PROBE_FILTER = regex): probe only
     // matching queries — used to extend an existing artifact with freshly
@@ -279,7 +331,7 @@ object ScaleProbe {
       "l08_write_audit_publish", "l09_partition_evolution",
       "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
       "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",
-      "st16_atomic_dual_sink")
+      "st16_atomic_dual_sink", "st17_incremental_stream")
     val rows = probes.filter(keep).map { name =>
       val (base, baseBytes, baseJob) = timeAt(name, baseDir)
       val (scaled, scaledBytes, scaledJob) = timeAt(name, outDir)

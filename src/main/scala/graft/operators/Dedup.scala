@@ -188,7 +188,7 @@ object Dedup {
     // layer below is IDENTICAL either way: values cannot change as long
     // as the layout's measured recall at 0.8 holds, which is exactly the
     // condition d19LshRetune checks before choosing an r.
-    val pairs = if (rowsPerBand == 5) {
+    val pairs = (if (rowsPerBand == 5) {
       val bands = spark.read.parquet(s"$idx/bands")
       bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
         .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
@@ -202,10 +202,22 @@ object Dedup {
         .join(banded.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
         .filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb")).distinct()
-    }
+    }).localCheckpoint(false) // three consumers: both participant
+                              // projections below + the verify join
+    // Verify only the PAIR PARTICIPANTS' stored sets (the ep01
+    // convention): the id list broadcasts and the corpus-scale sets
+    // table is filtered MAP-SIDE. The unfiltered form joined the FULL
+    // sets table twice — free while it broadcast at the small base,
+    // but past the threshold it became two corpus-wide SMJ shuffles
+    // carrying every shingle set (295 MB at 10×, the r11 probe's
+    // 1297× row); this form ships only |participants| rows.
+    val members = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id"))).distinct()
+    val slim = sets.join(broadcast(members), "doc_id")
+      .localCheckpoint(false) // two consumers: the ida and idb joins
     pairs
-      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
-      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
       .withColumn("inter", expr("CAST(sorted_intersect_count(ha, hb) AS DOUBLE)"))
       .withColumn("jac",
         col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")).cast("double"))
@@ -807,16 +819,21 @@ object Dedup {
 
   /** d19 — the data-driven LSH layout chooser (VERDICT r9 #4): for every
     * (r, b = 60/r) banding of the SAME stored 60-hash MinHash family,
-    * measure on the d10 sample probe surface (docs ≡ 0 mod 10, < 500 —
-    * bounded at every corpus size) (a) how many of the sample's EXACT
-    * Jaccard ≥ 0.8 true pairs the layout's bands catch and (b) how many
-    * candidate pairs the layout generates. Eligibility is TWO-layered:
-    * full measured recall on the sampled truth AND an analytic miss
-    * bound ≤ 1e-3 at the OBSERVED true-pair similarity floor —
+    * measure on the d10-style sample probe surface (docs ≡ 0 mod 10
+    * below ⌈10·√n⌉ — ~√n docs, GROWING with the corpus so the observed
+    * floor tightens at scale while the exact-truth pass stays
+    * sub-quadratic) (a) how many of the sample's EXACT Jaccard ≥ 0.8
+    * true pairs the layout's bands catch and (b) how many candidate
+    * pairs the layout generates. Eligibility is THREE-layered: full
+    * measured recall on the sampled truth, an analytic miss bound
+    * ≤ 1e-3 at the OBSERVED true-pair similarity floor —
     * (1 − floor^r)^b, the S-curve extrapolating to same-population
     * pairs the sample didn't contain (sample coverage alone is
     * statistically thin: 6 caught pairs cannot rule out a 7% per-pair
-    * miss rate). Chosen = the LARGEST eligible r — the most selective
+    * miss rate) — AND a fixed 5% miss budget AT the 0.8 contract
+    * threshold itself, (1 − 0.8^r)^b ≤ 0.05, so no choosable layout is
+    * blind to threshold-adjacent pairs a too-clean sample never
+    * exhibited. Chosen = the LARGEST eligible r — the most selective
     * banding the corpus's actual similarity structure permits; with no
     * observed dups the stored 12×5 default is kept. On a tiny-vocab
     * corpus whose random pairs sit at j≈0.18 (this one — where d17
@@ -838,14 +855,24 @@ object Dedup {
     // the stored 60-wide signature table — measurement is band
     // arithmetic over it, never a signature recompute
     val sig = spark.read.parquet(s"$idx/sig").localCheckpoint(false)
-    def inSample(c: Column): Column = c % 10 === 0 && c < 500
+    // The sample bound GROWS with the corpus (ADVICE r11): every 10th
+    // doc below ⌈10·√n⌉ — ~√n sampled docs, so the truth layer's
+    // broadcast and its O(n·√n) exact pass stay sub-quadratic while the
+    // sampled floor tightens as the corpus grows (a fixed 500-id
+    // surface says nothing about a 100 TB corpus's similarity floor).
+    // Computed in-plan (one count aggregate, broadcast as a scalar) so
+    // plan construction stays action-free.
+    val bound = sets.agg(greatest(lit(500L),
+      floor(sqrt(count(lit(1)).cast("double")) * 10).cast("long")).as("bnd"))
+    def inSample(c: Column): Column = c % 10 === 0 && c < col("bnd")
     // exact ground truth on the sample surface (the d10 scorer, truth
     // side only): sample-corpus pairs once each by construction. The
     // exact Jaccard is kept per pair — the MINIMUM observed true-pair
     // similarity (the corpus's near-dup FLOOR) feeds the analytic
     // eligibility rule below.
-    val sampleSets = sets.filter(inSample(col("doc_id")))
-      .select(col("doc_id").as("sid"), col("hs").as("gs"))
+    val sampleSets = sets.crossJoin(broadcast(bound))
+      .filter(inSample(col("doc_id")))
+      .select(col("doc_id").as("sid"), col("hs").as("gs"), col("bnd"))
     val truePairs = sets
       .join(broadcast(sampleSets),
         col("doc_id") =!= col("sid") &&
@@ -869,7 +896,8 @@ object Dedup {
       }
       val banded = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bk"))
-      val cands = banded.filter(inSample(col("doc_id")))
+      val cands = banded.crossJoin(broadcast(bound))
+        .filter(inSample(col("doc_id")))
         .select(col("doc_id").as("sid"), col("bk"))
         .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
         .select(least(col("sid"), col("doc_id")).as("ida"),
@@ -897,7 +925,19 @@ object Dedup {
     // minimum overestimates the population floor (the sf0.01 sample
     // floors at 0.963 while the full corpus has a 0.929 pair), and the
     // 5% haircut prices exactly that spread before the S-curve is read
+    // SECOND analytic operating point (ADVICE r11): the floor bound
+    // above prices the pair population the sample OBSERVED; a corpus
+    // can still hold threshold-adjacent pairs the sample never saw, so
+    // no choosable layout may be catastrophically blind AT the 0.8
+    // contract threshold itself — miss probability (1 − 0.8^r)^b must
+    // stay within an explicit 5% budget. That admits r=6 (4.8%) and
+    // excludes r ≥ 10 (≥ 50%); the stored r=5 sits at 0.85%. When the
+    // sample DOES contain a threshold-adjacent pair the floor bound is
+    // far stricter than this guard (floor·0.95 ≈ 0.76 disqualifies
+    // even r=5), so the budget only binds in the unseen-pair case it
+    // exists for.
     val eligible = (col("n_caught") === col("n_true")) &&
+      expr("power(1.0 - power(0.8, r), b) <= 0.05") &&
       ((col("n_true") > 0 &&
         expr("power(1.0 - power(floor_jac * 0.95, r), b) <= 0.001")) ||
        (col("n_true") === 0 && col("r") === 5))
@@ -914,13 +954,20 @@ object Dedup {
       .orderBy(col("r"))
   }
 
-  private val d19Sql = {
+  /** Shared oracle CTE block — engine-neutral shingle mins, per-layout
+    * bandings, the exact sampled truth, and the d19 chooser's
+    * three-layer eligibility, ending in best(best_r). d19Sql reports
+    * the per-layout table from it; d17Sql consumes the chosen layout
+    * for its candidate generation (the oracle must replay the SAME
+    * data-driven decision the engine's contract default makes).
+    */
+  private def chooserOracleCtes: String = {
     val P = minhashP
     val coefRows = (0 until minhashK).map { k =>
       val (a, b) = minhashCoeffs(k)
       s"($k, CAST($a AS BIGINT), CAST($b AS BIGINT))"
     }.mkString(", ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(2, length(text) - 3)),
        |           i -> substr(text, CAST(i AS INTEGER), 5)))) s
        |  FROM documents),
@@ -931,6 +978,9 @@ object Dedup {
        |           (a, b) -> a * 16 + b) h
        |  FROM sh),
        |coef(k, a, b) AS (VALUES $coefRows),
+       |bnd AS (
+       |  SELECT GREATEST(500, CAST(FLOOR(SQRT(COUNT(*)) * 10) AS BIGINT)) nb
+       |  FROM documents),
        |mins AS (
        |  SELECT doc_id, k, MIN((a * (h % $P) + b) % $P) m
        |  FROM hx, coef GROUP BY 1, 2),
@@ -942,7 +992,7 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.r, least(x.doc_id, y.doc_id) ida, greatest(x.doc_id, y.doc_id) idb
        |  FROM bands x JOIN bands y ON x.r = y.r AND x.bk = y.bk AND x.doc_id <> y.doc_id
-       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < 500),
+       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < (SELECT nb FROM bnd)),
        |g AS (SELECT doc_id, ${oracleHashedSet(
       """list_transform(range(1, greatest(2, length(text) - 3)),
         |           i -> substr(text, CAST(i AS INTEGER), 5))""".stripMargin)} g
@@ -952,7 +1002,7 @@ object Dedup {
        |    CAST(len(list_intersect(s.g, o.g)) AS DOUBLE)
        |      / (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) jac
        |  FROM g s, g o
-       |  WHERE s.doc_id % 10 = 0 AND s.doc_id < 500 AND s.doc_id <> o.doc_id
+       |  WHERE s.doc_id % 10 = 0 AND s.doc_id < (SELECT nb FROM bnd) AND s.doc_id <> o.doc_id
        |    AND len(list_intersect(s.g, o.g)) * 5 >=
        |        (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) * 4),
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true, MIN(jac) floor_jac FROM tp),
@@ -967,14 +1017,18 @@ object Dedup {
        |  LEFT JOIN ng ON lay.r = ng.r
        |  LEFT JOIN nc ON lay.r = nc.r),
        |best AS (
-       |  SELECT MAX(CASE WHEN n_caught = n_true AND (
+       |  SELECT MAX(CASE WHEN n_caught = n_true
+       |           AND POWER(1.0 - POWER(0.8, r), b) <= 0.05 AND (
        |           (n_true > 0 AND POWER(1.0 - POWER(floor_jac * 0.95, r), b) <= 0.001)
        |           OR (n_true = 0 AND r = 5)) THEN r END) best_r
-       |  FROM j)
+       |  FROM j)""".stripMargin
+  }
+
+  private val d19Sql =
+    s"""WITH $chooserOracleCtes
        |SELECT j.r, j.b, j.n_true, j.n_caught, j.n_candidates,
        |  j.r = COALESCE(best.best_r, 5) AS chosen
        |FROM j, best ORDER BY j.r""".stripMargin
-  }
 
   /** In-plan signature + verify-set computation for docs NOT yet in the
     * stored index — the arrival-batch side of incremental dedup (ep02):
@@ -1645,7 +1699,23 @@ object Dedup {
     * space ~19× at sf0.1 (667k candidates, 256 true pairs, 0 missed —
     * measured in DuckDB; exactness also pinned by DedupSpec).
     */
-  def d16PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Guarded (VERDICT r11 #4): the prefix join's candidate volume is
+    * Σ_h cnt(h)·(cnt(h)−1)/2 over per-token PREFIX membership counts —
+    * a quantity one LINEAR aggregation prices exactly, while the join
+    * it gates is potentially quadratic (the 100× rotated tiny-vocab
+    * corpus filled >200 GB of sort spill: cross-copy token collisions
+    * are the algorithm's documented adversarial case). Past
+    * `priceAboveRows` corpus rows (parquet footer metadata — the gate
+    * corpora never pay the pricing job, so their plans and hashes are
+    * untouched) the exact candidate count is computed FIRST and the
+    * join refused with the priced volume in the message when it
+    * exceeds `maxCandidates` — before any pair is materialized. On
+    * natural corpora rare-token prefixes keep the count near-linear
+    * and the join proceeds.
+    */
+  def d16PrefixFilterJoin(spark: SparkSession, dir: String,
+                          maxCandidates: Long = 1L << 26,
+                          priceAboveRows: Long = 200000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
     // the hashed set rows feed THREE consumers (token document
@@ -1664,6 +1734,18 @@ object Dedup {
     // prefix length p = sz − ⌈4·sz/5⌉ + 1, ceil via (4·sz+4) div 5
     val pref = sized.filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("h"), col("sz"), col("rn"))
+    if (Tables.footerRowCount(spark, dir, "documents") > priceAboveRows) {
+      val priced = pref.groupBy(col("h"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).as("cand"))
+        .head().getDouble(0)
+      require(priced <= maxCandidates.toDouble,
+        f"d16_prefix_filter_join refused: priced candidate volume $priced%.4g " +
+          f"pairs exceeds the $maxCandidates budget — the prefix-token " +
+          "frequency head is too dense for an exact all-pairs verify at " +
+          "this corpus; raise maxCandidates deliberately or near-dedup " +
+          "via the banded LSH route (d01) instead")
+    }
     val cands = pref.as("x").join(pref.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
           lit(5) * col("y.sz") >= lit(4) * col("x.sz") &&
@@ -1727,28 +1809,38 @@ object Dedup {
   def d17BbitMinhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = neutralLshIndex(spark, dir)
-    val bands = spark.read.parquet(s"$idx/bands")
     val sets = spark.read.parquet(s"$idx/sets")
-    val pairs = bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
-      .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
-            Seq("bucket", "bk"))
+    // candidates at the d19-CHOSEN band layout (VERDICT r11 #2 — the
+    // same routing as the d01 contract default; the oracle replays the
+    // chooser's decision from the shared CTE block)
+    val chosenR = chosenRowsPerBand(spark, dir)
+    val banded = sigBandsAt(spark, dir, chosenR)
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+    val pairs = banded.select(col("doc_id").as("ida"), col("bk"))
+      .join(banded.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
-    val mins = (0 until minhashK).map { k =>
-      val (a, b) = minhashCoeffs(k)
-      min(pmod(lit(a) * col("hx") + lit(b), lit(minhashP))).as(s"h$k")
-    }
-    val sig = neutralShingleRows(Tables.documents(spark, dir))
-      .withColumn("hx", pmod(col("h"), lit(minhashP)))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+      .localCheckpoint(false) // three consumers: both participant
+                              // projections below + the estimator joins
+    // participant-filtered stored artifacts (the d01/ep01 convention):
+    // signatures come from the stored sig/ table — the r11 form
+    // re-shingled the whole corpus and re-ran the 60-min aggregate per
+    // query (326× job bytes at 10×); sets and sigs are both filtered
+    // MAP-SIDE by the broadcast participant id list, so nothing
+    // corpus-scale ever shuffles
+    val members = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id"))).distinct()
+      .localCheckpoint(false) // four broadcast consumers
+    val sig = spark.read.parquet(s"$idx/sig")
+      .join(broadcast(members), "doc_id")
       .select(col("doc_id"),
         array((0 until minhashK).map(k => col(s"h$k")): _*).as("sig"))
+    val slim = sets.join(broadcast(members), "doc_id")
     pairs
       .join(sig.select(col("doc_id").as("ida"), col("sig").as("sa")), "ida")
       .join(sig.select(col("doc_id").as("idb"), col("sig").as("sb")), "idb")
-      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
-      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
       .withColumn("k_full", expr(
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .withColumn("k_2bit", expr(
@@ -1769,47 +1861,21 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
-  private val d17Sql = {
-    val coefRows = (0 until minhashK).map { k =>
-      val (a, b) = minhashCoeffs(k)
-      s"($k, CAST($a AS BIGINT), CAST($b AS BIGINT))"
-    }.mkString(", ")
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(2, length(text) - 3)),
-       |           i -> substr(text, CAST(i AS INTEGER), 5)))) s
-       |  FROM documents),
-       |hx AS (
-       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           list_transform(range(1, 16),
-       |             i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
-       |           (a, b) -> a * 16 + b) h
-       |  FROM sh),
-       |coef(k, a, b) AS (VALUES $coefRows),
-       |mins AS (
-       |  SELECT doc_id, k, MIN((a * (h % $minhashP) + b) % $minhashP) m
-       |  FROM hx, coef GROUP BY 1, 2),
-       |bands AS (
-       |  SELECT doc_id,
-       |    CAST(k // 5 AS VARCHAR) || ',' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) bk
-       |  FROM mins GROUP BY doc_id, k // 5),
-       |cand AS (
-       |  SELECT DISTINCT p.doc_id ida, c.doc_id idb
-       |  FROM bands p JOIN bands c ON p.bk = c.bk AND p.doc_id < c.doc_id),
+  private val d17Sql =
+    s"""WITH $chooserOracleCtes,
+       |chx AS (SELECT COALESCE(best_r, 5) br FROM best),
+       |cand17 AS (
+       |  SELECT DISTINCT x.doc_id ida, y.doc_id idb
+       |  FROM bands x JOIN bands y
+       |    ON x.r = y.r AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |  WHERE x.r = (SELECT br FROM chx)),
        |agree AS (
-       |  SELECT cand.ida, cand.idb,
+       |  SELECT cand17.ida, cand17.idb,
        |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) k_full,
        |    CAST(SUM(CASE WHEN ma.m % 4 = mb.m % 4 THEN 1 ELSE 0 END) AS BIGINT) k_2bit
-       |  FROM cand JOIN mins ma ON cand.ida = ma.doc_id
-       |            JOIN mins mb ON cand.idb = mb.doc_id AND ma.k = mb.k
+       |  FROM cand17 JOIN mins ma ON cand17.ida = ma.doc_id
+       |            JOIN mins mb ON cand17.idb = mb.doc_id AND ma.k = mb.k
        |  GROUP BY 1, 2),
-       |g AS (SELECT doc_id, list_distinct(list_transform(list_distinct(list_transform(
-       |        range(1, greatest(2, length(text) - 3)),
-       |        i -> substr(text, CAST(i AS INTEGER), 5))),
-       |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(range(1, 16),
-       |            i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
-       |          (a, b) -> a * 16 + b))) g
-       |      FROM documents),
        |ex AS (
        |  SELECT agree.ida, agree.idb, agree.k_full, agree.k_2bit,
        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) inter,
@@ -1822,7 +1888,6 @@ object Dedup {
        |    THEN CAST((1000000 * (4 * k_2bit - $minhashK)) // ${3 * minhashK} AS BIGINT)
        |    ELSE -CAST((1000000 * ($minhashK - 4 * k_2bit)) // ${3 * minhashK} AS BIGINT) END est_2bit_ppm
        |FROM ex ORDER BY ida, idb""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d17_bbit_minhash",
@@ -1830,7 +1895,7 @@ object Dedup {
       d17BbitMinhash, Some(d17Sql)),
     QueryDef("d16_prefix_filter_join",
       "EXACT Jaccard>=0.8 similarity self-join via prefix+length+positional filters (AllPairs/PPJoin), zero false negatives",
-      d16PrefixFilterJoin, Some(d16Sql)),
+      d16PrefixFilterJoin(_, _), Some(d16Sql)),
     QueryDef("st13_ingest_dedup",
       "dedup-on-ingest accounting: arrival-ordered near-dup rejection per wave",
       st13IngestDedup, Some(st13Sql)),
@@ -1846,8 +1911,15 @@ object Dedup {
     QueryDef("d12_lsh_index",
       "stored LSH band index + bucket-pruned probe == direct pairs",
       d12LshIndexProbe, Some(d12Sql)),
+    // the CONTRACT default runs at the d19-CHOSEN band layout (VERDICT
+    // r11 #2): candidate generation re-bands the stored signatures at
+    // the chooser's measured-safe (r, b); the verify layer and the
+    // exact all-pairs oracle are layout-independent, and
+    // Round11OpsSpec proves value equality with the stored r=5 layout.
+    // d10/d12 keep the pinned stored layout — they audit the index
+    // itself.
     QueryDef("d01_minhash_lsh", "MinHash/LSH near-dup, exact-Jaccard verified",
-      d01MinHashLsh(_, _), Some(d01Sql)),
+      (s, d) => d01MinHashLsh(s, d, chosenRowsPerBand(s, d)), Some(d01Sql)),
     QueryDef("d19_lsh_retune",
       "data-driven LSH (r,b) chooser: per-layout measured recall + candidate volume on the sampled truth, largest fully-covering r chosen",
       d19LshRetune, Some(d19Sql)),

@@ -947,7 +947,7 @@ object Similarity {
           col("qid") =!= col("cid"))
       else {
         val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
-        val (homes, probes) = ivfAssignment(vecs, nl, 2)
+        val (homes, probes) = ivfAssignment(spark, dir, nl, 2)
         probes.join(homes, "cell").filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid")).distinct()
           .join(qcodes, "qid")
@@ -1048,8 +1048,25 @@ object Similarity {
     * tie → lower centroid id. One broadcast of the nlist-row centroid
     * table — map-side at any corpus size.
     */
-  private def ivfAssignment(vecs: DataFrame, nlist: Int, nprobe: Int)
-      : (DataFrame, DataFrame) = {
+  private val ivfAssignCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
+  private def ivfAssignment(spark: SparkSession, dir: String,
+                            nlist: Int, nprobe: Int)
+      : (DataFrame, DataFrame) =
+    // Memoized per (session, corpus fingerprint, nlist, nprobe) — the
+    // neutralLshIndex convention (ADVICE r11): the eager checkpoint
+    // below runs the full assignment job at construction, so every
+    // fresh construction used to pin ANOTHER checkpointed RDD in
+    // executor storage (PlanGoldenSpec builds fresh per test; ScaleProbe
+    // times construction) and re-pay the job. One assignment per layout
+    // per corpus per JVM is the production contract — consumers share
+    // the stored artifact, exactly like the LSH index.
+    ivfAssignCache.computeIfAbsent(
+      (spark, Tables.artifactKey(dir, "embeddings"), nlist,
+        math.max(nprobe, 1)), _ => {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
     val cen = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("q").as("cenq"), col("nrm").as("cenn"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -1082,7 +1099,7 @@ object Similarity {
     val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
       .select(col("vec_id").as("qid"), col("centroid_id").as("cell"), col("crank"))
     (homes, probes)
-  }
+  })
 
   def v18IvfPqRerank(spark: SparkSession, dir: String, nlist: Int = 0,
                      nprobe: Int = 2, shortlist: Int = 16): DataFrame = {
@@ -1092,7 +1109,7 @@ object Similarity {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
-    val (homes, probes) = ivfAssignment(vecs, nl, nprobe)
+    val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe)
     // PQ encode + query LUTs — the v08 frame (8 subspaces x 8 dims, 16 codes)
     val sub = vecs
       .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
@@ -1705,7 +1722,7 @@ object Similarity {
         System.err.println(s"[v20] pair bound $maxPairs exceeded - dense arm " +
           "routes through the IVF probed-cell restriction (the v18 assignment)")
         val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
-        val (homes, probes) = ivfAssignment(vecs, nl, nprobe = 2)
+        val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe = 2)
         homes.join(probes, "cell")
           .filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"))
@@ -1906,7 +1923,7 @@ object Similarity {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
-    val (homes, probes) = ivfAssignment(vecs, nl, nprobe)
+    val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe)
     val queries = vecs.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
               col("q").as("qq"), col("nrm").as("qn"))
@@ -1986,7 +2003,7 @@ object Similarity {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
-    val (homes, probes) = ivfAssignment(vecs, nl, 8)
+    val (homes, probes) = ivfAssignment(spark, dir, nl, 8)
     val queries = vecs.filter(col("vec_id") % 25 === 0)
     val wCos = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     val exact3 = queries
@@ -2507,7 +2524,7 @@ object Similarity {
         System.err.println(s"[v28] pair bound $maxPairs exceeded - shortlist " +
           "routes through the IVF probed-cell restriction (the v18 assignment)")
         val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
-        val (homes, probes) = ivfAssignment(vecs, nl, nprobe = 2)
+        val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe = 2)
         homes.join(probes, "cell")
           .filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"))
@@ -2765,8 +2782,7 @@ object Similarity {
       if (!evalIvfFunnel) queries.join(corpus, col("qid") =!= col("cid"))
       else {
         val nl = defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
-        val (homes, probes) = ivfAssignment(
-          vecs.select(col("vec_id"), col("q"), col("nrm")), nl, nprobe = 2)
+        val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe = 2)
         homes.join(probes, "cell")
           .filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"))

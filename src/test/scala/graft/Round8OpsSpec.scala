@@ -1372,10 +1372,19 @@ class Round8OpsSpec extends AnyFunSuite {
     val routed = Similarity.v28MmrDiversify(spark, sf, maxPairs = 10L)
       .collect().groupBy(_.getLong(0))
     assert(routed.nonEmpty, "routed MMR returned no queries")
+    // ranks must form a contiguous 1..k prefix with k ≤ 3 (ADVICE r11):
+    // with nprobe=2 probed-cell candidate sets a query can legitimately
+    // have fewer than 3 unique candidates at other data scales —
+    // requiring exactly three picks was asserting a property of this
+    // corpus, not of the operator. At least one query must still fill
+    // all 3 picks or the shortlist generator itself is broken.
     routed.values.foreach { rows =>
-      assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)),
-        "routed MMR must still emit ranks 1..3 per query")
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 3,
+        s"routed MMR ranks must be a contiguous 1..k prefix, k<=3: ${ranks.toSeq}")
     }
+    assert(routed.values.exists(_.length == 3),
+      "no routed query filled all 3 picks — candidate pool unexpectedly thin")
     val out = Similarity.v28MmrDiversify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(4)))
       .toMap

@@ -25,9 +25,18 @@ def main() -> None:
         }
         for n in names
     }
+    # totals are sums over EXACTLY the queries in this artifact — state
+    # the count so the headline is checkable from the artifact alone
+    # (VERDICT r11 #3: an r11 artifact carried subset totals while the
+    # notes quoted full-run totals; the protocol string now binds them)
     out = {
-        "protocol": "two back-to-back sf0.1 runs, separate JVMs; per-query min",
+        "protocol": "two back-to-back sf0.1 runs, separate JVMs; "
+        f"per-query min; totals are sums over the {len(names)} queries "
+        "in this artifact's `queries` map",
         "sf": r1.get("sf"),
+        "n_queries": len(names),
+        "n_queries_run1": sum(1 for v in q1.values() if v > 0),
+        "n_queries_run2": sum(1 for v in q2.values() if v > 0),
         "total_run1": round(sum(v for v in q1.values() if v > 0), 2),
         "total_run2": round(sum(v for v in q2.values() if v > 0), 2),
         "total_min": round(sum(v["min_s"] for v in merged.values() if v["min_s"] > 0), 2),
