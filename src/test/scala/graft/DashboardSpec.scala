@@ -48,6 +48,23 @@ class DashboardSpec extends AnyFunSuite {
     } finally s.stop(0)
   }
 
+  test("dashboard renders the flagship ep01 corpus-build funnel panel (VERDICT r11 #6)") {
+    val s = new graft.dashboard.DashboardServer(spark, corpusDir = Some(sf)).start(0)
+    try {
+      val port = s.getAddress.getPort
+      // the home page links to the panel only when a corpus is wired
+      assert(get(port, "/").contains("/corpus"))
+      val panel = get(port, "/corpus")
+      assert(panel.contains("Stage Funnel"))
+      // all ten ep01 stages rendered, as table rows AND as a real bar chart
+      Seq("0_ingest", "1_clean", "2_langid", "3_length", "4_exact_dedup",
+        "5_near_dedup", "6_decontam", "7_quality", "8_packed", "9_sharded")
+        .foreach(st => assert(panel.contains(st), s"missing stage $st"))
+      assert(panel.contains("<svg") && panel.contains("<rect"))
+      assert(!panel.contains("error:"), panel.take(400))
+    } finally s.stop(0)
+  }
+
   test("dashboard what-if prediction returns the model's number") {
     val s = server.start(0)
     try {

@@ -96,7 +96,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     // the composed capstone: its golden pins that the final plan reads
     // each stage as ONE materialized RDD scan — zero parquet re-scans of
     // the corpus across the ten accounting branches
-    "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build")
+    "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
+    "st17_incremental_stream")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

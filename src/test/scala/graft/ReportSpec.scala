@@ -102,6 +102,25 @@ class ReportSpec extends AnyFunSuite {
     assert(new String(pdf, StandardCharsets.ISO_8859_1).contains("no data"))
   }
 
+  test("weekly report renders the flagship ep01 corpus-build funnel section + chart (VERDICT r11 #6)") {
+    val (sec, charts) = WeeklyReport.corpusSections(spark, sf)
+    assert(sec.size == 1 && sec.head._1.contains("Corpus build funnel"))
+    // the section body is the 10-row funnel, stage per line
+    val body = sec.head._2
+    Seq("0_ingest", "4_exact_dedup", "5_near_dedup", "9_sharded")
+      .foreach(st => assert(body.contains(st), s"missing stage $st in\n$body"))
+    assert(body.linesIterator.size == 11) // header + 10 stages
+    // and it renders into a valid PDF with the bar chart page
+    val out = "target/corpus_funnel_spec.pdf"
+    new PdfReportSink(out).write("CORPUS BUILD", sec,
+      charts)
+    val bytes = Files.readAllBytes(Paths.get(out))
+    val str = new String(bytes, StandardCharsets.ISO_8859_1)
+    val count = "/Count (\\d+)".r.findFirstMatchIn(str).get.group(1).toInt
+    validatePdf(bytes, count)
+    assert(str.contains(PdfEscape("Corpus build: surviving documents per stage")))
+  }
+
   test("S8+S9 end-to-end: the real weekly report renders as valid PDF and XLSX") {
     // one pipeline+model run feeds BOTH sinks (sections are sink-agnostic)
     val cleaned = graft.health.HealthEtl.clean(spark).cache()
