@@ -821,8 +821,11 @@ object Dedup {
     * (r, b = 60/r) banding of the SAME stored 60-hash MinHash family,
     * measure on the d10-style sample probe surface (docs ≡ 0 mod 10
     * below ⌈10·√n⌉ — ~√n docs, GROWING with the corpus so the observed
-    * floor tightens at scale while the exact-truth pass stays
-    * sub-quadratic) (a) how many of the sample's EXACT Jaccard ≥ 0.8
+    * floor tightens at scale; the exact-truth verify runs over the
+    * UNION of the layouts' candidate pairs, which r=3/b=20 makes
+    * analytically complete to ≲1e-6 at the threshold, so the chooser's
+    * cost is candidate-scale, never corpus × sample)
+    * (a) how many of the sample's EXACT Jaccard ≥ 0.8
     * true pairs the layout's bands catch and (b) how many candidate
     * pairs the layout generates. Eligibility is THREE-layered: full
     * measured recall on the sampled truth, an analytic miss bound
@@ -865,48 +868,100 @@ object Dedup {
     val bound = sets.agg(greatest(lit(500L),
       floor(sqrt(count(lit(1)).cast("double")) * 10).cast("long")).as("bnd"))
     def inSample(c: Column): Column = c % 10 === 0 && c < col("bnd")
-    // exact ground truth on the sample surface (the d10 scorer, truth
-    // side only): sample-corpus pairs once each by construction. The
-    // exact Jaccard is kept per pair — the MINIMUM observed true-pair
+    // CANDIDATE-VOLUME surface: the FIXED 500-id probe surface (the r11
+    // bound). Volume is a RELATIVE per-layout signal — which layouts
+    // flood — and must stay cheap at every corpus size: the flood
+    // layouts' volume is by definition the biggest thing the chooser
+    // touches, so it is measured on an absolute-bounded sample while
+    // the SAFETY decision (recall + floor, below) rides the √n-growing
+    // sample.
+    def inVolSample(c: Column): Column = c % 10 === 0 && c < 500
+    val layouts = Seq(3, 4, 5, 6, 10, 12)
+    def bandColsAt(r: Int) = (0 until minhashK / r).map { bi =>
+      concat_ws(",", lit(bi) +:
+        (0 until r).map(j => col(s"h${bi * r + j}")): _*)
+    }
+    val candsByR: Seq[(Int, DataFrame)] = layouts.map { r =>
+      val banded = sig.select(col("doc_id"),
+        explode(array(bandColsAt(r): _*)).as("bk"))
+      // the bounded sample side BROADCASTS explicitly: left to AQE the
+      // filter+explode size estimate can flip this to an SMJ that
+      // shuffles the corpus-scale band table once per layout (measured
+      // 2.4 GB across the six layouts at the 100× probe)
+      val cands = broadcast(banded.filter(inVolSample(col("doc_id")))
+          .select(col("doc_id").as("sid"), col("bk")))
+        .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
+        .select(least(col("sid"), col("doc_id")).as("ida"),
+          greatest(col("sid"), col("doc_id")).as("idb"))
+        .distinct()
+        .localCheckpoint(false) // sole consumer is the count, but the
+                                // 6 layout subtrees share `sig`
+      (r, cands)
+    }
+    // Exact ground TRUTH over the union of the r ≥ 4 layouts' candidate
+    // pairs on the GROWN sample (r12 — the chooser must itself stay
+    // cheap at every corpus size: the r11 form exact-verified sample ×
+    // FULL CORPUS, an O(n^1.5) pass once the sample scales as √n,
+    // measured 327 s / 1.3 GB at the 100× probe; and including the r=3
+    // flood layout in the truth surface re-materialized tens of
+    // millions of junk pairs). The r ≥ 4 union is analytically
+    // complete: r=4/b=15 alone misses a pair AT the 0.8 contract
+    // threshold w.p. (1 − 0.8⁴)¹⁵ ≈ 3.7e-4, and higher-similarity
+    // pairs far less often — while its candidate volume on a
+    // tiny-vocab corpus is ~7× below r=3's flood. Sets are
+    // participant-filtered map-side (the d01 convention). The per-pair
+    // exact Jaccard is kept — the MINIMUM observed true-pair
     // similarity (the corpus's near-dup FLOOR) feeds the analytic
     // eligibility rule below.
-    val sampleSets = sets.crossJoin(broadcast(bound))
-      .filter(inSample(col("doc_id")))
-      .select(col("doc_id").as("sid"), col("hs").as("gs"), col("bnd"))
-    val truePairs = sets
-      .join(broadcast(sampleSets),
-        col("doc_id") =!= col("sid") &&
-          (!inSample(col("doc_id")) || col("doc_id") > col("sid")))
-      .select(least(col("sid"), col("doc_id")).as("ida"),
-        greatest(col("sid"), col("doc_id")).as("idb"),
-        expr("sorted_intersect_count(hs, gs)").as("inter"),
-        (size(col("hs")) + size(col("gs"))).cast("long").as("szsum"))
-      .withColumn("uni", col("szsum") - col("inter"))
+    val truthCands = layouts.filter(_ >= 4).map { r =>
+      val banded = sig.select(col("doc_id"),
+        explode(array(bandColsAt(r): _*)).as("bk"))
+      broadcast(banded.crossJoin(broadcast(bound))
+          .filter(inSample(col("doc_id")))
+          .select(col("doc_id").as("sid"), col("bk")))
+        .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
+        .select(least(col("sid"), col("doc_id")).as("ida"),
+          greatest(col("sid"), col("doc_id")).as("idb"))
+    }.reduce(_ unionByName _).distinct()
+      .localCheckpoint(false) // two consumers: participant list + verify
+    val members = truthCands.select(col("ida").as("doc_id"))
+      .unionByName(truthCands.select(col("idb").as("doc_id"))).distinct()
+      .localCheckpoint(false) // two broadcast consumers: sets + sigs
+    val slim = sets.join(broadcast(members), "doc_id")
+      .localCheckpoint(false) // two consumers: the ida and idb joins
+    val truePairs = truthCands
+      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .withColumn("inter", expr("sorted_intersect_count(ha, hb)"))
+      .withColumn("uni",
+        (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 4)
       .select(col("ida"), col("idb"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jac"))
       .localCheckpoint(false)
     val truthStats = truePairs
       .agg(count(lit(1)).as("n_true_s"), min(col("jac")).as("floor_jac"))
-    val layouts = Seq(3, 4, 5, 6, 10, 12)
-    val perLayout = layouts.map { r =>
-      val bandCols = (0 until minhashK / r).map { bi =>
-        concat_ws(",", lit(bi) +:
-          (0 until r).map(j => col(s"h${bi * r + j}")): _*)
-      }
-      val banded = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      val cands = banded.crossJoin(broadcast(bound))
-        .filter(inSample(col("doc_id")))
-        .select(col("doc_id").as("sid"), col("bk"))
-        .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
-        .select(least(col("sid"), col("doc_id")).as("ida"),
-          greatest(col("sid"), col("doc_id")).as("idb"))
-        .distinct()
-        .localCheckpoint(false) // two consumers: volume count + recall semi-join
+    // Per-layout RECALL by direct band comparison on the true pairs
+    // themselves (never a candidate join): each true pair touches the
+    // sample by construction, so "layout r band-collides this pair"
+    // (arrays_overlap over the pair's per-layout band keys) is exactly
+    // the sample-side catch the r11 semi-join measured — at the cost
+    // of one participant-filtered signature lookup per pair.
+    val sigSlim = sig.join(broadcast(members), "doc_id")
+      .select(col("doc_id") +:
+        layouts.map(r => array(bandColsAt(r): _*).as(s"bl$r")): _*)
+      .localCheckpoint(false) // two consumers: the ida and idb joins
+    val tpBands = truePairs
+      .join(sigSlim.select(col("doc_id").as("ida") +:
+        layouts.map(r => col(s"bl$r").as(s"ba$r")): _*), "ida")
+      .join(sigSlim.select(col("doc_id").as("idb") +:
+        layouts.map(r => col(s"bl$r").as(s"bb$r")): _*), "idb")
+      .localCheckpoint(false) // one consumer per layout below
+    val perLayout = candsByR.map { case (r, cands) =>
       val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
-      val nCaught = truePairs.join(cands, Seq("ida", "idb"), "left_semi")
-        .agg(count(lit(1)).as("n_caught"))
+      val nCaught = tpBands
+        .agg(count(when(arrays_overlap(col(s"ba$r"), col(s"bb$r")), 1))
+          .as("n_caught"))
       val nCand = cands.agg(count(lit(1)).as("n_candidates"))
       nTrue.crossJoin(nCaught).crossJoin(nCand)
         .select(lit(r).as("r"), lit(minhashK / r).as("b"),
@@ -992,23 +1047,31 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.r, least(x.doc_id, y.doc_id) ida, greatest(x.doc_id, y.doc_id) idb
        |  FROM bands x JOIN bands y ON x.r = y.r AND x.bk = y.bk AND x.doc_id <> y.doc_id
-       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < (SELECT nb FROM bnd)),
+       |  WHERE x.doc_id % 10 = 0 AND x.doc_id < 500),
        |g AS (SELECT doc_id, ${oracleHashedSet(
       """list_transform(range(1, greatest(2, length(text) - 3)),
         |           i -> substr(text, CAST(i AS INTEGER), 5))""".stripMargin)} g
        |      FROM documents),
+       |ucand AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) ida, greatest(x.doc_id, y.doc_id) idb
+       |  FROM bands x JOIN bands y ON x.r = y.r AND x.bk = y.bk AND x.doc_id <> y.doc_id
+       |  WHERE x.r >= 4 AND x.doc_id % 10 = 0 AND x.doc_id < (SELECT nb FROM bnd)),
        |tp AS (
-       |  SELECT DISTINCT least(s.doc_id, o.doc_id) ida, greatest(s.doc_id, o.doc_id) idb,
-       |    CAST(len(list_intersect(s.g, o.g)) AS DOUBLE)
-       |      / (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) jac
-       |  FROM g s, g o
-       |  WHERE s.doc_id % 10 = 0 AND s.doc_id < (SELECT nb FROM bnd) AND s.doc_id <> o.doc_id
-       |    AND len(list_intersect(s.g, o.g)) * 5 >=
-       |        (len(s.g) + len(o.g) - len(list_intersect(s.g, o.g))) * 4),
+       |  SELECT u.ida, u.idb,
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) jac
+       |  FROM ucand u JOIN g a ON u.ida = a.doc_id JOIN g b ON u.idb = b.doc_id
+       |  WHERE len(list_intersect(a.g, b.g)) * 5 >=
+       |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) * 4),
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) n_true, MIN(jac) floor_jac FROM tp),
        |nc AS (SELECT r, CAST(COUNT(*) AS BIGINT) n_candidates FROM cand GROUP BY r),
-       |ng AS (SELECT c.r, CAST(COUNT(*) AS BIGINT) n_caught
-       |       FROM cand c JOIN tp ON c.ida = tp.ida AND c.idb = tp.idb GROUP BY c.r),
+       |ng AS (SELECT lay.r, CAST(COUNT(*) AS BIGINT) n_caught
+       |       FROM tp, lay
+       |       WHERE EXISTS (
+       |         SELECT 1 FROM bands xa JOIN bands xb
+       |           ON xa.r = xb.r AND xa.bk = xb.bk
+       |         WHERE xa.r = lay.r AND xa.doc_id = tp.ida AND xb.doc_id = tp.idb)
+       |       GROUP BY lay.r),
        |j AS (
        |  SELECT lay.r, CAST(60 // lay.r AS INTEGER) b, nt.n_true, nt.floor_jac,
        |    CAST(COALESCE(ng.n_caught, 0) AS BIGINT) n_caught,
