@@ -1145,9 +1145,13 @@ object Dedup {
       c % sampleEvery === 0 && c < sampleBound
     // candidate surface: sample-side bands probe the stored index —
     // pairs touching the sample only, never a full corpus self-join
-    val cand = bands.filter(inSample(col("doc_id")))
-      .select(col("doc_id").as("sid"), col("bk").as("sbk"),
-        col("bucket").as("sbucket"))
+    // the bounded sample side broadcasts EXPLICITLY (the d19 lesson:
+    // AQE's size estimate can flip this to an SMJ that shuffles the
+    // corpus-scale band table — 45.6 MB at the 10x probe for a
+    // 50-doc audit)
+    val cand = broadcast(bands.filter(inSample(col("doc_id")))
+        .select(col("doc_id").as("sid"), col("bk").as("sbk"),
+          col("bucket").as("sbucket")))
       .join(bands, col("sbucket") === col("bucket") &&
         col("sbk") === col("bk") && col("sid") =!= col("doc_id"))
       .select(least(col("sid"), col("doc_id")).as("ida"),
@@ -1286,9 +1290,18 @@ object Dedup {
       .select(least(col("pid"), col("doc_id")).as("ida"),
               greatest(col("pid"), col("doc_id")).as("idb"))
       .distinct()
+      .localCheckpoint(false) // three consumers: both participant
+                              // projections below + the verify join
+    // verify only the PAIR PARTICIPANTS' stored sets (the d01
+    // convention): the candidate-bounded id list broadcasts and the
+    // corpus-scale sets table is filtered map-side instead of shuffled
+    val members = cand.select(col("ida").as("doc_id"))
+      .unionByName(cand.select(col("idb").as("doc_id"))).distinct()
+    val slim = sets.join(broadcast(members), "doc_id")
+      .localCheckpoint(false) // two consumers: the ida and idb joins
     cand
-      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
-      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
+      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("uni", size(col("ha")) + size(col("hb")) - col("inter"))
       // j >= 0.8 decided in integers (the d10 convention): no float at

@@ -498,6 +498,15 @@ object Multimodal {
     * one shuffle-free projection (60 substring probes + one packed
     * sum); only (id, hash, band) longs ever shuffle, never payloads.
     */
+  /** Scale note: the 6×10-bit banding is forced by pigeonhole (ham ≤ 5
+    * over a 60-bit hash needs 6 bands, leaving 10 bits each), so the
+    * band-key space saturates at 6·2¹⁰ keys and candidate volume grows
+    * ~n²/6144 by construction — fine for per-source media dedup
+    * batches, but a 100 TB media lake needs a wider perceptual hash
+    * (256-bit pHash → 6×42-bit bands) before this operator, not a
+    * different plan. The 10× probe's 52 MB (576× over a broadcast-fed
+    * base) is exactly this saturation, measured.
+    */
   def m10AvgHashPairs(spark: SparkSession, dir: String): DataFrame = {
     // planted ids offset by max(doc_id)+1, derived IN-PLAN (1-row
     // broadcast) and identically in the oracle — a fixed literal offset
