@@ -61,6 +61,60 @@ class Round12OpsSpec extends AnyFunSuite {
       s"refusal must name the budget: ${ex.getMessage}")
   }
 
+  test("d19: direct band-overlap recall equals the candidate semi-join it replaced") {
+    // the r12 chooser computes per-layout recall by comparing the true
+    // pairs' OWN band keys (arrays_overlap) instead of semi-joining a
+    // materialized candidate set; this replays the old semi-join
+    // definition in-memory from the chooser's own output inputs and
+    // asserts both computations agree for every layout on the live
+    // corpus
+    import org.apache.spark.sql.functions._
+    val d19 = operators.Dedup.d19LshRetune(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap // r -> n_caught
+    // independent recomputation: exact >=0.8 pairs touching the sample
+    // surface, then per-layout "any band equal" via the stored sig table
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length
+    val bnd = math.max(500L, math.floor(math.sqrt(n.toDouble) * 10).toLong)
+    def shingles(t: String): Set[String] =
+      (1 to math.max(1, t.length - 4)).map(i => t.slice(i - 1, i + 4)).toSet
+    def h60(sh: Set[String]): Set[Long] = sh.map { x =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16)
+    }
+    val sets = docs.map { case (id, t) => id -> h60(shingles(t)) }.toMap
+    val sample = docs.map(_._1).filter(id => id % 10 == 0 && id < bnd)
+    val truth = for {
+      sid <- sample; (oid, og) <- sets if oid != sid
+      if !(oid % 10 == 0 && oid < bnd) || oid > sid
+      inter = (sets(sid) & og).size; uni = sets(sid).size + og.size - inter
+      if inter * 5 >= uni * 4
+    } yield (math.min(sid, oid), math.max(sid, oid))
+    val truthPairs = truth.distinct
+    // minhash signatures per doc (the stored family: (a*h+b) mod P)
+    val P = 2038074743L
+    val rng = new scala.util.Random(42)
+    val coeffs = (0 until 60).map { _ =>
+      (1L + rng.nextInt((P - 1).toInt), rng.nextInt(P.toInt).toLong)
+    }
+    def sig(id: Long): Array[Long] = coeffs.map { case (a, b) =>
+      sets(id).map(h => (a * (((h % P) + P) % P) + b) % P).min
+    }.toArray
+    def caught(r: Int, ida: Long, idb: Long): Boolean = {
+      val (sa, sb) = (sig(ida), sig(idb))
+      (0 until 60 / r).exists(bi =>
+        (0 until r).forall(j => sa(bi * r + j) == sb(bi * r + j)))
+    }
+    Seq(3, 4, 5, 6, 10, 12).foreach { r =>
+      val want = truthPairs.count { case (a, b) => caught(r, a, b) }.toLong
+      assert(d19(r) == want,
+        s"r=$r: chooser n_caught=${d19(r)} vs replayed semi-join $want")
+    }
+  }
+
   test("d16: normal corpora under the footer-row threshold never pay the pricing job") {
     // the registered contract (defaults) runs the gate corpora
     // unguarded — same values as the brute-force oracle, already
