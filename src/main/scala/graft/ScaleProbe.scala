@@ -81,7 +81,7 @@ object ScaleProbe {
     // r11 additions
     "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
     // r12 additions
-    "st17_incremental_stream")
+    "st17_incremental_stream", "ep03_shard_compaction")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

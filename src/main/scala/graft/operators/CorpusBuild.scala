@@ -984,6 +984,125 @@ object CorpusBuild {
   def st17IncrementalStream(spark: SparkSession, dir: String): DataFrame =
     st17Run(spark, dir)._1
 
+  /** ep03 — shard-store COMPACTION (the weekly maintenance cadence for
+    * the store ep01 builds and ep02/st17 append to — the corpus-store
+    * counterpart of l02's file-bin planning and l04's executed
+    * rewrite): daily appends close their shard files at batch end, so
+    * every day leaves an underfilled tail pack and an underfilled tail
+    * shard; the compactor repacks the SAME doc stream in append order
+    * (day, doc_id) into full packs/shards and accounts exactly what it
+    * reclaims.
+    *
+    * Store model: the packable corpus (lang = 'en', n_tok ≥ 50)
+    * arrived in 7 daily batches (day = doc_id mod 7); each day packed
+    * its own docs from pack 0 (pack ids are logical and ep02 CONTINUES
+    * numbering across days, but the physical shard files close when
+    * the day's job ends — which is exactly the fragmentation being
+    * measured) at 512 tokens/pack, 8 packs/shard.
+    *
+    * Output (all integers): one row per day — docs, tokens, packs,
+    * shards as written — plus a `compacted` row (the global repack:
+    * same order, no day boundaries) and a `reclaimed` row (packs/
+    * shards saved; its n_tokens column is the reclaimed pack slack,
+    * packs_saved × 512).
+    *
+    * Scale design: ONE distributed prefix sum over (day, doc_id)
+    * (range repartition + per-partition offsets — no single-partition
+    * or per-day window anywhere: a day of a 100 TB store does not fit
+    * one partition), a 7-row broadcast of day offsets derived FROM the
+    * same prefix (min(cum − n_tok) per day), and distinct-count
+    * aggregates. Planning compaction for a trillion-token store is one
+    * linear parallel pass.
+    */
+  def ep03ShardCompaction(spark: SparkSession, dir: String,
+                          packBudget: Long = 512L,
+                          packsPerShard: Long = 8L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 7).cast("int").as("day"),
+        col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast(LongType).as("n_tok"))
+      .filter(col("lang") === "en" && col("n_tok") >= 50)
+      .select(col("doc_id"), col("day"), col("n_tok"))
+    val cum = ScaleOps.prefixSum(docs, Seq("day", "doc_id"), "n_tok", "cum")
+      .localCheckpoint(false) // two consumers: day offsets + pack calc
+    // day start offsets from the SAME prefix: the first row of a day
+    // (min cum within it) carries cum − n_tok = the day's start
+    val offs = cum.groupBy(col("day"))
+      .agg(min(col("cum") - col("n_tok")).as("day_off"))
+    val packs = cum.join(broadcast(offs), "day")
+      .withColumn("pack_d",
+        expr(s"(cum - day_off - n_tok) div $packBudget"))
+      .withColumn("pack_g", expr(s"(cum - n_tok) div $packBudget"))
+      .localCheckpoint(false) // three consumers: day rows + compacted + totals
+    val dayRows = packs.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("pack_d")).as("n_packs"),
+        countDistinct(expr(s"pack_d div $packsPerShard")).as("n_shards"))
+      .select(concat(lit("day_"), col("day")).as("scope"),
+        col("n_docs"), col("n_tokens"), col("n_packs"), col("n_shards"))
+    val after = packs
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("pack_g")).as("n_packs"),
+        countDistinct(expr(s"pack_g div $packsPerShard")).as("n_shards"))
+      .select(lit("compacted").as("scope"),
+        col("n_docs"), col("n_tokens"), col("n_packs"), col("n_shards"))
+      .localCheckpoint(false) // two consumers: output row + reclaimed diff
+    val before = packs
+      .agg(countDistinct(col("day"), col("pack_d")).as("pk"),
+        countDistinct(col("day"), expr(s"pack_d div $packsPerShard")).as("sh"))
+    val reclaimed = before.crossJoin(
+        after.select(col("n_packs").as("pk_a"), col("n_shards").as("sh_a")))
+      .select(lit("reclaimed").as("scope"), lit(0L).as("n_docs"),
+        ((col("pk") - col("pk_a")) * packBudget).as("n_tokens"),
+        (col("pk") - col("pk_a")).as("n_packs"),
+        (col("sh") - col("sh_a")).as("n_shards"))
+    dayRows.unionByName(after).unionByName(reclaimed)
+      .orderBy(col("scope"))
+  }
+
+  private val ep03Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 7 AS INTEGER) dy,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) n_tok
+      |  FROM documents
+      |  WHERE lang = 'en'
+      |    AND len(string_split_regex(lower(trim(text)), '\s+')) >= 50),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (ORDER BY dy, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |  FROM d),
+      |o AS (SELECT dy, MIN(cum - n_tok) day_off FROM c GROUP BY dy),
+      |p AS (
+      |  SELECT c.*, (cum - day_off - n_tok) // 512 pack_d,
+      |    (cum - n_tok) // 512 pack_g
+      |  FROM c JOIN o ON c.dy = o.dy),
+      |aft AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) n_tokens,
+      |    CAST(COUNT(DISTINCT pack_g) AS BIGINT) n_packs,
+      |    CAST(COUNT(DISTINCT pack_g // 8) AS BIGINT) n_shards
+      |  FROM p),
+      |bef AS (
+      |  SELECT CAST(COUNT(DISTINCT (dy, pack_d)) AS BIGINT) pk,
+      |    CAST(COUNT(DISTINCT (dy, pack_d // 8)) AS BIGINT) sh
+      |  FROM p),
+      |rows0 AS (
+      |  SELECT 'day_' || CAST(dy AS VARCHAR) AS scope,
+      |    CAST(COUNT(*) AS BIGINT) n_docs, CAST(SUM(n_tok) AS BIGINT) n_tokens,
+      |    CAST(COUNT(DISTINCT pack_d) AS BIGINT) n_packs,
+      |    CAST(COUNT(DISTINCT pack_d // 8) AS BIGINT) n_shards
+      |  FROM p GROUP BY dy
+      |  UNION ALL
+      |  SELECT 'compacted', n_docs, n_tokens, n_packs, n_shards FROM aft
+      |  UNION ALL
+      |  SELECT 'reclaimed', 0,
+      |    (bef.pk - aft.n_packs) * 512, bef.pk - aft.n_packs,
+      |    bef.sh - aft.n_shards
+      |  FROM bef, aft)
+      |SELECT scope, n_docs, n_tokens, n_packs, n_shards
+      |FROM rows0 ORDER BY scope""".stripMargin
+
   private val st17Sql = {
     val strip =
       """trim(regexp_replace(
@@ -1145,5 +1264,8 @@ object CorpusBuild {
       ep02IncrementalBuild(_, _), Some(ep02Sql)),
     QueryDef("st17_incremental_stream",
       "ep02 as a Structured Streaming file stream: per-wave funnel vs a growing store, replay-safe appends, pack numbering continuing across batches",
-      st17IncrementalStream, Some(st17Sql)))
+      st17IncrementalStream, Some(st17Sql)),
+    QueryDef("ep03_shard_compaction",
+      "shard-store compaction accounting: per-day fragmented packs/shards vs the global append-order repack, reclaimed slack exact",
+      ep03ShardCompaction(_, _), Some(ep03Sql)))
 }

@@ -115,6 +115,43 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ep03: per-day and compacted pack/shard accounting matches a pure-JVM replay") {
+    val got = operators.CorpusBuild.ep03ShardCompaction(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.trim.split("\\s+").length.toLong))
+      .filter { case (_, lang, n) => lang == "en" && n >= 50 }
+      .map { case (id, _, n) => (id, (id % 7).toInt, n) }
+      .sortBy { case (id, d, _) => (d, id) }
+    var cum = 0L
+    val rows = docs.map { case (id, d, n) => cum += n; (id, d, n, cum) }
+    val dayOff = rows.groupBy(_._2)
+      .map { case (d, rs) => d -> rs.map(r => r._4 - r._3).min }
+    val packsD = rows.map { case (_, d, n, c) => (d, (c - dayOff(d) - n) / 512) }
+    val packsG = rows.map { case (_, _, n, c) => (c - n) / 512 }
+    (0 to 6).foreach { d =>
+      val dd = rows.filter(_._2 == d)
+      val pk = packsD.filter(_._1 == d).map(_._2).distinct.size.toLong
+      val sh = packsD.filter(_._1 == d).map(_._2 / 8).distinct.size.toLong
+      assert(got(s"day_$d") == ((dd.size.toLong, dd.map(_._3).sum, pk, sh)),
+        s"day_$d mismatch: ${got(s"day_$d")}")
+    }
+    val pkA = packsG.distinct.size.toLong
+    val shA = packsG.map(_ / 8).distinct.size.toLong
+    assert(got("compacted") ==
+      ((docs.size.toLong, docs.map(_._3).sum, pkA, shA)))
+    val pkB = packsD.distinct.size.toLong
+    val shB = packsD.map { case (d, p) => (d, p / 8) }.distinct.size.toLong
+    assert(got("reclaimed") == ((0L, (pkB - pkA) * 512, pkB - pkA, shB - shA)))
+    // the fixture really is fragmented: daily tails leave reclaimable
+    // packs, and compaction never mints tokens
+    assert(pkB > pkA && shB >= shA,
+      s"expected reclaimable fragmentation: packs $pkB -> $pkA, shards $shB -> $shA")
+  }
+
   test("d16: normal corpora under the footer-row threshold never pay the pricing job") {
     // the registered contract (defaults) runs the gate corpora
     // unguarded — same values as the brute-force oracle, already
