@@ -81,7 +81,8 @@ object ScaleProbe {
     // r11 additions
     "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
     // r12 additions
-    "st17_incremental_stream", "ep03_shard_compaction")
+    "st17_incremental_stream", "ep03_shard_compaction",
+    "d20_retune_migration")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
@@ -331,7 +332,8 @@ object ScaleProbe {
       "l08_write_audit_publish", "l09_partition_evolution",
       "l10_deletion_vectors", "l11_snapshot_diff", "l12_atomic_multi_table",
       "l13_manifest_pruning", "io15_nested_pruning", "io16_bucket_pruning",
-      "st16_atomic_dual_sink", "st17_incremental_stream")
+      "st16_atomic_dual_sink", "st17_incremental_stream",
+      "d20_retune_migration")
     val rows = probes.filter(keep).map { name =>
       val (base, baseBytes, baseJob) = timeAt(name, baseDir)
       val (scaled, scaledBytes, scaledJob) = timeAt(name, outDir)

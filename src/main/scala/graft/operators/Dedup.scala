@@ -1093,6 +1093,89 @@ object Dedup {
        |  j.r = COALESCE(best.best_r, 5) AS chosen
        |FROM j, best ORDER BY j.r""".stripMargin
 
+  /** d20 — the chooser's decision EXECUTED (the l02→l04 plan→exec
+    * lifecycle, applied to the LSH index): rewrite the band store at
+    * the d19-chosen layout from the stored 60-wide signature table
+    * (shuffle-free re-band — the shingle explode is never re-paid),
+    * PUBLISH it under a versioned manifest next to the stored index,
+    * and serve the bounded sample probe FROM THE NEW STORE
+    * (write-then-serve, the d12/j14 discipline — the store that will
+    * answer production probes is the store being measured, not the
+    * plan that produced it). Output, one row per store version:
+    * (store, r, n_band_rows, n_sample_cands) — band rows written per
+    * layout and the fixed-surface probe candidate volume each store
+    * serves; the oracle replays both from the shared chooser CTE
+    * block. The migration runs once per corpus per JVM (memoized like
+    * the index build); consumers resolve the live layout through the
+    * manifest.
+    *
+    * Scale shape: one linear scan of sig/ + one bucket-partitioned
+    * write for the rewrite; the probe is the bounded broadcast join
+    * d10 uses. At 100 TB the rewrite is the weekly index-maintenance
+    * job and this accounting row is its audit.
+    */
+  private val migratedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def d20RetuneMigration(spark: SparkSession, dir: String): DataFrame = {
+    val idx = neutralLshIndex(spark, dir)
+    val chosenR = chosenRowsPerBand(spark, dir)
+    val manifest = migratedCache.computeIfAbsent(
+        Tables.artifactKey(dir, "documents"), _ => {
+      val path = s"$idx/bands_r$chosenR"
+      sigBandsAt(spark, dir, chosenR)
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_no", "bk")))
+        .withColumn("bucket", pmod(xxhash64(col("bk")), lit(64)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val mf = s"$idx/band_manifest_v2"
+      java.nio.file.Files.write(java.nio.file.Paths.get(mf),
+        s"r=$chosenR\npath=$path\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      mf
+    })
+    // resolve the live store THROUGH the manifest (the read path
+    // production probes use once the swap is published)
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifest)),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    val liveR = lines.find(_.startsWith("r=")).get.stripPrefix("r=").toInt
+    val livePath = lines.find(_.startsWith("path=")).get.stripPrefix("path=")
+    def storeRow(name: String, r: Int, bandsPath: String): DataFrame = {
+      val bands = spark.read.parquet(bandsPath)
+      val cands = broadcast(bands
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
+          .select(col("doc_id").as("sid"), col("bk").as("sbk"),
+            col("bucket").as("sbucket")))
+        .join(bands, col("sbucket") === col("bucket") &&
+          col("sbk") === col("bk") && col("sid") =!= col("doc_id"))
+        .select(least(col("sid"), col("doc_id")).as("ida"),
+          greatest(col("sid"), col("doc_id")).as("idb"))
+        .distinct()
+      bands.agg(count(lit(1)).as("n_band_rows"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_sample_cands")))
+        .select(lit(name).as("store"), lit(r).as("r"),
+          col("n_band_rows"), col("n_sample_cands"))
+    }
+    storeRow("v1_stored", 5, s"$idx/bands")
+      .unionByName(storeRow("v2_migrated", liveR, livePath))
+      .orderBy(col("store"))
+  }
+
+  private val d20Sql =
+    s"""WITH $chooserOracleCtes,
+       |chx AS (SELECT COALESCE(best_r, 5) br FROM best),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+       |c5 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM cand WHERE r = 5),
+       |cb AS (SELECT CAST(COUNT(*) AS BIGINT) n
+       |       FROM cand, chx WHERE cand.r = chx.br)
+       |SELECT 'v1_stored' AS store, 5 AS r,
+       |  nd.n * 12 AS n_band_rows, c5.n AS n_sample_cands
+       |FROM nd, c5
+       |UNION ALL
+       |SELECT 'v2_migrated', chx.br, nd.n * (60 // chx.br), cb.n
+       |FROM nd, chx, cb
+       |ORDER BY store""".stripMargin
+
   /** In-plan signature + verify-set computation for docs NOT yet in the
     * stored index — the arrival-batch side of incremental dedup (ep02):
     * one shingle explode + one codegen'd aggregate produces, per doc,
@@ -1999,6 +2082,9 @@ object Dedup {
     QueryDef("d19_lsh_retune",
       "data-driven LSH (r,b) chooser: per-layout measured recall + candidate volume on the sampled truth, largest fully-covering r chosen",
       d19LshRetune, Some(d19Sql)),
+    QueryDef("d20_retune_migration",
+      "chooser decision EXECUTED: band store rewritten at the chosen layout from stored signatures, manifest-published, probe served from the new store",
+      d20RetuneMigration, Some(d20Sql)),
     QueryDef("d10_lsh_audit", "measured LSH recall/false-positive audit vs exact Jaccard",
       d10LshAudit(_, _), Some(d10Sql)),
     QueryDef("d09_fuzzy_pairs", "exact lev<=1 pairing via deletion-key blocking (FastSS)",

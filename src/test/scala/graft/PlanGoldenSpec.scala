@@ -97,7 +97,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     // each stage as ONE materialized RDD scan — zero parquet re-scans of
     // the corpus across the ten accounting branches
     "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
-    "st17_incremental_stream", "ep03_shard_compaction")
+    "st17_incremental_stream", "ep03_shard_compaction",
+    "d20_retune_migration")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

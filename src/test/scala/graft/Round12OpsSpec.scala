@@ -152,6 +152,26 @@ class Round12OpsSpec extends AnyFunSuite {
       s"expected reclaimable fragmentation: packs $pkB -> $pkA, shards $shB -> $shA")
   }
 
+  test("d20: the migrated store serves exactly the candidate volume the chooser measured") {
+    val out = operators.Dedup.d20RetuneMigration(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // store accounting is exact: every doc emits 60/r band rows
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out("v1_stored")._1 == 5 && out("v1_stored")._2 == n * 12)
+    val (rAfter, rows2, cands2) = out("v2_migrated")
+    assert(rows2 == n * (60 / rAfter))
+    // write-then-serve parity: the probe served FROM the migrated store
+    // must reproduce the per-layout candidate volumes d19 measured
+    // in-plan on the same fixed surface — the cross-operator invariant
+    // that makes the migration safe to publish
+    val d19 = operators.Dedup.d19LshRetune(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(cands2 == d19(rAfter)._1,
+      s"migrated store served $cands2 candidates; chooser measured ${d19(rAfter)._1}")
+    assert(out("v1_stored")._3 == d19(5)._1)
+    assert(d19(rAfter)._2, s"migrated layout r=$rAfter is not the chosen one")
+  }
+
   test("d16: normal corpora under the footer-row threshold never pay the pricing job") {
     // the registered contract (defaults) runs the gate corpora
     // unguarded — same values as the brute-force oracle, already
