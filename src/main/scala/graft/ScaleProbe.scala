@@ -82,7 +82,10 @@ object ScaleProbe {
     "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
     // r12 additions
     "st17_incremental_stream", "ep03_shard_compaction",
-    "d20_retune_migration")
+    "d20_retune_migration",
+    // r13 additions: the IVF SERVING row (fixed query count — the
+    // √n-per-query cost law v18's batch-eval can't show)
+    "v34_ivf_serve")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -35,6 +35,13 @@ final class DashboardServer(spark: SparkSession,
       graft.operators.CorpusBuild.ep01CorpusBuild(spark, d).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     }
+  // the streaming twin (VERDICT r12 #7): st17's 30-row per-(wave, stage)
+  // funnel — the production arrival-cadence view of the same pipeline
+  private lazy val streamFunnel: Option[Seq[(Int, String, Long, Long)]] =
+    corpusDir.map { d =>
+      graft.operators.CorpusBuild.st17IncrementalStream(spark, d).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    }
   private val years: Seq[Long] = cleaned.select(col("Year")).distinct()
     .collect().map(_.getLong(0)).sorted.toSeq
   private val countries: Seq[String] = cleaned.select(col("Country")).distinct()
@@ -183,6 +190,12 @@ final class DashboardServer(spark: SparkSession,
       val rows = funnel.map { case (st, docs, toks) =>
         s"<tr><td>${esc(st)}</td><td>$docs</td><td>$toks</td></tr>"
       }.mkString("\n")
+      val stream = streamFunnel.getOrElse(Seq.empty)
+      val sBars = stream.filter(_._2 == "8_quality")
+        .map { case (w, _, d, _) => (s"wave $w", d.toDouble) }
+      val sRows = stream.map { case (w, st, docs, toks) =>
+        s"<tr><td>$w</td><td>${esc(st)}</td><td>$docs</td><td>$toks</td></tr>"
+      }.mkString("\n")
       s"""<!DOCTYPE html><html><head><title>Corpus Build Funnel</title></head>
          |<body style="font-family:sans-serif">
          |<h1>Flagship Corpus Build (ep01) — Stage Funnel</h1>
@@ -190,6 +203,11 @@ final class DashboardServer(spark: SparkSession,
          |<table border='1' cellspacing='0' cellpadding='3'>
          |<tr><th>stage</th><th>n_docs</th><th>n_tokens</th></tr>
          |$rows</table>
+         |<h1>Streaming Ingest (st17) — Per-Wave Funnel</h1>
+         |${svgBar("Accepted documents per wave (8_quality)", sBars)}
+         |<table border='1' cellspacing='0' cellpadding='3'>
+         |<tr><th>wave</th><th>stage</th><th>n_docs</th><th>n_tokens</th></tr>
+         |$sRows</table>
          |<a href="/">back</a></body></html>""".stripMargin
   }
 

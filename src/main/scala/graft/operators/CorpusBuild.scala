@@ -859,6 +859,16 @@ object CorpusBuild {
       .option("checkpointLocation",
         Files.createTempDirectory("graft_st17_ckpt_").toString)
       .foreachBatch { (wave: DataFrame, bid: Long) =>
+        // The wave LABEL is carried by the DATA (wave = doc_id mod 3 by
+        // staging construction), never by the micro-batch id (ADVICE
+        // r12): equal staged mtimes or a FileStreamSource delivery-order
+        // change must not silently relabel waves — the batch id keeps
+        // ONLY its replay-safety roles (per-batchId dirs, the
+        // strictly-earlier read fence), where delivery order is exactly
+        // the thing being keyed on. One 1-row aggregate per batch;
+        // empty-batch fallback keeps the bid label.
+        val waveId = wave.agg(coalesce(min(pmod(col("doc_id"), lit(3))),
+          lit(bid))).head().getLong(0).toInt
         val w = cleanColsOf(wave)
           .select(col("doc_id"), col("lang"), col("n_tok0"),
             col("cleaned"), col("n_tok"))
@@ -943,7 +953,7 @@ object CorpusBuild {
         def stageRow(name: String, df: DataFrame, tok: String): DataFrame =
           df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col(tok)), lit(0L)).cast(LongType).as("n_tokens"))
-            .select(lit(bid.toInt).as("wave"), lit(name).as("stage"),
+            .select(lit(waveId).as("wave"), lit(name).as("stage"),
               col("n_docs"), col("n_tokens"))
         val funnel = Seq(
           stageRow("0_arrivals", w, "n_tok0"),
@@ -957,7 +967,7 @@ object CorpusBuild {
           stageRow("8_quality", s8, "n_tok"),
           packed.agg(countDistinct(col("pack_id")).as("n_docs"),
               coalesce(sum(col("n_tok")), lit(0L)).cast(LongType).as("n_tokens"))
-            .select(lit(bid.toInt).as("wave"), lit("9_appended").as("stage"),
+            .select(lit(waveId).as("wave"), lit("9_appended").as("stage"),
               col("n_docs"), col("n_tokens"))
         ).reduce(_ unionByName _)
         // every write below is per-batchId + overwrite: a replayed batch

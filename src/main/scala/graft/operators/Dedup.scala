@@ -864,8 +864,12 @@ object Dedup {
     // sampled floor tightens as the corpus grows (a fixed 500-id
     // surface says nothing about a 100 TB corpus's similarity floor).
     // Computed in-plan (one count aggregate, broadcast as a scalar) so
-    // plan construction stays action-free.
-    val bound = sets.agg(greatest(lit(500L),
+    // plan construction stays action-free. n is COUNT(*) over the
+    // DOCUMENTS table, exactly the oracle's bnd CTE (ADVICE r12: the
+    // r12 form counted sets/ rows — docs with at least one shingle —
+    // so a corpus containing a NULL-text doc diverged engine vs oracle
+    // across d19/d17/d20).
+    val bound = Tables.documents(spark, dir).agg(greatest(lit(500L),
       floor(sqrt(count(lit(1)).cast("double")) * 10).cast("long")).as("bnd"))
     def inSample(c: Column): Column = c % 10 === 0 && c < col("bnd")
     // CANDIDATE-VOLUME surface: the FIXED 500-id probe surface (the r11
@@ -1161,19 +1165,25 @@ object Dedup {
       .orderBy(col("store"))
   }
 
+  // n_band_rows counts the ACTUAL per-layout band rows (the bands CTE:
+  // one row per signed doc per band — docs with at least one shingle),
+  // never n_documents × b (ADVICE r12: the nd.n · b formula assumed
+  // every document signs, so a NULL-text doc diverged engine vs oracle)
   private val d20Sql =
     s"""WITH $chooserOracleCtes,
        |chx AS (SELECT COALESCE(best_r, 5) br FROM best),
-       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+       |b5 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM bands WHERE r = 5),
+       |bb AS (SELECT CAST(COUNT(*) AS BIGINT) n
+       |       FROM bands, chx WHERE bands.r = chx.br),
        |c5 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM cand WHERE r = 5),
        |cb AS (SELECT CAST(COUNT(*) AS BIGINT) n
        |       FROM cand, chx WHERE cand.r = chx.br)
        |SELECT 'v1_stored' AS store, 5 AS r,
-       |  nd.n * 12 AS n_band_rows, c5.n AS n_sample_cands
-       |FROM nd, c5
+       |  b5.n AS n_band_rows, c5.n AS n_sample_cands
+       |FROM b5, c5
        |UNION ALL
-       |SELECT 'v2_migrated', chx.br, nd.n * (60 // chx.br), cb.n
-       |FROM nd, chx, cb
+       |SELECT 'v2_migrated', chx.br, bb.n, cb.n
+       |FROM bb, chx, cb
        |ORDER BY store""".stripMargin
 
   /** In-plan signature + verify-set computation for docs NOT yet in the
@@ -1872,6 +1882,8 @@ object Dedup {
     * natural corpora rare-token prefixes keep the count near-linear
     * and the join proceeds.
     */
+  private val d16PricedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   def d16PrefixFilterJoin(spark: SparkSession, dir: String,
                           maxCandidates: Long = 1L << 26,
                           priceAboveRows: Long = 200000L): DataFrame = {
@@ -1894,10 +1906,17 @@ object Dedup {
     val pref = sized.filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("h"), col("sz"), col("rn"))
     if (Tables.footerRowCount(spark, dir, "documents") > priceAboveRows) {
-      val priced = pref.groupBy(col("h"))
-        .agg(count(lit(1)).cast("double").as("c"))
-        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).as("cand"))
-        .head().getDouble(0)
+      // the priced volume is a property of the CORPUS, so it is paid
+      // once per corpus per JVM (ADVICE r12 — bench repeats and plan
+      // captures used to re-run the linear pricing job at every
+      // construction), the chosenRowsPerBand convention; the budget
+      // comparison below stays per-call (maxCandidates is a parameter)
+      val priced = d16PricedCache.computeIfAbsent(
+        Tables.artifactKey(dir, "documents"), _ =>
+          java.lang.Double.valueOf(pref.groupBy(col("h"))
+            .agg(count(lit(1)).cast("double").as("c"))
+            .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).as("cand"))
+            .head().getDouble(0))).doubleValue
       require(priced <= maxCandidates.toDouble,
         f"d16_prefix_filter_join refused: priced candidate volume $priced%.4g " +
           f"pairs exceeds the $maxCandidates budget — the prefix-token " +

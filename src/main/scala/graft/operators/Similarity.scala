@@ -1061,9 +1061,19 @@ object Similarity {
     // times construction) and re-pay the job. One assignment per layout
     // per corpus per JVM is the production contract — consumers share
     // the stored artifact, exactly like the LSH index.
+    //
+    // ADVICE r12: `np` is normalized ONCE and used for the cache key
+    // and BOTH crank filters — the r12 form keyed on max(nprobe,1) but
+    // filtered probes on the raw nprobe, so nprobe=0 cached an EMPTY
+    // probe set under key 1 and poisoned a later nprobe=1 call. And
+    // entries whose session has stopped are purged on the next lookup:
+    // the cached frames pin eagerly-checkpointed RDDs, which otherwise
+    // outlive their (test) sessions for the JVM lifetime.
+    {
+    ivfAssignCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val np = math.max(nprobe, 1)
     ivfAssignCache.computeIfAbsent(
-      (spark, Tables.artifactKey(dir, "embeddings"), nlist,
-        math.max(nprobe, 1)), _ => {
+      (spark, Tables.artifactKey(dir, "embeddings"), nlist, np), _ => {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
@@ -1091,15 +1101,16 @@ object Similarity {
       .crossJoin(broadcast(cen))
       .withColumn("ccos", expr(cos("q", "cenq", "nrm", "cenn")))
       .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= math.max(nprobe, 1))
+      .filter(col("crank") <= np)
       .select(col("vec_id"), col("centroid_id"), col("crank"))
       .localCheckpoint()
     val homes = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("centroid_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= nprobe)
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= np)
       .select(col("vec_id").as("qid"), col("centroid_id").as("cell"), col("crank"))
     (homes, probes)
   })
+  }
 
   def v18IvfPqRerank(spark: SparkSession, dir: String, nlist: Int = 0,
                      nprobe: Int = 2, shortlist: Int = 16): DataFrame = {
@@ -1216,6 +1227,93 @@ object Similarity {
       |r AS (SELECT qid, cid, cos,
       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
       |      FROM rer)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  /** v34 — the IVF SERVING path as its own measured contract (VERDICT
+    * r12 #4): a FIXED query set — the ≤10 query vectors with
+    * vec_id % 25 = 0 below `maxQid` = 250, a count that does NOT grow
+    * with the corpus — probes its `nprobe` nearest cells from the
+    * memoized coarse assignment ([[ivfAssignment]], the stored-index
+    * artifact shared with v18/v09/v12), exact-cosine-refines the
+    * probed cells' members, and returns top-`k` per query.
+    *
+    * This is the row that separates the index's two cost laws: v18's
+    * batch-eval scores EVERY query (query count ∝ n), so its total is
+    * the documented O(n·√n); per-query serving cost is
+    * nprobe·(n/nlist) ≈ nprobe·√n — the √n the index promises — and
+    * with a fixed query count the whole contract's data volume is
+    * O(√n). Every post-assignment join is map-side: the fixed probe
+    * set broadcasts into the homes table (only probed-cell members
+    * survive, ~nprobe·√n·|Q| rows — at n = 10⁹ that is ~10 MB of id
+    * pairs), the surviving candidate list broadcasts into the corpus
+    * scan, and the query vectors broadcast into the refine. The one
+    * shuffle is the top-k window over the bounded candidate rows.
+    */
+  def v34IvfServe(spark: SparkSession, dir: String, nlist: Int = 0,
+                  nprobe: Int = 2, k: Int = 3, maxQid: Long = 250L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nl = if (nlist > 0) nlist
+             else defaultNlist(Tables.footerRowCount(spark, dir, "embeddings"))
+    val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe)
+    val fixed = probes.filter(col("qid") < maxQid)
+      .select(col("qid"), col("cell"))
+    // homes is unique per cid and fixed unique per (qid, cell), so the
+    // join emits each (qid, cid) at most once — no distinct shuffle
+    val cands = homes.join(broadcast(fixed), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(quantize).as("q"))
+      .withColumn("nrm", expr(dot("q", "q")))
+    val qside = vecs.filter(col("vec_id") % 25 === 0 && col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    vecs.select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+      .join(broadcast(cands), "cid")
+      .join(broadcast(qside), "qid")
+      .withColumn("cos", expr(cos("qq", "cq", "qn", "cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("cid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val v34Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) nrm FROM v),
+      |cen AS (SELECT vec_id centroid_id, q cenq, nrm cenn FROM n
+      |        WHERE vec_id < (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+      |                        FROM embeddings)),
+      |cscored AS (
+      |  SELECT n.vec_id, cen.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+      |           i -> n.q[CAST(i AS INTEGER)] * cen.cenq[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cen.cenn AS DOUBLE)) ccos
+      |  FROM n, cen),
+      |cranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) crank
+      |  FROM cscored),
+      |homes AS (SELECT vec_id cid, centroid_id cell FROM cranked WHERE crank = 1),
+      |probes AS (SELECT vec_id qid, centroid_id cell
+      |           FROM cranked WHERE vec_id % 25 = 0 AND vec_id < 250 AND crank <= 2),
+      |cand AS (SELECT probes.qid, homes.cid
+      |         FROM probes JOIN homes ON probes.cell = homes.cell
+      |         WHERE probes.qid <> homes.cid),
+      |scored AS (
+      |  SELECT cand.qid, cand.cid,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |           i -> a.q[CAST(i AS INTEGER)] * b.q[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) cos
+      |  FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.cid = b.vec_id),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) rank
+      |      FROM scored)
       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id, ROUND(cos, 6) AS cosine
       |FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
@@ -3142,6 +3240,9 @@ object Similarity {
       |ORDER BY qid, rank""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v34_ivf_serve",
+      "IVF serving path: fixed 10-query probe of the stored assignment, exact refine top-3 — per-query sqrt(n) cost law",
+      v34IvfServe(_, _), Some(v34Sql)),
     QueryDef("v33_nndescent",
       "NN-descent round over the LSH-seeded k-NN graph: neighbors-of-neighbors re-rank, seed_rank=-1 marks descent-only finds",
       v33NnDescent(_, _), Some(v33Sql)),

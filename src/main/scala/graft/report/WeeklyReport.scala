@@ -117,9 +117,22 @@ object WeeklyReport {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val text = ("stage | n_docs | n_tokens" +:
       rows.map { case (st, d, t) => s"$st | $d | $t" }).mkString("\n")
-    (Seq("Corpus build funnel (ep01 flagship)" -> text),
+    // the streaming twin (VERDICT r12 #7): st17's per-(wave, stage)
+    // funnel is the PRODUCTION view of the same pipeline — what each
+    // arrival wave survived against the growing store. 30 bounded rows
+    // only; the chart shows the per-wave accepted mass at the quality
+    // gate.
+    val stream = graft.operators.CorpusBuild.st17IncrementalStream(spark, corpusDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val streamText = ("wave | stage | n_docs | n_tokens" +:
+      stream.map { case (w, st, d, t) => s"$w | $st | $d | $t" }).mkString("\n")
+    (Seq("Corpus build funnel (ep01 flagship)" -> text,
+         "Streaming ingest funnel per wave (st17)" -> streamText),
       Seq(BarChart("Corpus build: surviving documents per stage",
-        rows.map { case (st, d, _) => (st, d.toDouble) })))
+        rows.map { case (st, d, _) => (st, d.toDouble) }),
+        BarChart("Streaming ingest: accepted documents per wave",
+          stream.filter(_._2 == "8_quality")
+            .map { case (w, _, d, _) => (s"wave $w", d.toDouble) })))
   }
 
   /** Run the whole job: ETL → analytics → model → render (plus the

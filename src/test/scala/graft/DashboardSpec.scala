@@ -61,6 +61,12 @@ class DashboardSpec extends AnyFunSuite {
         "5_near_dedup", "6_decontam", "7_quality", "8_packed", "9_sharded")
         .foreach(st => assert(panel.contains(st), s"missing stage $st"))
       assert(panel.contains("<svg") && panel.contains("<rect"))
+      // the streaming twin (VERDICT r12 #7): st17's per-wave funnel is
+      // on the same panel — all three waves and the accepted-mass chart
+      assert(panel.contains("Streaming Ingest"))
+      Seq("wave 0", "wave 1", "wave 2")
+        .foreach(w => assert(panel.contains(w), s"missing $w bar"))
+      assert(panel.contains("5_dedup_store"), "st17 stage rows missing")
       assert(!panel.contains("error:"), panel.take(400))
     } finally s.stop(0)
   }

@@ -98,7 +98,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     // the corpus across the ten accounting branches
     "ep01_corpus_build", "d19_lsh_retune", "ep02_incremental_build",
     "st17_incremental_stream", "ep03_shard_compaction",
-    "d20_retune_migration")
+    "d20_retune_migration",
+    // r13: the IVF serving-path contract — its golden pins the map-side
+    // shape (fixed probe set broadcast into homes, candidate list
+    // broadcast into the corpus scan; the only shuffle is the top-k)
+    "v34_ivf_serve")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

@@ -104,12 +104,19 @@ class ReportSpec extends AnyFunSuite {
 
   test("weekly report renders the flagship ep01 corpus-build funnel section + chart (VERDICT r11 #6)") {
     val (sec, charts) = WeeklyReport.corpusSections(spark, sf)
-    assert(sec.size == 1 && sec.head._1.contains("Corpus build funnel"))
+    assert(sec.size == 2 && sec.head._1.contains("Corpus build funnel"))
     // the section body is the 10-row funnel, stage per line
     val body = sec.head._2
     Seq("0_ingest", "4_exact_dedup", "5_near_dedup", "9_sharded")
       .foreach(st => assert(body.contains(st), s"missing stage $st in\n$body"))
     assert(body.linesIterator.size == 11) // header + 10 stages
+    // the streaming twin (VERDICT r12 #7): st17's per-wave funnel —
+    // header + 3 waves x 10 stages
+    val sBody = sec(1)._2
+    assert(sec(1)._1.contains("st17") && sBody.linesIterator.size == 31,
+      s"expected 31 per-wave funnel lines:\n$sBody")
+    Seq("5_dedup_store", "6_neardup_store")
+      .foreach(st => assert(sBody.contains(st), s"missing stage $st"))
     // and it renders into a valid PDF with the bar chart page
     val out = "target/corpus_funnel_spec.pdf"
     new PdfReportSink(out).write("CORPUS BUILD", sec,
