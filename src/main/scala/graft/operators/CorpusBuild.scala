@@ -798,7 +798,9 @@ object CorpusBuild {
     */
   private[graft] def st17Run(spark: SparkSession, dir: String,
                              stateRoot: Option[String] = None,
-                             packBudget: Long = 512L): (DataFrame, String) = {
+                             packBudget: Long = 512L,
+                             checkpoint: Option[String] = None,
+                             reuseStore: Boolean = false): (DataFrame, String) = {
     import java.nio.file.{Files, Paths}
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.documents(spark, dir)
@@ -813,11 +815,17 @@ object CorpusBuild {
     // makes a replayed setup byte-identical) ----
     val idx = Dedup.neutralLshIndex(spark, dir)
     val chosenR = Dedup.chosenRowsPerBand(spark, dir)
-    cleanColsOf(base
-        .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0)
-        .withColumn("raw", col("text")))
-      .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
-      .write.mode("overwrite").parquet(s"$store/corpus_meta")
+    // reuseStore (probe-only, the steady-state path): a warm store is
+    // not rebuilt, so the measured marginal batch excludes setup — the
+    // contract/replay paths keep the idempotent overwrite
+    val metaPath = new org.apache.hadoop.fs.Path(s"$store/corpus_meta")
+    val metaFs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(reuseStore && metaFs.exists(metaPath)))
+      cleanColsOf(base
+          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0)
+          .withColumn("raw", col("text")))
+        .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
+        .write.mode("overwrite").parquet(s"$store/corpus_meta")
     val corpusMeta = spark.read.parquet(s"$store/corpus_meta")
     val poff = corpusMeta.filter(col("lang") === "en" && col("n_tok") >= 50)
       .agg(coalesce(sum(col("n_tok")), lit(0L)).as("off")).head().getLong(0)
@@ -857,7 +865,7 @@ object CorpusBuild {
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_st17_ckpt_").toString)
+        checkpoint.getOrElse(Files.createTempDirectory("graft_st17_ckpt_").toString))
       .foreachBatch { (wave: DataFrame, bid: Long) =>
         // The wave LABEL is carried by the DATA (wave = doc_id mod 3 by
         // staging construction), never by the micro-batch id (ADVICE
@@ -993,6 +1001,61 @@ object CorpusBuild {
 
   def st17IncrementalStream(spark: SparkSession, dir: String): DataFrame =
     st17Run(spark, dir)._1
+
+  /** Probe-only (VERDICT r12 #5 — the steady-state cadence): build the
+    * st17 state root, process the three contract waves against a
+    * PERSISTENT checkpoint (warm store), and stage ONE additional
+    * arrival wave of unseen documents — wave-0's arrival mix with every
+    * id offset past the whole existing id space (corpus ids, plant
+    * offsets up to +500001, and earlier arrivals) and an injective
+    * letter substitution so the content is genuinely new, not a
+    * redelivery the exact-dedup gate would zero out. Returns the root;
+    * [[st17MarginalWave]] then runs the stream again over the SAME
+    * checkpoint, so FileStreamSource delivers exactly the one new file
+    * and the measured work is the marginal batch a production arrival
+    * pays — not the r12 probe's staging-tagged full-demo number.
+    */
+  private[graft] def st17PrepareMarginal(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_st17_marg_").toString
+    st17Run(spark, dir, Some(root), checkpoint = Some(s"$root/ckpt"))
+      ._1.queryExecution.toRdd.count()
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val off = ((maxId + 600000L) / 3L + 1L) * 3L // multiple of 3: the
+      // wave label (doc_id mod 3) stays 0 and ids clear every plant
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val src = lo + lo.toUpperCase
+    val dst = (lo.drop(1) + lo.head) + (lo.drop(1) + lo.head).toUpperCase
+    val wave3 = ep02ArrivalRows(base).filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("lang"),
+        expr(s"translate(raw, '$src', '$dst')").as("raw"))
+    val tmp = Files.createTempDirectory("graft_st17_w3_")
+    wave3.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val target = Paths.get(s"$root/stage", "wave_03.parquet")
+    Files.move(Paths.get(part), target)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L + 3 * 60000L))
+    root
+  }
+
+  /** Probe-only: run the stream over the prepared root's persistent
+    * checkpoint — only the staged marginal wave is undelivered, so this
+    * IS the steady-state batch cost — and return that batch's funnel.
+    */
+  private[graft] def st17MarginalWave(spark: SparkSession, dir: String,
+                                      root: String): DataFrame = {
+    st17Run(spark, dir, Some(root), checkpoint = Some(s"$root/ckpt"),
+        reuseStore = true)
+      ._1.queryExecution.toRdd.count()
+    spark.read.parquet(s"$root/acct/b3")
+      .select(col("wave").cast("int").as("wave"), col("stage"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("stage"))
+  }
 
   /** ep03 — shard-store COMPACTION (the weekly maintenance cadence for
     * the store ep01 builds and ep02/st17 append to — the corpus-store

@@ -39,6 +39,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("st17: a marginal arrival wave over the warm store processes only the new batch") {
+    // the steady-state probe path (VERDICT r12 #5): prepare = full
+    // stream over a PERSISTENT checkpoint + one freshly staged unseen
+    // wave; the marginal run must deliver exactly that wave, label it
+    // from its own data, and leave every earlier batch's accounting
+    // byte-identical (the strictly-earlier read fence)
+    val root = operators.CorpusBuild.st17PrepareMarginal(spark, sf)
+    def earlier() = spark.read.parquet(
+        s"$root/acct/b0", s"$root/acct/b1", s"$root/acct/b2")
+      .collect().map(_.toSeq).toSet
+    val before = earlier()
+    val marg = operators.CorpusBuild.st17MarginalWave(spark, sf, root).collect()
+    assert(marg.length == 10, s"one full ten-stage funnel, got ${marg.length}")
+    // the wave label comes from the DATA (all marginal ids ≡ 0 mod 3),
+    // not from the micro-batch id (which is 3 here)
+    assert(marg.forall(_.getInt(0) == 0))
+    val arrivals = marg.find(_.getString(1) == "0_arrivals").get.getLong(2)
+    val quality = marg.find(_.getString(1) == "8_quality").get.getLong(2)
+    assert(arrivals > 0 && quality > 0,
+      s"marginal wave must carry real work: arrivals=$arrivals quality=$quality")
+    assert(before == earlier(), "earlier waves' accounting was rewritten")
+  }
+
   test("v34: the serving contract's query set is FIXED — it does not grow with the corpus") {
     // the whole point of the serving row vs v18's batch-eval: query
     // count is bounded by maxQid/25 at every corpus size, so total cost
