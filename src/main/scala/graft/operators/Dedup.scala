@@ -836,7 +836,14 @@ object Dedup {
     * miss rate) — AND a fixed 5% miss budget AT the 0.8 contract
     * threshold itself, (1 − 0.8^r)^b ≤ 0.05, so no choosable layout is
     * blind to threshold-adjacent pairs a too-clean sample never
-    * exhibited. Chosen = the LARGEST eligible r — the most selective
+    * exhibited. The 5% budget is the DELIBERATE recall/selectivity
+    * knob (ADVICE r12): it admits r=6 (4.8% miss exactly at 0.8, far
+    * less above it) because routed d01 measured ~5× fewer candidates
+    * there; a deployment that must hold d01 parity on adversarial
+    * corpora dense in pairs sitting exactly AT the threshold should
+    * tighten the literal to 0.01 (both here and in the oracle's best
+    * CTE), which excludes r=6 and pins r=5's 0.85% miss.
+    * Chosen = the LARGEST eligible r — the most selective
     * banding the corpus's actual similarity structure permits; with no
     * observed dups the stored 12×5 default is kept. On a tiny-vocab
     * corpus whose random pairs sit at j≈0.18 (this one — where d17
