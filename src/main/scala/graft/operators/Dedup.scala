@@ -177,18 +177,21 @@ object Dedup {
     * checks ALL pairs, so a band-layer miss would fail the contract
     * rather than hide (tuning rationale on [[lshVerifiedPairs]]).
     */
-  def d01MinHashLsh(spark: SparkSession, dir: String,
-                    rowsPerBand: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** Band-collision candidate pairs at `rowsPerBand`, shared by d01 and
+    * d17 (r13, VERDICT r12 #6): rowsPerBand == 5 is the STORED layout —
+    * candidates come from the bucket-partitioned band table's self-join
+    * (one parquet scan per side, bucket-key prefilter); any other r
+    * re-bands from the stored signatures via [[sigBandsAt]] (the d19
+    * re-tune path — never a re-shingle). d17's r12 form always took the
+    * re-band branch even at the stored layout, paying the 60-column sig
+    * scan + concat per side — the largest absolute x100 mover (6.5 GB
+    * job bytes); routing it through the stored-table branch is the same
+    * constant-factor cut d01 took in r8.
+    */
+  private[operators] def lshCandidatePairs(spark: SparkSession, dir: String,
+                                           rowsPerBand: Int): DataFrame = {
     val idx = neutralLshIndex(spark, dir)
-    val sets = spark.read.parquet(s"$idx/sets")
-    // rowsPerBand == 5 is the stored layout; any other r routes candidate
-    // generation through [[sigBandsAt]] (the d19 chooser's re-tune path —
-    // re-banded from the stored signatures, no re-shingling). The verify
-    // layer below is IDENTICAL either way: values cannot change as long
-    // as the layout's measured recall at 0.8 holds, which is exactly the
-    // condition d19LshRetune checks before choosing an r.
-    val pairs = (if (rowsPerBand == 5) {
+    if (rowsPerBand == 5) {
       val bands = spark.read.parquet(s"$idx/bands")
       bands.select(col("doc_id").as("ida"), col("bk"), col("bucket"))
         .join(bands.select(col("doc_id").as("idb"), col("bk"), col("bucket")),
@@ -202,7 +205,19 @@ object Dedup {
         .join(banded.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
         .filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb")).distinct()
-    }).localCheckpoint(false) // three consumers: both participant
+    }
+  }
+
+  def d01MinHashLsh(spark: SparkSession, dir: String,
+                    rowsPerBand: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = neutralLshIndex(spark, dir)
+    val sets = spark.read.parquet(s"$idx/sets")
+    // The verify layer below is IDENTICAL at every layout: values cannot
+    // change as long as the layout's measured recall at 0.8 holds, which
+    // is exactly the condition d19LshRetune checks before choosing an r.
+    val pairs = lshCandidatePairs(spark, dir, rowsPerBand)
+      .localCheckpoint(false) // three consumers: both participant
                               // projections below + the verify join
     // Verify only the PAIR PARTICIPANTS' stored sets (the ep01
     // convention): the id list broadcasts and the corpus-scale sets
@@ -1997,14 +2012,13 @@ object Dedup {
     val sets = spark.read.parquet(s"$idx/sets")
     // candidates at the d19-CHOSEN band layout (VERDICT r11 #2 — the
     // same routing as the d01 contract default; the oracle replays the
-    // chooser's decision from the shared CTE block)
+    // chooser's decision from the shared CTE block), generated by the
+    // SHARED [[lshCandidatePairs]]: at the stored layout that is the
+    // bucket-partitioned band table's self-join, not an in-plan re-band
+    // (r13, VERDICT r12 #6 — the re-band paid the 60-column sig scan +
+    // concat per side, 6.5 GB of the x100 job bytes)
     val chosenR = chosenRowsPerBand(spark, dir)
-    val banded = sigBandsAt(spark, dir, chosenR)
-      .select(col("doc_id"), explode(col("bands")).as("bk"))
-    val pairs = banded.select(col("doc_id").as("ida"), col("bk"))
-      .join(banded.select(col("doc_id").as("idb"), col("bk")), Seq("bk"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb")).distinct()
+    val pairs = lshCandidatePairs(spark, dir, chosenR)
       .localCheckpoint(false) // three consumers: both participant
                               // projections below + the estimator joins
     // participant-filtered stored artifacts (the d01/ep01 convention):
@@ -2015,17 +2029,26 @@ object Dedup {
     // corpus-scale ever shuffles
     val members = pairs.select(col("ida").as("doc_id"))
       .unionByName(pairs.select(col("idb").as("doc_id"))).distinct()
-      .localCheckpoint(false) // four broadcast consumers
-    val sig = spark.read.parquet(s"$idx/sig")
-      .join(broadcast(members), "doc_id")
-      .select(col("doc_id"),
-        array((0 until minhashK).map(k => col(s"h$k")): _*).as("sig"))
-    val slim = sets.join(broadcast(members), "doc_id")
+      .localCheckpoint(false) // two broadcast consumers
+    // ONE participant artifact carrying BOTH the signature and the
+    // sorted set (r13, VERDICT r12 #6): the r12 form joined pairs to
+    // sig and sets separately — four pair-side joins, so past the
+    // broadcast threshold the pairs table shuffled four times and the
+    // estimator payload twice per side. Merging the two stored tables
+    // on the (bounded, participant-filtered) side first halves the
+    // pair-side joins; payload bytes per participant are unchanged.
+    val art = sets.join(broadcast(members), "doc_id")
+      .join(spark.read.parquet(s"$idx/sig")
+        .join(broadcast(members), "doc_id")
+        .select(col("doc_id"),
+          array((0 until minhashK).map(k => col(s"h$k")): _*).as("sig")),
+        "doc_id")
+      .localCheckpoint(false) // two consumers: the ida and idb joins
     pairs
-      .join(sig.select(col("doc_id").as("ida"), col("sig").as("sa")), "ida")
-      .join(sig.select(col("doc_id").as("idb"), col("sig").as("sb")), "idb")
-      .join(slim.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
-      .join(slim.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")
+      .join(art.select(col("doc_id").as("ida"), col("sig").as("sa"),
+        col("hs").as("ha")), "ida")
+      .join(art.select(col("doc_id").as("idb"), col("sig").as("sb"),
+        col("hs").as("hb")), "idb")
       .withColumn("k_full", expr(
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .withColumn("k_2bit", expr(
