@@ -70,7 +70,9 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     "a37_kmv_set_ops", "a38_ks_drift", "a50_cvm_drift", "a57_t_closeness",
     "d02_simhash", "d03_ngram_jaccard", "d04_embedding_neardup",
     "d07_semantic_dedup", "d08_incremental_dedup", "d13_threshold_sweep",
-    "d15_source_similarity", "d16_prefix_filter_join", "d17_bbit_minhash",
+    // d17 left the allowlist in r13: the merged participant artifact is
+    // checkpointed, so no shared subtree duplicates any more
+    "d15_source_similarity", "d16_prefix_filter_join",
     "d18_incremental_components",
     "g01_link_rank", "g02_triangle_count", "g05_hits", "g06_kcore",
     "g07_link_predict", "g08_lpa_communities", "g09_assortativity",
