@@ -85,7 +85,7 @@ object ScaleProbe {
     "d20_retune_migration",
     // r13 additions: the IVF SERVING row (fixed query count — the
     // √n-per-query cost law v18's batch-eval can't show)
-    "v34_ivf_serve")
+    "v34_ivf_serve", "m17_widehash_pairs")
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

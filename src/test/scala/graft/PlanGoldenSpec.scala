@@ -102,7 +102,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     // r13: the IVF serving-path contract — its golden pins the map-side
     // shape (fixed probe set broadcast into homes, candidate list
     // broadcast into the corpus scan; the only shuffle is the top-k)
-    "v34_ivf_serve")
+    "v34_ivf_serve",
+    // r13: the wide perceptual hash (the route m10's guard names)
+    "m17_widehash_pairs")
 
   /** Final-plan operator fingerprint: one op name per tree node in
     * preorder, AQE final-plan only, whole-stage-codegen wrappers and node

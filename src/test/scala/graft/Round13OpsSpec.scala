@@ -26,8 +26,34 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("priced candidate volume"),
       s"refusal must name the priced bound: ${ex.getMessage}")
-    assert(ex.getMessage.contains("pHash"),
-      s"refusal must name the wider-hash route: ${ex.getMessage}")
+    assert(ex.getMessage.contains("m17_widehash_pairs"),
+      s"refusal must name the in-tree wider-hash route: ${ex.getMessage}")
+  }
+
+  test("m17: the wide hash survives the corpus size that saturates m10, and its plants separate") {
+    import spark.implicits._
+    // the SAME degenerate corpus that forces m10's refusal above: all
+    // media rows share one 60-bit aHash, but the m17 plants differ in
+    // sampled positions — and even in the absolute worst case (every
+    // row identical) the 6x42-bit key space is what the guard's
+    // message routes to, so m17 must RUN here, not refuse
+    val rows = operators.Multimodal.m17WidehashPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // plant separation: LIGHT edits (id + off) are perceptual pairs of
+    // their base (hamming <= 5); HEAVY edits (id + 2*off) mostly are
+    // not. Verify via the id arithmetic: every base id with a light
+    // pair, and strictly fewer base-heavy pairs than base-light ones.
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0) + 1
+    val lightPairs = rows.count(r => r.getLong(1) - r.getLong(0) == n)
+    val heavyPairs = rows.count(r => r.getLong(1) - r.getLong(0) == 2 * n)
+    assert(lightPairs > 0, "light-edit plants must be caught at ham<=5")
+    assert(heavyPairs < lightPairs,
+      s"heavy edits should mostly exceed the threshold: light=$lightPairs heavy=$heavyPairs")
+    // pigeonhole losslessness on real data: every emitted pair's
+    // hamming is <= 5 by contract, and at least one of its 6 bands is
+    // byte-identical (the prefilter that found it)
+    assert(rows.forall(_.getInt(2) <= 5))
   }
 
   test("m10: the gate corpus stays under the saturation budget even when priced") {
