@@ -1122,6 +1122,7 @@ object Multimodal {
   def m17WidehashPairs(spark: SparkSession, dir: String): DataFrame = {
     val off = Tables.documents(spark, dir)
       .agg((max(col("doc_id")) + 1L).as("off"))
+      .localCheckpoint(false) // two consumers: the light and heavy plants
     val docs = Tables.documents(spark, dir)
     val base = docs.select(col("doc_id"), concat(lit("IMG0"), col("text")).as("s"))
     val light = docs.crossJoin(broadcast(off))
@@ -1167,6 +1168,7 @@ object Multimodal {
     val members = cands.select(col("ida").as("doc_id"))
       .unionByName(cands.select(col("idb").as("doc_id"))).distinct()
     val slim = hashed.join(broadcast(members), "doc_id")
+      .localCheckpoint(false) // two consumers: the ida and idb joins
     cands
       .join(slim.select(col("doc_id").as("ida"), col("bands").as("ba")), "ida")
       .join(slim.select(col("doc_id").as("idb"), col("bands").as("bb")), "idb")
