@@ -87,6 +87,15 @@ object ScaleProbe {
     // √n-per-query cost law v18's batch-eval can't show)
     "v34_ivf_serve", "m17_widehash_pairs")
 
+  /** Priced-guard refusals (the d16/m10/m17 class) all share the exact
+    * message shape `<op> refused: priced candidate volume …` — match
+    * that structured prefix, not the bare substring "refused" (ADVICE
+    * r13: a genuine failure whose message merely contains the word
+    * must be recorded as a crash, not a by-design refusal).
+    */
+  private[graft] def isPricedRefusal(msg: String): Boolean =
+    msg != null && msg.contains("refused: priced candidate volume")
+
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")
 
@@ -291,7 +300,7 @@ object ScaleProbe {
         d.queryExecution.toRdd.count()
         d
       } catch { case e: Throwable =>
-        val refused = e.getMessage != null && e.getMessage.contains("refused")
+        val refused = isPricedRefusal(e.getMessage)
         if (refused)
           System.err.println(s"[probe] $label REFUSED by priced guard: " +
             e.getMessage.takeWhile(_ != '\n'))

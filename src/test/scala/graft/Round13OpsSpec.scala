@@ -30,13 +30,13 @@ class Round13OpsSpec extends AnyFunSuite {
       s"refusal must name the in-tree wider-hash route: ${ex.getMessage}")
   }
 
-  test("m17: the wide hash survives the corpus size that saturates m10, and its plants separate") {
+  test("m17: the wide hash runs on the gate corpus, and its plants separate") {
     import spark.implicits._
-    // the SAME degenerate corpus that forces m10's refusal above: all
-    // media rows share one 60-bit aHash, but the m17 plants differ in
-    // sampled positions — and even in the absolute worst case (every
-    // row identical) the 6x42-bit key space is what the guard's
-    // message routes to, so m17 must RUN here, not refuse
+    // the GATE corpus (not m10's degenerate one — on an all-identical
+    // corpus m17's own r14 priced guard refuses too, by design; see
+    // Round14OpsSpec): m10's size-saturation remedy is the 6x42-bit
+    // key space, exercised here on real payloads where the plants
+    // must separate by edit weight
     val rows = operators.Multimodal.m17WidehashPairs(spark, sf).collect()
     assert(rows.nonEmpty)
     // plant separation: LIGHT edits (id + off) are perceptual pairs of

@@ -39,8 +39,16 @@ def main():
         total = re.findall(r"Total number of tests run: (\d+)", text)
         succ = re.findall(r"succeeded (\d+)", text)
         if total:
-            cert["suite_total"] = sum(int(t) for t in total)
-            cert["suite_succeeded"] = sum(int(s) for s in succ)
+            # a log holding more than one scalatest summary (per-module
+            # sbt builds, an appended retry) must not silently inflate
+            # the certified counts: take only the LAST pair — the final
+            # full-suite run — and say so (ADVICE r13)
+            if len(total) > 1:
+                print(f"WARNING: {len(total)} scalatest summaries in "
+                      f"{args.suite_log}; certifying only the last",
+                      file=sys.stderr)
+            cert["suite_total"] = int(total[-1])
+            cert["suite_succeeded"] = int(succ[-1]) if succ else 0
             cert["suite_log_mtime"] = datetime.datetime.fromtimestamp(
                 os.path.getmtime(args.suite_log)).isoformat(timespec="seconds")
         else:
