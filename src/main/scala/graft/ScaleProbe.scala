@@ -27,9 +27,14 @@ object ScaleProbe {
 
   /** The bench heavies called out by the r5 review, plus the round-7
     * additions whose cost is corpus-shaped (iterative joins, LSH
-    * sweeps, per-row HOF scans, full-width window passes). Guarded
-    * exact-eval ops (v19 etc.) are deliberately absent: their guards
-    * trip at 10× BY DESIGN and route to the index paths.
+    * sweeps, per-row HOF scans, full-width window passes). Most guarded
+    * exact-eval ops are deliberately absent: their guards trip at 10×
+    * BY DESIGN and route to the index paths. v19 is probed (r14): its
+    * 8×-priced bound ADMITS the 10× corpus (1.28e8 of 2.68e8) and
+    * REFUSES the 100× one — both outcomes are artifact rows now that
+    * refusals are classified structurally, which is the punch-list
+    * answer for "v19's linearity is argued, not measured": its past-
+    * bound path is a refusal routing to v12/v05 shortlist scoring.
     */
   val probes: Seq[String] = Seq(
     "d12_lsh_index", "d10_lsh_audit", "d01_minhash_lsh",
@@ -85,16 +90,22 @@ object ScaleProbe {
     "d20_retune_migration",
     // r13 additions: the IVF SERVING row (fixed query count — the
     // √n-per-query cost law v18's batch-eval can't show)
-    "v34_ivf_serve", "m17_widehash_pairs")
+    "v34_ivf_serve", "m17_widehash_pairs",
+    // r14 addition (VERDICT r13 #4): the 8×-priced exact MaxSim —
+    // measured at 10× (under its bound), refused at 100× (over it)
+    "v19_maxsim_topk")
 
-  /** Priced-guard refusals (the d16/m10/m17 class) all share the exact
-    * message shape `<op> refused: priced candidate volume …` — match
-    * that structured prefix, not the bare substring "refused" (ADVICE
-    * r13: a genuine failure whose message merely contains the word
-    * must be recorded as a crash, not a by-design refusal).
+  /** By-design refusals come in exactly two structured shapes — the
+    * data-priced guards (d16/m10/m17: `<op> refused: priced candidate
+    * volume …`) and the metadata-priced exact-eval bounds (the v-family
+    * `requirePairsBounded`: `… scored pairs exceeds the <bound> bound`).
+    * Match those prefixes, not the bare substring "refused" (ADVICE
+    * r13: a genuine failure whose message merely contains the word must
+    * be recorded as a crash, not a by-design refusal).
     */
   private[graft] def isPricedRefusal(msg: String): Boolean =
-    msg != null && msg.contains("refused: priced candidate volume")
+    msg != null && (msg.contains("refused: priced candidate volume") ||
+      msg.contains("scored pairs exceeds the"))
 
   private val scaledTables = Set("documents", "embeddings", "lineitem", "orders", "customer", "events")
   private val copiedTables = Seq("region", "nation", "supplier", "part")

@@ -1035,6 +1035,29 @@ object Dedup {
       .orderBy(col("r"))
   }
 
+  /** d19's miss-budget SENSITIVITY companion (VERDICT r13 #5, ending
+    * the ADVICE r12 5%-vs-1% debate with data instead of prose): the
+    * chooser's threshold-budget layer is the one hand-set literal in
+    * its eligibility — (1 − 0.8^r)^b ≤ 0.05 — so this helper reports,
+    * per layout, the analytic miss probability AT the 0.8 contract
+    * threshold, whether a 5% and a 1% budget would admit it, and the
+    * measured candidate volume it costs (d19's own n_candidates
+    * column, probe-sample-bounded). Run at each probe scale via
+    * [[graft.D19Sensitivity]]; the resulting table lives in NOTES.md.
+    * Pure post-processing over [[d19LshRetune]]'s output — the
+    * chooser's contract schema, oracle, and default are untouched.
+    */
+  def d19MissBudgetSensitivity(spark: SparkSession, dir: String): DataFrame =
+    d19LshRetune(spark, dir)
+      .withColumn("miss_at_threshold",
+        round(expr("power(1.0 - power(0.8, r), b)"), 6))
+      .withColumn("admit_5pct", col("miss_at_threshold") <= 0.05)
+      .withColumn("admit_1pct", col("miss_at_threshold") <= 0.01)
+      .select(col("r"), col("b"), col("miss_at_threshold"),
+        col("n_candidates"), col("admit_5pct"), col("admit_1pct"),
+        col("chosen"))
+      .orderBy(col("r"))
+
   /** Shared oracle CTE block — engine-neutral shingle mins, per-layout
     * bandings, the exact sampled truth, and the d19 chooser's
     * three-layer eligibility, ending in best(best_r). d19Sql reports

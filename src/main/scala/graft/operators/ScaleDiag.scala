@@ -658,12 +658,16 @@ object ScaleDiag {
         .filter(col("file_id") =!= 0).select(col("k"), col("cents")))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
     val nBase = base.count()
-    val nDv = dv.count()
+    // both DV tallies in ONE metadata-sized job (the commit row's full
+    // count and the post-compaction remainder) — three driver-side
+    // counts here were a third of l10's ~10-job wall at sf0.1
+    val dvCounts = dv.agg(count(lit(1)).as("n"),
+      count(when(col("file_id") =!= 0, 1)).as("n_rest")).head()
     import spark.implicits._
     Seq(
-      ("1_delete_commit", nBase, nDv, mor.getLong(0), mor.getLong(1),
+      ("1_delete_commit", nBase, dvCounts.getLong(0), mor.getLong(0), mor.getLong(1),
         (0 to 3).count(g => before(s"file_id=$g") != afterDelete(s"file_id=$g")).toLong),
-      ("2_partial_compact", nBase, dvRest.count(), compacted.getLong(0),
+      ("2_partial_compact", nBase, dvCounts.getLong(1), compacted.getLong(0),
         compacted.getLong(1), 1L))
       .toDF("step", "n_base", "n_dv", "n_live", "live_cents", "files_changed")
       .orderBy(col("step"))

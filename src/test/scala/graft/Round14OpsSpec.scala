@@ -47,6 +47,29 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("d19 sensitivity: a 1% threshold budget excludes r=6 and pins r=5; the 5% default is unchanged") {
+    // VERDICT r13 #5 / ADVICE r12: the 5%-vs-1% debate, ended with the
+    // analytic S-curve itself — (1-0.8^r)^b per layout: r=5 sits at
+    // 0.85% (inside both budgets), r=6 at 4.8% (inside 5%, outside 1%),
+    // r>=10 outside both. The sensitivity table is post-processing over
+    // d19's contract output, so `chosen` still reflects the shipped 5%
+    // default.
+    val rows = operators.Dedup.d19MissBudgetSensitivity(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows(5).getDouble(2) < 0.01 && rows(5).getBoolean(5),
+      "r=5 must sit inside the 1% budget")
+    assert(rows(6).getBoolean(4) && !rows(6).getBoolean(5),
+      "r=6 must be exactly the layout a 1% budget excludes and 5% admits")
+    assert(Seq(10, 12).forall(r => !rows(r).getBoolean(4)),
+      "r>=10 stays outside both budgets")
+    // tightening to 1% would cost candidates: among budget-admitted
+    // layouts the most selective 1%-eligible one is r=5, whose
+    // candidate volume is >= r=6's (that delta IS the price of the
+    // tighter budget on this corpus)
+    assert(rows(5).getLong(3) >= rows(6).getLong(3),
+      s"r=5 candidates ${rows(5).getLong(3)} should cost at least r=6's ${rows(6).getLong(3)}")
+  }
+
   test("probe refusal marker: structured prefix only — a crash mentioning 'refused' is a crash") {
     // ADVICE r13 #1: the probe used to match the bare substring
     // 'refused', so any genuine failure whose message happened to
@@ -55,6 +78,12 @@ class Round14OpsSpec extends AnyFunSuite {
       "m17_widehash_pairs refused: priced candidate volume 1.194e+06 pairs exceeds 38400"))
     assert(ScaleProbe.isPricedRefusal(
       "d16_prefix_filter_join refused: priced candidate volume 5.2e+08 pairs exceeds x"))
+    // the second structured shape: the v-family metadata-priced bound
+    // (requirePairsBounded) — v19's probe row depends on this one
+    assert(ScaleProbe.isPricedRefusal(
+      "requirement failed: v19 exact scoring is O(queries x corpus): 8 x 60000 x " +
+        "1500000 = 720000000000 scored pairs exceeds the 268435456 bound - " +
+        "generate candidates with v12 (binary Hamming shortlist)"))
     assert(!ScaleProbe.isPricedRefusal(
       "connection refused: executor lost while fetching shuffle block"))
     assert(!ScaleProbe.isPricedRefusal("the write was refused by the filesystem"))
