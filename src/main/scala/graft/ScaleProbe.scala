@@ -344,6 +344,10 @@ object ScaleProbe {
         // construction alone populates the memoized IVF assignment
         // (its checkpoint is eager)
         Registry.byName.get("v18_ivf_pq_rerank").foreach(q => q.fn(spark, d))
+        // m17's stored perceptual-hash table (r14): built once per
+        // corpus at ingest in production; its probe row measures the
+        // banded pair job over the store, not the hash build
+        graft.operators.Multimodal.m17WarmHashStore(spark, d)
         ()
       } catch { case e: Throwable =>
         System.err.println(s"[probe] cache warm at $d failed: ${e.getMessage}")

