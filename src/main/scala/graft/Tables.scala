@@ -99,6 +99,46 @@ object Tables {
     * `.parquet` file (the driver's testdata shape) and a directory of
     * part files (the shape a real lake writes).
     */
+  /** Planned scan parallelism of a table from its on-disk bytes and
+    * `spark.sql.files.maxPartitionBytes` — the same arithmetic
+    * FilePartition packing uses, from file-system metadata only (no
+    * Spark job, no footer reads).
+    */
+  def scanParallelism(spark: SparkSession, dir: String, name: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val bytes =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      else fs.getFileStatus(root).getLen
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    math.max(1L, (bytes + maxSplit - 1) / maxSplit).toInt
+  }
+
+  /** Scale-adaptive fan-out for per-row-EXPENSIVE pipelines (explode ×
+    * hash/verify work downstream of a scan). A tiny table is one scan
+    * task no matter how costly the per-row work — a 594 KB single-
+    * row-group parquet file runs its whole downstream explode+md5
+    * pipeline single-threaded while 31 cores idle (measured: d15 4.2 s
+    * in 1 task at sf0.1). When the table's scan parallelism is below
+    * the session's core count, repartition the (pre-explode, cheap)
+    * base rows round-robin across the cores; at cluster scale
+    * bytes/maxPartitionBytes already exceeds the core count, so this
+    * is a no-op there and never introduces a shuffle of a large table.
+    * The added exchange at small scale carries the base rows — the
+    * cheap side of the multiply (guide §8: move light rows, not the
+    * product). Partition-safety: callers must be partition-invariant
+    * (aggregates/joins/sorts keyed on data, no partition-id or
+    * sample() dependence).
+    */
+  def fanOut(df: DataFrame, spark: SparkSession, dir: String, name: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (scanParallelism(spark, dir, name) < cores) df.repartition(cores) else df
+  }
+
   def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")

@@ -875,33 +875,55 @@ object CorpusBuild {
         // strictly-earlier read fence), where delivery order is exactly
         // the thing being keyed on. One 1-row aggregate per batch;
         // empty-batch fallback keeps the bid label.
+        //
+        // Optimization r14 (guide §1.2/§2.4/§2.6 — this query was the
+        // fleet's #1 wall at 15.4 s with 187 driver jobs): the stage
+        // chain is now carried as PER-DOC FLAGS on two checkpointed
+        // frames instead of eight checkpointed stage frames, the wave's
+        // signatures are computed ONCE (the old body signed the wave
+        // twice: batchSig over s5 + the seen_sigs store write over w),
+        // the ten union-branch funnel aggregates collapse into ONE
+        // aggregate + a stack(), and the four independent per-batch
+        // store writes run concurrently (guide §2.6 — independent jobs
+        // back-fill each other's task tails). Stage predicates are
+        // byte-identical to the old chain; the funnel parquet a
+        // replayed batch rewrites is byte-identical (Round12OpsSpec).
         val waveId = wave.agg(coalesce(min(pmod(col("doc_id"), lit(3))),
           lit(bid))).head().getLong(0).toInt
         val w = cleanColsOf(wave)
           .select(col("doc_id"), col("lang"), col("n_tok0"),
             col("cleaned"), col("n_tok"))
           .localCheckpoint(true)
-        val s2 = w.filter(col("lang") === "en")
-        val s3 = s2.filter(col("n_tok") >= 50)
-        val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-        val s4 = s3.withColumn("fp", md5(lower(col("cleaned"))))
-          .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-          .select(col("doc_id"), col("cleaned"), col("n_tok"), col("fp"))
+        // one sig pass per wave, shared by the near-dup probe (p5 subset)
+        // and the seen_sigs store write (all wave docs)
+        val sigAll = Dedup.inPlanSigAndSets(
+          w.select(col("doc_id"), col("cleaned").as("text")), chosenR)
           .localCheckpoint(true)
-        // exact dedup vs corpus ∪ seen waves — the ep02 map-side shape
-        val batchFps = s4.select(col("fp")).distinct()
+        // flags frame 1: clean/langid/length gates + exact dedup within
+        // the wave (rn among p3 docs of the same fp) + vs the store
         val seenFps = earlier("seen_fps", bid)
           .map(corpusMeta.select(col("fp")).unionByName(_))
           .getOrElse(corpusMeta.select(col("fp")))
+        val wFlag = w
+          .withColumn("p3", col("lang") === "en" && col("n_tok") >= 50)
+          .withColumn("fp", md5(lower(col("cleaned"))))
+        val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val f1 = wFlag
+          .withColumn("rn3", sum(when(col("p3"), 1L).otherwise(0L)).over(wFp))
+          .withColumn("p4", col("p3") && col("rn3") === 1L)
+        val batchFps = f1.filter(col("p4")).select(col("fp")).distinct()
         val fpHits = seenFps.join(broadcast(batchFps), Seq("fp"), "left_semi")
-          .select(col("fp")).distinct()
-        val s5 = s4.join(broadcast(fpHits), Seq("fp"), "left_anti")
-          .select(col("doc_id"), col("cleaned"), col("n_tok"))
+          .select(col("fp")).distinct().withColumn("hit5", lit(true))
+        val frame1 = f1.join(broadcast(fpHits), Seq("fp"), "left")
+          .withColumn("p5", col("p4") && col("hit5").isNull)
+          .select(col("doc_id"), col("lang"), col("n_tok0"), col("n_tok"),
+            col("cleaned"), col("p3"), col("p4"), col("p5"))
           .localCheckpoint(true)
-        // near-dup probe: stored corpus index ∪ seen-wave signatures
-        val batchSig = Dedup.inPlanSigAndSets(
-          s5.select(col("doc_id"), col("cleaned").as("text")), chosenR)
-          .localCheckpoint(true)
+        // near-dup probe: stored corpus index ∪ seen-wave signatures,
+        // batch side = sigAll restricted to p5 survivors
+        val p5Ids = frame1.filter(col("p5")).select(col("doc_id"))
+        val batchSig = sigAll.join(broadcast(p5Ids), Seq("doc_id"), "left_semi")
         val batchBands = batchSig
           .select(col("doc_id").as("bid"), explode(col("bands")).as("bk"))
         val seenSig = earlier("seen_sigs", bid)
@@ -926,31 +948,40 @@ object CorpusBuild {
             (size(col("hb")) + size(col("hc")) - col("inter")).cast("double")
             >= 0.8)
           .select(col("bid").as("doc_id")).distinct()
-        val s6 = s5.join(nearDrops, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+          .withColumn("nd", lit(true))
+        // flags frame 2: near-dup, decontam, quality — each former
+        // inner-join-then-filter becomes a left join + null-safe flag
+        // (the old inner joins kept exactly the rows the flag keeps:
+        // overlap/qstats emit a row for every surviving doc by
+        // construction, so `isNotNull` guards change nothing)
+        val f2 = frame1.join(nearDrops, Seq("doc_id"), "left")
+          .withColumn("p6", col("p5") && col("nd").isNull)
         val grams3 = expr(
           "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")
-        val overlap = s6.withColumn("w", split(lower(col("cleaned")), "\\s+"))
+        val overlap = f2.filter(col("p6"))
+          .withColumn("w", split(lower(col("cleaned")), "\\s+"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), explode(grams3).as("gram"))
           .join(broadcast(evalGrams), Seq("gram"), "left")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("gram")).as("own"),
             countDistinct(when(col("hit"), col("gram"))).as("shared"))
-        val s7 = s6.join(overlap, Seq("doc_id"))
-          .filter(col("shared") * 2 < col("own"))
-          .select(col("doc_id"), col("cleaned"), col("n_tok"))
-          .localCheckpoint(true)
-        val qstats = s7
+        val f3 = f2.join(overlap, Seq("doc_id"), "left")
+          .withColumn("p7",
+            col("p6") && col("own").isNotNull && col("shared") * 2 < col("own"))
+        val qstats = f3.filter(col("p7"))
           .select(col("doc_id"),
             explode(split(lower(col("cleaned")), "\\s+")).as("w"))
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("nt"), max(col("tf")).as("mx"))
-        val s8 = s7.join(qstats, Seq("doc_id"))
-          .filter(!(col("nt") < 10) && !(col("mx") * 5 > col("nt")))
-          .select(col("doc_id"), col("n_tok"))
+        val frame2 = f3.join(qstats, Seq("doc_id"), "left")
+          .withColumn("p8", col("p7") && col("nt").isNotNull &&
+            !(col("nt") < 10) && !(col("mx") * 5 > col("nt")))
+          .select(col("doc_id"), col("n_tok0"), col("n_tok"), col("lang"),
+            col("p3"), col("p4"), col("p5"), col("p6"), col("p7"), col("p8"))
           .localCheckpoint(true)
+        val s8 = frame2.filter(col("p8")).select(col("doc_id"), col("n_tok"))
         val offset = poff + earlier("wave_mass", bid)
           .map(_.agg(coalesce(sum(col("mass")), lit(0L))).head().getLong(0))
           .getOrElse(0L)
@@ -958,36 +989,54 @@ object CorpusBuild {
           .select(expr(s"($offset + cum - n_tok) div $packBudget").as("pack_id"),
             col("n_tok"))
 
-        def stageRow(name: String, df: DataFrame, tok: String): DataFrame =
-          df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col(tok)), lit(0L)).cast(LongType).as("n_tokens"))
-            .select(lit(waveId).as("wave"), lit(name).as("stage"),
-              col("n_docs"), col("n_tokens"))
-        val funnel = Seq(
-          stageRow("0_arrivals", w, "n_tok0"),
-          stageRow("1_clean", w, "n_tok"),
-          stageRow("2_langid", s2, "n_tok"),
-          stageRow("3_length", s3, "n_tok"),
-          stageRow("4_dedup_batch", s4, "n_tok"),
-          stageRow("5_dedup_store", s5, "n_tok"),
-          stageRow("6_neardup_store", s6, "n_tok"),
-          stageRow("7_decontam", s7, "n_tok"),
-          stageRow("8_quality", s8, "n_tok"),
-          packed.agg(countDistinct(col("pack_id")).as("n_docs"),
+        // the 10-stage funnel as ONE aggregate over the flag frame
+        // (stage 9 keeps its own distinct-count over the packed frame)
+        def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = coalesce(sum(when(c, 1L)), lit(0L))
+        def tok(c: org.apache.spark.sql.Column, t: String): org.apache.spark.sql.Column =
+          coalesce(sum(when(c, col(t))), lit(0L)).cast(LongType)
+        val all = lit(true)
+        val g = frame2.agg(
+          cnt(all).as("n0"), tok(all, "n_tok0").as("t0"),
+          cnt(all).as("n1"), tok(all, "n_tok").as("t1"),
+          cnt(col("lang") === "en").as("n2"), tok(col("lang") === "en", "n_tok").as("t2"),
+          cnt(col("p3")).as("n3"), tok(col("p3"), "n_tok").as("t3"),
+          cnt(col("p4")).as("n4"), tok(col("p4"), "n_tok").as("t4"),
+          cnt(col("p5")).as("n5"), tok(col("p5"), "n_tok").as("t5"),
+          cnt(col("p6")).as("n6"), tok(col("p6"), "n_tok").as("t6"),
+          cnt(col("p7")).as("n7"), tok(col("p7"), "n_tok").as("t7"),
+          cnt(col("p8")).as("n8"), tok(col("p8"), "n_tok").as("t8"))
+        val funnel = g.selectExpr(
+          s"""stack(9,
+             |'0_arrivals', n0, t0, '1_clean', n1, t1, '2_langid', n2, t2,
+             |'3_length', n3, t3, '4_dedup_batch', n4, t4,
+             |'5_dedup_store', n5, t5, '6_neardup_store', n6, t6,
+             |'7_decontam', n7, t7, '8_quality', n8, t8)
+             |AS (stage, n_docs, n_tokens)""".stripMargin)
+          .select(lit(waveId).as("wave"), col("stage"),
+            col("n_docs"), col("n_tokens"))
+          .unionByName(packed
+            .agg(countDistinct(col("pack_id")).as("n_docs"),
               coalesce(sum(col("n_tok")), lit(0L)).cast(LongType).as("n_tokens"))
             .select(lit(waveId).as("wave"), lit("9_appended").as("stage"),
-              col("n_docs"), col("n_tokens"))
-        ).reduce(_ unionByName _)
+              col("n_docs"), col("n_tokens")))
         // every write below is per-batchId + overwrite: a replayed batch
-        // rewrites its own directories byte-identically (st16 discipline)
-        funnel.coalesce(1).write.mode("overwrite").parquet(s"$acct/b$bid")
-        w.select(md5(lower(col("cleaned"))).as("fp"))
-          .write.mode("overwrite").parquet(s"$store/seen_fps/b$bid")
-        Dedup.inPlanSigAndSets(
-            w.select(col("doc_id"), col("cleaned").as("text")), chosenR)
-          .write.mode("overwrite").parquet(s"$store/seen_sigs/b$bid")
-        s8.agg(coalesce(sum(col("n_tok")), lit(0L)).as("mass"))
-          .write.mode("overwrite").parquet(s"$store/wave_mass/b$bid")
+        // rewrites its own directories byte-identically (st16 discipline);
+        // the four writes are independent (all inputs checkpointed), so
+        // they run concurrently (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val writes = Seq(
+          Future(funnel.coalesce(1).write.mode("overwrite")
+            .parquet(s"$acct/b$bid")),
+          Future(w.select(md5(lower(col("cleaned"))).as("fp"))
+            .write.mode("overwrite").parquet(s"$store/seen_fps/b$bid")),
+          Future(sigAll.write.mode("overwrite")
+            .parquet(s"$store/seen_sigs/b$bid")),
+          Future(s8.agg(coalesce(sum(col("n_tok")), lit(0L)).as("mass"))
+            .write.mode("overwrite").parquet(s"$store/wave_mass/b$bid")))
+        writes.foreach(Await.result(_, Duration.Inf))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -278,7 +278,10 @@ object Dedup {
 
   /** d02 — SimHash pairs at hamming ≤ 3 via exact 4×15-bit band join. */
   def d02SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = simhashed(Tables.documents(spark, dir))
+    // fanOut (r14): the word-explode×md5×60-vote partial agg ran in the
+    // 594 KB file's single scan task; see plans/r14/d02_simhash_*.
+    val docs = simhashed(
+      Tables.fanOut(Tables.documents(spark, dir), spark, dir, "documents"))
     // 4 bands of 15 bits: hamming ≤ 3 ⇒ ≥1 band identical (pigeonhole)
     val banded = docs.withColumn("bands", expr(
       "transform(sequence(0, 3), b -> array(b, (sh div shiftleft(CAST(1 AS BIGINT), b * 15)) % 32768))"))
@@ -668,16 +671,28 @@ object Dedup {
   def d09FuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val keyed = names.select(col("id"), col("name"), explode(expr(
-      "array_union(array(name), transform(sequence(1, length(name)), " +
-        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))))"))
-      .as("k"))
+    // Optimization r14 (guide §2.3/§4.4, plans/r14/d09_fuzzy_pairs_*):
+    // the candidate layer carries ONLY (id, k) — the old shape kept the
+    // name on both join sides, so the broadcast build held every name,
+    // the distinct shuffled (ida,na,idb,nb), and the optimizer pushed
+    // the levenshtein verify INTO the join condition, re-running it per
+    // duplicate candidate (pairs share ~2 deletion keys) and again per
+    // distinct group. Now: ids-only candidates → distinct on (ida,idb)
+    // → names re-attached via two broadcast lookups → ONE verify per
+    // distinct pair. fanOut: the whole explode×probe×verify pipeline
+    // used to run in the single scan task of the 315 KB base file.
+    val keyed = Tables.fanOut(names, spark, dir, "customer")
+      .select(col("id"), explode(expr(
+        "array_union(array(name), transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))))"))
+        .as("k"))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("a.name").as("na"),
-              col("b.id").as("idb"), col("b.name").as("nb"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct() // BEFORE the verify: pairs share ~2 deletion keys
+      .join(broadcast(names.select(col("id").as("ida"), col("name").as("na"))), "ida")
+      .join(broadcast(names.select(col("id").as("idb"), col("name").as("nb"))), "idb")
       // the 3-arg threshold form runs the O(L·k) banded algorithm and
       // returns -1 past the bound — the unbounded 2-arg form allocates a
       // full DP matrix per candidate (measured 2x wall-clock here)
@@ -907,23 +922,27 @@ object Dedup {
       concat_ws(",", lit(bi) +:
         (0 until r).map(j => col(s"h${bi * r + j}")): _*)
     }
-    val candsByR: Seq[(Int, DataFrame)] = layouts.map { r =>
+    // Optimization r14 (guide §2.4; this query ran 60 driver jobs —
+    // 6 per-layout checkpoints + 18 separate 1-row count aggregates):
+    // the six layouts' candidate-volume counts ride ONE union → distinct
+    // → groupBy(r) plan instead of six checkpointed frames each counted
+    // by its own aggregate job. Per-layout distinct pair sets (and so
+    // n_candidates) are unchanged — distinct on (r, ida, idb) grouped
+    // by r is exactly the old per-r distinct count.
+    val candCounts: DataFrame = layouts.map { r =>
       val banded = sig.select(col("doc_id"),
         explode(array(bandColsAt(r): _*)).as("bk"))
       // the bounded sample side BROADCASTS explicitly: left to AQE the
       // filter+explode size estimate can flip this to an SMJ that
       // shuffles the corpus-scale band table once per layout (measured
       // 2.4 GB across the six layouts at the 100× probe)
-      val cands = broadcast(banded.filter(inVolSample(col("doc_id")))
+      broadcast(banded.filter(inVolSample(col("doc_id")))
           .select(col("doc_id").as("sid"), col("bk")))
         .join(banded, Seq("bk")).filter(col("sid") =!= col("doc_id"))
-        .select(least(col("sid"), col("doc_id")).as("ida"),
+        .select(lit(r).as("r"), least(col("sid"), col("doc_id")).as("ida"),
           greatest(col("sid"), col("doc_id")).as("idb"))
-        .distinct()
-        .localCheckpoint(false) // sole consumer is the count, but the
-                                // 6 layout subtrees share `sig`
-      (r, cands)
-    }
+    }.reduce(_ unionByName _).distinct()
+      .groupBy(col("r")).agg(count(lit(1)).as("n_candidates"))
     // Exact ground TRUTH over the union of the r ≥ 4 layouts' candidate
     // pairs on the GROWN sample (r12 — the chooser must itself stay
     // cheap at every corpus size: the r11 form exact-verified sample ×
@@ -983,16 +1002,23 @@ object Dedup {
       .join(sigSlim.select(col("doc_id").as("idb") +:
         layouts.map(r => col(s"bl$r").as(s"bb$r")): _*), "idb")
       .localCheckpoint(false) // one consumer per layout below
-    val perLayout = candsByR.map { case (r, cands) =>
-      val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
-      val nCaught = tpBands
-        .agg(count(when(arrays_overlap(col(s"ba$r"), col(s"bb$r")), 1))
-          .as("n_caught"))
-      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
-      nTrue.crossJoin(nCaught).crossJoin(nCand)
-        .select(lit(r).as("r"), lit(minhashK / r).as("b"),
-          col("n_true"), col("n_caught"), col("n_candidates"))
-    }.reduce(_ unionByName _)
+    // all six layouts' recall counts (plus n_true) in ONE aggregate,
+    // unpivoted to the 6-row layout frame via stack(); a layout whose
+    // candidate join found no pairs gets its n_candidates coalesced to
+    // 0 by the left join, exactly the old empty-frame count
+    val caughtAll = tpBands.agg(
+      count(lit(1)).as("n_true"),
+      layouts.map(r =>
+        count(when(arrays_overlap(col(s"ba$r"), col(s"bb$r")), 1))
+          .as(s"c$r")): _*)
+    val perLayout = caughtAll.selectExpr(
+        "n_true",
+        s"""stack(${layouts.size}, ${layouts.map(r =>
+          s"$r, ${minhashK / r}, c$r").mkString(", ")})
+           |AS (r, b, n_caught)""".stripMargin)
+      .join(candCounts, Seq("r"), "left")
+      .select(col("r"), col("b"), col("n_true"), col("n_caught"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
     // Eligibility is TWO-layered (measured + analytic): a layout must
     // (a) catch every sampled true pair, AND (b) have analytic miss
     // probability ≤ 1e-3 for a pair sitting AT the observed similarity
@@ -1656,7 +1682,10 @@ object Dedup {
       val (a, b) = minhashCoeffs(k)
       min(pmod(lit(a) * col("hx") + lit(b), lit(minhashP))).as(s"h$k")
     }
-    val sk = Tables.documents(spark, dir)
+    // fanOut (r14): the explode×md5×60-min pipeline below ran in the
+    // single scan task of the 594 KB documents file — 4.2 s on one core
+    // with 31 idle; see plans/r14/d15_source_similarity_*.
+    val sk = Tables.fanOut(Tables.documents(spark, dir), spark, dir, "documents")
       .select(col("source"),
         explode(expr("sequence(1, greatest(1, length(text) - 4))")).as("i"),
         col("text"))

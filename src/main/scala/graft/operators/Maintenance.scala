@@ -2106,7 +2106,10 @@ object Maintenance {
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val tot = base.agg(count(lit(1)).as("n_total"),
       sum(col("cents")).as("sum_cents_total"))
-    val res = base
+    // fanOut (r14): the ×16 explode + md5-per-(row,b) partial agg ran
+    // in the 2.7 MB orders file's single scan task; see
+    // plans/r14/a62_poisson_bootstrap_*.
+    val res = Tables.fanOut(base, spark, dir, "orders")
       .select(col("o_orderkey"), col("cents"),
         explode(expr("sequence(0, 15)")).as("b"))
       .withColumn("u", expr(

@@ -540,7 +540,10 @@ object Multimodal {
       .select((col("doc_id") + col("off")).as("doc_id"),
         concat(lit("IMG0"), upper(expr("substring(text, 1, 20)")),
           expr("substring(text, 21)")).as("s"))
-    val media = base.unionByName(perturbed)
+    // fanOut (r14): the 60-sample hash projection + band explode + pair
+    // verify ran in the two single scan tasks of the 594 KB base file;
+    // see plans/r14/m10_avghash_pairs_*.
+    val media = Tables.fanOut(base.unionByName(perturbed), spark, dir, "documents")
     val vs = (1 to 60).map(i => expr(
       s"ascii(substring(s, CAST(1 + (${i - 1} * length(s)) div 60 AS INT), 1))").as(s"v$i"))
     val sm = (1 to 60).map(i => col(s"v$i")).reduce(_ + _)
@@ -623,7 +626,10 @@ object Multimodal {
     */
   def m11AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
     val frame = 25
-    Tables.documents(spark, dir)
+    // fanOut (r14): the frame explode + per-char energy reduce ran in
+    // the 594 KB file's single scan task (2.9 s on one core); see
+    // plans/r14/m11_audio_energy_*.
+    Tables.fanOut(Tables.documents(spark, dir), spark, dir, "documents")
       .select(col("doc_id"), concat(lit("AUD0"), col("text")).as("s"))
       .select(col("doc_id"), col("s"),
         explode(expr(s"sequence(0, CAST(ceil(length(s) / $frame.0) AS BIGINT) - 1)"))
