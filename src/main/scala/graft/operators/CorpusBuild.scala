@@ -489,8 +489,12 @@ object CorpusBuild {
     // the batch needs: fingerprint (exact dedup) + lang/token count
     // (append offset). Only these ~50 B/doc are checkpointed — the
     // cleaned text never leaves the map side and is never materialized.
-    val corpusMeta = tagged("corpus_meta")(cleanCols(base
-        .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0)
+    // fanOut (r14): the nfc/strip clean of the whole store corpus ran
+    // in the documents file's single scan task
+    val corpusMeta = tagged("corpus_meta")(cleanCols(
+        Tables.fanOut(base
+          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0),
+          spark, dir, "documents")
         .withColumn("raw", col("text")))
       .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
       .localCheckpoint(false)) // two consumers: fp semi-join + append offset
@@ -503,7 +507,8 @@ object CorpusBuild {
     val arrivals = ep02ArrivalRows(base)
 
     // ---- stages 0-3: clean + gates (batch-sided, narrow) ----
-    val batch = tagged("0_clean")(cleanCols(arrivals)
+    val batch = tagged("0_clean")(cleanCols(
+        Tables.fanOut(arrivals, spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("n_tok0"),
         col("cleaned"), col("n_tok"))
       .localCheckpoint(false))
@@ -821,8 +826,9 @@ object CorpusBuild {
     val metaPath = new org.apache.hadoop.fs.Path(s"$store/corpus_meta")
     val metaFs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(reuseStore && metaFs.exists(metaPath)))
-      cleanColsOf(base
-          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0)
+      cleanColsOf(Tables.fanOut(base
+          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0),
+          spark, dir, "documents")
           .withColumn("raw", col("text")))
         .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
         .write.mode("overwrite").parquet(s"$store/corpus_meta")
@@ -890,7 +896,16 @@ object CorpusBuild {
         // replayed batch rewrites is byte-identical (Round12OpsSpec).
         val waveId = wave.agg(coalesce(min(pmod(col("doc_id"), lit(3))),
           lit(bid))).head().getLong(0).toInt
-        val w = cleanColsOf(wave)
+        // adaptive wave fan-out: a staged wave arrives as ONE file (one
+        // scan task), so the per-wave nfc/strip clean was serial; at
+        // scale a wave already lands in ≥ cores partitions and this is
+        // a no-op (batch-sided shuffles on O(|batch|) rows are the
+        // design budget here — see the scale note above)
+        val cores = spark.sparkContext.defaultParallelism
+        val waveIn =
+          if (wave.rdd.getNumPartitions < cores) wave.repartition(cores)
+          else wave
+        val w = cleanColsOf(waveIn)
           .select(col("doc_id"), col("lang"), col("n_tok0"),
             col("cleaned"), col("n_tok"))
           .localCheckpoint(true)
