@@ -14,6 +14,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Executor TASK time per query (r14 verdict #8): at sf0.1 the walls
+    // are dominated by per-query constants (plan/codegen/scheduling), so
+    // 8- vs 32-core walls cannot separate compute-bound queries. Sum of
+    // task run times CAN — it scales with actual executor work, not with
+    // the driver's fixed costs. Snapshot around each timed query; written
+    // to target/bench.json only (stdout line format unchanged).
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) taskTimeMs.addAndGet(m.executorRunTime)
+      }
+    })
     // Untimed warmups so the first timed queries don't pay JIT/codegen/
     // shuffle-service startup (r1 showed 10x inflation on the first few;
     // one warmup was not enough — whichever queries ran 2nd-4th still
@@ -28,7 +41,11 @@ object Bench {
           }
         }
       }
+    // per-query sum-of-task-time (ms), accumulated across first pass AND
+    // any rerun — the scaling probe reads it as "executor work done"
+    val taskTimes = scala.collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val k0 = taskTimeMs.get
       val t0 = System.nanoTime()
       val ok =
         // toRdd materializes the query AS PLANNED — df.count() would let
@@ -37,8 +54,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      val w = (System.nanoTime() - t0) / 1e9
+      taskTimes(name) = taskTimes.getOrElse(name, 0L) + (taskTimeMs.get - k0)
       // failed query → -1 so a failure is visible, never a fast time
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) w else -1.0
     }
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
       name -> timeOne(name, fn)
@@ -53,12 +72,21 @@ object Bench {
     val okTimes = firstPass.values.filter(_ >= 0).toSeq.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     val bar = math.max(2.5, 3.0 * median)
+    // rerun ledger (r14 verdict #7): a memoized stored-index query whose
+    // FIRST pass pays the one-time build can re-run warm and report the
+    // min — the build cost would silently vanish from the artifact. Keep
+    // both walls for every re-run query in target/bench.json so
+    // build-vs-probe is always reconstructible (first ≈ build+probe,
+    // rerun ≈ probe). Additions-only: stdout line and `queries` values
+    // are unchanged.
+    val rerunLedger = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, t) =>
       if (t <= bar) name -> t
       else {
         val t2 = timeOne(name, SparkEntry.queries(name))
         val best = if (t2 < 0) t else math.min(t, t2)
         System.err.println(f"[bench] $name rerun: $t%.2f s -> $t2%.2f s (report ${best}%.2f)")
+        rerunLedger(name) = (t, t2)
         name -> best
       }
     }
@@ -90,11 +118,25 @@ object Bench {
         }
         mkLine(kept, s""","n_queries":${results.size},"truncated":true""")
       }
-    // The file always holds the FULL per-query map, one JSON line.
+    // The file always holds the FULL per-query map, one JSON line — plus
+    // two additions-only diagnostic maps (r14 verdict #7/#8): `rerun`
+    // records both walls of every min-of-two re-run (so a stored-index
+    // build cost never silently vanishes), `task_time_ms` the per-query
+    // sum of executor task run times (the core-scaling signal sf0.1
+    // walls cannot carry). `queries` itself is byte-compatible with
+    // every earlier round.
+    val rerunJson = rerunLedger.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+      s"\"$k\":{\"first\":${r3(a)},\"rerun\":${r3(b)}}"
+    }.mkString("{", ",", "}")
+    val taskJson = taskTimes.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"$k\":$v"
+    }.mkString("{", ",", "}")
+    val fileLine = full.stripSuffix("}") +
+      s""","rerun":$rerunJson,"task_time_ms":$taskJson}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }

@@ -38,18 +38,42 @@ object Components {
     * @return (node, component) with component = min node id reachable
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(pairs)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("node").as("doc_id"), col("comp").as("component_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The propagation loop alone: (node, comp) labels at the fixed point,
+    * returned as a CHECKPOINTED frame (a LogicalRDD scan — consumers that
+    * fan out over the labels, like d18's five label joins, read one
+    * materialized copy instead of re-running the final-round join per
+    * consumer). Split out in r15 (guide §2.4): [[d18IncrementalComponents]]
+    * re-aggregates the labels itself, so the sizes join + global orderBy
+    * [[connectedComponents]] adds — one extra shuffle plus a range-
+    * partitioning SAMPLE job per consumer copy — was pure waste there.
+    */
+  private[operators] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("a", "b")
     // symmetric closure so one join direction sees every neighbour
     val e = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = e.select(col("a").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint(true)
-      // coalesce: an empty pair set must converge, not NPE on a null sum
+      // coalesce: an empty pair set must converge, not NPE on a null sum.
+      // The checkpoint is LAZY (r15, guide §2.4): the labelSum job right
+      // after it is what materializes (and pins) the frame, so each round
+      // costs ONE driver job where the eager form paid two — checkpoint
+      // materialization + sum. Upstream exchanges still materialize at
+      // plan construction under AQE; only the duplicated result stage
+      // is saved, per round, per ccLabels call.
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+      var labels = e.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node"))
+        .localCheckpoint(false)
       var prevSum = labelSum(labels)
       var converged = false
       var rounds = 0
@@ -62,7 +86,7 @@ object Components {
         val next = labels.join(nbrMin, labels("node") === col("n2"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-          .localCheckpoint(true) // materializes; cuts the per-round lineage
+          .localCheckpoint(false) // materialized by the labelSum job below
         val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
@@ -74,11 +98,7 @@ object Components {
       // to the log-round star algorithm, not consume split components
       require(converged,
         s"connectedComponents: no fixpoint after $rounds rounds (graph diameter exceeds cap)")
-      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "comp")
-        .select(col("node").as("doc_id"), col("comp").as("component_id"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
+      labels
     } finally e.unpersist(blocking = false)
   }
 
@@ -384,8 +404,13 @@ object Components {
     val newPairs = pairs.filter(isB(col("ida")) || isB(col("idb")))
     // old state: labels over the old-only graph (the stored artifact's
     // role); old docs without old pairs are their own singleton comp
-    val oldLab = connectedComponents(oldPairs)
-      .select(col("doc_id"), col("component_id"))
+    // labels only (r15): d18 re-aggregates membership itself, so the
+    // sizes join + per-consumer orderBy of the full contract frame —
+    // oldLab fans out to FIVE label joins below — added one shuffle and
+    // one range-sampling job per copy. ccLabels is checkpointed, so all
+    // five consumers scan one materialized copy.
+    val oldLab = ccLabels(oldPairs)
+      .select(col("node").as("doc_id"), col("comp").as("component_id"))
     def contractEnd(e: String): DataFrame = newPairs
       .join(oldLab.withColumnRenamed("doc_id", e), Seq(e), "left")
       .withColumn(s"c_$e",
@@ -400,8 +425,8 @@ object Components {
           .otherwise(coalesce(col("component_id"), col("ida"))))
       .select(col("c_ida"), col("c_idb"))
       .filter(col("c_ida") =!= col("c_idb"))
-    val merged = connectedComponents(contracted)
-      .select(col("doc_id").as("cnode"), col("component_id").as("final_comp"))
+    val merged = ccLabels(contracted)
+      .select(col("node").as("cnode"), col("comp").as("final_comp"))
     // membership of touched components: old members come from their old
     // comp's contracted node; batch members from their own node
     val batchDocs = graft.Tables.documents(spark, dir)

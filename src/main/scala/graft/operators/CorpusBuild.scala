@@ -553,25 +553,24 @@ object CorpusBuild {
       .localCheckpoint(false)) // consumers: band probe + verify sets
     // batch bands broadcast; the corpus band table streams through the
     // probe join map-side (batch ≪ corpus is the incremental premise).
-    // Checkpointed (pruned to the bare id pair first): TWO consumers —
-    // the verify join and the slim-sets id list below — would otherwise
-    // each re-run the corpus-wide probe join (the duplicated-subtree
-    // class CheckpointHygieneSpec ratchets; measured 18.3× stage bytes
-    // at 10× before, ~batch-linear after).
+    // r15 (guide §3.1/§2.4): the bare (bid, cid) candidate list is
+    // batch-bounded, so it BROADCASTS straight into the stored-sets
+    // scan and the batch signatures broadcast on top — the verify is
+    // two map-side hash joins over one sets/ pass. The r14 form
+    // checkpointed cand (an extra construction-time job), built a
+    // second candIds broadcast to slim the sets, then shuffle-joined;
+    // the produced rows are identical (same inner joins, same filter),
+    // and cand's single consumer needs no checkpoint.
     val cand = tagged("6_candidates")(corpusBands
       .join(broadcast(batchSig
         .select(col("doc_id").as("bid"), explode(col("bands")).as("bk"))),
         Seq("bk"))
-      .select(col("bid"), col("cid")).distinct()
-      .localCheckpoint(false))
-    // verify only the candidates' stored sets: the id list broadcasts
-    // and sets/ is filtered map-side (the ep01 convention) — candidate
-    // volume is batch-bounded, so the subsequent joins are too
-    val candIds = cand.select(col("cid").as("doc_id")).distinct()
-    val slimSets = storedSets.join(broadcast(candIds), "doc_id")
-    val nearDrops = cand
-      .join(batchSig.select(col("doc_id").as("bid"), col("hs").as("hb")), "bid")
-      .join(slimSets.select(col("doc_id").as("cid"), col("hs").as("hc")), "cid")
+      .select(col("bid"), col("cid")).distinct())
+    val nearDrops = storedSets
+      .select(col("doc_id").as("cid"), col("hs").as("hc"))
+      .join(broadcast(cand), Seq("cid"))
+      .join(broadcast(batchSig
+        .select(col("doc_id").as("bid"), col("hs").as("hb"))), Seq("bid"))
       .withColumn("inter",
         expr("CAST(sorted_intersect_count(hb, hc) AS DOUBLE)"))
       .filter(col("inter") /
@@ -818,45 +817,67 @@ object CorpusBuild {
 
     // ---- the pre-existing store (built before any arrival; overwrite
     // makes a replayed setup byte-identical) ----
-    val idx = Dedup.neutralLshIndex(spark, dir)
-    val chosenR = Dedup.chosenRowsPerBand(spark, dir)
     // reuseStore (probe-only, the steady-state path): a warm store is
     // not rebuilt, so the measured marginal batch excludes setup — the
     // contract/replay paths keep the idempotent overwrite
     val metaPath = new org.apache.hadoop.fs.Path(s"$store/corpus_meta")
     val metaFs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!(reuseStore && metaFs.exists(metaPath)))
-      cleanColsOf(Tables.fanOut(base
-          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0),
-          spark, dir, "documents")
-          .withColumn("raw", col("text")))
-        .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
-        .write.mode("overwrite").parquet(s"$store/corpus_meta")
-    val corpusMeta = spark.read.parquet(s"$store/corpus_meta")
-    val poff = corpusMeta.filter(col("lang") === "en" && col("n_tok") >= 50)
-      .agg(coalesce(sum(col("n_tok")), lit(0L)).as("off")).head().getLong(0)
+    // Setup concurrency (r15, guide §2.6): the store's corpus_meta
+    // build, the three wave stagings and the eval-gram table are
+    // mutually independent jobs previously run end-to-end; overlapping
+    // them back-fills each job's task tail. Each future is itself the
+    // exact job sequence the serial form ran (byte-identical outputs:
+    // same writes, same paths, same mtimes).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val metaF = Future {
+      if (!(reuseStore && metaFs.exists(metaPath)))
+        cleanColsOf(Tables.fanOut(base
+            .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0),
+            spark, dir, "documents")
+            .withColumn("raw", col("text")))
+          .select(md5(lower(col("cleaned"))).as("fp"), col("lang"), col("n_tok"))
+          .write.mode("overwrite").parquet(s"$store/corpus_meta")
+      val cm = spark.read.parquet(s"$store/corpus_meta")
+      val off = cm.filter(col("lang") === "en" && col("n_tok") >= 50)
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("off")).head().getLong(0)
+      (cm, off)
+    }
+    // ---- stage the arrival waves: one parquet file per wave, strictly
+    // increasing mtimes (FileStreamSource delivers in mtime order; the
+    // mtimes are SET explicitly after each move, so staging the three
+    // waves concurrently cannot reorder delivery) ----
+    val stageF = Future {
+      if (!Files.exists(Paths.get(stage))) {
+        Files.createDirectories(Paths.get(stage))
+        val waves = (0 until 3).map { wv => Future {
+          val tmp = Files.createTempDirectory("graft_st17_w_")
+          ep02ArrivalRows(base).filter(col("doc_id") % 3 === wv)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val target = Paths.get(stage, f"wave_$wv%02d.parquet")
+          Files.move(Paths.get(part), target)
+          Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + wv * 60000L))
+        }}
+        waves.foreach(Await.result(_, Duration.Inf))
+      }
+    }
+    // the memoized stored-index builds (one-time per corpus per JVM)
+    // and the eval-gram table run on the main thread while the two
+    // futures above fill the cluster
+    val idx = Dedup.neutralLshIndex(spark, dir)
+    val chosenR = Dedup.chosenRowsPerBand(spark, dir)
     val evalGrams = evalGramRows(base).localCheckpoint(false)
     val corpusBands = Dedup.sigBandsAt(spark, dir, chosenR)
       .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("cid"), explode(col("bands")).as("bk"))
     val corpusSets = spark.read.parquet(s"$idx/sets")
-
-    // ---- stage the arrival waves: one parquet file per wave, strictly
-    // increasing mtimes (FileStreamSource delivers in mtime order) ----
-    if (!Files.exists(Paths.get(stage))) {
-      Files.createDirectories(Paths.get(stage))
-      for (wv <- 0 until 3) {
-        val tmp = Files.createTempDirectory("graft_st17_w_")
-        ep02ArrivalRows(base).filter(col("doc_id") % 3 === wv)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        val target = Paths.get(stage, f"wave_$wv%02d.parquet")
-        Files.move(Paths.get(part), target)
-        Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + wv * 60000L))
-      }
-    }
+    val (corpusMeta, poff) = Await.result(metaF, Duration.Inf)
+    Await.result(stageF, Duration.Inf)
 
     def earlier(kind: String, bid: Long): Option[DataFrame] = {
       val dirs = (0L until bid).map(i => s"$store/$kind/b$i").filter { d =>
@@ -909,11 +930,26 @@ object CorpusBuild {
           .select(col("doc_id"), col("lang"), col("n_tok0"),
             col("cleaned"), col("n_tok"))
           .localCheckpoint(true)
+        // r15 (guide §2.6): each store write launches the moment its
+        // (checkpointed) input exists instead of queueing behind the
+        // whole gate chain — seen_fps needs only `w`, seen_sigs only
+        // `sigAll`, so both overlap the batch's remaining jobs; the
+        // funnel/wave_mass writes still launch last and everything is
+        // awaited before the batch commits (the replay fence is the
+        // foreachBatch return, unchanged)
+        val writeEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val wFpsWrite = scala.concurrent.Future(
+          w.select(md5(lower(col("cleaned"))).as("fp"))
+            .write.mode("overwrite").parquet(s"$store/seen_fps/b$bid"))(writeEc)
         // one sig pass per wave, shared by the near-dup probe (p5 subset)
         // and the seen_sigs store write (all wave docs)
         val sigAll = Dedup.inPlanSigAndSets(
           w.select(col("doc_id"), col("cleaned").as("text")), chosenR)
           .localCheckpoint(true)
+        val wSigsWrite = scala.concurrent.Future(
+          sigAll.write.mode("overwrite")
+            .parquet(s"$store/seen_sigs/b$bid"))(writeEc)
         // flags frame 1: clean/langid/length gates + exact dedup within
         // the wave (rn among p3 docs of the same fp) + vs the store
         val seenFps = earlier("seen_fps", bid)
@@ -949,14 +985,22 @@ object CorpusBuild {
         val rhsSets = seenSig
           .map(ss => corpusSets.unionByName(ss.select(col("doc_id"), col("hs"))))
           .getOrElse(corpusSets)
+        // r15 (guide §3.1/§2.4): the candidate pair list is batch-
+        // bounded (the incremental premise), so it BROADCASTS into the
+        // stored-sets scan and the batch signatures broadcast on top —
+        // the verify is two map-side hash joins over one rhsSets pass.
+        // The old form checkpointed cand (one extra job), built a
+        // second broadcast (candIds) to slim the sets, then ran two
+        // shuffle joins; rows produced are identical (inner joins on
+        // the same keys, same filter). cand itself now has a single
+        // consumer, so the checkpoint is gone.
         val cand = rhsBands.join(broadcast(batchBands), Seq("bk"))
           .select(col("bid"), col("cid")).distinct()
-          .localCheckpoint(true)
-        val candIds = cand.select(col("cid").as("doc_id")).distinct()
-        val slimSets = rhsSets.join(broadcast(candIds), "doc_id")
-        val nearDrops = cand
-          .join(batchSig.select(col("doc_id").as("bid"), col("hs").as("hb")), "bid")
-          .join(slimSets.select(col("doc_id").as("cid"), col("hs").as("hc")), "cid")
+        val nearDrops = rhsSets
+          .select(col("doc_id").as("cid"), col("hs").as("hc"))
+          .join(broadcast(cand), Seq("cid"))
+          .join(broadcast(batchSig
+            .select(col("doc_id").as("bid"), col("hs").as("hb"))), Seq("bid"))
           .withColumn("inter",
             expr("CAST(sorted_intersect_count(hb, hc) AS DOUBLE)"))
           .filter(col("inter") /
@@ -1040,15 +1084,12 @@ object CorpusBuild {
         // they run concurrently (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.global
+        implicit val ec: scala.concurrent.ExecutionContext = writeEc
         val writes = Seq(
           Future(funnel.coalesce(1).write.mode("overwrite")
             .parquet(s"$acct/b$bid")),
-          Future(w.select(md5(lower(col("cleaned"))).as("fp"))
-            .write.mode("overwrite").parquet(s"$store/seen_fps/b$bid")),
-          Future(sigAll.write.mode("overwrite")
-            .parquet(s"$store/seen_sigs/b$bid")),
+          wFpsWrite,  // launched right after `w` materialized
+          wSigsWrite, // launched right after `sigAll` materialized
           Future(s8.agg(coalesce(sum(col("n_tok")), lit(0L)).as("mass"))
             .write.mode("overwrite").parquet(s"$store/wave_mass/b$bid")))
         writes.foreach(Await.result(_, Duration.Inf))

@@ -1019,13 +1019,25 @@ object ScaleDiag {
       else spark.read.parquet(names.map(n => s"$d/$n"): _*)
     def attempt(v: Int, fact: DataFrame, corruptSummary: Boolean): (Int, Long, Long, Long, Boolean, Long) = {
       val beforeF = listing(factDir); val beforeS = listing(sumDir)
-      fact.repartition(2).write.mode("append").parquet(factDir.toString)
       val summary = fact.groupBy(col("status"))
         .agg(sum(col("cents")).as("cents"))
         .withColumn("cents",
           if (corruptSummary) col("cents") + when(col("status") === "F", 1L).otherwise(0L)
           else col("cents"))
-      summary.coalesce(1).write.mode("append").parquet(sumDir.toString)
+      // the two staged writes are independent of each other (the txn
+      // only needs both staged before the audit) — run them as
+      // concurrent jobs so one write's task tail back-fills the other
+      // (guide §2.6); l12's three attempts are driver-job-bound at
+      // bench scale, ~10 sequential jobs before this
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val wf = Future(fact.repartition(2).write.mode("append").parquet(factDir.toString))
+        val ws = Future(summary.coalesce(1).write.mode("append").parquet(sumDir.toString))
+        Await.result(wf, Duration.Inf); Await.result(ws, Duration.Inf)
+      }
       val stagedF = (listing(factDir) -- beforeF).toSeq.sorted
       val stagedS = (listing(sumDir) -- beforeS).toSeq.sorted
       // cross-table audit: staged summary must equal the re-aggregated
@@ -1042,12 +1054,14 @@ object ScaleDiag {
       Files.write(Paths.get(s"$scratch/manifest-v$v.txt"),
         (factManifest.sorted.map("fact|" + _) ++ sumManifest.sorted.map("summary|" + _))
           .mkString("\n").getBytes("UTF-8"))
-      // read back THROUGH the manifest
-      val f = readTable(factDir, factManifest)
-        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s")).head()
-      val s = readTable(sumDir, sumManifest)
-        .agg(coalesce(sum(col("cents")), lit(0L)).as("s")).head()
-      (v, f.getLong(0), f.getLong(1), s.getLong(0), publish,
+      // read back THROUGH the manifest — both 1-row aggregates in ONE
+      // job (a cross join of two scalar aggs evaluates both subtrees in
+      // the same collect), halving the per-attempt read-back job count
+      val fs = readTable(factDir, factManifest)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s"))
+        .crossJoin(readTable(sumDir, sumManifest)
+          .agg(coalesce(sum(col("cents")), lit(0L)).as("s2"))).head()
+      (v, fs.getLong(0), fs.getLong(1), fs.getLong(2), publish,
         (factManifest.size + sumManifest.size).toLong)
     }
     val out = Seq(

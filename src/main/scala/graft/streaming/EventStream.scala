@@ -1266,10 +1266,21 @@ object EventStream {
       .find(n => !Files.exists(Paths.get(s"$table/raw/b$bid-a$n"))).get
     val rawRel = s"raw/b$bid-a$attempt"
     val sumRel = s"sum/b$bid-a$attempt"
-    batch.write.mode("overwrite").parquet(s"$table/$rawRel")
-    batch.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$table/$sumRel")
+    // the two staged writes are independent (the manifest flip below is
+    // the only commit point) — concurrent jobs, guide §2.6; st16 pays
+    // this per micro-batch, so the overlap is ×4 at the contract's file
+    // count
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val wr = Future(batch.write.mode("overwrite").parquet(s"$table/$rawRel"))
+      val ws = Future(batch.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$table/$sumRel"))
+      Await.result(wr, Duration.Inf); Await.result(ws, Duration.Inf)
+    }
     val prev = st14Versions(table).filter(_ < bid).sorted.lastOption
       .map(v => st14Manifest(table, v)).getOrElse(Seq.empty)
     val lines = prev ++ files(rawRel).map("raw|" + _) ++ files(sumRel).map("sum|" + _)
