@@ -1041,11 +1041,16 @@ object CorpusBuild {
             col("p3"), col("p4"), col("p5"), col("p6"), col("p7"), col("p8"))
           .localCheckpoint(true)
         val s8 = frame2.filter(col("p8")).select(col("doc_id"), col("n_tok"))
-        val offset = poff + earlier("wave_mass", bid)
-          .map(_.agg(coalesce(sum(col("mass")), lit(0L))).head().getLong(0))
-          .getOrElse(0L)
+        // r15 (guide §2.4/§5): the pack offset rides the plan as a
+        // broadcast 1-row aggregate (ep02's packedOffset pattern)
+        // instead of a blocking driver head() per batch — same value,
+        // one fewer sequential driver job in the batch chain
+        val offAgg = earlier("wave_mass", bid)
+          .map(_.agg((lit(poff) + coalesce(sum(col("mass")), lit(0L))).as("off")))
+          .getOrElse(spark.range(1).select(lit(poff).as("off")))
         val packed = ScaleOps.prefixSum(s8, Seq("doc_id"), "n_tok", "cum")
-          .select(expr(s"($offset + cum - n_tok) div $packBudget").as("pack_id"),
+          .crossJoin(broadcast(offAgg))
+          .select(expr(s"(off + cum - n_tok) div $packBudget").as("pack_id"),
             col("n_tok"))
 
         // the 10-stage funnel as ONE aggregate over the flag frame

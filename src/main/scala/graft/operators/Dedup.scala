@@ -1963,12 +1963,21 @@ object Dedup {
                           priceAboveRows: Long = 200000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    // the hashed set rows feed THREE consumers (token document
-    // frequencies, the per-doc prefix ranking, and the verify sets) —
-    // left UNCHECKPOINTED deliberately: AQE's exchange reuse already
-    // serves all three from one materialized shuffle, and an eager
-    // localCheckpoint was MEASURED slower (bench 7.0 s -> 11.4 s at
-    // sf0.1: it pays a serialize+rescan the reused exchange avoids)
+    // r15 (guide §2.4): the RANKED rows are checkpointed ONCE and feed
+    // everything downstream. The r14 form left the frame inline and let
+    // AQE exchange-reuse serve the consumers; that dedupes only up to
+    // the exchange, so the two self-join sides each re-ran Sort+Window
+    // ×2 over all ranked rows (the r14 plan dump shows the duplicated
+    // Window pairs above one ReusedExchange) and the verify `sets`
+    // re-ran the whole shingle explode + md5 from a third documents
+    // scan. Checkpointing `sized` (lazy — the first consumer's job
+    // materializes it) runs the explode/distinct/tdf/window pipeline
+    // exactly once; both join sides, the pricing aggregate and the
+    // sets aggregate read the materialized copy. (An EAGER checkpoint
+    // of the pre-window `rows` was measured slower in r13 — bench
+    // 7.0 -> 11.4 s — because it paid a serialize+rescan below the
+    // exchange AQE was already reusing; this one sits ABOVE the
+    // windows, where reuse cannot reach.)
     val rows = wordBigramRows(Tables.documents(spark, dir))
       .select(col("doc_id"), expr(md5ShingleImage).as("h")).distinct()
     val tdf = rows.groupBy(col("h")).agg(count(lit(1)).as("tdf"))
@@ -1976,6 +1985,7 @@ object Dedup {
     val sized = rows.join(tdf, "h")
       .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("tdf"), col("h"))))
+      .localCheckpoint(false)
     // prefix length p = sz − ⌈4·sz/5⌉ + 1, ceil via (4·sz+4) div 5
     val pref = sized.filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("h"), col("sz"), col("rn"))
@@ -2006,7 +2016,11 @@ object Dedup {
             lit(4) * (col("x.sz") + col("y.sz")))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
-    val sets = rows.groupBy(col("doc_id")).agg(array_sort(collect_set(col("h"))).as("hs"))
+    // sets from the checkpointed ranked rows, not from a fresh shingle
+    // pass: same distinct (doc_id, h) pairs (the tdf join is 1:1), and
+    // the checkpoint is already hash-partitioned by doc_id from the
+    // window, so this aggregate needs NO exchange (§2.4)
+    val sets = sized.groupBy(col("doc_id")).agg(array_sort(collect_set(col("h"))).as("hs"))
     cands
       .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), "ida")
       .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), "idb")

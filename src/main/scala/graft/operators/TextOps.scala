@@ -1138,9 +1138,17 @@ object TextOps {
       .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
     val evalPlant = base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 200001).as("doc_id"), col("text"), lit("en").as("lang"))
+    // r15 (guide §2.4): ingest and s3 are CHECKPOINTED — the funnel
+    // below unions six aggregates, and without a materialized copy each
+    // branch re-ran the scan+union+tokenize subtree (and every branch at
+    // or past dedup re-ran the fingerprint window): 6 duplicated
+    // subtrees in one plan, 25 driver jobs. The two checkpoints are
+    // lazy; stage branches and the gram explode read the materialized
+    // frames. Same rows, same funnel (oracle-pinned).
     val ingest = base.filter(col("doc_id") % 50 =!= 0)
       .unionByName(dupPlant).unionByName(evalPlant)
       .withColumn("n_tok", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .localCheckpoint(false)
     val s1 = ingest.filter(col("lang") === "en")
     val s2 = s1.filter(col("n_tok") >= 50)
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
@@ -1148,6 +1156,7 @@ object TextOps {
       .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
       .select(col("doc_id"), col("text"), col("n_tok"))
+      .localCheckpoint(false)
     val grams3 = expr(
       "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")
     def grams(df: DataFrame): DataFrame = df

@@ -83,7 +83,9 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     "m10_avghash_pairs",
     "s12_temperature_mix", "s13_time_split", "s18_neyman_allocation",
     "st13_ingest_dedup",
-    "t21_containment", "t22_bigram_lm", "t25_curation_funnel",
+    // t25 left the allowlist in r15: ingest/s3 are checkpointed, so the
+    // six funnel branches read materialized frames — no duplicate left
+    "t21_containment", "t22_bigram_lm",
     "t28_rake_keywords", "t31_pmi_pairs", "t34_vocab_growth",
     "t38_source_divergence", "t41_dsir_weights", "t45_textrank_keywords",
     "v14_centroid_outliers", "v15_prf_rerank", "v21_centroid_drift",
