@@ -473,12 +473,17 @@ object ScaleDiag {
       b.repartition(2).write.mode("append").parquet(data.toString)
       val stagedFiles = (listing() -- before).toSeq.sorted
       val staged = spark.read.parquet(stagedFiles.map(n => s"$data/$n"): _*)
+      // r15 (guide §2.4): the row/price audit and the duplicate-pk
+      // probe are both 1-row aggregates over the staged files — cross
+      // joined they evaluate in ONE driver job instead of two per batch
       val audit = staged.agg(count(lit(1)).as("staged_rows"),
         coalesce(sum(when(col("cents") <= 0, 1L).otherwise(0L)), lit(0L))
-          .as("bad_price")).head()
-      val (stagedRows, badPrice) = (audit.getLong(0), audit.getLong(1))
-      val dupPk = staged.join(snapshot().select(col("k")), Seq("k"), "left_semi")
-        .count()
+          .as("bad_price"))
+        .crossJoin(staged.join(snapshot().select(col("k")), Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("dup_pk")))
+        .head()
+      val (stagedRows, badPrice, dupPk) =
+        (audit.getLong(0), audit.getLong(1), audit.getLong(2))
       val publish = badPrice == 0 && dupPk == 0
       if (publish) manifest ++= stagedFiles
       Files.write(Paths.get(s"$scratch/manifest-v${i + 1}.txt"),
